@@ -1,0 +1,77 @@
+"""Parquet-backed warehouse with atomic overwrite semantics.
+
+Replaces the reference's Postgres schemas/tables (``CREATE SCHEMA IF NOT
+EXISTS`` at ``public/lion_parcell_bonus_test_stg.py:269-270``,
+truncate-reload at ``public/source_transaction_lion_parcel.py:50-68``).
+
+A table is a directory of parquet files. Overwrites are atomic at the
+directory level: write to ``<table>.__tmp__``, then swap. This is the
+non-transactional stand-in for Postgres MERGE atomicity documented in
+SURVEY.md §7 hard part 4 — on a real deployment you'd back this with a
+table format (Delta/Iceberg) instead, but the engine API stays the same.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Warehouse:
+    """A directory of databases, each a directory of parquet tables."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def create_database(self, name: str) -> None:
+        os.makedirs(os.path.join(self.root, name), exist_ok=True)
+
+    def table_path(self, name: str) -> str:
+        """``db.table`` or bare ``table`` (default db)."""
+        parts = name.split(".")
+        if len(parts) == 1:
+            parts = ["default", parts[0]]
+        return os.path.join(self.root, *parts)
+
+    def exists(self, name: str) -> bool:
+        path = self.table_path(name)
+        return os.path.isdir(path) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(path)
+        )
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(self.table_path(name))
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Atomic full-replace (reference K1/K2 truncate-reload semantics).
+
+        Writes to a temp dir then swaps, so a concurrent reader sees
+        either the old or the new table, never a partial write.
+        """
+        final = self.table_path(name)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        tmp = f"{final}.__tmp__{uuid.uuid4().hex[:8]}"
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+        old = f"{final}.__old__{uuid.uuid4().hex[:8]}"
+        if os.path.exists(final):
+            os.rename(final, old)
+        os.rename(tmp, final)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    def drop(self, name: str) -> None:
+        path = self.table_path(name)
+        if os.path.exists(path):
+            shutil.rmtree(path)

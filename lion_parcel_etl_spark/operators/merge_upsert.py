@@ -1,0 +1,77 @@
+"""Incremental merge-upsert materializer (reference K6-K8).
+
+Re-expresses dbt ``materialized='incremental'`` with a ``unique_key``
+(reference ``dbt/models/marts/retail_transactions.sql:1-7``,
+``retail_transactions_scd.sql:1-6``, ``lion_parcell_bonus_test.sql:1-5``)
+as a pure DataFrame transformation:
+
+    result = updates ∪ (target ⟕anti updates on keys)
+
+i.e. update rows win, unmatched target rows are retained — the
+delete+insert equivalence of Postgres MERGE on a unique key.
+
+Scale design (100 TB target):
+- The updates side of an incremental run is normally tiny relative to
+  the target; the anti-join is marked broadcast-able so Catalyst/AQE
+  plans a BroadcastHashJoin — the target is scanned once, never
+  shuffled, and no sort is required.
+- With a date/bucket-partitioned target, combine with dynamic partition
+  overwrite so only partitions containing matched keys are rewritten.
+- ``on_schema_change='sync_all_columns'`` (reference K9) is a pure
+  StructType diff, applied before the union.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sync_columns(df: DataFrame, template: DataFrame) -> DataFrame:
+    """Make ``df`` match ``template``'s columns: add missing as typed
+    nulls, drop extras, align order (dbt ``sync_all_columns``)."""
+    tcols = {f.name: f.dataType for f in template.schema.fields}
+    out = []
+    have = {c.lower(): c for c in df.columns}
+    for name, dtype in tcols.items():
+        if name.lower() in have:
+            out.append(F.col(have[name.lower()]).cast(dtype).alias(name))
+        else:
+            out.append(F.lit(None).cast(dtype).alias(name))
+    return df.select(*out)
+
+
+def merge_upsert(
+    target: DataFrame | None,
+    updates: DataFrame,
+    keys: list[str],
+    broadcast_updates: bool = True,
+    dedupe_updates: bool = False,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Upsert ``updates`` into ``target`` by ``keys``; returns the merged
+    DataFrame (caller materializes, e.g. Warehouse.overwrite).
+
+    target=None → first run → updates as-is (dbt full-refresh branch).
+    ``dedupe_updates`` keeps the last row per key ordered by
+    ``order_col`` when the updates batch itself has duplicates.
+    """
+    if dedupe_updates:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(order_col or keys[0]).desc_nulls_last()
+        )
+        updates = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    if target is None:
+        return updates
+    updates = sync_columns(updates, target)
+    update_keys = updates.select(*keys).distinct()
+    if broadcast_updates:
+        update_keys = F.broadcast(update_keys)
+    retained = target.join(update_keys, on=keys, how="left_anti")
+    return retained.unionByName(updates)

@@ -1,0 +1,119 @@
+"""SCD Type 2 materializer (reference's retail_transactions_scd model).
+
+Re-expresses (not ports) the dbt SCD2 model at reference
+``dbt/models/marts/retail_transactions_scd.sql``:
+
+- change detection: snapshot ⟕ previous-current on key, any tracked
+  column differing under null-safe inequality (``IS DISTINCT FROM``,
+  :65-68) → UPDATE; missing in previous → INSERT (J2/F4);
+- expiry: previous-current ⨝ UPDATE-changes → ``valid_to`` = the new
+  version's snapshot time, ``is_current`` = false (J3, :81-101);
+- carry: unchanged current rows AND rows absent from the snapshot are
+  retained as-is (anti-join, J4, :125-142);
+- history: non-current rows pass through untouched (:146-164);
+- new versions: INSERT+UPDATE changes become current rows with
+  ``valid_from`` = snapshot time, ``valid_to`` = the 9999-12-31
+  sentinel (F16), first-seen ``dw_inserted_at`` carried forward
+  (:104-121);
+- result: 4-way ``unionByName`` (U1, :123-201);
+- first run: full-refresh branch (:203-219).
+
+Scale design (100 TB target): the snapshot of an incremental run is
+small next to the accumulated history, so the snapshot side of every
+join is broadcast — the target is never shuffled. Partition the stored
+table by ``is_current``: the history partition is append-only (expired
+rows are appended, untouched rows never rewritten) and only the small
+current partition is replaced per run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lion_parcel_etl_spark.schemas import SCD_SENTINEL
+
+SCD_META_COLS = ["valid_from", "valid_to", "is_current", "dw_inserted_at", "dw_updated_at"]
+
+
+def scd2_apply(
+    target: DataFrame | None,
+    snapshot: DataFrame,
+    key: list[str],
+    tracked: list[str],
+    snapshot_ts_col: str,
+    run_ts: str,
+    sentinel: str = SCD_SENTINEL,
+    broadcast_snapshot: bool = True,
+) -> DataFrame:
+    """Apply one SCD2 run; returns the full new state of the dimension.
+
+    ``snapshot`` carries the key, all attribute columns (including the
+    ``tracked`` change-detection set) and ``snapshot_ts_col``.
+    ``run_ts`` is the injected deterministic run timestamp replacing the
+    reference's ``current_timestamp`` (SURVEY.md §7 hard part 6).
+    """
+    attrs = list(snapshot.columns)
+    run_ts_c = F.to_timestamp(F.lit(run_ts))
+    sentinel_c = F.to_timestamp(F.lit(sentinel))
+
+    def as_version(df: DataFrame, dw_inserted) -> DataFrame:
+        return df.select(
+            *attrs,
+            F.col(snapshot_ts_col).alias("valid_from"),
+            sentinel_c.alias("valid_to"),
+            F.lit(True).alias("is_current"),
+            dw_inserted.alias("dw_inserted_at"),
+            run_ts_c.alias("dw_updated_at"),
+        )
+
+    if target is None:
+        # Full refresh (reference :203-219): every snapshot row is the
+        # open current version.
+        return as_version(snapshot, run_ts_c)
+
+    prev = target.filter(F.col("is_current"))
+    hist = target.filter(~F.col("is_current"))
+
+    s = snapshot.alias("s")
+    p = prev.alias("p")
+    if broadcast_snapshot:
+        s = F.broadcast(s)
+
+    changed = None
+    for c in tracked:
+        neq = ~F.col(f"s.{c}").eqNullSafe(F.col(f"p.{c}"))
+        changed = neq if changed is None else (changed | neq)
+
+    chg = s.join(p, on=[F.col(f"s.{k}") == F.col(f"p.{k}") for k in key], how="left").select(
+        *[F.col(f"s.{c}").alias(c) for c in attrs],
+        F.col("p.dw_inserted_at").alias("__prev_inserted"),
+        F.when(F.col(f"p.{key[0]}").isNull(), F.lit("INSERT"))
+        .when(changed, F.lit("UPDATE"))
+        .otherwise(F.lit("NOCHANGE"))
+        .alias("change_type"),
+    )
+
+    upd = chg.filter(F.col("change_type") == "UPDATE").select(
+        *key, F.col(snapshot_ts_col).alias("__new_ts")
+    )
+    upd_b = F.broadcast(upd) if broadcast_snapshot else upd
+
+    expired = prev.join(upd_b, on=key, how="inner").select(
+        *attrs,
+        "valid_from",
+        F.col("__new_ts").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+        "dw_inserted_at",
+        run_ts_c.alias("dw_updated_at"),
+    )
+    unchanged = prev.join(upd_b.select(*key), on=key, how="left_anti")
+    new_rows = as_version(
+        chg.filter(F.col("change_type").isin("INSERT", "UPDATE")),
+        F.coalesce(F.col("__prev_inserted"), run_ts_c),
+    )
+    return (
+        unchanged.unionByName(hist)
+        .unionByName(expired.select(*unchanged.columns))
+        .unionByName(new_rows.select(*unchanged.columns))
+    )
