@@ -1,0 +1,266 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Core training-data-pipeline components (BASELINE.json north_star),
+designed for the 100 TB shape:
+
+- **exact_dedup** — hash-groupBy on a digest, one shuffle on a
+  uniformly distributed 128-bit key (no skew by construction).
+- **minhash** — per-row column expressions only (shingle → 32-bit
+  md5-derived hash → k permutation mins); the expensive part, candidate
+  generation, is an equi-join on (band_index, band_hash) which LSH keeps
+  tiny compared to the quadratic brute-force pair join.
+- **simhash** — per-row 32-bit signature; near-dup = small Hamming
+  distance, candidates via exact match on signature quarters
+  (Hamming ≤ 3 ⇒ at least one of 4 quarters equal — pigeonhole).
+- **ngram_jaccard_pairs** — the exact (quadratic) verifier; used as the
+  ground-truth re-rank after LSH banding, or standalone at small scale.
+
+Everything is a JVM-side expression (md5/conv/array ops — no UDFs), so
+signatures whole-stage-codegen. Hash parity with the DuckDB oracle:
+Spark ``conv(substr(md5(x),1,8),16,10)`` ≡ DuckDB
+``('0x'||substr(md5(x),1,8))::BIGINT`` (verified).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic MinHash permutation coefficients: a*h + b mod P over the
+# 32-bit base hash. Generated once from a fixed LCG (seed 1); literal so
+# the SQL oracle can embed identical values.
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def _lcg_coeffs(k: int, seed: int = 1) -> list[tuple[int, int]]:
+    x = seed
+    out = []
+    for _ in range(k):
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        a = (x >> 16) % (MINHASH_PRIME - 1) + 1
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        b = (x >> 16) % MINHASH_PRIME
+        out.append((a % (1 << 30) + 1, b % (1 << 30)))
+    return out
+
+
+MINHASH_K = 16
+MINHASH_COEFFS = _lcg_coeffs(MINHASH_K)
+
+
+def hash32(col: Column) -> Column:
+    """First 8 hex chars of md5 as a non-negative bigint in [0, 2^32)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def tokens(text: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text), F.lit(r"\S+"), 0)
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]))
+    )
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    return F.transform(word_shingles(text, n), hash32)
+
+
+def _perm(a: int, b: int):
+    # closure factory: PySpark counts every lambda parameter (including
+    # defaults) as a higher-order-function argument, so captures must be
+    # closed over, not defaulted.
+    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+
+def minhash_signature(text: Column, n: int = 3, k: int = MINHASH_K) -> Column:
+    """array<bigint> length k; empty-shingle docs get MINHASH_PRIME
+    sentinels (never collide with real mins)."""
+    hashes = shingle_hashes(text, n)
+    mins = [
+        F.coalesce(
+            F.array_min(F.transform(hashes, _perm(a, b))),
+            F.lit(MINHASH_PRIME),
+        )
+        for a, b in MINHASH_COEFFS[:k]
+    ]
+    return F.array(*mins)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical texts: digest, representative (min id),
+    duplicate count. One shuffle on the digest."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Brute-force exact near-dup pairs (id_a < id_b, jaccard ≥ t).
+
+    Candidate generation by exploding shingles and equi-joining on the
+    shingle hash — quadratic only within identical-shingle groups, with
+    a groupBy-count pre-aggregation so each pair is scored once. Use
+    minhash_near_dup for the scale path.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles"))
+    ex = sh.select("doc", "n_sh", F.explode("shingles").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return pairs.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_near_dup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
+
+    shingle → minhash(k) → band (k/bands rows each) → bucket equi-join
+    → verify with true Jaccard ≥ threshold. The band join is the only
+    shuffle that grows with corpus size, and banding keeps candidate
+    groups small; identical-signature skew (giant clusters of near-identical
+    docs) is the one hotspot — mitigate upstream with exact_dedup first.
+    """
+    rows = k // bands
+    sig = docs.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(F.col(text_col), n, k).alias("sig"),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    )
+    banded = sig.select(
+        "doc",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.md5(F.concat_ws(",", *[F.col("sig")[i * rows + j].cast("string") for j in range(rows)])).alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "shingles", "bb.band", "bb.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """Per-row SimHash over word tokens (md5-derived 32-bit token
+    hashes; bit b set when the weighted bit-sum is positive)."""
+    def _bit_step(bp: int):
+        return lambda s, h: s + (F.shiftright(h, bp) % 2) * 2 - 1
+
+    harr = F.transform(tokens(text), hash32)
+    acc = None
+    for bpos in range(bits):
+        bit_sum = F.aggregate(harr, F.lit(0).cast("long"), _bit_step(bpos))
+        term = F.when(bit_sum > 0, F.lit(1 << bpos).cast("long")).otherwise(F.lit(0).cast("long"))
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def simhash_near_dup(
+    docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidates via the pigeonhole trick: with 4 signature quarters, any
+    pair within Hamming 3 shares at least one exact quarter — four
+    equi-joins instead of a cross join.
+    """
+    sig = docs.select(F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("sh"))
+    parts = sig.select(
+        "doc",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(q).alias("q"), (F.shiftright(F.col("sh"), q * 8) % 256).alias("qv"))
+                    for q in range(4)
+                ]
+            )
+        ).alias("p"),
+    ).select("doc", "sh", "p.q", "p.qv")
+    a, b = parts.alias("a"), parts.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.qv") == F.col("b.qv"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

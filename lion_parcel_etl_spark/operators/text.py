@@ -1,0 +1,106 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's own surface (BASELINE.json north_star): language
+ID, quality scoring, token counting, document fingerprinting — all as
+pure JVM-side column expressions (no Python in the hot path), so they
+whole-stage-codegen and scale linearly with input bytes.
+
+Every operator here is deliberately expressible in ANSI SQL too: the
+DuckDB oracles in ``__spark_entry__.py`` are generated from the same
+constants below, which is what makes the correctness gate meaningful.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles. Accuracy is not the point at this
+# corpus (synthetic word soup); determinism and scale shape are.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "a"],
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "es": ["el", "la", "de", "que", "los", "es"],
+    "fr": ["le", "la", "les", "des", "et", "est"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+EN_STOPWORDS = LANG_PROFILES["en"]
+PUNCT_CLASS = "[.,;:!?]"
+TOKEN_PATTERN = r"\S+"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace-delimited token count (regex, codegen-friendly).
+    Null text → null (size() alone yields -1 with ANSI off)."""
+    return F.when(
+        text.isNotNull(),
+        F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0)),
+    ).cast("long")
+
+
+def stopword_hits(text: Column, words: list[str]) -> Column:
+    """Total occurrences of any profile word (word-boundary matches)."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0)).cast("long")
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of per-language stopword hit counts; 'und' when all zero.
+
+    Tie-break: fixed profile order (en, de, es, fr, zh) — mirrored
+    exactly by the CASE chain in the SQL oracle.
+    """
+    scores = {lang: stopword_hits(text, ws) for lang, ws in LANG_PROFILES.items()}
+    langs = list(LANG_PROFILES)
+    expr = F.lit("und")
+    for lang in reversed(langs):
+        others = [scores[o] for o in langs if o != lang]
+        cond = (scores[lang] > 0) & (scores[lang] >= F.greatest(*others))
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    # reversed() + otherwise-chaining makes 'en' the outermost WHEN, so
+    # earlier profiles win ties, same as a CASE listed in profile order.
+    return expr
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = n - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length, stopword density,
+    punctuation noise. Weights are arbitrary but fixed and mirrored in
+    the oracle SQL."""
+    toks = token_count(text).cast("double")
+    stop_ratio = F.when(
+        toks > 0, stopword_hits(text, EN_STOPWORDS).cast("double") / toks
+    ).otherwise(F.lit(0.0))
+    len_score = F.least(toks / F.lit(100.0), F.lit(1.0))
+    stop_score = F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * F.lit(10.0))
+    return (
+        F.lit(0.4) * len_score + F.lit(0.3) * stop_score + F.lit(0.3) * punct_score
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-collapsed, lower-cased text. Identical in any engine
+    with md5 (DuckDB oracle uses the same normalization)."""
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.md5(norm)
+
+
+def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: attach all text-analysis columns in one projection
+    (single scan, fully codegen'd)."""
+    t = F.col(text_col)
+    return docs.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        lang_id(t).alias("lang_guess"),
+        F.round(quality_score(t), 6).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,73 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lion_parcel_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " extra token"),  # near dup
+        (4, "completely different words here about spark engines and shuffles"),
+        (5, "another unrelated document mentioning joins aggregates and windows"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs, "doc_id", "text").orderBy("keep_id").collect()
+    groups = {r.keep_id: r.n_docs for r in out}
+    assert groups[1] == 2  # docs 1 and 2 identical
+    assert groups[3] == 1 and groups[4] == 1 and groups[5] == 1
+
+
+def test_ngram_jaccard_finds_near_dups(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    found = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert found[(1, 2)] == 1.0
+    assert (1, 3) in found and 0.5 <= found[(1, 3)] < 1.0
+    assert not any({a, b} & {4, 5} and {a, b} != {4, 5} for a, b in found)
+
+
+def test_minhash_agrees_with_exact(spark, docs):
+    mh = minhash_near_dup(docs, "doc_id", "text", threshold=0.5).collect()
+    mh_pairs = {(r.id_a, r.id_b) for r in mh}
+    assert (1, 2) in mh_pairs and (1, 3) in mh_pairs
+    # verification step reports the exact jaccard
+    for r in mh:
+        assert r.jaccard >= 0.5
+
+
+def test_minhash_signature_shape(spark, docs):
+    sig = docs.select(minhash_signature(F.col("text")).alias("s")).first()["s"]
+    assert len(sig) == 16 and all(v >= 0 for v in sig)
+
+
+def test_simhash_near_dup(spark, docs):
+    sh = {r.doc_id: r.s for r in docs.select("doc_id", simhash(F.col("text")).alias("s")).collect()}
+    assert sh[1] == sh[2]
+    pairs = {(r.id_a, r.id_b) for r in simhash_near_dup(docs, "doc_id", "text", max_hamming=6).collect()}
+    assert (1, 2) in pairs
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/testdata/sf0.001"), reason="testdata missing")
+def test_on_documents_table(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = exact_dedup(docs, "doc_id", "text")
+    assert out.count() > 0
+    # digest cardinality == distinct text cardinality
+    assert out.count() == docs.select("text").distinct().count()

@@ -1,0 +1,55 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lion_parcel_etl_spark.operators.merge_upsert import merge_upsert, sync_columns
+
+
+def rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_first_run_is_identity(spark):
+    upd = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    out = merge_upsert(None, upd, ["id"])
+    assert rows(out, "id", "v") == [(1, "a"), (2, "b")]
+
+
+def test_update_wins_and_unmatched_retained(spark):
+    tgt = spark.createDataFrame([(1, "old"), (2, "keep"), (3, "keep3")], "id long, v string")
+    upd = spark.createDataFrame([(1, "new"), (4, "ins")], "id long, v string")
+    out = merge_upsert(tgt, upd, ["id"])
+    assert rows(out, "id", "v") == [(1, "new"), (2, "keep"), (3, "keep3"), (4, "ins")]
+
+
+def test_composite_key(spark):
+    tgt = spark.createDataFrame([(1, "a", 10.0), (1, "b", 20.0)], "id long, k string, v double")
+    upd = spark.createDataFrame([(1, "b", 99.0), (2, "a", 1.0)], "id long, k string, v double")
+    out = merge_upsert(tgt, upd, ["id", "k"])
+    assert rows(out, "id", "k", "v") == [(1, "a", 10.0), (1, "b", 99.0), (2, "a", 1.0)]
+
+
+def test_dedupe_updates_keeps_last(spark):
+    tgt = spark.createDataFrame([(1, 0, "old")], "id long, seq long, v string")
+    upd = spark.createDataFrame(
+        [(1, 1, "mid"), (1, 2, "last")], "id long, seq long, v string"
+    )
+    out = merge_upsert(tgt, upd, ["id"], dedupe_updates=True, order_col="seq")
+    assert rows(out, "id", "v") == [(1, "last")]
+
+
+def test_sync_columns_schema_evolution(spark):
+    # dbt on_schema_change='sync_all_columns': add missing as nulls, drop extras
+    tgt = spark.createDataFrame([(1, "a", None)], "id long, v string, extra_new string")
+    upd = spark.createDataFrame([(2, "b", 3.5)], "id long, v string, dropped double")
+    out = merge_upsert(tgt, upd, ["id"])
+    assert out.columns == ["id", "v", "extra_new"]
+    assert rows(out, "id", "v", "extra_new") == [(1, "a", None), (2, "b", None)]
+
+
+def test_merge_plan_broadcasts_updates(spark):
+    tgt = spark.range(1000).withColumn("v", F.lit("x"))
+    upd = spark.range(5).withColumn("v", F.lit("y"))
+    out = merge_upsert(tgt, upd, ["id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

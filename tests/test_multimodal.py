@@ -1,0 +1,48 @@
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from lion_parcel_etl_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_media,
+    extract_features,
+    fake_features,
+    frame_sample_plan,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", bytes(range(256)) * 4, ("image/png", 16, 16, None)),
+        (2, "audio", b"\x01\x02" * 500, ("audio/wav", None, None, 2000)),
+        (3, "video", b"\xff" * 100, ("video/mp4", 640, 480, 3500)),
+        (4, "image", b"", ("image/png", 0, 0, None)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"abc", "image")
+
+
+def test_extract_features_shapes(spark, media):
+    out = extract_features(media).collect()
+    assert len(out) == 4
+    by_id = {r.media_id: r for r in out}
+    assert by_id[1].n_bytes == 1024
+    assert by_id[1].digest == hashlib.md5(bytes(range(256)) * 4).hexdigest()
+    assert len(by_id[1].features) == 8
+    assert by_id[4].features == [0.0] * 8  # empty payload
+    # deterministic
+    assert by_id[2].features == fake_features(b"\x01\x02" * 500)
+
+
+def test_frame_sample_plan(spark, media):
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    # only the video row explodes; 3500ms at 1000ms -> ts 0,1000,2000,3000
+    assert {r.media_id for r in frames} == {3}
+    assert sorted(r.frame_ts_ms for r in frames) == [0, 1000, 2000, 3000]
