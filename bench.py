@@ -1,0 +1,78 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is timed end-to-end (plan build + execution) with a
+row-count action so the full plan executes but no result ferries to the
+driver. A warmup query first pays JVM/codegen startup so the numbers
+measure the plans, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lion_parcel_etl_spark.plans.queries import QUERIES
+from lion_parcel_etl_spark.session import get_spark
+
+# Headline set: the flagship aggregate, the heavy relational shapes
+# (joins, SCD2/merge state machines), and the scale-path training-data
+# operators. Cheap projection-only queries are excluded to keep the
+# signal on shuffles and joins.
+HEADLINE = [
+    "pricing_summary",
+    "join_inner_residual",
+    "merge_upsert",
+    "softdelete_mart",
+    "scd2_events",
+    "string_set_agg",
+    "weighted_avg",
+    "json_extract",
+    "dedup_exact",
+    "minhash_near_dup",
+    "text_analysis",
+    "cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: touch the big tables + run the flagship once.
+    fn, _ = QUERIES["pricing_summary"]
+    fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -70,25 +70,29 @@ def shingle_hashes(text: Column, n: int = 3) -> Column:
     return F.transform(word_shingles(text, n), hash32)
 
 
-def _perm(a: int, b: int):
-    # closure factory: PySpark counts every lambda parameter (including
-    # defaults) as a higher-order-function argument, so captures must be
-    # closed over, not defaulted.
-    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
-
-
 def minhash_signature(text: Column, n: int = 3, k: int = MINHASH_K) -> Column:
     """array<bigint> length k; empty-shingle docs get MINHASH_PRIME
-    sentinels (never collide with real mins)."""
-    hashes = shingle_hashes(text, n)
-    mins = [
-        F.coalesce(
-            F.array_min(F.transform(hashes, _perm(a, b))),
-            F.lit(MINHASH_PRIME),
+    sentinels (never collide with real mins).
+
+    Implemented as ONE fold over the shingle hashes carrying all k
+    running minima at once (zip_with against the k permuted values per
+    element). The naive alternative — k independent
+    ``array_min(transform(...))`` expressions — re-expands the whole
+    shingle/md5 subtree k times, which blows up codegen and recomputes
+    every md5 k-fold; the single fold hashes each shingle exactly once.
+    """
+
+    def step(acc: Column, h: Column) -> Column:
+        permuted = F.array(
+            *[
+                (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+                for a, b in MINHASH_COEFFS[:k]
+            ]
         )
-        for a, b in MINHASH_COEFFS[:k]
-    ]
-    return F.array(*mins)
+        return F.zip_with(acc, permuted, lambda x, y: F.least(x, y))
+
+    init = F.array_repeat(F.lit(MINHASH_PRIME).cast("bigint"), k)
+    return F.aggregate(shingle_hashes(text, n), init, step)
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -169,7 +173,11 @@ def minhash_near_dup(
         F.col(id_col).alias("doc"),
         minhash_signature(F.col(text_col), n, k).alias("sig"),
         word_shingles(F.col(text_col), n).alias("shingles"),
-    )
+    ).persist()
+    # persist is the real-scale design too: signatures are computed once
+    # and reused by every band AND both sides of the self-join (at 100 TB
+    # you'd write this to a table); without it Catalyst's projection
+    # collapse re-inlines the signature fold into each consumer.
     banded = sig.select(
         "doc",
         "shingles",
@@ -209,17 +217,24 @@ def minhash_near_dup(
 
 def simhash(text: Column, bits: int = 32) -> Column:
     """Per-row SimHash over word tokens (md5-derived 32-bit token
-    hashes; bit b set when the weighted bit-sum is positive)."""
-    def _bit_step(bp: int):
-        return lambda s, h: s + (F.shiftright(h, bp) % 2) * 2 - 1
+    hashes; bit b set when the weighted bit-sum is positive).
+
+    One fold carrying all ``bits`` running bit-sums (vs. ``bits``
+    independent folds, which would recompute every token md5 32×)."""
+
+    def step(acc: Column, h: Column) -> Column:
+        signs = F.array(
+            *[((F.shiftright(h, b) % 2) * 2 - 1).cast("long") for b in range(bits)]
+        )
+        return F.zip_with(acc, signs, lambda x, y: x + y)
 
     harr = F.transform(tokens(text), hash32)
-    acc = None
-    for bpos in range(bits):
-        bit_sum = F.aggregate(harr, F.lit(0).cast("long"), _bit_step(bpos))
-        term = F.when(bit_sum > 0, F.lit(1 << bpos).cast("long")).otherwise(F.lit(0).cast("long"))
-        acc = term if acc is None else acc + term
-    return acc
+    bit_sums = F.aggregate(harr, F.array_repeat(F.lit(0).cast("long"), bits), step)
+    weights = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    weighted = F.zip_with(
+        bit_sums, weights, lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
 def simhash_near_dup(

@@ -1,0 +1,855 @@
+"""Query inventory: every operator from SURVEY.md §2 plus the
+training-data operators, each as (Spark builder, DuckDB oracle SQL).
+
+Determinism contract with the oracle (what makes hash-equality hold):
+
+- Money/metric sums use the *cents trick*: per-row ``round(x*100)`` to
+  exact bigints, summed exactly (order-free), divided back at the end.
+  Float accumulation order can then never flip a digit.
+- Per-row float arithmetic (a single expression over the same parquet
+  values) is bit-identical across engines, so it's emitted raw.
+- Long array folds (norms, cosines) are rounded at 1e-6 — ~10 orders
+  of magnitude above any accumulation-order noise.
+- Timestamps are formatted to fixed-width strings (micros) on both
+  sides; no engine-specific epoch/tz representation leaks out.
+- Hash-derived operators (minhash/simhash/fingerprints) use md5, which
+  both engines expose identically; Spark ``conv(hex,16,10)`` ≡ DuckDB
+  ``('0x'||hex)::BIGINT`` (verified).
+
+Reference parity citations are in each entry's docstring (file:line
+relative to /root/reference).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lion_parcel_etl_spark.operators import dedup as DD
+from lion_parcel_etl_spark.operators import similarity as SIM
+from lion_parcel_etl_spark.operators import text as TX
+from lion_parcel_etl_spark.operators.merge_upsert import merge_upsert
+from lion_parcel_etl_spark.operators.scd2 import scd2_apply
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# fixed analysis cutoffs / injected run timestamps (deterministic)
+SHIP_CUTOFF = "2000-01-01 00:00:00"
+ORDER_CUTOFF = "1998-01-01 00:00:00"
+EV_C1 = "2024-01-15 00:00:00"
+EV_C2 = "2024-01-25 00:00:00"
+RUN0 = "2024-02-01 00:00:00"
+RUN1 = "2024-02-02 00:00:00"
+SENTINEL = "9999-12-31 23:59:59"
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
+
+
+def _t(spark, sf_dir, name) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS): read as long nanos (see
+    # session.py), truncate to micros — the same conversion DuckDB does.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def cents(col) -> F.Column:
+    """Exact integer cents for a ≤2-decimal double (order-free sums)."""
+    return F.round(col * 100).cast("long")
+
+
+def fmt_ts(col) -> F.Column:
+    return F.date_format(col, TS_FMT_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# A. Reference-surface relational operators
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """Flagship groupBy-aggregate (A3/A5 shape; SURVEY §2.5) over lineitem.
+
+    One partial+final hash aggregate, filter pushed to the parquet scan.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit(SHIP_CUTOFF))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+            (F.sum(cents(F.col("l_extendedprice"))) / 100.0).alias("sum_base_price"),
+            (
+                F.sum(cents(F.col("l_extendedprice")) * cents(F.lit(1.0) - F.col("l_discount")))
+                / 10000.0
+            ).alias("sum_disc_price"),
+            (
+                F.sum(F.round(F.col("l_quantity")).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_qty"),
+            (
+                (F.sum(cents(F.col("l_discount"))).cast("double") / 100.0)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_base_price,
+       SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+           * CAST(round((1.0 - l_discount)*100) AS BIGINT)) / 10000.0 AS sum_disc_price,
+       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       (CAST(SUM(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE) / 100.0)
+           / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_stage_load(spark, sf_dir):
+    """Staging projection + injected loaded_at (S1/P1/K1;
+    reference public/source_transaction_lion_parcel.py:27-44)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        fmt_ts(F.col("o_orderdate")).alias("o_orderdate"),
+        F.lit(RUN1).alias("loaded_at"),
+    )
+
+
+SQL_STAGE = f"""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       strftime(o_orderdate, '{TS_FMT_DUCK}') AS o_orderdate,
+       '{RUN1}' AS loaded_at
+FROM orders
+"""
+
+
+def q_project_filter_cast(spark, sf_dir):
+    """Projection + predicates + null-on-error cast (P1/P4/P6/P9).
+
+    Spark non-ANSI cast ≡ DuckDB TRY_CAST (the pandas errors='coerce'
+    analog, reference public/lion_parcell_bonus_test_stg.py:220)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .filter(F.col("event_type").isin("purchase", "click", "error"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("event_type").cast("int").alias("bad_cast"),  # null, never error
+            F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long").alias("k"),
+            (F.col("value") * 2.0).alias("value_x2"),
+        )
+    )
+
+
+SQL_PROJECT = """
+SELECT event_id, user_id, event_type,
+       TRY_CAST(event_type AS INTEGER) AS bad_cast,
+       CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k,
+       value * 2.0 AS value_x2
+FROM events
+WHERE value IS NOT NULL AND NOT isnan(value)
+  AND event_type IN ('purchase', 'click', 'error')
+"""
+
+
+def q_merge_upsert(spark, sf_dir):
+    """merge_upsert materializer semantics (K6-K8; reference
+    dbt incremental_strategy='merge', retail_transactions.sql:1-7):
+    updates win by key, unmatched target rows retained."""
+    o = _t(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderdate") < F.lit(ORDER_CUTOFF)).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = o.filter(F.col("o_orderkey") % 10 < 3).select(
+        "o_orderkey",
+        F.lit("RESTATED").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.05).alias("o_totalprice"),
+    )
+    return merge_upsert(target, updates, keys=["o_orderkey"])
+
+
+SQL_MERGE = f"""
+WITH target AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderdate < TIMESTAMP '{ORDER_CUTOFF}'
+), updates AS (
+  SELECT o_orderkey, 'RESTATED' AS o_orderstatus, o_totalprice * 1.05 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 < 3
+)
+SELECT t.* FROM target t WHERE NOT EXISTS (
+  SELECT 1 FROM updates u WHERE u.o_orderkey = t.o_orderkey)
+UNION ALL
+SELECT * FROM updates
+"""
+
+
+def q_softdelete_mart(spark, sf_dir):
+    """retail_transactions mart semantics (K6/J1/F2-F5; reference
+    retail_transactions.sql:21-49): upsert by key with soft delete —
+    deleted_at stamped on 'F' (≙ DONE) rows, PRESERVED from the prior
+    run once set (coalesce through a broadcast left join)."""
+    o = _t(spark, sf_dir, "orders")
+    run0, run1 = F.lit(RUN0), F.lit(RUN1)
+    # run 0 target: early orders, deleted_at stamped at RUN0
+    target = o.filter(F.col("o_orderdate") < F.lit(ORDER_CUTOFF)).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("last_status"),
+        F.when(F.col("o_orderstatus") == "F", run0).alias("deleted_at"),
+        run0.alias("updated_at"),
+    )
+    # run 1 snapshot: every order
+    src = o.select(
+        F.col("o_orderkey").alias("id"), F.col("o_orderstatus").alias("last_status")
+    )
+    prior = F.broadcast(target.select("id", F.col("deleted_at").alias("prior_del")))
+    updates = src.join(prior, "id", "left").select(
+        "id",
+        "last_status",
+        F.when(F.col("last_status") == "F", F.coalesce(F.col("prior_del"), run1)).alias(
+            "deleted_at"
+        ),
+        run1.alias("updated_at"),
+    )
+    return merge_upsert(target, updates, keys=["id"])
+
+
+SQL_SOFTDELETE = f"""
+WITH target AS (
+  SELECT o_orderkey AS id, o_orderstatus AS last_status,
+         CASE WHEN o_orderstatus = 'F' THEN '{RUN0}' END AS deleted_at,
+         '{RUN0}' AS updated_at
+  FROM orders WHERE o_orderdate < TIMESTAMP '{ORDER_CUTOFF}'
+), src AS (
+  SELECT o_orderkey AS id, o_orderstatus AS last_status FROM orders
+), updates AS (
+  SELECT s.id, s.last_status,
+         CASE WHEN s.last_status = 'F' THEN coalesce(t.deleted_at, '{RUN1}') END AS deleted_at,
+         '{RUN1}' AS updated_at
+  FROM src s LEFT JOIN target t ON t.id = s.id
+)
+SELECT t.* FROM target t
+WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.id = t.id)
+UNION ALL
+SELECT * FROM updates
+"""
+
+
+SCD_ATTRS = ["user_id", "event_type", "value", "ts"]
+
+
+def _event_snapshot(ev, cutoff):
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.filter(F.col("ts") < F.lit(cutoff))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*SCD_ATTRS)
+    )
+
+
+def q_scd2_events(spark, sf_dir):
+    """Two-run SCD2 apply (reference retail_transactions_scd.sql whole
+    model: J2/J3/J4/U1/F4/F16) over an events changelog: snapshot =
+    latest event per user at each cutoff; run 1 full refresh, run 2
+    incremental with null-safe change detection on (event_type, value)."""
+    ev = _t(spark, sf_dir, "events")
+    s1 = _event_snapshot(ev, EV_C1)
+    s2 = _event_snapshot(ev, EV_C2)
+    state1 = scd2_apply(None, s1, ["user_id"], ["event_type", "value"], "ts", RUN0)
+    state2 = scd2_apply(state1, s2, ["user_id"], ["event_type", "value"], "ts", RUN1)
+    return state2.select(
+        "user_id",
+        "event_type",
+        "value",
+        fmt_ts(F.col("valid_from")).alias("valid_from"),
+        fmt_ts(F.col("valid_to")).alias("valid_to"),
+        "is_current",
+        fmt_ts(F.col("dw_inserted_at")).alias("dw_inserted_at"),
+        fmt_ts(F.col("dw_updated_at")).alias("dw_updated_at"),
+    )
+
+
+SQL_SCD2 = f"""
+WITH s1 AS (
+  SELECT user_id, event_type, value, ts FROM (
+    SELECT user_id, event_type, value, ts,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts < TIMESTAMP '{EV_C1}') WHERE rn = 1
+), s2 AS (
+  SELECT user_id, event_type, value, ts FROM (
+    SELECT user_id, event_type, value, ts,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts < TIMESTAMP '{EV_C2}') WHERE rn = 1
+), prev AS (
+  SELECT user_id, event_type, value, ts,
+         ts AS valid_from, TIMESTAMP '{SENTINEL}' AS valid_to, true AS is_current,
+         TIMESTAMP '{RUN0}' AS dw_inserted_at, TIMESTAMP '{RUN0}' AS dw_updated_at
+  FROM s1
+), chg AS (
+  SELECT s2.*, prev.dw_inserted_at AS prev_ins,
+         CASE WHEN prev.user_id IS NULL THEN 'INSERT'
+              WHEN (s2.event_type IS DISTINCT FROM prev.event_type)
+                OR (s2.value IS DISTINCT FROM prev.value) THEN 'UPDATE'
+              ELSE 'NOCHANGE' END AS ct
+  FROM s2 LEFT JOIN prev ON prev.user_id = s2.user_id
+), upd AS (
+  SELECT user_id, ts AS new_ts FROM chg WHERE ct = 'UPDATE'
+)
+SELECT user_id, event_type, value,
+       strftime(valid_from, '{TS_FMT_DUCK}') AS valid_from,
+       strftime(valid_to, '{TS_FMT_DUCK}') AS valid_to,
+       is_current,
+       strftime(dw_inserted_at, '{TS_FMT_DUCK}') AS dw_inserted_at,
+       strftime(dw_updated_at, '{TS_FMT_DUCK}') AS dw_updated_at
+FROM (
+  SELECT p.user_id, p.event_type, p.value, p.valid_from, p.valid_to,
+         p.is_current, p.dw_inserted_at, p.dw_updated_at
+  FROM prev p WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.user_id = p.user_id)
+  UNION ALL
+  SELECT p.user_id, p.event_type, p.value, p.valid_from, u.new_ts AS valid_to,
+         false AS is_current, p.dw_inserted_at, TIMESTAMP '{RUN1}' AS dw_updated_at
+  FROM prev p JOIN upd u ON u.user_id = p.user_id
+  UNION ALL
+  SELECT c.user_id, c.event_type, c.value, c.ts AS valid_from,
+         TIMESTAMP '{SENTINEL}' AS valid_to, true AS is_current,
+         coalesce(c.prev_ins, TIMESTAMP '{RUN1}') AS dw_inserted_at,
+         TIMESTAMP '{RUN1}' AS dw_updated_at
+  FROM chg c WHERE c.ct IN ('INSERT', 'UPDATE')
+)
+"""
+
+
+def q_join_left(spark, sf_dir):
+    """Left equi-join, small dim broadcast (J1/J2 shape)."""
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    return o.join(c, o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+SQL_JOIN_LEFT = """
+SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_join_inner_residual(spark, sf_dir):
+    """Inner equi-join + residual predicates (J3; reference
+    retail_transactions_scd.sql:97-100)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    j = li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(cents(F.col("l_extendedprice"))) / 100.0).alias("returned_value"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_JOIN_INNER = """
+SELECT o_orderpriority, COUNT(*) AS n_lines,
+       SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS returned_value
+FROM lineitem l JOIN orders o
+  ON l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F' AND l.l_returnflag = 'R'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """Anti-join ≙ NOT IN subquery (J4; reference
+    retail_transactions_scd.sql:140-142)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+SQL_ANTI = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    """Semi-join (capability beyond reference's J-set, same family)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+SQL_SEMI = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+
+def q_union_all(spark, sf_dir):
+    """4-way-union family (U1; reference retail_transactions_scd.sql:123-201)."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.lit("urgent").alias("bucket"), "o_totalprice"
+    )
+    big = o.filter(F.col("o_totalprice") > 400000.0).select(
+        "o_orderkey", F.lit("big").alias("bucket"), "o_totalprice"
+    )
+    return urgent.unionByName(big)
+
+
+SQL_UNION = """
+SELECT o_orderkey, 'urgent' AS bucket, o_totalprice FROM orders
+WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT o_orderkey, 'big' AS bucket, o_totalprice FROM orders
+WHERE o_totalprice > 400000.0
+"""
+
+
+def q_string_set_agg(spark, sf_dir):
+    """Sorted-distinct string-set aggregate (A4/D1; reference uniq_msgs,
+    public/lion_parcell_bonus_test_stg.py:223-225) — Spark built-ins,
+    no UDAF."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    j = c.join(n, c.c_nationkey == n.n_nationkey)
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "; ").alias("segments"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+SQL_STRING_AGG = """
+SELECT n_name,
+       coalesce(string_agg(DISTINCT c_mktsegment, '; ' ORDER BY c_mktsegment), '') AS segments,
+       COUNT(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def q_weighted_avg(spark, sf_dir):
+    """Weighted mean with zero-count guard (A5; reference
+    public/lion_parcell_bonus_test_stg.py:234-237)."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.sum(cents(F.col("value"))).alias("_cents"),
+        F.count("value").alias("n"),
+    )
+    return g.select(
+        "event_type",
+        F.when(F.col("n") > 0, (F.col("_cents") / 100.0) / F.col("n").cast("double")).alias(
+            "weighted_avg"
+        ),
+        F.col("n").alias("n"),
+    ).orderBy("event_type")
+
+
+SQL_WEIGHTED = """
+SELECT event_type,
+       CASE WHEN COUNT(value) > 0
+            THEN (SUM(CAST(round(value*100) AS BIGINT)) / 100.0)
+                 / CAST(COUNT(value) AS DOUBLE) END AS weighted_avg,
+       COUNT(value) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_max_ts_iso(spark, sf_dir):
+    """Timestamp max + ISO formatting, and the lexicographic string-max
+    equivalence (A2/A6/F6; reference :188,:220,:240-246)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            fmt_ts(F.max("ts")).alias("max_ts"),
+            F.max(fmt_ts(F.col("ts"))).alias("max_ts_lex"),  # string max == ts max for ISO
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_MAX_TS = f"""
+SELECT user_id,
+       strftime(MAX(ts), '{TS_FMT_DUCK}') AS max_ts,
+       MAX(strftime(ts, '{TS_FMT_DUCK}')) AS max_ts_lex,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def q_case_coalesce_nullsafe(spark, sf_dir):
+    """CASE WHEN / coalesce / IS DISTINCT FROM / sentinel literal
+    (F2/F3/F4/F5/F16; reference retail_transactions_scd.sql:19-22,61-71,115)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", fmt_ts(F.col("o_orderdate"))).alias("deleted_at"),
+        F.coalesce(
+            F.when(F.col("o_totalprice") > 300000.0, F.lit("high")),
+            F.when(F.col("o_totalprice") > 100000.0, F.lit("mid")),
+            F.lit("low"),
+        ).alias("price_band"),
+        (~F.col("o_orderpriority").eqNullSafe(F.lit("1-URGENT"))).alias("not_urgent"),
+        F.lit(SENTINEL).alias("sentinel"),
+    )
+
+
+SQL_CASE = f"""
+SELECT o_orderkey,
+       CASE WHEN o_orderstatus = 'F' THEN strftime(o_orderdate, '{TS_FMT_DUCK}') END AS deleted_at,
+       coalesce(CASE WHEN o_totalprice > 300000.0 THEN 'high' END,
+                CASE WHEN o_totalprice > 100000.0 THEN 'mid' END,
+                'low') AS price_band,
+       o_orderpriority IS DISTINCT FROM '1-URGENT' AS not_urgent,
+       '{SENTINEL}' AS sentinel
+FROM orders
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    """Semi-structured field extraction + re-aggregation (S8/S9/F8
+    analog on the events.props JSON column)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    return (
+        ev.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("value_sum"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+SQL_JSON = """
+SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n,
+       SUM(CAST(round(value*100) AS BIGINT)) / 100.0 AS value_sum
+FROM events
+GROUP BY 1
+ORDER BY k_bucket
+"""
+
+
+def q_array_reduce(spark, sf_dir):
+    """Array fold reductions (A1 shape; reference :190-201) over the
+    embedding column: vector L2 norm + element count."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(SIM.norm(F.col("embedding")), 6).alias("l2_norm"),
+        F.size("embedding").cast("long").alias("dim"),
+        "label",
+    )
+
+
+SQL_ARRAY_REDUCE = """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       label
+FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
+# B. Training-data operators (dedup / text / similarity)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs, "doc_id", "text").orderBy("digest")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+FROM documents
+GROUP BY md5(text)
+ORDER BY digest
+"""
+
+_DUCK_TOKS = "regexp_extract_all(lower(text), '\\S+')"
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(" + _DUCK_TOKS + ") - 2, 0) + 1), "
+    "i -> " + _DUCK_TOKS + "[i] || ' ' || " + _DUCK_TOKS + "[i+1] || ' ' || " + _DUCK_TOKS + "[i+2]))"
+)
+
+JACCARD_THRESHOLD = 0.08
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    """Exact n-gram-Jaccard near-dup pairs (ground truth for MinHash)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD)
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id AS doc, {_DUCK_SHINGLES} AS shingles FROM documents
+), sized AS (
+  SELECT doc, shingles, len(shingles) AS n_sh FROM sh
+), ex AS (
+  SELECT doc, n_sh, unnest(shingles) AS s FROM sized
+), pairs AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+FROM pairs
+WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _duck_minhash_sig() -> str:
+    base = f"list_transform({_DUCK_SHINGLES}, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)"
+    mins = ", ".join(
+        f"coalesce(list_min(list_transform({base}, h -> ({a} * h + {b}) % {DD.MINHASH_PRIME})), {DD.MINHASH_PRIME})"
+        for a, b in DD.MINHASH_COEFFS
+    )
+    return f"[{mins}]"
+
+
+def q_minhash_signature(spark, sf_dir):
+    """MinHash signatures as comma-joined strings (hash parity check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.transform(DD.minhash_signature(F.col("text")), lambda v: v.cast("string")),
+        ).alias("signature"),
+    ).orderBy("doc_id")
+
+
+SQL_MINHASH_SIG = f"""
+SELECT doc_id,
+       array_to_string(list_transform({_duck_minhash_sig()}, v -> CAST(v AS VARCHAR)), ',') AS signature
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """Full MinHash-LSH banding + exact-Jaccard verification."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_near_dup(docs, "doc_id", "text", threshold=JACCARD_THRESHOLD)
+
+
+def _duck_minhash_pairs() -> str:
+    rows = DD.MINHASH_K // 4
+    band_selects = []
+    for band in range(4):
+        cells = " || ',' || ".join(
+            f"CAST(sig[{band * rows + j + 1}] AS VARCHAR)" for j in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc, shingles, {band} AS band, md5({cells}) AS bh FROM sigs"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+WITH sigs AS (
+  SELECT doc_id AS doc, {_DUCK_SHINGLES} AS shingles, {_duck_minhash_sig()} AS sig
+  FROM documents
+), banded AS (
+  {bands_sql}
+), cand AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.doc = c.id_a
+  JOIN sigs sb ON sb.doc = c.id_b
+)
+SELECT * FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", DD.simhash(F.col("text")).alias("simhash")
+    ).orderBy("doc_id")
+
+
+def _duck_simhash() -> str:
+    harr = f"list_transform({_DUCK_TOKS}, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)"
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform({harr}, h -> ((h >> {b}) & 1) * 2 - 1)) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(32)
+    )
+    return f"SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM documents ORDER BY doc_id"
+
+
+def q_text_analysis(spark, sf_dir):
+    """Language-ID + quality + token count + fingerprint in one
+    zero-shuffle projection."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        TX.lang_id(t).alias("lang_guess"),
+        F.round(TX.quality_score(t), 6).alias("quality"),
+        TX.fingerprint(t).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+def _duck_text_analysis() -> str:
+    def hits(words):
+        pat = r"\b(" + "|".join(words) + r")\b"
+        return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+    langs = list(TX.LANG_PROFILES)
+    whens = []
+    for lang in langs:
+        others = ", ".join(hits(TX.LANG_PROFILES[o]) for o in langs if o != lang)
+        s = hits(TX.LANG_PROFILES[lang])
+        whens.append(f"WHEN {s} > 0 AND {s} >= greatest({others}) THEN '{lang}'")
+    lang_case = "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+    ntok = "len(regexp_extract_all(text, '\\S+'))"
+    stop = hits(TX.EN_STOPWORDS)
+    punct = (
+        "CASE WHEN length(text) > 0 THEN CAST(length(text) - "
+        "length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) "
+        "ELSE 0.0 END"
+    )
+    quality = (
+        f"0.4 * least(CAST({ntok} AS DOUBLE) / 100.0, 1.0) "
+        f"+ 0.3 * least((CASE WHEN {ntok} > 0 THEN CAST({stop} AS DOUBLE) / {ntok} ELSE 0.0 END) * 5.0, 1.0) "
+        f"+ 0.3 * greatest(0.0, 1.0 - ({punct}) * 10.0)"
+    )
+    fp = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    return f"""
+SELECT doc_id,
+       CAST({ntok} AS BIGINT) AS n_tokens,
+       {lang_case} AS lang_guess,
+       round({quality}, 6) AS quality,
+       {fp} AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force exact ANN baseline: top-5 cosine neighbors for the
+    first 5 vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.cosine_topk(emb, queries, k=5)
+
+
+SQL_COSINE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(
+           CASE WHEN sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+                THEN list_sum(list_transform(range(1, len(q.qv) + 1),
+                        i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                ELSE 0.0 END, 6) AS cosine_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_lsh_topk(spark, sf_dir):
+    """Approximate ANN (multi-table hyperplane LSH). No SQL oracle —
+    recall is validated against q_cosine_topk in tests; driver records
+    rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.lsh_topk(emb, queries, dims=64, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "stage_load": (q_stage_load, SQL_STAGE),
+    "project_filter_cast": (q_project_filter_cast, SQL_PROJECT),
+    "merge_upsert": (q_merge_upsert, SQL_MERGE),
+    "softdelete_mart": (q_softdelete_mart, SQL_SOFTDELETE),
+    "scd2_events": (q_scd2_events, SQL_SCD2),
+    "join_left": (q_join_left, SQL_JOIN_LEFT),
+    "join_inner_residual": (q_join_inner_residual, SQL_JOIN_INNER),
+    "anti_join": (q_anti_join, SQL_ANTI),
+    "semi_join": (q_semi_join, SQL_SEMI),
+    "union_all": (q_union_all, SQL_UNION),
+    "string_set_agg": (q_string_set_agg, SQL_STRING_AGG),
+    "weighted_avg": (q_weighted_avg, SQL_WEIGHTED),
+    "max_ts_iso": (q_max_ts_iso, SQL_MAX_TS),
+    "case_coalesce_nullsafe": (q_case_coalesce_nullsafe, SQL_CASE),
+    "json_extract": (q_json_extract, SQL_JSON),
+    "array_reduce": (q_array_reduce, SQL_ARRAY_REDUCE),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
+    "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIG),
+    "minhash_near_dup": (q_minhash_pairs, _duck_minhash_pairs()),
+    "simhash": (q_simhash, _duck_simhash()),
+    "text_analysis": (q_text_analysis, _duck_text_analysis()),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE),
+    "lsh_topk": (q_lsh_topk, None),
+}
