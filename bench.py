@@ -3,10 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query is timed end-to-end (plan build + execution) with a
-row-count action so the full plan executes but no result ferries to the
-driver. A warmup query first pays JVM/codegen startup so the numbers
-measure the plans, not the JIT.
+Each query is timed end-to-end (plan build + execution) with a noop
+sink write: unlike ``count()`` — which lets Catalyst prune every
+projection column and can reduce a map-only query to a parquet
+row-count — the noop sink materializes every output column without
+ferrying rows to the driver. A warmup query first pays JVM/codegen
+startup so the numbers measure the plans, not the JIT.
 """
 
 from __future__ import annotations
@@ -49,15 +51,18 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     # Warmup: touch the big tables + run the flagship once.
     fn, _ = QUERIES["pricing_summary"]
-    fn(spark, sf_dir).count()
+    run(fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = QUERIES[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        run(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

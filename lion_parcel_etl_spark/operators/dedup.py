@@ -58,11 +58,20 @@ def tokens(text: Column) -> Column:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined)."""
+    """Distinct word n-gram shingles (space-joined).
+
+    Built by zipping n shifted slices of the token array rather than
+    indexing into it from inside a transform lambda: a lambda that
+    captures the token-array expression re-evaluates it (and its
+    regexp tokenization) once per ELEMENT, turning a per-row regex into
+    ~3·|shingles| regex scans per row. The slices keep every
+    sub-expression top-level, evaluated once per row.
+    """
     toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    parts = F.arrays_zip(*[F.slice(toks, j + 1, m) for j in range(n)])
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]))
+        F.transform(parts, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]))
     )
 
 
