@@ -255,7 +255,9 @@ def simhash_near_dup(
     pair within Hamming 3 shares at least one exact quarter — four
     equi-joins instead of a cross join.
     """
-    sig = docs.select(F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("sh"))
+    sig = docs.select(F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("sh")).persist()
+    # same persist rationale as minhash_near_dup: one signature pass,
+    # reused by all 4 quarter expansions and both self-join sides.
     parts = sig.select(
         "doc",
         "sh",

