@@ -1,0 +1,92 @@
+"""The two reference DAGs, re-expressed as runner pipelines.
+
+E1 ``retail_hourly_etl`` (reference ``dags/retail_hourly_etl.py:17-39``):
+  stage (truncate-reload staging) → retail_transactions (merge + soft
+  delete) and retail_transactions_scd (SCD2) marts.
+E2 ``bonus_test`` (reference ``dags/bonus_test.py:17-39``):
+  bonus_stg (JSON corpus → detail + final staging tables) →
+  bonus_prod (projection upsert).
+
+Each task reads/writes warehouse tables so a run is resumable and
+inspectable mid-pipeline, exactly like the reference's Postgres
+tables between Airflow tasks. ``ctx`` carries
+{spark, warehouse, run_ts, ...} — injected, deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lion_parcel_etl_spark.catalog import Warehouse
+from lion_parcel_etl_spark.operators.scd2 import scd2_apply
+from lion_parcel_etl_spark.pipelines.bonus import metrics_detail, metrics_final
+from lion_parcel_etl_spark.pipelines.retail import (
+    bonus_prod_model,
+    retail_snapshot,
+    retail_transactions_model,
+    stage_source,
+)
+from lion_parcel_etl_spark.runner import Pipeline
+
+SCD_TRACKED = ["customer_id", "last_status", "pos_origin", "pos_destination", "deleted_at"]
+
+
+def _read_if_exists(wh: Warehouse, spark, name: str):
+    return wh.read(spark, name) if wh.exists(name) else None
+
+
+def build_retail_pipeline() -> Pipeline:
+    def stage(ctx):
+        spark, wh = ctx["spark"], ctx["warehouse"]
+        src = ctx["source_df"]  # seeded by caller (≙ Postgres source table)
+        wh.overwrite(stage_source(src, ctx["run_ts"]), "stg_retail_transactions")
+
+    def mart_merge(ctx):
+        spark, wh = ctx["spark"], ctx["warehouse"]
+        staging = wh.read(spark, "stg_retail_transactions")
+        target = _read_if_exists(wh, spark, "retail_transactions")
+        out = retail_transactions_model(target, staging, ctx["run_ts"])
+        wh.overwrite(out, "retail_transactions")
+
+    def mart_scd(ctx):
+        spark, wh = ctx["spark"], ctx["warehouse"]
+        staging = wh.read(spark, "stg_retail_transactions")
+        snap = retail_snapshot(staging, ctx["run_ts"])
+        target = _read_if_exists(wh, spark, "retail_transactions_scd")
+        if target is not None:
+            # partition-column values come back type-inferred as string
+            target = target.withColumn("is_current", F.col("is_current").cast("boolean"))
+        out = scd2_apply(
+            target, snap, ["id"], SCD_TRACKED, "updated_at", ctx["run_ts"]
+        )
+        # partition by is_current: history is append-only at scale, only
+        # the small current partition churns per run (SURVEY §7 item 8)
+        wh.overwrite(out, "retail_transactions_scd", partition_by=["is_current"])
+
+    return (
+        Pipeline("retail_hourly_etl")
+        .task("stage", stage, tags={"staging"})
+        .task("retail_transactions", mart_merge, deps=["stage"], tags={"mart", "retail_transactions"})
+        .task("retail_transactions_scd", mart_scd, deps=["stage"], tags={"mart", "retail_transactions_scd"})
+    )
+
+
+def build_bonus_pipeline() -> Pipeline:
+    def bonus_stg(ctx):
+        spark, wh = ctx["spark"], ctx["warehouse"]
+        detail = metrics_detail(spark, ctx["json_dir"])
+        wh.overwrite(detail, "bonus_detail_per_file")
+        final = metrics_final(wh.read(spark, "bonus_detail_per_file"))
+        wh.overwrite(final, "lion_parcell_bonus_test_stg")
+
+    def bonus_prod(ctx):
+        spark, wh = ctx["spark"], ctx["warehouse"]
+        staging = wh.read(spark, "lion_parcell_bonus_test_stg")
+        target = _read_if_exists(wh, spark, "lion_parcell_bonus_test")
+        wh.overwrite(bonus_prod_model(target, staging), "lion_parcell_bonus_test")
+
+    return (
+        Pipeline("bonus_test")
+        .task("bonus_stg", bonus_stg, tags={"staging"})
+        .task("bonus_prod", bonus_prod, deps=["bonus_stg"], tags={"mart"})
+    )

@@ -1,0 +1,124 @@
+"""Pipeline runner: topological task execution with tag selection.
+
+Replaces both orchestration layers of the reference:
+
+- Airflow DAG edges `task_a >> task_b` and hourly micro-batch semantics
+  (reference ``dags/retail_hourly_etl.py:17-39``, ``dags/bonus_test.py:17-39``
+  — ``max_active_runs=1``, ``catchup=False`` ≙ one run at a time,
+  latest-only), and
+- dbt's ``run --select tag:...`` selection
+  (reference ``public/retail_transactions.py:19-29``).
+
+A ``Task`` is a named function ``fn(ctx) -> None`` with dependencies and
+tags; ``Pipeline.run`` executes the tag-selected subgraph in dependency
+order, fails fast with the failing task named (the ``|| exit 3`` analog
+at reference ``dags/retail_hourly_etl.py:29``), and reports per-task
+wall time. ``ctx`` is caller-provided shared state (SparkSession,
+Warehouse, run_ts, ...) — run-time values are injected, never read from
+``now()``, so replays are deterministic (SURVEY.md §7 hard part 6).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterable
+from dataclasses import dataclass, field
+
+
+class TaskFailed(RuntimeError):
+    def __init__(self, task: str, cause: BaseException):
+        super().__init__(f"task {task!r} failed: {cause}")
+        self.task = task
+        self.cause = cause
+
+
+class CycleError(ValueError):
+    pass
+
+
+@dataclass
+class Task:
+    name: str
+    fn: Callable[[dict], None]
+    deps: list[str] = field(default_factory=list)
+    tags: set[str] = field(default_factory=set)
+
+
+class Pipeline:
+    def __init__(self, name: str = "pipeline"):
+        self.name = name
+        self._tasks: dict[str, Task] = {}
+
+    def task(
+        self,
+        name: str,
+        fn: Callable[[dict], None],
+        deps: Iterable[str] = (),
+        tags: Iterable[str] = (),
+    ) -> "Pipeline":
+        if name in self._tasks:
+            raise ValueError(f"duplicate task {name!r}")
+        self._tasks[name] = Task(name, fn, list(deps), set(tags))
+        return self
+
+    def _select(self, tags: Iterable[str] | None) -> list[Task]:
+        """Tag-selected tasks plus their transitive dependencies
+        (dbt ``--select tag:`` pulls upstream refs the same way)."""
+        if not tags:
+            return list(self._tasks.values())
+        want = set(tags)
+        seeds = [t.name for t in self._tasks.values() if t.tags & want]
+        seen: set[str] = set()
+        stack = list(seeds)
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            stack.extend(self._tasks[n].deps)
+        return [t for t in self._tasks.values() if t.name in seen]
+
+    def _topo(self, tasks: list[Task]) -> list[Task]:
+        names = {t.name for t in tasks}
+        indeg = {t.name: 0 for t in tasks}
+        out: dict[str, list[str]] = {t.name: [] for t in tasks}
+        for t in tasks:
+            for d in t.deps:
+                if d not in self._tasks:
+                    raise ValueError(f"task {t.name!r} depends on unknown {d!r}")
+                if d in names:
+                    indeg[t.name] += 1
+                    out[d].append(t.name)
+        # deterministic order: ready set processed in insertion order
+        order = [n for n in indeg if indeg[n] == 0]
+        result = []
+        i = 0
+        while i < len(order):
+            n = order[i]
+            i += 1
+            result.append(self._tasks[n])
+            for m in out[n]:
+                indeg[m] -= 1
+                if indeg[m] == 0:
+                    order.append(m)
+        if len(result) != len(tasks):
+            rest = sorted(names - {t.name for t in result})
+            raise CycleError(f"dependency cycle among {rest}")
+        return result
+
+    def run(
+        self,
+        ctx: dict,
+        tags: Iterable[str] | None = None,
+    ) -> dict[str, float]:
+        """Execute the (tag-selected) subgraph; returns task → seconds.
+        Raises TaskFailed on the first failure (fail-fast)."""
+        timings: dict[str, float] = {}
+        for t in self._topo(self._select(tags)):
+            t0 = time.perf_counter()
+            try:
+                t.fn(ctx)
+            except Exception as e:  # noqa: BLE001
+                raise TaskFailed(t.name, e) from e
+            timings[t.name] = time.perf_counter() - t0
+        return timings
