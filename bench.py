@@ -34,13 +34,21 @@ HEADLINE = [
     "merge_upsert",
     "softdelete_mart",
     "scd2_events",
+    "window_topk",
+    "order_limit",
+    "rollup_agg",
+    "tumbling_window",
+    "sessionize",
     "string_set_agg",
     "weighted_avg",
     "json_extract",
     "dedup_exact",
     "minhash_near_dup",
+    "simhash_near_dup",
     "text_analysis",
+    "multimodal_features",
     "cosine_topk",
+    "lsh_topk",
 ]
 
 

@@ -187,9 +187,13 @@ def minhash_near_dup(
     # and reused by every band AND both sides of the self-join (at 100 TB
     # you'd write this to a table); without it Catalyst's projection
     # collapse re-inlines the signature fold into each consumer.
+    # banding carries only (doc, band, bh): the band self-join is the one
+    # shuffle that scales with corpus size, so it must NOT drag the
+    # shingle arrays along (4 copies of every shingle set). Verification
+    # fetches shingles afterwards by joining the (tiny) candidate pairs
+    # back to the persisted signature table.
     banded = sig.select(
         "doc",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -201,7 +205,7 @@ def minhash_near_dup(
                 ]
             )
         ).alias("bb"),
-    ).select("doc", "shingles", "bb.band", "bb.bh")
+    ).select("doc", "bb.band", "bb.bh")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -211,15 +215,13 @@ def minhash_near_dup(
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
+    sh_a = sig.select(F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sig.select(F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b"))
+    scored = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+    return scored.select(
         "id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
 

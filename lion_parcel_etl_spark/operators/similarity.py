@@ -17,13 +17,10 @@ SQL oracle's list functions use, so scores are reproducible.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-
-# Fixed random-hyperplane seeds for LSH (one 32-bit hash per plane per
-# dimension via md5 of "plane:dim" — deterministic, engine-agnostic).
-LSH_PLANES = 16
-
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -79,24 +76,42 @@ def cosine_topk(
     )
 
 
-def _plane_hash(plane: int, dim: int) -> Column:
-    # deterministic pseudo-random coefficient in [-0.5, 0.5)
-    h = F.conv(F.substring(F.md5(F.lit(f"plane{plane}:d{dim}")), 1, 8), 16, 10).cast("bigint")
-    return h.cast("double") / F.lit(4294967296.0) - F.lit(0.5)
+def plane_matrix(tables: int, planes: int, dims: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplane coefficients in
+    [-0.5, 0.5): md5-derived, so every run (and every engine) builds
+    the identical matrix — no RNG state to ship."""
+    import hashlib
+
+    rows = tables * planes
+    out = np.empty((rows, dims), dtype=np.float64)
+    for r in range(rows):
+        for d0 in range(0, dims, 4):
+            h = hashlib.md5(f"r{r}:d{d0}".encode()).digest()
+            u = np.frombuffer(h, dtype=">u4").astype(np.float64)
+            out[r, d0 : d0 + 4] = u[: min(4, dims - d0)] / 2**32 - 0.5
+    return out
 
 
-def lsh_bucket(vec: Column, dims: int, planes: int = LSH_PLANES, table: int = 0) -> Column:
-    """Random-hyperplane signature: bit p = sign(vec · r_p). ``table``
-    offsets the plane seeds so each hash table is independent."""
-    acc = None
-    for p in range(planes):
-        proj = None
-        for d in range(dims):
-            term = F.element_at(vec, d + 1).cast("double") * _plane_hash(table * 1000 + p, d)
-            proj = term if proj is None else proj + term
-        bit = F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-        acc = bit if acc is None else acc + bit
-    return acc
+def lsh_buckets_udf(dims: int, planes: int, tables: int):
+    """Vectorized bucket assignment: one Arrow batch → one numpy matmul.
+
+    The column-expression alternative is a tables×planes×dims-term tree
+    (thousands of scalar ops per row) that overwhelms whole-stage
+    codegen; sign-of-projection is linear algebra, which is precisely
+    the Pandas-UDF escape hatch's job. Returns array<long>, one bucket
+    id per hash table.
+    """
+    M = plane_matrix(tables, planes, dims)  # (tables*planes, dims)
+    weights = 1 << np.arange(planes, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        X = np.vstack(vecs.to_numpy())[:, :dims].astype(np.float64)
+        bits = (X @ M.T > 0).astype(np.int64)  # (n, tables*planes)
+        b = bits.reshape(len(X), tables, planes) @ weights  # (n, tables)
+        return pd.Series(list(b))
+
+    return buckets
 
 
 def lsh_topk(
@@ -114,24 +129,15 @@ def lsh_topk(
     cosine re-rank. More planes → smaller buckets (faster, lower
     recall); more tables → higher recall (more candidates). Probe cost
     per query is ~tables·|corpus|/2^planes instead of |corpus|."""
+    buckets = lsh_buckets_udf(dims, planes, tables)
 
     def bucketed(df, id_alias, vec_alias):
         d = df.select(
             F.col(id_col).alias(id_alias),
             F.col(vec_col).alias(vec_alias),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            lsh_bucket(F.col(vec_col), dims, planes, t).alias("bkt"),
-                        )
-                        for t in range(tables)
-                    ]
-                )
-            ).alias("tb"),
+            F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bkt"),
         )
-        return d.select(id_alias, vec_alias, "tb.tbl", "tb.bkt")
+        return d.select(id_alias, vec_alias, "tbl", "bkt")
 
     c = bucketed(corpus, "neighbor_id", "cv")
     q = bucketed(queries, "query_id", "qv")

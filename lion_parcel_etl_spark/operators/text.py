@@ -50,17 +50,23 @@ def lang_id(text: Column) -> Column:
 
     Tie-break: fixed profile order (en, de, es, fr, zh) — mirrored
     exactly by the CASE chain in the SQL oracle.
+
+    One regex scan per language: the scores land in an array that a
+    single fold argmaxes (strict > against the running max = first
+    profile wins ties). A when-chain comparing each score against
+    greatest(others) would re-reference — and re-evaluate — every
+    regex count ~5×.
     """
-    scores = {lang: stopword_hits(text, ws) for lang, ws in LANG_PROFILES.items()}
     langs = list(LANG_PROFILES)
-    expr = F.lit("und")
-    for lang in reversed(langs):
-        others = [scores[o] for o in langs if o != lang]
-        cond = (scores[lang] > 0) & (scores[lang] >= F.greatest(*others))
-        expr = F.when(cond, F.lit(lang)).otherwise(expr)
-    # reversed() + otherwise-chaining makes 'en' the outermost WHEN, so
-    # earlier profiles win ties, same as a CASE listed in profile order.
-    return expr
+    scores = F.array(*[stopword_hits(text, LANG_PROFILES[lg]) for lg in langs])
+    names = F.array(*[F.lit(lg) for lg in langs])
+    pairs = F.zip_with(scores, names, lambda s, n: F.struct(s.alias("s"), n.alias("n")))
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(0).cast("long").alias("s"), F.lit("und").alias("n")),
+        lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+    )
+    return best["n"]
 
 
 def punct_ratio(text: Column) -> Column:
