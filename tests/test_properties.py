@@ -1,0 +1,120 @@
+"""Property-based invariants for the materializers (hypothesis).
+
+The reference documents merge/SCD behavior only through a worked example
+(retail_transactions_scd.sql:222-258); these properties pin the
+semantics for ANY input: key preservation, update-wins, idempotence,
+single-current-per-key, and interval contiguity.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lion_parcel_etl_spark.operators.merge_upsert import merge_upsert
+from lion_parcel_etl_spark.operators.scd2 import scd2_apply
+
+KEYS = st.integers(min_value=0, max_value=9)
+VALS = st.sampled_from(["a", "b", "c", None])
+
+ROWS = st.lists(st.tuples(KEYS, VALS), max_size=12).map(
+    lambda rows: list({k: (k, v) for k, v in rows}.values())  # unique keys
+)
+
+SLOW_OK = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows or [(None, None)], "id int, val string").filter(
+        F.col("id").isNotNull()
+    )
+
+
+@given(target=ROWS, updates=ROWS)
+@SLOW_OK
+def test_merge_upsert_key_semantics(spark, target, updates):
+    t, u = _df(spark, target), _df(spark, updates)
+    out = {r["id"]: r["val"] for r in merge_upsert(t, u, keys=["id"]).collect()}
+    tk = dict(target)
+    uk = dict(updates)
+    assert set(out) == set(tk) | set(uk)
+    for k, v in uk.items():
+        assert out[k] == v  # update wins
+    for k, v in tk.items():
+        if k not in uk:
+            assert out[k] == v  # unmatched target retained
+
+
+@given(target=ROWS, updates=ROWS)
+@SLOW_OK
+def test_merge_upsert_idempotent(spark, target, updates):
+    t, u = _df(spark, target), _df(spark, updates)
+    once = merge_upsert(t, u, keys=["id"])
+    twice = merge_upsert(once, u, keys=["id"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+SNAPS = st.lists(
+    st.lists(st.tuples(KEYS, st.sampled_from(["a", "b", "c"])), max_size=8).map(
+        lambda rows: list({k: (k, v) for k, v in rows}.values())
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+def _snap_df(spark, rows, ts):
+    data = [(k, v, ts) for k, v in rows] or [(None, None, None)]
+    df = spark.createDataFrame(data, "id int, val string, snap_ts string")
+    return df.filter(F.col("id").isNotNull()).withColumn(
+        "snap_ts", F.to_timestamp("snap_ts")
+    )
+
+
+@given(snaps=SNAPS)
+@SLOW_OK
+def test_scd2_invariants_across_runs(spark, snaps):
+    state = None
+    run_days = [f"2024-01-{d + 1:02d} 00:00:00" for d in range(len(snaps))]
+    for rows, run_ts in zip(snaps, run_days):
+        snap = _snap_df(spark, rows, run_ts)
+        state = scd2_apply(state, snap, ["id"], ["val"], "snap_ts", run_ts)
+    out = state.collect()
+
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r["id"], []).append(r)
+    seen_keys = {k for rows in snaps for k, _ in rows}
+    assert set(by_key) == seen_keys
+
+    for k, versions in by_key.items():
+        currents = [r for r in versions if r["is_current"]]
+        assert len(currents) == 1  # exactly one open version per key
+        assert str(currents[0]["valid_to"]).startswith("9999-12-31")
+        # closed versions chain: each valid_to equals a later valid_from
+        closed = sorted(
+            (r for r in versions if not r["is_current"]), key=lambda r: r["valid_from"]
+        )
+        froms = sorted(r["valid_from"] for r in versions)
+        for c in closed:
+            assert c["valid_to"] in froms
+            assert c["valid_from"] <= c["valid_to"]
+
+
+@given(rows=ROWS.filter(lambda r: len(r) > 0))
+@SLOW_OK
+def test_scd2_unchanged_snapshot_is_noop(spark, rows):
+    rows = [(k, v or "x") for k, v in rows]
+    s1 = _snap_df(spark, rows, "2024-01-01 00:00:00")
+    state1 = scd2_apply(None, s1, ["id"], ["val"], "snap_ts", "2024-01-01 00:00:00")
+    s2 = _snap_df(spark, rows, "2024-01-02 00:00:00")
+    state2 = scd2_apply(state1, s2, ["id"], ["val"], "snap_ts", "2024-01-02 00:00:00")
+    c1 = sorted(map(tuple, state1.select("id", "val", "is_current").collect()))
+    c2 = sorted(map(tuple, state2.select("id", "val", "is_current").collect()))
+    assert c1 == c2
