@@ -684,6 +684,106 @@ ORDER BY user_id
 """
 
 
+def q_salted_agg(spark, sf_dir):
+    """Two-stage salted aggregation for hot group keys (operators/skew.py)
+    — result identical to a direct groupBy, shape survives a key owning
+    half the table."""
+    from lion_parcel_etl_spark.operators.skew import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "value_cents": ("sum", F.sum(cents(F.col("value")))),
+            "n": ("sum", F.count(F.lit(1))),
+            "max_user": ("max", F.max("user_id")),
+        },
+        buckets=16,
+    )
+    return out.select(
+        "event_type",
+        (F.col("value_cents") / 100.0).alias("value_sum"),
+        "n",
+        "max_user",
+    ).orderBy("event_type")
+
+
+SQL_SALTED = """
+SELECT event_type,
+       SUM(CAST(round(value*100) AS BIGINT)) / 100.0 AS value_sum,
+       COUNT(*) AS n,
+       MAX(user_id) AS max_user
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_scalar_functions(spark, sf_dir):
+    """Scalar-function sweep (F6-F18 family in one projection): ISO
+    offset formatting, string join/split, regex extract, case ops,
+    endswith, NaN guard, ms→minutes arithmetic, lineage-style name
+    parsing — all JVM-side, zero shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ssxxx").alias("iso_ts"),  # F6
+        F.array_join(F.split(F.col("event_type"), "r"), "; ").alias("joined"),  # F7
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1).alias("k_str"),  # F9
+        F.lower(F.col("event_type")).endswith("ck").alias("is_click_like"),  # F12
+        F.when(F.isnan("value"), None).otherwise(F.col("value")).alias("value_clean"),  # F13
+        (F.col("value") / F.lit(2.0) / F.lit(60000.0)).alias("as_minutes"),  # F15
+        F.element_at(F.split(F.concat(F.lit("dir/sub/file_"), F.col("event_id")), "/"), -1).alias(
+            "basename"
+        ),  # F18
+    )
+
+
+SQL_SCALARS = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S+00:00') AS iso_ts,
+       array_to_string(string_split_regex(event_type, 'r'), '; ') AS joined,
+       regexp_extract(props, '"k":\\s*(\\d+)', 1) AS k_str,
+       suffix(lower(event_type), 'ck') AS is_click_like,
+       CASE WHEN isnan(value) THEN NULL ELSE value END AS value_clean,
+       value / 2.0 / 60000.0 AS as_minutes,
+       'file_' || CAST(event_id AS VARCHAR) AS basename
+FROM events
+"""
+
+
+PIVOT_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def q_pivot(spark, sf_dir):
+    """Pivot (fixed value list → no extra pass): order counts per
+    nation × market segment. Catalyst compiles this to one hash
+    aggregate with conditional counts — same as the oracle's CASE sums."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    o = _t(spark, sf_dir, "orders")
+    j = o.join(c, o.o_custkey == c.c_custkey).join(n, c.c_nationkey == n.n_nationkey)
+    return (
+        j.groupBy("n_name")
+        .pivot("c_mktsegment", PIVOT_SEGMENTS)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, PIVOT_SEGMENTS)
+        .orderBy("n_name")
+    )
+
+
+SQL_PIVOT = f"""
+SELECT n_name,
+       {", ".join(f'''COUNT(CASE WHEN c_mktsegment = '{s}' THEN 1 END) AS "{s}"''' for s in PIVOT_SEGMENTS)}
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured field extraction + re-aggregation (S8/S9/F8
     analog on the events.props JSON column)."""
@@ -1013,6 +1113,15 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_ivf_topk(spark, sf_dir):
+    """Approximate ANN, IVF variant (inverted lists over a k-means
+    coarse quantizer). No SQL oracle — nprobe=all is proven equal to
+    cosine_topk in tests; driver records rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+
+
 def q_lsh_topk(spark, sf_dir):
     """Approximate ANN (multi-table hyperplane LSH). No SQL oracle —
     recall is validated against q_cosine_topk in tests; driver records
@@ -1047,6 +1156,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rollup_agg": (q_rollup_agg, SQL_ROLLUP),
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "scalar_functions": (q_scalar_functions, SQL_SCALARS),
+    "salted_agg": (q_salted_agg, SQL_SALTED),
+    "pivot": (q_pivot, SQL_PIVOT),
     "json_extract": (q_json_extract, SQL_JSON),
     "array_reduce": (q_array_reduce, SQL_ARRAY_REDUCE),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
@@ -1059,4 +1171,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     "cosine_topk": (q_cosine_topk, SQL_COSINE),
     "lsh_topk": (q_lsh_topk, None),
+    "ivf_topk": (q_ivf_topk, None),
 }

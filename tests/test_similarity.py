@@ -52,3 +52,28 @@ def test_lsh_recall_against_brute_force(spark, emb):
     # random gaussian vectors are a worst case for angular LSH; with
     # 8-table OR-amplification recall must still beat random (~1%) by far
     assert recall >= 0.3, f"LSH recall too low: {recall}"
+
+
+@needs_td
+def test_ivf_full_probe_equals_brute_force(spark, emb):
+    from lion_parcel_etl_spark.operators.similarity import ivf_topk
+
+    queries = emb.filter("vec_id < 5")
+    exact = sorted(map(tuple, cosine_topk(emb, queries, k=5).collect()))
+    ivf = sorted(
+        map(tuple, ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=8).collect())
+    )
+    assert ivf == exact  # probing every inverted list IS brute force
+
+
+@needs_td
+def test_ivf_partial_probe_recall(spark, emb):
+    from lion_parcel_etl_spark.operators.similarity import ivf_topk
+
+    queries = emb.filter("vec_id < 10")
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3).collect()
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
