@@ -39,6 +39,8 @@ HEADLINE = [
     "rollup_agg",
     "tumbling_window",
     "sessionize",
+    "pivot",
+    "salted_agg",
     "string_set_agg",
     "weighted_avg",
     "json_extract",
@@ -49,6 +51,7 @@ HEADLINE = [
     "multimodal_features",
     "cosine_topk",
     "lsh_topk",
+    "ivf_topk",
 ]
 
 

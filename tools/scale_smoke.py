@@ -1,0 +1,63 @@
+"""Scale smoke: replicate the sf0.1 documents corpus N× (perturbed ids
+and text so dedup structure is preserved, not degenerate) and time the
+heavy text/dedup operators. Near-linear growth here is the evidence the
+per-row costs are flat — i.e. the plan would survive another 100× on a
+real cluster where partition counts, not constants, change.
+
+Usage: python tools/scale_smoke.py [multiplier]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from lion_parcel_etl_spark.operators import dedup as DD
+from lion_parcel_etl_spark.operators.text import analyze_documents
+from lion_parcel_etl_spark.session import get_spark
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    spark = get_spark(app_name="scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    n_base = base.count()
+
+    # replicas: shift ids into disjoint ranges, salt the text of every
+    # copy>0 with a per-copy token so replicas are near- but not
+    # exact-duplicates of the original corpus
+    big = base.withColumn(
+        "copy", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+    ).select(
+        (F.col("doc_id") + F.col("copy") * (n_base * 10)).alias("doc_id"),
+        F.when(F.col("copy") == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" v"), F.col("copy")))
+        .alias("text"),
+    )
+    big = big.repartition(32).persist()
+    n = big.count()
+    print(f"corpus: {n} docs ({mult}x)")
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    t0 = time.perf_counter()
+    noop(analyze_documents(big))
+    print(f"text_analysis: {time.perf_counter() - t0:.2f}s")
+
+    t0 = time.perf_counter()
+    pairs = DD.minhash_near_dup(big, "doc_id", "text", threshold=0.08).count()
+    print(f"minhash_near_dup: {pairs} pairs, {time.perf_counter() - t0:.2f}s")
+
+    t0 = time.perf_counter()
+    noop(DD.exact_dedup(big, "doc_id", "text"))
+    print(f"exact_dedup: {time.perf_counter() - t0:.2f}s")
+
+
+if __name__ == "__main__":
+    main()
