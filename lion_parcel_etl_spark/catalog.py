@@ -75,3 +75,11 @@ class Warehouse:
         path = self.table_path(name)
         if os.path.exists(path):
             shutil.rmtree(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """Single-file CSV with header (reference K4 golden/audit outputs,
+    ``public/lion_parcell_bonus_test_stg.py:313-314``). coalesce(1) is
+    deliberate and ONLY for small golden outputs — never for data-scale
+    tables, where it would serialize the job onto one task."""
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)

@@ -684,6 +684,39 @@ ORDER BY user_id
 """
 
 
+def q_sql_api(spark, sf_dir):
+    """Same engine through the SQL surface: register temp views, run
+    ANSI SQL via spark.sql — identical Catalyst plan to the DataFrame
+    build (the point: the engine's query surface is both APIs)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               SUM(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0D AS revenue
+        FROM v_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus <> 'P'
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )
+    # 100.0D: Spark SQL's bare 100.0 literal is DECIMAL, which would make
+    # the division decimal-typed; the DataFrame builds divide by a Python
+    # float (double), and the oracle's DuckDB division is double too.
+
+
+SQL_SQL_API = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       SUM(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus <> 'P'
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 def q_salted_agg(spark, sf_dir):
     """Two-stage salted aggregation for hot group keys (operators/skew.py)
     — result identical to a direct groupBy, shape survives a key owning
@@ -1158,6 +1191,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "scalar_functions": (q_scalar_functions, SQL_SCALARS),
     "salted_agg": (q_salted_agg, SQL_SALTED),
+    "sql_api": (q_sql_api, SQL_SQL_API),
     "pivot": (q_pivot, SQL_PIVOT),
     "json_extract": (q_json_extract, SQL_JSON),
     "array_reduce": (q_array_reduce, SQL_ARRAY_REDUCE),

@@ -100,3 +100,17 @@ def test_bonus_dag_golden_rowcounts(spark, wh):
     # idempotent re-run (hourly schedule replays): same result
     p.run(ctx)
     assert wh.read(spark, "lion_parcell_bonus_test").count() == 4
+
+
+def test_write_csv_single_file(spark, wh, tmp_path):
+    from lion_parcel_etl_spark.catalog import write_csv
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    out = str(tmp_path / "golden_csv")
+    write_csv(df, out)
+    import glob
+
+    files = glob.glob(out + "/*.csv")
+    assert len(files) == 1  # coalesce(1): one golden file
+    text = open(files[0]).read()
+    assert text.startswith("id,v")
