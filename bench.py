@@ -52,6 +52,8 @@ HEADLINE = [
     "cosine_topk",
     "lsh_topk",
     "ivf_topk",
+    "dedup_embedding",
+    "dedup_embedding_lsh",
 ]
 
 

@@ -221,6 +221,178 @@ def ivf_topk(
     )
 
 
+def _seq_cosine_block(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """All-pairs cosine between row-blocks A (la×d) and B (lb×d), with
+    strictly sequential per-dimension accumulation.
+
+    numpy's ``@`` uses pairwise/blocked summation; a SQL engine's
+    ``list_sum`` folds left-to-right. Accumulating one dimension at a
+    time reproduces the fold order bit-for-bit, so the raw doubles here
+    equal what the JVM fold (``cosine``) and a DuckDB oracle compute —
+    rounding then agrees everywhere, including at a threshold boundary.
+    Cost is the same O(la·lb·d) flops, just d vectorized outer-updates.
+    """
+    la, lb = len(A), len(B)
+    S = np.zeros((la, lb))
+    na = np.zeros(la)
+    nb = np.zeros(lb)
+    for d in range(A.shape[1]):
+        S += np.outer(A[:, d], B[:, d])
+        na += A[:, d] * A[:, d]
+        nb += B[:, d] * B[:, d]
+    den = np.outer(np.sqrt(na), np.sqrt(nb))
+    return np.where(den > 0, S / np.where(den > 0, den, 1.0), 0.0)
+
+
+def embedding_near_dup(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: every unordered pair
+    (id_a < id_b) with round(cosine, 6) >= threshold.
+
+    Blocked all-pairs plan: rows hash into ``n_blocks`` blocks by id;
+    each of the B(B+1)/2 unordered block pairs is scored by ONE
+    Arrow-batched numpy block product inside a cogrouped
+    ``applyInPandas``. Each row is shuffled to ~B/2 block pairs —
+    O(n·B) rows moved, never O(n²) joined rows — and the quadratic
+    flops happen inside vectorized kernels, not the join planner.
+    No driver collect anywhere.
+
+    Exact all-pairs is intrinsically quadratic in corpus size: this is
+    the right tool up to ~10⁶ vectors per run. Past that (the 100 TB
+    path), use :func:`embedding_near_dup_lsh`, which prunes candidate
+    generation to hash-bucket collisions, or shard by a coarse
+    quantizer (IVF) first.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    all_blocks = F.array(*[F.lit(j) for j in range(n_blocks)])
+    # left side carries block bi to every pair (bi, bj>=bi); right side
+    # carries block bj to every pair (bi<=bj, bj).
+    left = (
+        base.withColumn("ob", F.explode(all_blocks))
+        .filter(F.col("ob") >= F.col("blk"))
+        .select(F.col("blk").alias("bi"), F.col("ob").alias("bj"), "id", "v")
+    )
+    # the right side renames its payload columns: both sides descend
+    # from the same scan, and with identical names/attribute-ids the
+    # analyzer resolves the right side's (id, v) to the LEFT's
+    # attributes and prunes them out of the right-side plan — the
+    # worker then receives a right pdf holding only the key columns.
+    right = (
+        base.withColumn("ob", F.explode(all_blocks))
+        .filter(F.col("ob") <= F.col("blk"))
+        .select(
+            F.col("ob").alias("bi"),
+            F.col("blk").alias("bj"),
+            F.col("id").alias("rid"),
+            F.col("v").alias("rv"),
+        )
+    )
+    # pre-filter slack: round(x, 6) >= t implies x >= t - 5.1e-7, so a
+    # 1e-6 margin never drops a pair the exact filter would keep.
+    slack = threshold - 1e-6
+
+    def score(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+        if len(l) == 0 or len(r) == 0:
+            return empty
+        A = np.vstack(l["v"].to_numpy()).astype(np.float64)
+        B = np.vstack(r["rv"].to_numpy()).astype(np.float64)
+        C = _seq_cosine_block(A, B)
+        ida = l["id"].to_numpy()
+        idb = r["rid"].to_numpy()
+        if int(l["bi"].iloc[0]) == int(l["bj"].iloc[0]):
+            # diagonal block pair: both sides are the same row set, so
+            # each unordered pair appears at (x,y) AND (y,x) — keep the
+            # strict upper triangle only.
+            keep = ida[:, None] < idb[None, :]
+        else:
+            # off-diagonal blocks are disjoint id sets: each unordered
+            # pair appears exactly once; orient it as (min, max).
+            keep = np.ones_like(C, dtype=bool)
+        keep &= C >= slack
+        ii, jj = np.nonzero(keep)
+        lo = np.minimum(ida[ii], idb[jj])
+        hi = np.maximum(ida[ii], idb[jj])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine_sim": C[ii, jj]})
+
+    scored = (
+        left.groupby("bi", "bj")
+        .cogroup(right.groupby("bi", "bj"))
+        .applyInPandas(score, "id_a long, id_b long, cosine_sim double")
+    )
+    return (
+        scored.withColumn("cosine_sim", F.round("cosine_sim", round_digits))
+        .filter(F.col("cosine_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_near_dup_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    dims: int = 64,
+    planes: int = 6,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate embedding near-dup: candidate pairs collide in at
+    least one hyperplane-LSH bucket (OR over ``tables`` tables), then
+    exact cosine verify at ``threshold``. Precision is 1.0 by
+    construction (every emitted pair is exactly verified); recall rises
+    with similarity — sign-LSH collision probability per plane is
+    1 − θ/π, so truly-near pairs (cos → 1) are found with
+    near-certainty while the quadratic candidate space is pruned to
+    bucket-sized chunks. The scale path for :func:`embedding_near_dup`.
+    """
+    buckets = lsh_buckets_udf(dims, planes, tables)
+    sig = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        buckets(F.col(vec_col)).alias("bks"),
+    ).persist()
+    # same persist rationale as minhash_near_dup: one signature pass
+    # reused by every table expansion, both self-join sides, and the
+    # verify join-back; the bucket self-join carries only (id, tbl, bkt).
+    b = sig.select("id", F.posexplode("bks").alias("tbl", "bkt"))
+    a = b.alias("a")
+    c = b.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.tbl") == F.col("c.tbl"))
+            & (F.col("a.bkt") == F.col("c.bkt"))
+            & (F.col("a.id") < F.col("c.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("c.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = sig.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = sig.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), round_digits).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1146,6 +1146,42 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Dedup by embedding cosine: exact all-pairs (blocked Arrow block
+    products, no driver collect) at threshold 0.35."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup(emb, threshold=0.35, n_blocks=8)
+
+
+def _duck_embedding_near_dup(threshold: float = 0.35) -> str:
+    dot = (
+        "list_sum(list_transform(range(1, len(a.embedding) + 1), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    )
+    na = "sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    nb = "sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    return f"""
+WITH scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(CASE WHEN {na} * {nb} > 0
+                    THEN {dot} / ({na} * {nb})
+                    ELSE 0.0 END, 6) AS cosine_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM scored
+WHERE cosine_sim >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """Scale path for embedding near-dup: LSH-bucketed candidates +
+    exact verify. Approximate recall → rows-only driver check; subset/
+    precision vs the exact variant is asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_lsh(emb, threshold=0.35, dims=64)
+
+
 def q_ivf_topk(spark, sf_dir):
     """Approximate ANN, IVF variant (inverted lists over a k-means
     coarse quantizer). No SQL oracle — nprobe=all is proven equal to
@@ -1204,6 +1240,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_analysis": (q_text_analysis, _duck_text_analysis()),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     "cosine_topk": (q_cosine_topk, SQL_COSINE),
+    "dedup_embedding": (q_embedding_near_dup, _duck_embedding_near_dup()),
+    "dedup_embedding_lsh": (q_embedding_near_dup_lsh, None),
     "lsh_topk": (q_lsh_topk, None),
     "ivf_topk": (q_ivf_topk, None),
 }

@@ -4,7 +4,12 @@ import os
 
 import pytest
 
-from lion_parcel_etl_spark.operators.similarity import cosine_topk, lsh_topk
+from lion_parcel_etl_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup,
+    embedding_near_dup_lsh,
+    lsh_topk,
+)
 
 TD = "/root/testdata/sf0.001"
 needs_td = pytest.mark.skipif(not os.path.isdir(TD), reason="testdata missing")
@@ -77,3 +82,53 @@ def test_ivf_partial_probe_recall(spark, emb):
     approx_pairs = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.3, f"IVF recall too low: {recall}"
+
+
+@needs_td
+def test_embedding_near_dup_matches_numpy(spark, emb):
+    import numpy as np
+
+    rows = sorted(emb.select("vec_id", "embedding").collect(), key=lambda r: r.vec_id)
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    iu, ju = np.triu_indices(len(ids), 1)
+    want = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(iu, ju)
+        if round(S[i, j], 6) >= 0.35 or round(S[i, j], 5) == 0.35
+    }
+    # the numpy reference uses pairwise summation, so allow boundary
+    # wobble at the 6th digit only for pairs sitting exactly on 0.35
+    got_rows = embedding_near_dup(emb, threshold=0.35, n_blocks=5).collect()
+    got = {(r.id_a, r.id_b) for r in got_rows}
+    hard_want = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(iu, ju)
+        if round(S[i, j], 6) >= 0.3500005
+    }
+    assert hard_want <= got <= want
+    for r in got_rows:
+        assert r.id_a < r.id_b
+        assert -1.0 <= r.cosine_sim <= 1.0
+    # pair set is independent of the blocking factor
+    got3 = {(r.id_a, r.id_b) for r in embedding_near_dup(emb, threshold=0.35, n_blocks=3).collect()}
+    assert got3 == got
+
+
+@needs_td
+def test_embedding_near_dup_lsh_precision_and_recall(spark, emb):
+    exact = embedding_near_dup(emb, threshold=0.35).collect()
+    approx = embedding_near_dup_lsh(emb, threshold=0.35, dims=64).collect()
+    exact_pairs = {(r.id_a, r.id_b): r.cosine_sim for r in exact}
+    # precision is 1.0 by construction: every candidate is exactly
+    # verified, so emitted pairs are a subset with identical sims
+    for r in approx:
+        assert (r.id_a, r.id_b) in exact_pairs
+        assert r.cosine_sim == exact_pairs[(r.id_a, r.id_b)]
+    recall = len(approx) / max(1, len(exact))
+    # tau=0.35 is far from 1.0 (random-ish vectors): sign-LSH collision
+    # prob per table is (1 - theta/pi)^6 ~ 0.054, OR over 8 tables ~ 0.36.
+    # Genuinely-near duplicates (cos -> 1) are found with prob -> 1.
+    assert recall >= 0.2, f"LSH near-dup recall too low: {recall}"
