@@ -7,8 +7,16 @@ Each query is timed end-to-end (plan build + execution) with a noop
 sink write: unlike ``count()`` — which lets Catalyst prune every
 projection column and can reduce a map-only query to a parquet
 row-count — the noop sink materializes every output column without
-ferrying rows to the driver. A warmup query first pays JVM/codegen
-startup so the numbers measure the plans, not the JIT.
+ferrying rows to the driver.
+
+Each query runs twice: an untimed first run pays Janino/JIT compilation
+of its generated code (7+ s for the big signature folds — a per-JVM
+one-time cost that is noise at cluster scale and would swamp the
+sub-second data work at sf0.1), then a timed steady-state run against a
+cleared cache, so ``queries`` measures plan execution. The cold
+first-run seconds are still reported verbatim under ``cold`` so both
+numbers are visible. The cache is cleared between runs so every timed
+run re-reads parquet and re-materializes its own persists.
 """
 
 from __future__ import annotations
@@ -72,11 +80,17 @@ def main() -> None:
     run(fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = QUERIES[name]
         t0 = time.perf_counter()
         run(fn(spark, sf_dir))
+        cold[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        run(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
@@ -86,6 +100,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold": cold,
+                "cold_total": round(sum(cold.values()), 3),
                 "sf": sf,
             }
         )

@@ -1177,7 +1177,13 @@ ORDER BY id_a, id_b
 def q_embedding_near_dup_lsh(spark, sf_dir):
     """Scale path for embedding near-dup: LSH-bucketed candidates +
     exact verify. Approximate recall → rows-only driver check; subset/
-    precision vs the exact variant is asserted in tests."""
+    precision vs the exact variant is asserted in tests.
+
+    At sf0.1 (n=2000) the exact blocked variant is faster — bucket
+    collisions still cover ~13% of all pairs, so pruning doesn't pay
+    yet. Candidates scale as tables·n²/2^planes vs n² exact: the LSH
+    path wins past ~10⁵ vectors, which is precisely when exact all-pairs
+    stops being an option."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.embedding_near_dup_lsh(emb, threshold=0.35, dims=64)
 
