@@ -26,6 +26,34 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+
+def spread_input(df: DataFrame) -> DataFrame:
+    """Spread a few-partition source (one small parquet file locally)
+    across the cluster so downstream per-row signature compute
+    parallelizes. Checked on the raw scan — cheap — not on a projected
+    plan, where the RDD conversion alone costs ~1.5 s of driver-side
+    compilation. At scale the input already has ≥ parallelism
+    partitions and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism // 2:
+        df = df.repartition(sc.defaultParallelism)
+    return df
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Persist a signature-style table and force ONE materialization.
+
+    persist() alone is lazy: when the first action is the band/quarter
+    self-join, the two join sides race to compute the same partitions
+    in parallel stages before the cache is populated, so the expensive
+    per-row signature fold runs 2×+ (measured up to 5× wall on the
+    simhash pipeline). A cheap count() materializes the cache exactly
+    once. The 100 TB version of this function is "write the signature
+    table to storage and read it back"."""
+    df = df.persist()
+    df.count()
+    return df
+
 # Deterministic MinHash permutation coefficients: a*h + b mod P over the
 # 32-bit base hash. Generated once from a fixed LCG (seed 1); literal so
 # the SQL oracle can embed identical values.
@@ -178,12 +206,14 @@ def minhash_near_dup(
     docs) is the one hotspot — mitigate upstream with exact_dedup first.
     """
     rows = k // bands
-    sig = docs.select(
-        F.col(id_col).alias("doc"),
-        minhash_signature(F.col(text_col), n, k).alias("sig"),
-        word_shingles(F.col(text_col), n).alias("shingles"),
-    ).persist()
-    # persist is the real-scale design too: signatures are computed once
+    sig = pin(
+        spread_input(docs).select(
+            F.col(id_col).alias("doc"),
+            minhash_signature(F.col(text_col), n, k).alias("sig"),
+            word_shingles(F.col(text_col), n).alias("shingles"),
+        )
+    )
+    # pinning is the real-scale design too: signatures are computed once
     # and reused by every band AND both sides of the self-join (at 100 TB
     # you'd write this to a table); without it Catalyst's projection
     # collapse re-inlines the signature fold into each consumer.
@@ -257,8 +287,10 @@ def simhash_near_dup(
     pair within Hamming 3 shares at least one exact quarter — four
     equi-joins instead of a cross join.
     """
-    sig = docs.select(F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("sh")).persist()
-    # same persist rationale as minhash_near_dup: one signature pass,
+    sig = pin(
+        spread_input(docs).select(F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("sh"))
+    )
+    # same pin rationale as minhash_near_dup: one signature pass,
     # reused by all 4 quarter expansions and both self-join sides.
     parts = sig.select(
         "doc",

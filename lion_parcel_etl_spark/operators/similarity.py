@@ -333,8 +333,11 @@ def embedding_near_dup(
     return (
         scored.withColumn("cosine_sim", F.round("cosine_sim", round_digits))
         .filter(F.col("cosine_sim") >= threshold)
-        .orderBy("id_a", "id_b")
     )
+    # no trailing orderBy: a global sort range-samples its input, which
+    # re-executes the whole candidate+verify upstream a second time;
+    # row order is not part of the operator contract (the oracle compare
+    # sorts rows itself)
 
 
 def pair_cosine_udf():
@@ -389,13 +392,17 @@ def embedding_near_dup_lsh(
     near-certainty while the quadratic candidate space is pruned to
     bucket-sized chunks. The scale path for :func:`embedding_near_dup`.
     """
+    from .dedup import pin, spread_input
+
     buckets = lsh_buckets_udf(dims, planes, tables)
-    sig = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        buckets(F.col(vec_col)).alias("bks"),
-    ).persist()
-    # same persist rationale as minhash_near_dup: one signature pass
+    sig = pin(
+        spread_input(corpus).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            buckets(F.col(vec_col)).alias("bks"),
+        )
+    )
+    # same pin rationale as minhash_near_dup: one signature pass
     # reused by every table expansion, both self-join sides, and the
     # verify join-back; the bucket self-join carries only (id, tbl, bkt).
     b = sig.select("id", F.posexplode("bks").alias("tbl", "bkt"))
@@ -423,8 +430,11 @@ def embedding_near_dup_lsh(
             F.round(pcos(F.col("va"), F.col("vb")), round_digits).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
-        .orderBy("id_a", "id_b")
     )
+    # no trailing orderBy: a global sort range-samples its input, which
+    # re-executes the whole candidate+verify upstream a second time;
+    # row order is not part of the operator contract (the oracle compare
+    # sorts rows itself)
 
 
 def lsh_topk(

@@ -871,7 +871,7 @@ FROM embeddings
 
 def q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return DD.exact_dedup(docs, "doc_id", "text").orderBy("digest")
+    return DD.exact_dedup(docs, "doc_id", "text")  # unsorted: compare sorts rows
 
 
 SQL_DEDUP_EXACT = """
@@ -933,7 +933,7 @@ def q_minhash_signature(spark, sf_dir):
             ",",
             F.transform(DD.minhash_signature(F.col("text")), lambda v: v.cast("string")),
         ).alias("signature"),
-    ).orderBy("doc_id")
+    )
 
 
 SQL_MINHASH_SIG = f"""
@@ -987,7 +987,7 @@ def q_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", DD.simhash(F.col("text")).alias("simhash")
-    ).orderBy("doc_id")
+    )
 
 
 def _duck_simhash() -> str:
@@ -1050,7 +1050,7 @@ def q_multimodal_features(spark, sf_dir):
         ).alias("meta"),
     )
     feats = extract_features(media)
-    return feats.select("media_id", "kind", "n_bytes", "digest").orderBy("media_id")
+    return feats.select("media_id", "kind", "n_bytes", "digest")
 
 
 SQL_MULTIMODAL = """
@@ -1074,7 +1074,7 @@ def q_text_analysis(spark, sf_dir):
         TX.lang_id(t).alias("lang_guess"),
         F.round(TX.quality_score(t), 6).alias("quality"),
         TX.fingerprint(t).alias("fingerprint"),
-    ).orderBy("doc_id")
+    )
 
 
 def _duck_text_analysis() -> str:
