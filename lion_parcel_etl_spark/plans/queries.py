@@ -618,6 +618,68 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
 
+def q_cube_agg(spark, sf_dir):
+    """CUBE over two dimensions + grouping_id (completes the
+    grouping-set family next to q_rollup_agg; same partial-agg
+    machinery, 4 grouping sets in one pass instead of 4 scans)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(cents(F.col("l_extendedprice"))) / 100.0).alias("revenue"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_rows", "revenue")
+    )
+
+
+SQL_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       COUNT(*) AS n_rows,
+       SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_bucketed_join(spark, sf_dir):
+    """Fact-fact join via pre-bucketed tables: both sides written
+    hash-bucketed+sorted on the join key, so the join itself plans
+    with zero Exchange nodes (asserted in tests/test_bucketing.py).
+    The one-time bucketing write is the amortized cost that every
+    hourly downstream join at 100 TB then avoids."""
+    import os
+
+    from lion_parcel_etl_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    root = f"/tmp/lpe_bucketed_{os.path.basename(os.path.normpath(sf_dir))}"
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    write_bucketed(orders, "q_b_orders", ["o_orderkey"], 8, path=f"{root}/o")
+    write_bucketed(li, "q_b_lineitem", ["o_orderkey"], 8, path=f"{root}/l")
+    return (
+        bucketed_join(spark, "q_b_lineitem", "q_b_orders", ["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(cents(F.col("l_extendedprice"))) / 100.0).alias("revenue"),
+        )
+    )
+
+
+SQL_BUCKETED_JOIN = """
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def q_tumbling_window(spark, sf_dir):
     """Tumbling event-time window aggregate (batch form of the
     Structured Streaming windowed agg in streaming/jobs.py — identical
@@ -1229,6 +1291,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "window_topk": (q_window_topk, SQL_WINDOW_TOPK),
     "order_limit": (q_order_limit, SQL_ORDER_LIMIT),
     "rollup_agg": (q_rollup_agg, SQL_ROLLUP),
+    "cube_agg": (q_cube_agg, SQL_CUBE),
+    "bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "scalar_functions": (q_scalar_functions, SQL_SCALARS),
