@@ -714,6 +714,93 @@ ORDER BY bucket, event_type
 SESSION_GAP_S = 1800
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/temporal.py): each click gets the user's
+    most recent purchase at-or-before it. One shuffle on the key —
+    never the nested-loop plan the naive inequality join produces.
+    Oracle is DuckDB's native ASOF LEFT JOIN."""
+    from lion_parcel_etl_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    out = asof_join(clicks, purchases, ["user_id"], direction="backward")
+    return out.select(
+        "event_id",
+        "user_id",
+        fmt_ts("ts").alias("ts"),
+        F.col("pvalue_r").alias("last_purchase_value"),
+        fmt_ts("ts_r").alias("purchase_ts"),
+    )
+
+
+SQL_ASOF = f"""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, MAX(value) AS pvalue FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, strftime(c.ts, '{TS_FMT_DUCK}') AS ts,
+       p.pvalue AS last_purchase_value,
+       strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def q_range_join(spark, sf_dir):
+    """Range (interval-containment) join via bin discretization
+    (operators/temporal.py): clicks landing in the 2-hour window after
+    each purchase, counted per purchase. Equi-join on (user, bin) +
+    residual filter — no nested loop at any scale."""
+    from lion_parcel_etl_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    windows = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("win_start"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "user_id",
+            "win_start",
+            (F.col("win_start") + F.expr("INTERVAL 2 HOURS")).alias("win_end"),
+        )
+    )
+    return (
+        range_join(clicks, windows, "ts", "win_start", "win_end", by=["user_id"])
+        .groupBy("user_id", "win_start")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+        .select(
+            "user_id", fmt_ts("win_start").alias("purchase_ts"), "n_clicks"
+        )
+    )
+
+
+SQL_RANGE_JOIN = f"""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), windows AS (
+  SELECT DISTINCT user_id, ts AS win_start, ts + INTERVAL 2 HOUR AS win_end
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT w.user_id, strftime(w.win_start, '{TS_FMT_DUCK}') AS purchase_ts,
+       COUNT(*) AS n_clicks
+FROM windows w JOIN clicks c
+  ON c.user_id = w.user_id AND c.ts >= w.win_start AND c.ts <= w.win_end
+GROUP BY w.user_id, w.win_start
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization via lag window (batch analog of
     streaming session windows): a >30-min silence starts a new session."""
@@ -1295,6 +1382,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "asof_join": (q_asof_join, SQL_ASOF),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
     "scalar_functions": (q_scalar_functions, SQL_SCALARS),
     "salted_agg": (q_salted_agg, SQL_SALTED),
     "sql_api": (q_sql_api, SQL_SQL_API),

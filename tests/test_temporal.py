@@ -1,0 +1,106 @@
+"""as-of join / range join: correctness vs naive O(n^2) formulations
+on the events fixture, plus edge semantics (ties, no-match, forward).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lion_parcel_etl_spark.operators.temporal import asof_join, range_join
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).withColumn(
+        "ts",
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if dict(spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes).get("ts")
+        == "bigint"
+        else F.col("ts"),
+    )
+
+
+def _sides(events):
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    return clicks, purchases
+
+
+def test_asof_backward_matches_naive(spark, events):
+    clicks, purchases = _sides(events)
+    got = asof_join(clicks, purchases, ["user_id"], direction="backward")
+
+    # naive: non-equi join + argmax — the formulation we refuse to scale
+    naive = (
+        clicks.alias("l")
+        .join(
+            purchases.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("l.ts") >= F.col("r.ts")),
+            "left",
+        )
+        .groupBy("l.event_id")
+        .agg(F.max_by("r.pvalue", "r.ts").alias("pvalue_r"))
+    )
+    g = {(r["event_id"]): r["pvalue_r"] for r in got.collect()}
+    n = {(r["event_id"]): r["pvalue_r"] for r in naive.collect()}
+    assert g == n
+    assert got.count() == clicks.count()  # left join: every click kept
+
+
+def test_asof_forward_matches_naive(spark, events):
+    clicks, purchases = _sides(events)
+    got = asof_join(clicks, purchases, ["user_id"], direction="forward")
+    naive = (
+        clicks.alias("l")
+        .join(
+            purchases.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("l.ts") <= F.col("r.ts")),
+            "left",
+        )
+        .groupBy("l.event_id")
+        .agg(F.min_by("r.pvalue", "r.ts").alias("pvalue_r"))
+    )
+    g = {(r["event_id"]): r["pvalue_r"] for r in got.collect()}
+    n = {(r["event_id"]): r["pvalue_r"] for r in naive.collect()}
+    assert g == n
+
+
+def test_asof_tie_is_inclusive(spark):
+    l = spark.createDataFrame([(1, "2024-01-01 10:00:00")], "k int, ts string").select(
+        "k", F.to_timestamp("ts").alias("ts")
+    )
+    r = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 9.0)], "k int, ts string, v double"
+    ).select("k", F.to_timestamp("ts").alias("ts"), "v")
+    out = asof_join(l, r, ["k"]).collect()
+    assert out[0]["v_r"] == 9.0  # equal timestamps match
+
+
+def test_range_join_matches_naive(spark, events):
+    clicks, purchases = _sides(events)
+    iv = purchases.select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("win_end"),
+    )
+    got = range_join(clicks, iv, "ts", "win_start", "win_end", by=["user_id"])
+    naive = clicks.join(iv, "user_id").filter(
+        (F.col("ts") >= F.col("win_start")) & (F.col("ts") <= F.col("win_end"))
+    )
+    assert sorted(
+        (r["event_id"], str(r["p_ts"])) for r in got.collect()
+    ) == sorted((r["event_id"], str(r["p_ts"])) for r in naive.collect())
+    # each qualifying pair appears exactly once
+    assert got.count() == got.dropDuplicates(["event_id", "p_ts"]).count()
