@@ -1,0 +1,90 @@
+"""Deterministic sampling & splitting for training-data pipelines.
+
+Not in the reference (its 20-row tables need no sampling); core to the
+engine's training-data surface: building a 100 TB corpus means every
+document needs a stable train/val/test assignment that survives
+re-runs, repartitions, and incremental appends — so none of this may
+depend on row order, partition layout, or an RNG seed that executors
+would have to coordinate.
+
+Everything here keys off ``md5(id)``: a pure per-row expression (no
+shuffle to assign, embarrassingly parallel, whole-stage codegen'd) that
+both Spark and DuckDB compute identically, so the oracle can replay the
+exact sample. ``conv(substr(md5(x),1,15),16,10)`` ≡ DuckDB
+``('0x'||substr(md5(x),1,15))::BIGINT`` — 60 bits, always positive.
+
+stratified_sample is the one shuffle-bearing op (per-stratum exact
+counts need a window over the stratum); at scale its cost equals one
+groupBy on the strata columns, and skewed strata are split by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 15 hex chars = 60 bits: fits a signed 64-bit int, never negative.
+HASH_BITS = 60
+HASH_MOD = 1 << HASH_BITS
+
+
+def id_hash(col: Column, salt: str = "") -> Column:
+    """Uniform deterministic 60-bit hash of an id (+ optional salt —
+    change the salt to draw an independent split)."""
+    key = F.concat(col.cast("string"), F.lit(salt))
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+
+
+def duck_id_hash(expr: str, salt: str = "") -> str:
+    """The DuckDB spelling of :func:`id_hash` for oracle SQL."""
+    key = f"CAST({expr} AS VARCHAR) || '{salt}'"
+    return f"('0x' || substr(md5({key}), 1, 15))::BIGINT"
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Assign each row a split label with the given weights, purely by
+    id hash: stateless, order-independent, stable under appends (a row
+    keeps its split forever), no shuffle. The workhorse train/val/test
+    splitter — unlike ``df.randomSplit``, which is seed- and
+    partition-layout-dependent and can reassign rows when the input is
+    repartitioned."""
+    total = sum(weights.values())
+    u = id_hash(F.col(id_col), salt) / F.lit(float(HASH_MOD))
+    expr = None
+    acc = 0.0
+    *head, (last_name, _) = weights.items()
+    for name, w in head:
+        acc += w / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(last_name) if expr is None else expr.otherwise(last_name)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    fraction: float,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Exact-count stratified sample: from each stratum take
+    ``ceil(n * fraction)`` rows, chosen deterministically as the
+    smallest id-hashes in the stratum. Guarantees every non-empty
+    stratum is represented (unlike Bernoulli ``df.sampleBy``, which
+    drops small strata at random and only hits the fraction in
+    expectation). One shuffle on the strata columns."""
+    h = id_hash(F.col(id_col), salt)
+    w = Window.partitionBy(*strata).orderBy(h.asc(), F.col(id_col).asc())
+    wc = Window.partitionBy(*strata)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(fraction)))
+        .drop("__rn", "__n")
+    )

@@ -1018,6 +1018,55 @@ FROM embeddings
 # B. Training-data operators (dedup / text / similarity)
 # ---------------------------------------------------------------------------
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by id hash
+    (operators/sampling.py): stateless per-row expression, no shuffle,
+    stable under appends/repartition — the property randomSplit lacks."""
+    from lion_parcel_etl_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).select(
+        "doc_id", "split"
+    )
+
+
+def _duck_hash_split() -> str:
+    from lion_parcel_etl_spark.operators.sampling import HASH_MOD, duck_id_hash
+
+    u = f"{duck_id_hash('doc_id')} / {float(HASH_MOD)!r}"
+    return f"""
+SELECT doc_id,
+       CASE WHEN {u} < 0.8 THEN 'train'
+            WHEN {u} < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Exact-count stratified sample: ceil(20%) of every language
+    stratum, rows chosen as the smallest id-hashes — every stratum
+    represented, reproducible, one shuffle (operators/sampling.py)."""
+    from lion_parcel_etl_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, ["lang"], 0.2, "doc_id").select("doc_id", "lang")
+
+
+def _duck_stratified_sample() -> str:
+    from lion_parcel_etl_spark.operators.sampling import duck_id_hash
+
+    h = duck_id_hash("doc_id")
+    return f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {h} ASC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+) WHERE rn <= CAST(ceil(n * 0.2) AS BIGINT)
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return DD.exact_dedup(docs, "doc_id", "text")  # unsorted: compare sorts rows
@@ -1390,6 +1439,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pivot": (q_pivot, SQL_PIVOT),
     "json_extract": (q_json_extract, SQL_JSON),
     "array_reduce": (q_array_reduce, SQL_ARRAY_REDUCE),
+    "hash_split": (q_hash_split, _duck_hash_split()),
+    "stratified_sample": (q_stratified_sample, _duck_stratified_sample()),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIG),

@@ -1,0 +1,54 @@
+"""hash_split / stratified_sample: determinism, stability under
+repartition, exact per-stratum counts."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lion_parcel_etl_spark.operators.sampling import hash_split, stratified_sample
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def test_hash_split_is_total_and_disjoint(docs):
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.filter(F.col("split").isNull()).count() == 0
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = docs.count()
+    assert sum(counts.values()) == n
+    # proportions within loose tolerance at fixture scale
+    assert abs(counts.get("train", 0) / n - 0.8) < 0.1
+
+
+def test_hash_split_stable_under_repartition(docs):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {(r["doc_id"], r["split"]) for r in hash_split(docs, "doc_id", w).collect()}
+    b = {
+        (r["doc_id"], r["split"])
+        for r in hash_split(docs.repartition(7), "doc_id", w).collect()
+    }
+    assert a == b  # unlike randomSplit, layout never changes assignment
+
+
+def test_stratified_sample_exact_counts(docs):
+    frac = 0.2
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    out = stratified_sample(docs, ["lang"], frac, "doc_id")
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == {k: math.ceil(v * frac) for k, v in sizes.items()}
+    assert set(got) == set(sizes)  # every stratum represented
+
+
+def test_stratified_sample_deterministic(docs):
+    a = {r["doc_id"] for r in stratified_sample(docs, ["lang"], 0.3, "doc_id").collect()}
+    b = {r["doc_id"] for r in stratified_sample(docs, ["lang"], 0.3, "doc_id").collect()}
+    assert a == b
+    c = {r["doc_id"] for r in stratified_sample(docs, ["lang"], 0.3, "doc_id", salt="s2").collect()}
+    assert a != c  # a different salt draws a different sample
