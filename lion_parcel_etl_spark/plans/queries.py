@@ -618,6 +618,54 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
 
+def q_stats_agg(spark, sf_dir):
+    """Statistical aggregate family: exact interpolated percentiles
+    (Spark `percentile` ≡ DuckDB `quantile_cont`), sample stddev, and
+    exact min/max/avg. stddev rounds at 1e-4 (well above distributed
+    accumulation-order noise ~1e-8 at this magnitude); percentiles at
+    1e-6 (interpolation of two sorted doubles, near bit-identical).
+    At 100 TB exact percentile means a sort per group — the sketch
+    path is q_approx_stats."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(cents(F.col("l_extendedprice"))) / 100.0).alias("sum_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+
+
+SQL_STATS = """
+SELECT l_returnflag, COUNT(*) AS n,
+       SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_price,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+       round(stddev_samp(l_extendedprice), 4) AS sd,
+       MIN(l_extendedprice) AS lo,
+       MAX(l_extendedprice) AS hi
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_approx_stats(spark, sf_dir):
+    """Sketch twin of q_stats_agg (operators/sketches.py): HLL++
+    distinct orders and GK approximate percentiles per group — one
+    pass, constant memory per group, mergeable. Rows-only gate (the
+    estimates are implementation-defined); accuracy vs exact is
+    asserted in tests/test_sketches.py."""
+    from lion_parcel_etl_spark.operators import sketches as SK
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        SK.approx_distinct("l_orderkey").alias("approx_orders"),
+        SK.approx_quantiles("l_extendedprice", [0.5, 0.95]).alias("approx_p50_p95"),
+    )
+
+
 def q_cube_agg(spark, sf_dir):
     """CUBE over two dimensions + grouping_id (completes the
     grouping-set family next to q_rollup_agg; same partial-agg
@@ -1428,6 +1476,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "order_limit": (q_order_limit, SQL_ORDER_LIMIT),
     "rollup_agg": (q_rollup_agg, SQL_ROLLUP),
     "cube_agg": (q_cube_agg, SQL_CUBE),
+    "stats_agg": (q_stats_agg, SQL_STATS),
+    "approx_stats": (q_approx_stats, None),
     "bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),

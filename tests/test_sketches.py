@@ -1,0 +1,58 @@
+"""Sketch aggregates: accuracy vs exact answers, and the mergeability
+property that makes them the 100 TB path (daily sketches union to the
+same estimate as one global sketch)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lion_parcel_etl_spark.operators.sketches import (
+    approx_distinct,
+    approx_quantiles,
+    hll_merge,
+    hll_rollup,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def test_approx_distinct_within_rsd(events):
+    exact = events.select(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
+    approx = events.select(approx_distinct("user_id", 0.02).alias("n")).collect()[0]["n"]
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_approx_quantiles_close_to_exact(events):
+    exact = events.select(
+        F.expr("percentile(value, array(0.5, 0.95))").alias("q")
+    ).collect()[0]["q"]
+    approx = events.select(approx_quantiles("value", [0.5, 0.95]).alias("q")).collect()[
+        0
+    ]["q"]
+    for e, a in zip(exact, approx):
+        assert abs(a - e) <= max(1e-9, 0.02 * abs(e) + 0.1)
+
+
+def test_hll_rollup_merges_without_rescan(events):
+    # daily sketches …
+    daily = hll_rollup(
+        events.withColumn("day", F.to_date("ts")), ["day"], "user_id"
+    )
+    # … union to a global estimate
+    merged = hll_merge(daily, []).collect()[0]["approx_distinct"]
+    exact = events.select(F.countDistinct("user_id")).collect()[0][0]
+    assert abs(merged - exact) / exact < 0.05
+    # and the union equals sketching the whole corpus directly
+    direct = hll_merge(
+        hll_rollup(events, [], "user_id").select("hll"), []
+    ).collect()[0]["approx_distinct"]
+    assert merged == direct
