@@ -45,8 +45,14 @@ HEADLINE = [
     "window_topk",
     "order_limit",
     "rollup_agg",
+    "cube_agg",
+    "stats_agg",
+    "approx_stats",
     "tumbling_window",
     "sessionize",
+    "asof_join",
+    "range_join",
+    "stratified_sample",
     "pivot",
     "salted_agg",
     "string_set_agg",
