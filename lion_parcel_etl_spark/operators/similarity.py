@@ -391,48 +391,56 @@ def embedding_near_dup_lsh(
     1 − θ/π, so truly-near pairs (cos → 1) are found with
     near-certainty while the quadratic candidate space is pruned to
     bucket-sized chunks. The scale path for :func:`embedding_near_dup`.
-    """
-    from .dedup import pin, spread_input
 
+    Plan shape: ONE pass computes signatures, ONE shuffle groups the
+    exploded (id, vector, table, bucket) rows by bucket, and the exact
+    verify runs as a per-bucket numpy matmul inside ``applyInPandas``
+    that emits only pairs already ≥ threshold. No candidate-pair table
+    is ever materialized and vectors cross the wire once per table
+    (N·tables rows), vs the naive candidate self-join + two vector
+    join-backs that ship two vectors per candidate pair — O(Σ bucket²)
+    rows. Surviving pairs (a tiny set) dedup across tables at the end.
+    At scale, grow ``planes`` with log N to keep buckets bounded.
+
+    No ``spread_input`` here (unlike the text-signature pipelines):
+    the bucket UDF is one numpy matmul per Arrow batch, so computing
+    it on however few partitions the scan yields is cheaper than a
+    pre-shuffle, and the groupBy shuffle right after redistributes
+    anyway.
+    """
     buckets = lsh_buckets_udf(dims, planes, tables)
-    sig = pin(
-        spread_input(corpus).select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            buckets(F.col(vec_col)).alias("bks"),
-        )
+    exploded = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bkt"),
     )
-    # same pin rationale as minhash_near_dup: one signature pass
-    # reused by every table expansion, both self-join sides, and the
-    # verify join-back; the bucket self-join carries only (id, tbl, bkt).
-    b = sig.select("id", F.posexplode("bks").alias("tbl", "bkt"))
-    a = b.alias("a")
-    c = b.alias("c")
-    cand = (
-        a.join(
-            c,
-            (F.col("a.tbl") == F.col("c.tbl"))
-            & (F.col("a.bkt") == F.col("c.bkt"))
-            & (F.col("a.id") < F.col("c.id")),
+    # pre-filter slack: round(x, 6) >= t implies x >= t - 5.1e-7, so a
+    # 1e-6 margin never drops a pair the exact filter would keep.
+    slack = threshold - 1e-6
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+        A = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        ids = pdf["id"].to_numpy()
+        C = _seq_cosine_block(A, A)
+        keep = (ids[:, None] < ids[None, :]) & (C >= slack)
+        ii, jj = np.nonzero(keep)
+        return pd.DataFrame(
+            {"id_a": ids[ii], "id_b": ids[jj], "cosine_sim": C[ii, jj]}
         )
-        .select(F.col("a.id").alias("id_a"), F.col("c.id").alias("id_b"))
+
+    scored = exploded.groupBy("tbl", "bkt").applyInPandas(
+        verify, "id_a long, id_b long, cosine_sim double"
+    )
+    return (
+        scored.withColumn("cosine_sim", F.round("cosine_sim", round_digits))
+        .filter(F.col("cosine_sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = sig.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = sig.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    pcos = pair_cosine_udf()
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(pcos(F.col("va"), F.col("vb")), round_digits).alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= threshold)
-    )
-    # no trailing orderBy: a global sort range-samples its input, which
-    # re-executes the whole candidate+verify upstream a second time;
+    # cosine for a pair is identical in every table it collides in, so
+    # the cross-table dropDuplicates is value-safe. No trailing orderBy:
+    # a global sort range-samples its input, re-executing the upstream;
     # row order is not part of the operator contract (the oracle compare
     # sorts rows itself)
 

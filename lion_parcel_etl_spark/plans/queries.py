@@ -624,17 +624,24 @@ def q_stats_agg(spark, sf_dir):
     exact min/max/avg. stddev rounds at 1e-4 (well above distributed
     accumulation-order noise ~1e-8 at this magnitude); percentiles at
     1e-6 (interpolation of two sorted doubles, near bit-identical).
-    At 100 TB exact percentile means a sort per group — the sketch
-    path is q_approx_stats."""
+    Both percentiles come from ONE `percentile(col, array(...))` call —
+    a second scalar call would build a second per-group value buffer
+    over the whole table. At 100 TB exact percentile means a sort per
+    group — the sketch path is q_approx_stats."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum(cents(F.col("l_extendedprice"))) / 100.0).alias("sum_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd"),
-        F.min("l_extendedprice").alias("lo"),
-        F.max("l_extendedprice").alias("hi"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents(F.col("l_extendedprice"))) / 100.0).alias("sum_price"),
+            F.expr("percentile(l_extendedprice, array(0.5D, 0.95D))").alias("_pct"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .withColumn("p50", F.round(F.col("_pct")[0], 6))
+        .withColumn("p95", F.round(F.col("_pct")[1], 6))
+        .drop("_pct")
     )
 
 
