@@ -39,6 +39,8 @@ from lion_parcel_etl_spark.session import get_spark
 HEADLINE = [
     "pricing_summary",
     "join_inner_residual",
+    "multi_join_topk",
+    "distinct_agg",
     "merge_upsert",
     "softdelete_mart",
     "scd2_events",

@@ -47,8 +47,12 @@ RUN0 = "2024-02-01 00:00:00"
 RUN1 = "2024-02-02 00:00:00"
 SENTINEL = "9999-12-31 23:59:59"
 
-TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+from lion_parcel_etl_spark.functions import (  # noqa: E402
+    TS_FMT_DUCK,
+    TS_FMT_SPARK,
+    cents,
+    fmt_ts,
+)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -64,13 +68,8 @@ def _t(spark, sf_dir, name) -> DataFrame:
     return df
 
 
-def cents(col) -> F.Column:
-    """Exact integer cents for a ≤2-decimal double (order-free sums)."""
-    return F.round(col * 100).cast("long")
-
-
-def fmt_ts(col) -> F.Column:
-    return F.date_format(col, TS_FMT_SPARK)
+# cents / fmt_ts now live in lion_parcel_etl_spark.functions (shared
+# across queries, operators, and pipelines); imported above.
 
 
 # ---------------------------------------------------------------------------
@@ -1463,6 +1462,119 @@ def q_lsh_topk(spark, sf_dir):
 # Registry
 # ---------------------------------------------------------------------------
 
+def q_multi_join_topk(spark, sf_dir):
+    """TPC-H Q3-shaped shipping-priority query: dim-filtered customer
+    broadcast-joins orders, result joins the big lineitem fact, revenue
+    aggregates per order, global top-10. Exceeds the reference's
+    single-key/two-table joins (§2.4) along the axis a real warehouse
+    grows: the filtered customer side is tiny → broadcast (no shuffle
+    of lineitem by custkey); only the orderkey agg shuffles. Revenue
+    uses the cents trick at 1e-4 (price×(1−discount) has ≤4 decimals:
+    per-row double product is bit-identical across engines, rounded to
+    an exact bigint before the order-free sum). Top-k ties broken by
+    orderkey so the limit is deterministic."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    return (
+        li.join(
+            F.broadcast(
+                o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+                    "o_orderkey", "o_orderdate", "o_orderpriority"
+                )
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+        .select(
+            "o_orderkey",
+            fmt_ts("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+SQL_MULTI_JOIN = f"""
+SELECT o_orderkey,
+       strftime(o_orderdate, '{TS_FMT_DUCK}') AS o_orderdate,
+       o_orderpriority,
+       SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, orders.o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT (distinct set semantics, identical in Spark
+    and ANSI SQL) — completes §2.8 beyond the reference's UNION ALL.
+    Both inputs project a single key column, so the set ops are one
+    hash-partition exchange each on that key; results are tagged and
+    unioned."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    big = o.filter(F.col("o_totalprice") > 300000.0).select("o_custkey")
+    both = urgent.intersect(big).select(F.col("o_custkey"), F.lit("both").alias("tag"))
+    # subtract = EXCEPT DISTINCT. (exceptAll would keep leftover
+    # multiplicity for keys present in both sides — wrong semantics.)
+    only = urgent.subtract(big).select(
+        F.col("o_custkey"), F.lit("urgent_only").alias("tag")
+    )
+    return both.unionByName(only)
+
+
+SQL_SET_OPS = """
+SELECT o_custkey, 'both' AS tag FROM (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+)
+UNION ALL
+SELECT o_custkey, 'urgent_only' AS tag FROM (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+)
+"""
+
+
+def q_distinct_agg(spark, sf_dir):
+    """Exact distinct aggregation per group (no distinct-agg exists in
+    the reference, §2.5 note). Catalyst plans count(DISTINCT x) as a
+    two-phase expand+agg — partial per-partition dedup before the
+    exchange, so the shuffle carries distinct (month, custkey) pairs,
+    not raw rows. The sketch twin for 100 TB is approx_stats'
+    approx_count_distinct."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents(F.col("o_totalprice"))) / 100.0).alias("sum_price"),
+        )
+    )
+
+
+SQL_DISTINCT_AGG = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(DISTINCT o_custkey) AS n_cust,
+       COUNT(*) AS n_orders,
+       SUM(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS sum_price
+FROM orders
+GROUP BY strftime(o_orderdate, '%Y-%m')
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "stage_load": (q_stage_load, SQL_STAGE),
@@ -1471,6 +1583,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "softdelete_mart": (q_softdelete_mart, SQL_SOFTDELETE),
     "scd2_events": (q_scd2_events, SQL_SCD2),
     "join_left": (q_join_left, SQL_JOIN_LEFT),
+    "multi_join_topk": (q_multi_join_topk, SQL_MULTI_JOIN),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
+    "distinct_agg": (q_distinct_agg, SQL_DISTINCT_AGG),
     "join_inner_residual": (q_join_inner_residual, SQL_JOIN_INNER),
     "anti_join": (q_anti_join, SQL_ANTI),
     "semi_join": (q_semi_join, SQL_SEMI),

@@ -124,6 +124,25 @@ def stream_running_user_totals(spark: SparkSession, events_path: str) -> DataFra
     )
 
 
+def stream_dedup_events(
+    spark: SparkSession,
+    events_path: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup on ``event_id`` with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    event-time watermark passes it, so state is O(keys per watermark
+    horizon), not O(all keys ever) — the streaming twin of the batch
+    ``dedup_exact`` operator, and the standard at-least-once →
+    effectively-once repair stage in front of an append sink.
+    """
+    ev = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
+    return ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_available_now(
     df: DataFrame,
     checkpoint: str,

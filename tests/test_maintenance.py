@@ -1,0 +1,52 @@
+"""Compaction: fewer files, identical data, pruning-friendly layout."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from lion_parcel_etl_spark.catalog import Warehouse
+from lion_parcel_etl_spark.operators.maintenance import compact, table_file_stats
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def _fragged_table(spark, tmp_path, n_files=16):
+    wh = Warehouse(str(tmp_path / "wh"))
+    ev = spark.read.parquet(EVENTS).drop("ts")
+    wh.overwrite(ev.repartition(n_files), "default.events_frag")
+    return wh, ev
+
+
+def test_compact_reduces_files_preserves_data(spark, tmp_path):
+    wh, ev = _fragged_table(spark, tmp_path)
+    before, total = table_file_stats(wh, "default.events_frag")
+    assert before >= 16
+    stats = compact(spark, wh, "default.events_frag", target_file_bytes=total)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= 2  # one target-size file (+0/1 rounding)
+    got = wh.read(spark, "default.events_frag")
+    assert got.count() == ev.count()
+    assert got.select(F.sum("event_id")).first()[0] == ev.select(F.sum("event_id")).first()[0]
+
+
+def test_compact_sorted_layout_has_disjoint_file_ranges(spark, tmp_path):
+    wh, ev = _fragged_table(spark, tmp_path)
+    _, total = table_file_stats(wh, "default.events_frag")
+    compact(
+        spark, wh, "default.events_frag",
+        target_file_bytes=max(1, total // 4), sort_by="event_id",
+    )
+    got = wh.read(spark, "default.events_frag")
+    assert got.count() == ev.count()
+    # per-file [min,max] of the sort key must not overlap — that's what
+    # makes footer-stat pruning effective after a sorted rewrite
+    ranges = (
+        got.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(ranges) >= 2
+    for prev, cur in zip(ranges, ranges[1:]):
+        assert prev["hi"] < cur["lo"]

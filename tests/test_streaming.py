@@ -96,3 +96,21 @@ def test_stream_running_user_totals(spark, tmp_path, events_dir):
         n, s = got_last[r["user_id"]]
         assert n == r["n_events"]
         assert s == pytest.approx(r["value_sum"], rel=1e-9)
+
+
+def test_stream_dedup_events_matches_batch(spark, tmp_path, events_dir):
+    from lion_parcel_etl_spark.streaming import stream_dedup_events
+
+    # duplicate the whole input: every event_id now appears twice
+    ev = spark.read.parquet(events_dir)
+    dup_dir = str(tmp_path / "events_dup")
+    ev.unionByName(ev).repartition(3).write.parquet(dup_dir)
+
+    stream = stream_dedup_events(spark, dup_dir)
+    assert stream.isStreaming
+    run_available_now(
+        stream, str(tmp_path / "ckpt_dedup"), out_path=str(tmp_path / "out_dedup")
+    )
+    got = spark.read.parquet(str(tmp_path / "out_dedup"))
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == got.count()
