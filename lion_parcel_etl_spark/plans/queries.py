@@ -1462,6 +1462,35 @@ def q_lsh_topk(spark, sf_dir):
 # Registry
 # ---------------------------------------------------------------------------
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the general form of rollup/cube: only
+    the requested sets expand (here 2, vs cube's 4), so the Expand node
+    emits 2 rows per input row, not 2^k. Via spark.sql because the
+    grouping-set list is SQL surface (DataFrame API exposes only
+    rollup/cube shorthands)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    # 100.0D: a bare 100.0 literal is DECIMAL in Spark SQL, and
+    # bigint/decimal division yields a scale-6 decimal ("x.670000")
+    # while the oracle's double division prints "x.67" — type parity
+    # needs the double literal.
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0D AS revenue
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+"""
+
+
 def q_multi_join_topk(spark, sf_dir):
     """TPC-H Q3-shaped shipping-priority query: dim-filtered customer
     broadcast-joins orders, result joins the big lineitem fact, revenue
@@ -1584,6 +1613,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "scd2_events": (q_scd2_events, SQL_SCD2),
     "join_left": (q_join_left, SQL_JOIN_LEFT),
     "multi_join_topk": (q_multi_join_topk, SQL_MULTI_JOIN),
+    "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "set_ops": (q_set_ops, SQL_SET_OPS),
     "distinct_agg": (q_distinct_agg, SQL_DISTINCT_AGG),
     "join_inner_residual": (q_join_inner_residual, SQL_JOIN_INNER),
