@@ -111,6 +111,63 @@ def extract_features(media: DataFrame, batch_bytes: int = 64 << 20) -> DataFrame
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("orig_width", T.IntegerType()),
+        T.StructField("orig_height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    max_edge: int = 256,
+    batch_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Image resize with stubbed pixel math, real Spark plumbing.
+
+    Output geometry (aspect-preserving fit into ``max_edge``²) is
+    computed for real; the pixel transform itself is the deliberate
+    stub (payload passes through — a deployment swaps one function for
+    PIL's ``Image.resize``). Batch shape, byte-budget partitioning and
+    Arrow transfer are identical to what the real kernel needs, so the
+    plan is honest about cost: payload bytes cross into Python once.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].fillna(0).astype("int64")
+            h = pdf["height"].fillna(0).astype("int64")
+            scale = (max_edge / np.maximum(w, h).clip(lower=1)).clip(upper=1.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    # STUB: real kernel = decode → resample → re-encode
+                    "payload": pdf["payload"],
+                    "width": np.maximum((w * scale).astype("int64"), 1).astype("int32"),
+                    "height": np.maximum((h * scale).astype("int64"), 1).astype("int32"),
+                    "orig_width": w.astype("int32"),
+                    "orig_height": h.astype("int32"),
+                }
+            )
+
+    imgs = media.filter(F.col("kind") == "image").select(
+        "media_id",
+        "payload",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    stats = imgs.agg(F.sum(F.octet_length("payload")).alias("total")).collect()[0]
+    buckets = max(1, int((stats["total"] or 0) // batch_bytes) + 1)
+    return imgs.repartition(buckets, F.col("media_id")).mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per frame timestamp
     (decode stubbed). Shows the explode-shaped row multiplication a real

@@ -46,3 +46,24 @@ def test_frame_sample_plan(spark, media):
     # only the video row explodes; 3500ms at 1000ms -> ts 0,1000,2000,3000
     assert {r.media_id for r in frames} == {3}
     assert sorted(r.frame_ts_ms for r in frames) == [0, 1000, 2000, 3000]
+
+
+def test_resize_images_geometry_and_payload(spark, media):
+    from lion_parcel_etl_spark.operators.multimodal import resize_images
+
+    out = {r["media_id"]: r for r in resize_images(media, max_edge=8).collect()}
+    # only image rows survive the kind filter
+    assert set(out) == {1, 4}
+    r = out[1]  # 16x16 -> fits to 8x8, aspect preserved
+    assert (r["width"], r["height"]) == (8, 8)
+    assert (r["orig_width"], r["orig_height"]) == (16, 16)
+    assert r["payload"] == bytes(range(256)) * 4  # stub passes bytes through
+    # degenerate 0x0 image clamps to 1x1, never divides by zero
+    assert (out[4]["width"], out[4]["height"]) == (1, 1)
+
+
+def test_resize_never_upscales(spark, media):
+    from lion_parcel_etl_spark.operators.multimodal import resize_images
+
+    out = {r["media_id"]: r for r in resize_images(media, max_edge=1000).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (16, 16)
