@@ -48,6 +48,8 @@ HEADLINE = [
     "order_limit",
     "rollup_agg",
     "cube_agg",
+    "grouping_sets",
+    "set_ops",
     "stats_agg",
     "approx_stats",
     "tumbling_window",

@@ -42,6 +42,11 @@ class Task:
     fn: Callable[[dict], None]
     deps: list[str] = field(default_factory=list)
     tags: set[str] = field(default_factory=set)
+    # Airflow default_args parity (reference dags/retail_hourly_etl.py:13-14
+    # declares retries/retry_delay per task; the reference runs retries=0,
+    # which stays the default here).
+    retries: int = 0
+    retry_delay_s: float = 0.0
 
 
 class Pipeline:
@@ -55,10 +60,14 @@ class Pipeline:
         fn: Callable[[dict], None],
         deps: Iterable[str] = (),
         tags: Iterable[str] = (),
+        retries: int = 0,
+        retry_delay_s: float = 0.0,
     ) -> "Pipeline":
         if name in self._tasks:
             raise ValueError(f"duplicate task {name!r}")
-        self._tasks[name] = Task(name, fn, list(deps), set(tags))
+        self._tasks[name] = Task(
+            name, fn, list(deps), set(tags), retries, retry_delay_s
+        )
         return self
 
     def _select(self, tags: Iterable[str] | None) -> list[Task]:
@@ -116,9 +125,14 @@ class Pipeline:
         timings: dict[str, float] = {}
         for t in self._topo(self._select(tags)):
             t0 = time.perf_counter()
-            try:
-                t.fn(ctx)
-            except Exception as e:  # noqa: BLE001
-                raise TaskFailed(t.name, e) from e
+            for attempt in range(t.retries + 1):
+                try:
+                    t.fn(ctx)
+                    break
+                except Exception as e:  # noqa: BLE001
+                    if attempt == t.retries:
+                        raise TaskFailed(t.name, e) from e
+                    if t.retry_delay_s > 0:
+                        time.sleep(t.retry_delay_s)
             timings[t.name] = time.perf_counter() - t0
         return timings

@@ -66,3 +66,34 @@ def test_ctx_shared_state():
     ctx: dict = {}
     p.run(ctx)
     assert ctx["hits"] == [1]
+
+
+def test_retries_recover_flaky_task():
+    from lion_parcel_etl_spark.runner import Pipeline
+
+    calls = {"n": 0}
+
+    def flaky(ctx):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+
+    p = Pipeline("r").task("flaky", flaky, retries=2)
+    timings = p.run({})
+    assert calls["n"] == 3 and "flaky" in timings
+
+
+def test_retries_exhausted_raises_taskfailed():
+    from lion_parcel_etl_spark.runner import Pipeline, TaskFailed
+    import pytest
+
+    calls = {"n": 0}
+
+    def always_fails(ctx):
+        calls["n"] += 1
+        raise RuntimeError("permanent")
+
+    p = Pipeline("r").task("bad", always_fails, retries=2)
+    with pytest.raises(TaskFailed):
+        p.run({})
+    assert calls["n"] == 3
