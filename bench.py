@@ -45,6 +45,10 @@ HEADLINE = [
     "softdelete_mart",
     "scd2_events",
     "window_topk",
+    "window_running",
+    "exists_subquery",
+    "scalar_subquery",
+    "having_agg",
     "order_limit",
     "rollup_agg",
     "cube_agg",

@@ -1617,6 +1617,240 @@ GROUP BY strftime(o_orderdate, '%Y-%m')
 """
 
 
+# ---------------------------------------------------------------------------
+# H. Reference "useful queries" (retail_transactions_scd.sql:260-317) and
+#    subquery / temporal shapes beyond the executed surface
+# ---------------------------------------------------------------------------
+
+# Time-travel probe instant (inside the SCD2 validity range of the
+# events cutoffs above); fixed-width micros so string comparison is
+# lexicographically correct on both engines.
+TT_INSTANT = "2024-01-20 12:00:00.000000"
+IV_CUTOFF = "2000-06-01 00:00:00"
+
+
+def q_scd2_timetravel(spark, sf_dir):
+    """Reference sample query #3 (retail_transactions_scd.sql:280-282):
+    time-travel — state as of an instant via `ts BETWEEN valid_from AND
+    valid_to` on the SCD2 output. No engine feature needed (SURVEY §1.1
+    versioned-table row): an interval predicate over the validity
+    columns answers any as-of question. At 100 TB the mart is
+    partitioned by is_current, so the current-majority partition prunes
+    for recent instants."""
+    st = q_scd2_events(spark, sf_dir)
+    tt = F.lit(TT_INSTANT)
+    return st.filter((tt >= F.col("valid_from")) & (tt <= F.col("valid_to")))
+
+
+SQL_SCD2_TT = f"""
+SELECT * FROM (
+{SQL_SCD2}
+) WHERE '{TT_INSTANT}' >= valid_from AND '{TT_INSTANT}' <= valid_to
+"""
+
+
+def q_scd2_version_count(spark, sf_dir):
+    """Reference sample query #5 (retail_transactions_scd.sql:294-301):
+    versions per key with conditional aggregation
+    (MAX(CASE WHEN is_current THEN valid_from END)). Single hash
+    aggregate over the SCD2 output; min/max over the fixed-width
+    timestamp strings are lexicographically ≡ timestamp min/max."""
+    st = q_scd2_events(spark, sf_dir)
+    return st.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("version_count"),
+        F.min("valid_from").alias("first_seen"),
+        F.max(F.when(F.col("is_current"), F.col("valid_from"))).alias("last_updated"),
+    )
+
+
+SQL_SCD2_VC = f"""
+SELECT user_id, COUNT(*) AS version_count,
+       MIN(valid_from) AS first_seen,
+       MAX(CASE WHEN is_current THEN valid_from END) AS last_updated
+FROM (
+{SQL_SCD2}
+) GROUP BY user_id
+"""
+
+
+def q_interval_arith(spark, sf_dir):
+    """Reference sample query #7 shape (retail_transactions_scd.sql:
+    306-309: `>= CURRENT_DATE - INTERVAL '7 days'`) + the commented
+    INTERVAL usage at :311 — interval arithmetic, date_trunc, datediff
+    against an injected cutoff (F1 determinism rule). The range filter
+    is a pushed-down parquet predicate: at 100 TB with date-partitioned
+    marts this is partition pruning, scanning only the 90-day tail."""
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit(IV_CUTOFF).cast("timestamp")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= cutoff - F.expr("INTERVAL 90 DAYS"))
+            & (F.col("o_orderdate") < cutoff)
+        )
+        .select(
+            "o_orderkey",
+            fmt_ts("o_orderdate").alias("order_ts"),
+            fmt_ts(F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("sla_ts"),
+            fmt_ts(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start"),
+            F.datediff(cutoff.cast("date"), F.col("o_orderdate").cast("date"))
+            .cast("long")
+            .alias("age_days"),
+        )
+    )
+
+
+SQL_INTERVAL = f"""
+SELECT o_orderkey,
+       strftime(o_orderdate, '{TS_FMT_DUCK}') AS order_ts,
+       strftime(o_orderdate + INTERVAL 7 DAY, '{TS_FMT_DUCK}') AS sla_ts,
+       strftime(date_trunc('month', o_orderdate), '{TS_FMT_DUCK}') AS month_start,
+       date_diff('day', CAST(o_orderdate AS DATE),
+                 CAST(TIMESTAMP '{IV_CUTOFF}' AS DATE)) AS age_days
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{IV_CUTOFF}' - INTERVAL 90 DAY
+  AND o_orderdate < TIMESTAMP '{IV_CUTOFF}'
+"""
+
+
+def q_exists_subquery(spark, sf_dir):
+    """EXISTS correlated subquery (TPC-H Q4 shape; SURVEY §4 —
+    RewritePredicateSubquery): orders with at least one returned line,
+    counted by priority. Expressed as left-semi join, exactly the
+    physical form Catalyst rewrites SQL EXISTS into; the lineitem side
+    projects one column, so the shuffle carries only orderkeys."""
+    o = _t(spark, sf_dir, "orders")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_EXISTS = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_scalar_subquery(spark, sf_dir):
+    """Correlated scalar-subquery shape (TPC-H Q17): lines with
+    quantity below 20% of their part's average. The per-part average
+    joins back to lineitem on l_partkey — both sides hash-partitioned
+    on the same key, so AQE plans one co-partitioned shuffle join (no
+    second shuffle of the agg side). Threshold math is exact integer:
+    qty < 0.2·avg ⟺ 5·qty_cents·n < sum_cents — no float boundary
+    flakes between engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    qc = cents(F.col("l_quantity"))
+    pa = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(qc).alias("sum_qc")
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.lit(5) * qc * F.col("n") < F.col("sum_qc"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_below"),
+            (F.sum(cents(F.col("l_extendedprice"))) / 100.0).alias("sum_price"),
+        )
+    )
+
+
+SQL_SCALAR_SUBQ = """
+WITH pa AS (
+  SELECT l_partkey, COUNT(*) AS n,
+         SUM(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qc
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l.l_returnflag, COUNT(*) AS n_below,
+       SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_price
+FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+WHERE 5 * CAST(round(l.l_quantity*100) AS BIGINT) * pa.n < pa.sum_qc
+GROUP BY l.l_returnflag
+"""
+
+
+def q_having_agg(spark, sf_dir):
+    """Aggregate + HAVING + join-back (TPC-H Q18 shape: large-volume
+    orders). The HAVING filter runs on the agg output BEFORE the joins,
+    shrinking the probe side to the qualifying orderkeys; customer is
+    broadcast. Integer quantity sums keep the threshold exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 120)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_name"))
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            fmt_ts("o_orderdate").alias("order_ts"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+SQL_HAVING = f"""
+SELECT c_name, o_orderkey, strftime(o_orderdate, '{TS_FMT_DUCK}') AS order_ts,
+       o_totalprice, sum_qty
+FROM orders o
+JOIN (SELECT l_orderkey, SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 120) b
+  ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_window_running(spark, sf_dir):
+    """Window navigation + running frame (lag/lead/row_number/
+    cumulative sum) — completes the window family next to
+    q_window_topk. One window spec → one sort within each customer
+    partition; the running sum uses exact cents so distributed
+    execution matches the oracle digit-for-digit. The (o_orderdate,
+    o_orderkey) ordering is total, making every frame deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (F.sum(cents(F.col("o_totalprice"))).over(wf) / 100.0).alias("running_spend"),
+    )
+
+
+SQL_WINDOW_RUN = """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS seq,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       SUM(CAST(round(o_totalprice*100) AS BIGINT))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+         AS running_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "stage_load": (q_stage_load, SQL_STAGE),
@@ -1669,4 +1903,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_embedding_lsh": (q_embedding_near_dup_lsh, None),
     "lsh_topk": (q_lsh_topk, None),
     "ivf_topk": (q_ivf_topk, None),
+    "scd2_timetravel": (q_scd2_timetravel, SQL_SCD2_TT),
+    "scd2_version_count": (q_scd2_version_count, SQL_SCD2_VC),
+    "interval_arith": (q_interval_arith, SQL_INTERVAL),
+    "exists_subquery": (q_exists_subquery, SQL_EXISTS),
+    "scalar_subquery": (q_scalar_subquery, SQL_SCALAR_SUBQ),
+    "having_agg": (q_having_agg, SQL_HAVING),
+    "window_running": (q_window_running, SQL_WINDOW_RUN),
 }

@@ -1,0 +1,85 @@
+"""Invariant tests for the subquery/temporal query extensions
+(reference sample queries retail_transactions_scd.sql:260-317 and the
+TPC-H Q4/Q17/Q18 subquery shapes). Value-level equality vs DuckDB is
+covered by tools/check_oracles.py; these assert structural invariants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lion_parcel_etl_spark.plans.queries import (
+    TT_INSTANT,
+    q_exists_subquery,
+    q_having_agg,
+    q_interval_arith,
+    q_scalar_subquery,
+    q_scd2_timetravel,
+    q_scd2_version_count,
+    q_window_running,
+    _t,
+)
+
+
+def test_timetravel_one_version_per_key(spark, sf_dir):
+    df = q_scd2_timetravel(spark, sf_dir).cache()
+    rows = df.count()
+    assert rows > 0
+    # an instant selects at most one validity interval per key
+    assert df.select("user_id").distinct().count() == rows
+    bad = df.filter(
+        (F.lit(TT_INSTANT) < F.col("valid_from")) | (F.lit(TT_INSTANT) > F.col("valid_to"))
+    ).count()
+    assert bad == 0
+    df.unpersist()
+
+
+def test_version_count_invariants(spark, sf_dir):
+    df = q_scd2_version_count(spark, sf_dir).cache()
+    assert df.filter(F.col("version_count") < 1).count() == 0
+    # every key carries exactly one current version => last_updated set
+    assert df.filter(F.col("last_updated").isNull()).count() == 0
+    assert df.filter(F.col("first_seen") > F.col("last_updated")).count() == 0
+    df.unpersist()
+
+
+def test_exists_subquery_bounded_by_orders(spark, sf_dir):
+    total = _t(spark, sf_dir, "orders").count()
+    agg = q_exists_subquery(spark, sf_dir).agg(F.sum("order_count")).first()[0]
+    assert 0 < agg <= total
+
+
+def test_scalar_subquery_below_avg_only(spark, sf_dir):
+    df = q_scalar_subquery(spark, sf_dir)
+    rows = df.collect()
+    assert rows and all(r.n_below > 0 and r.sum_price > 0 for r in rows)
+
+
+def test_having_threshold_enforced(spark, sf_dir):
+    df = q_having_agg(spark, sf_dir)
+    assert df.count() > 0
+    assert df.filter(F.col("sum_qty") <= 120).count() == 0
+
+
+def test_window_running_monotone(spark, sf_dir):
+    df = q_window_running(spark, sf_dir).cache()
+    assert df.filter(F.col("seq") == 1).filter(F.col("prev_price").isNotNull()).count() == 0
+    # positive prices => running sum strictly increases with seq
+    w_prev = df.select(
+        "o_custkey", "seq", F.col("running_spend").alias("rs")
+    )
+    j = df.join(
+        w_prev.withColumnRenamed("seq", "pseq").withColumnRenamed("rs", "prev_rs"),
+        (df.o_custkey == w_prev.o_custkey) & (df.seq == F.col("pseq") + 1),
+    )
+    assert j.filter(F.col("running_spend") <= F.col("prev_rs")).count() == 0
+    df.unpersist()
+
+
+def test_interval_window_bounds(spark, sf_dir):
+    df = q_interval_arith(spark, sf_dir).cache()
+    assert df.count() > 0
+    assert df.filter((F.col("age_days") < 1) | (F.col("age_days") > 90)).count() == 0
+    # sla_ts = order_ts + 7 days => strictly later as fixed-width string
+    assert df.filter(F.col("sla_ts") <= F.col("order_ts")).count() == 0
+    df.unpersist()
