@@ -256,6 +256,63 @@ def minhash_near_dup(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """Connected components of an undirected pair graph → (node,
+    component) with component = min node id in the component — the
+    cluster-formation step that turns near-dup PAIRS into dedup GROUPS
+    (pick one representative per component, drop the rest).
+
+    Min-label propagation: each round every node takes the minimum
+    label among itself and its neighbors; converges in O(D) rounds
+    where D is the distance from the farthest node to its component's
+    minimum. Near-dup graphs are dense small clusters (D is tiny —
+    sf0.01 converges in 3 rounds); for adversarial long-chain graphs
+    swap in alternating large-star/small-star (O(log n) rounds), same
+    join-agg body.
+
+    Scale mechanics: `localCheckpoint` after every round truncates the
+    lineage (an un-truncated loop re-executes ALL prior rounds each
+    iteration and the plan grows without bound); the per-round shuffle
+    carries (node, comp) pairs only — never edge payloads; the
+    convergence probe is one cheap count per round. On a real cluster
+    use `checkpoint(reliable)` against the warehouse dir instead.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = sym.join(labels, sym["b"] == labels["node"]).select(
+            F.col("a").alias("node"), F.col("comp")
+        )
+        new_labels = (
+            labels.union(neigh)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
 def simhash(text: Column, bits: int = 32) -> Column:
     """Per-row SimHash over word tokens (md5-derived 32-bit token
     hashes; bit b set when the weighted bit-sum is positive).

@@ -1235,6 +1235,44 @@ SELECT * FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Cluster formation over the MinHash near-dup pair graph:
+    connected components (min-label propagation, operators/dedup.py)
+    assign every document a canonical cluster_id = min doc_id of its
+    component; singletons are their own cluster. This is the step that
+    makes pair lists actionable — keep one doc per cluster_id, drop the
+    rest. The oracle computes the same transitive closure with a
+    recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_near_dup(docs, "doc_id", "text", threshold=JACCARD_THRESHOLD)
+    cc = DD.connected_components(pairs, "id_a", "id_b")
+    return (
+        docs.select("doc_id")
+        .join(cc, docs["doc_id"] == cc["node"], "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("cluster_id"))
+    )
+
+
+def _duck_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_duck_minhash_pairs()})
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a
+)
+SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
 def q_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -1894,6 +1932,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_ngram_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIG),
     "minhash_near_dup": (q_minhash_pairs, _duck_minhash_pairs()),
+    "dedup_clusters": (q_dedup_clusters, _duck_dedup_clusters()),
     "simhash": (q_simhash, _duck_simhash()),
     "simhash_near_dup": (q_simhash_pairs, _duck_simhash_pairs()),
     "text_analysis": (q_text_analysis, _duck_text_analysis()),

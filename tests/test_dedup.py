@@ -71,3 +71,27 @@ def test_on_documents_table(spark):
     assert out.count() > 0
     # digest cardinality == distinct text cardinality
     assert out.count() == docs.select("text").distinct().count()
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from lion_parcel_etl_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 10)], ["src", "dst"]
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    # chain 1-2-3-4 collapses to min label 1 (multi-round propagation)
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    # 10-11 + 20-10 is one component with min 10
+    assert comp[10] == comp[11] == comp[20] == 10
+
+
+def test_connected_components_is_transitive_closure(spark, docs):
+    from lion_parcel_etl_spark.operators.dedup import connected_components
+
+    pairs = minhash_near_dup(docs, "doc_id", "text", threshold=0.5)
+    comp = {r.node: r.component for r in connected_components(pairs, "id_a", "id_b").collect()}
+    # every paired node got a label; labels are component minima
+    for r in pairs.collect():
+        assert comp[r.id_a] == comp[r.id_b]
+        assert comp[r.id_a] <= min(r.id_a, r.id_b)
