@@ -70,6 +70,10 @@ HEADLINE = [
     "minhash_near_dup",
     "simhash_near_dup",
     "text_analysis",
+    "token_frequency",
+    "doc_chunking",
+    "embedding_centroids",
+    "dedup_clusters",
     "multimodal_features",
     "cosine_topk",
     "lsh_topk",

@@ -1889,6 +1889,112 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 """
 
 
+# ---------------------------------------------------------------------------
+# I. Training-data pipeline extensions: vocabulary, chunking, centroids
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 50
+CHUNK_STRIDE = 40
+VOCAB_TOPK = 100
+EMB_DIMS = 64
+
+
+def q_token_frequency(spark, sf_dir):
+    """Corpus vocabulary: global token frequencies, top-k. The classic
+    skewed-key workload — a handful of stopwords dominate — which is
+    exactly what partial (map-side) aggregation absorbs: each task
+    pre-counts its own tokens, so the shuffle carries (token, partial
+    count) per distinct token per task, never one row per occurrence.
+    The top-k is TakeOrderedAndProject (per-partition heaps), not a
+    global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(DD.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(VOCAB_TOPK)
+    )
+
+
+SQL_TOKEN_FREQ = f"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest({_DUCK_TOKS}) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT {VOCAB_TOPK}
+"""
+
+
+def q_doc_chunking(spark, sf_dir):
+    """Fixed-size token chunking with overlap (training-sample maker):
+    windows of {CHUNK_SIZE} tokens every {CHUNK_STRIDE} — pure per-row
+    array expressions (sequence → explode → slice), no shuffle at all;
+    output scales by ~n_tokens/stride per doc. Chunk text is emitted as
+    its md5 digest so the correctness compare stays cheap; swap the
+    digest for `concat_ws` to emit real samples."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = DD.tokens(F.col("text"))
+    c = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), CHUNK_SIZE)
+    return c.select(
+        "doc_id",
+        F.col("start").cast("long").alias("start"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_digest"),
+    )
+
+
+SQL_CHUNKING = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks), 1), {CHUNK_STRIDE})) AS start
+  FROM t
+)
+SELECT doc_id, start,
+       len(toks[start : start + {CHUNK_SIZE - 1}]) AS n_tokens,
+       md5(array_to_string(toks[start : start + {CHUNK_SIZE - 1}], ' ')) AS chunk_digest
+FROM s
+"""
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label embedding centroids in long form (label, dim, value):
+    posexplode multiplies rows ×{EMB_DIMS}, but partial aggregation on
+    (label, dim) collapses each task's slice to ≤ labels×dims rows
+    before the exchange — the shuffle carries group sums, not vectors.
+    This is the centroid/update step of distributed k-means and the
+    seed computation for the IVF index (similarity.py). Values round at
+    1e-6, ~8 orders above double accumulation-order noise here."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        ex.groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+
+
+SQL_CENTROIDS = f"""
+SELECT e.label, d.dim,
+       round(avg(CAST(e.embedding[d.dim] AS DOUBLE)), 6) AS centroid,
+       COUNT(*) AS n_vecs
+FROM embeddings e,
+     (SELECT unnest(generate_series(1, {EMB_DIMS})) AS dim) d
+GROUP BY e.label, d.dim
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "stage_load": (q_stage_load, SQL_STAGE),
@@ -1949,4 +2055,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "scalar_subquery": (q_scalar_subquery, SQL_SCALAR_SUBQ),
     "having_agg": (q_having_agg, SQL_HAVING),
     "window_running": (q_window_running, SQL_WINDOW_RUN),
+    "token_frequency": (q_token_frequency, SQL_TOKEN_FREQ),
+    "doc_chunking": (q_doc_chunking, SQL_CHUNKING),
+    "embedding_centroids": (q_embedding_centroids, SQL_CENTROIDS),
 }
