@@ -2,6 +2,7 @@ from lion_parcel_etl_spark.streaming.jobs import (  # noqa: F401
     run_available_now,
     stream_dedup_events,
     stream_hourly_counts,
+    stream_merge_into,
     stream_metrics_detail,
     stream_running_user_totals,
 )

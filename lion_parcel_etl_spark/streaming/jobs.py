@@ -143,6 +143,52 @@ def stream_dedup_events(
     )
 
 
+def stream_merge_into(
+    df: DataFrame,
+    warehouse,
+    table: str,
+    keys: list[str],
+    checkpoint: str,
+    order_col: str | None = None,
+) -> None:
+    """Streaming incremental materialization via ``foreachBatch``: each
+    micro-batch merge-upserts into a warehouse table — the streaming
+    twin of the dbt incremental models (reference K6-K8,
+    retail_transactions.sql:1-7), turning the hourly cron-merge into a
+    continuous one.
+
+    Each batch: read current target → ``merge_upsert`` (batch side is
+    small vs the accumulated target → broadcast anti-join; target
+    scanned once, never shuffled) → atomic overwrite-swap, so readers
+    see either the pre- or post-batch mart. Restart safety: the
+    checkpoint tracks consumed input, and a replayed batch re-merges
+    the same keys — idempotent by construction. ``order_col`` dedupes
+    within a batch (last event per key wins), required when one batch
+    can carry several updates for one key.
+    """
+    from lion_parcel_etl_spark.operators.merge_upsert import merge_upsert
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        tgt = warehouse.read(spark, table) if warehouse.exists(table) else None
+        merged = merge_upsert(
+            tgt,
+            batch,
+            keys,
+            dedupe_updates=order_col is not None,
+            order_col=order_col,
+        )
+        warehouse.overwrite(merged, table)
+
+    q = (
+        df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     df: DataFrame,
     checkpoint: str,

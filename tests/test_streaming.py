@@ -114,3 +114,45 @@ def test_stream_dedup_events_matches_batch(spark, tmp_path, events_dir):
     got = spark.read.parquet(str(tmp_path / "out_dedup"))
     assert got.count() == ev.count()
     assert got.select("event_id").distinct().count() == got.count()
+
+
+def test_stream_merge_into_incremental_mart(spark, tmp_path):
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.streaming import stream_merge_into
+
+    ev = spark.read.parquet(EVENTS)
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = ev.orderBy("event_id").limit(200).cache()
+    # time-split: the stream delivers newer events in the later batch,
+    # so merge's update-wins semantics yield the latest row per user
+    split = "2024-01-03 00:00:00"
+    first, second = ev.filter(f"ts < '{split}'"), ev.filter(f"ts >= '{split}'")
+
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(ev.schema).parquet(landing)
+        stream_merge_into(stream, wh, "user_latest", ["user_id"], ckpt, order_col="ts")
+
+    first.write.mode("append").parquet(landing)
+    run()
+    got1 = wh.read(spark, "user_latest")
+    assert got1.count() == first.select("user_id").distinct().count()
+
+    second.write.mode("append").parquet(landing)
+    run()  # same checkpoint: only the new files are consumed
+    got2 = wh.read(spark, "user_latest").cache()
+    # one row per user, and each row is that user's latest event overall
+    assert got2.count() == ev.select("user_id").distinct().count()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
+    want = (
+        ev.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+    cols = ["user_id", "event_id"]
+    assert _rows(got2, cols) == _rows(want, cols)
+    ev.unpersist(); got2.unpersist()
