@@ -40,6 +40,7 @@ HEADLINE = [
     "pricing_summary",
     "join_inner_residual",
     "multi_join_topk",
+    "star_join_revenue",
     "distinct_agg",
     "merge_upsert",
     "softdelete_mart",

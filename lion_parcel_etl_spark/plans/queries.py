@@ -1889,6 +1889,64 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 """
 
 
+def q_star_join_revenue(spark, sf_dir):
+    """TPC-H Q5-shaped star join: region → nation → customer/supplier
+    dims chained onto the orders⋈lineitem fact spine, revenue by
+    nation. Every dim is explicitly broadcast after its filter, so the
+    fact tables are never repartitioned by a dim key — the only
+    big-data shuffle is orders⋈lineitem on orderkey (co-partitioned
+    under AQE) plus the final tiny agg. The local-supplier predicate
+    (s_nationkey = c_nationkey) is the residual that makes this a
+    genuine multi-dim star, not a snowflake of independent lookups."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nr = F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name"))
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cn = F.broadcast(c.join(nr, c.c_nationkey == nr.n_nationkey).select("c_custkey", "c_nationkey", "n_name"))
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    j = (
+        o.join(cn, o.o_custkey == cn.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            (
+                F.sum(cents(F.col("l_extendedprice")) * cents(F.lit(1.0) - F.col("l_discount")))
+                / 10000.0
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_STAR_JOIN = """
+SELECT n_name,
+       SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+           * CAST(round((1.0 - l_discount)*100) AS BIGINT)) / 10000.0 AS revenue,
+       COUNT(*) AS n_lines
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # I. Training-data pipeline extensions: vocabulary, chunking, centroids
 # ---------------------------------------------------------------------------
@@ -2055,6 +2113,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "scalar_subquery": (q_scalar_subquery, SQL_SCALAR_SUBQ),
     "having_agg": (q_having_agg, SQL_HAVING),
     "window_running": (q_window_running, SQL_WINDOW_RUN),
+    "star_join_revenue": (q_star_join_revenue, SQL_STAR_JOIN),
     "token_frequency": (q_token_frequency, SQL_TOKEN_FREQ),
     "doc_chunking": (q_doc_chunking, SQL_CHUNKING),
     "embedding_centroids": (q_embedding_centroids, SQL_CENTROIDS),
