@@ -2,9 +2,12 @@
 
 ``entry(spark)`` smoke-runs the flagship query; ``queries()`` exposes
 every implemented operator from SURVEY.md §2 (plus the training-data
-operators); ``oracle_sql()`` gives the DuckDB-equivalent SQL for each
-(omitted only for the approximate LSH top-k, which has no exact SQL
-semantics — it is validated against the exact cosine_topk in tests).
+operators); ``oracle_sql()`` gives the DuckDB-equivalent SQL for each.
+The only entries without oracles are the approximate family —
+``lsh_topk`` / ``ivf_topk`` / ``dedup_embedding_lsh`` (validated by
+recall/equality against their exact twins in tests/test_similarity.py)
+and ``approx_stats`` (sketch estimates, tolerance-checked in
+tests/test_sketches.py).
 """
 
 from __future__ import annotations
