@@ -1,0 +1,84 @@
+"""Data-quality checks — the dbt-test layer of the reference, filled in.
+
+The reference ships dbt test scaffolding but no tests (SURVEY.md §5:
+``test-paths: ["tests"]`` in ``dbt/dbt_project.yml:7`` with only a
+``.gitkeep``); its models still *imply* the four standard dbt checks —
+``unique_key='id'`` (merge correctness), not-null ids (the staging
+filter ``df[df["id"].notna()]``), accepted status values, and
+staging→mart referential integrity. This module provides them as
+engine operators.
+
+Each check returns a DataFrame of VIOLATIONS (empty = pass) so the
+caller decides whether to fail, quarantine, or log; ``run_checks``
+evaluates a batch and returns one summary row per check. All checks
+are single aggregate/join plans:
+
+- uniqueness: one hash aggregate on the key (partial agg first — the
+  shuffle carries one row per distinct key per task);
+- not-null / accepted-values: pushed-down scan predicates, no shuffle;
+- referential integrity: left-anti join with the parent side reduced
+  to distinct keys (broadcast when the parent key set is small, e.g.
+  dims; for fact→fact use the bucketed layout).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def expect_unique(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Violations of a uniqueness constraint: key tuples appearing more
+    than once, with their count (dbt ``unique`` / the merge contract's
+    ``unique_key``)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+def expect_not_null(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Rows where any of ``cols`` is null (dbt ``not_null``; reference
+    staging filter public/lion_parcell_bonus_test_stg.py:259)."""
+    pred = F.lit(False)
+    for c in cols:
+        pred = pred | F.col(c).isNull()
+    return df.filter(pred)
+
+
+def expect_accepted_values(df: DataFrame, col: str, allowed: list) -> DataFrame:
+    """Rows whose ``col`` is outside ``allowed`` (dbt
+    ``accepted_values``). Nulls are NOT violations — pair with
+    expect_not_null to forbid them."""
+    return df.filter(~F.col(col).isin(allowed) & F.col(col).isNotNull())
+
+
+def expect_ref_integrity(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    broadcast_parent: bool = True,
+) -> DataFrame:
+    """Child rows whose key has no match in the parent (dbt
+    ``relationships``). The parent side collapses to distinct keys
+    before the anti-join."""
+    pk = parent.select(F.col(parent_key).alias(child_key)).distinct()
+    if broadcast_parent:
+        pk = F.broadcast(pk)
+    return child.filter(F.col(child_key).isNotNull()).join(
+        pk, on=child_key, how="left_anti"
+    )
+
+
+def run_checks(named_checks: dict[str, DataFrame]) -> list[dict]:
+    """Evaluate a batch of checks; one summary dict per check:
+    ``{"check": name, "violations": n, "passed": bool}``. Counts run
+    as independent jobs — group related checks on a cached input when
+    the source scan is expensive."""
+    out = []
+    for name, viol in named_checks.items():
+        n = viol.count()
+        out.append({"check": name, "violations": n, "passed": n == 0})
+    return out

@@ -1,0 +1,70 @@
+"""Data-quality check operators (the dbt-test layer, operators/checks.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lion_parcel_etl_spark.operators.checks import (
+    expect_accepted_values,
+    expect_not_null,
+    expect_ref_integrity,
+    expect_unique,
+    run_checks,
+)
+
+
+def test_unique_flags_duplicate_keys(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "c"), (3, None)], ["id", "v"]
+    )
+    viol = expect_unique(df, ["id"]).collect()
+    assert [(r.id, r.n_rows) for r in viol] == [(2, 2)]
+
+
+def test_not_null_any_column(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (3, None)], ["id", "v"]
+    )
+    viol = expect_not_null(df, ["id", "v"]).collect()
+    assert sorted(((r.id, r.v) for r in viol), key=str) == sorted(
+        [(None, "b"), (3, None)], key=str
+    )
+
+
+def test_accepted_values_ignores_null(spark):
+    df = spark.createDataFrame(
+        [(1, "DONE"), (2, "On Way"), (3, "BOGUS"), (4, None)],
+        ["id", "last_status"],
+    )
+    viol = expect_accepted_values(
+        df, "last_status", ["Created", "On Way", "Delivered", "DONE"]
+    ).collect()
+    assert [r.id for r in viol] == [3]
+
+
+def test_ref_integrity_orphans(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    # the synthetic star schema is consistent: no orphans
+    assert (
+        expect_ref_integrity(orders, "o_custkey", customer, "c_custkey").count() == 0
+    )
+    # drop some parents -> their orders become violations
+    some = customer.filter(F.col("c_custkey") % 7 != 0)
+    orphans = expect_ref_integrity(orders, "o_custkey", some, "c_custkey")
+    want = orders.filter(F.col("o_custkey") % 7 == 0).count()
+    assert orphans.count() == want > 0
+
+
+def test_run_checks_summary(spark):
+    df = spark.createDataFrame([(1, "x"), (1, "y")], ["id", "v"])
+    summary = run_checks(
+        {
+            "unique_id": expect_unique(df, ["id"]),
+            "v_not_null": expect_not_null(df, ["v"]),
+        }
+    )
+    assert summary == [
+        {"check": "unique_id", "violations": 1, "passed": False},
+        {"check": "v_not_null", "violations": 0, "passed": True},
+    ]
