@@ -75,3 +75,60 @@ def merge_upsert(
         update_keys = F.broadcast(update_keys)
     retained = target.join(update_keys, on=keys, how="left_anti")
     return retained.unionByName(updates)
+
+
+def merge_upsert_partitioned(
+    spark,
+    warehouse,
+    table: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_col: str,
+) -> list[str]:
+    """Partition-pruned incremental merge: rewrite ONLY the partitions
+    the update batch touches (the SCALE.md contract for merges into a
+    100 TB date-partitioned mart — a day's worth of updates rewrites a
+    day, not the table).
+
+    Mechanics: collect the batch's distinct partition values (an
+    incremental batch touches a handful — this is a tiny driver list),
+    read the target pruned to those partitions (directory-level skip,
+    see tests/test_partition_pruning.py), merge, write the merged
+    partitions to a temp dir, then swap each partition directory
+    atomically. Untouched partitions are never read, shuffled, or
+    rewritten.
+
+    Constraint: ``partition_col`` must be stable per key (a key never
+    moves between partitions) — otherwise the old version in another
+    partition survives. For partition-mobile keys use the full
+    ``merge_upsert`` + ``Warehouse.overwrite`` path.
+    """
+    import os
+    import shutil
+    import uuid
+
+    if not warehouse.exists(table):
+        warehouse.overwrite(updates, table, partition_by=[partition_col])
+        return [str(r[0]) for r in updates.select(partition_col).distinct().collect()]
+
+    parts = [str(r[0]) for r in updates.select(partition_col).distinct().collect()]
+    target = warehouse.read(spark, table)
+    affected = target.filter(F.col(partition_col).cast("string").isin(parts))
+    merged = merge_upsert(affected, updates, keys)
+
+    table_dir = warehouse.table_path(table)
+    tmp = f"{table_dir}.__tmp__{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+    for p in parts:
+        src = os.path.join(tmp, f"{partition_col}={p}")
+        dst = os.path.join(table_dir, f"{partition_col}={p}")
+        if not os.path.isdir(src):  # batch had rows for p but merge emitted none
+            continue
+        old = f"{dst}.__old__{uuid.uuid4().hex[:8]}"
+        if os.path.isdir(dst):
+            os.rename(dst, old)
+        os.rename(src, dst)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return parts

@@ -53,3 +53,46 @@ def test_merge_plan_broadcasts_updates(spark):
     out = merge_upsert(tgt, upd, ["id"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_partitioned_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    import os
+
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.merge_upsert import merge_upsert_partitioned
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(i, f"v{i}", f"2024-01-{(i % 3) + 1:02d}") for i in range(30)],
+        ["id", "v", "day"],
+    )
+    merge_upsert_partitioned(spark, wh, "mart", base, ["id"], "day")
+    tdir = wh.table_path("mart")
+
+    def files_of(day):
+        d = os.path.join(tdir, f"day={day}")
+        return {
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_d2, before_d3 = files_of("2024-01-02"), files_of("2024-01-03")
+
+    # update two ids in day 1 and insert one new id into a NEW day
+    updates = spark.createDataFrame(
+        [(0, "NEW", "2024-01-01"), (3, "NEW", "2024-01-01"), (99, "NEW", "2024-01-09")],
+        ["id", "v", "day"],
+    )
+    touched = merge_upsert_partitioned(spark, wh, "mart", updates, ["id"], "day")
+    assert sorted(touched) == ["2024-01-01", "2024-01-09"]
+
+    # untouched partitions: exact same files, byte-identical mtimes
+    assert files_of("2024-01-02") == before_d2
+    assert files_of("2024-01-03") == before_d3
+
+    got = wh.read(spark, "mart")
+    assert got.count() == 31
+    assert got.filter("id in (0, 3, 99)").filter("v = 'NEW'").count() == 3
+    # no duplicated keys anywhere
+    assert got.groupBy("id").count().filter("count > 1").count() == 0
