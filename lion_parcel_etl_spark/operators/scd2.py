@@ -117,3 +117,65 @@ def scd2_apply(
         .unionByName(expired.select(*unchanged.columns))
         .unionByName(new_rows.select(*unchanged.columns))
     )
+
+
+def scd2_apply_partitioned(
+    spark,
+    warehouse,
+    table: str,
+    snapshot: DataFrame,
+    key: list[str],
+    tracked: list[str],
+    snapshot_ts_col: str,
+    run_ts: str,
+) -> None:
+    """SCD2 with the SCALE.md storage layout: the table partitions on a
+    derived ``state`` column ('current' / 'history'), so each run
+
+    - reads ONLY the current partition (directory-level prune; the
+      accumulated history — the bulk of a 100 TB dimension — is never
+      scanned, shuffled, or rewritten),
+    - APPENDS newly-expired versions to the history partition,
+    - atomically swaps the (small) current partition.
+
+    ``state`` is a partition-only derivative of ``is_current`` (kept
+    because boolean partition values read back as strings under
+    partition-type inference; the real flag stays a typed data column).
+    Same non-transactional caveat as Warehouse.overwrite: a crash
+    between the history append and the current swap can leave an
+    expired version alongside its still-open predecessor — back with a
+    table format for transactional swaps.
+    """
+    import os
+    import shutil
+    import uuid
+
+    STATE = "state"
+    state_col = F.when(F.col("is_current"), F.lit("current")).otherwise(F.lit("history"))
+    if not warehouse.exists(table):
+        full = scd2_apply(None, snapshot, key, tracked, snapshot_ts_col, run_ts)
+        warehouse.overwrite(
+            full.withColumn(STATE, state_col), table, partition_by=[STATE]
+        )
+        return
+
+    cur = warehouse.read(spark, table).filter(F.col(STATE) == "current").drop(STATE)
+    # target = current rows only → the result's non-current rows are
+    # exactly the versions expired by THIS run (history passes through
+    # scd2_apply untouched and is absent here).
+    out = scd2_apply(cur, snapshot, key, tracked, snapshot_ts_col, run_ts)
+    new_current = out.filter(F.col("is_current"))
+    newly_expired = out.filter(~F.col("is_current"))
+
+    table_dir = warehouse.table_path(table)
+    newly_expired.write.mode("append").parquet(os.path.join(table_dir, f"{STATE}=history"))
+
+    tmp = f"{table_dir}.__tmp__{uuid.uuid4().hex[:8]}"
+    new_current.write.parquet(tmp)
+    dst = os.path.join(table_dir, f"{STATE}=current")
+    old = f"{dst}.__old__{uuid.uuid4().hex[:8]}"
+    if os.path.isdir(dst):
+        os.rename(dst, old)
+    os.rename(tmp, dst)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
