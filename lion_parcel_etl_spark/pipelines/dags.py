@@ -18,6 +18,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from lion_parcel_etl_spark.catalog import Warehouse
+from lion_parcel_etl_spark.operators.checks import (
+    expect_not_null,
+    expect_unique,
+    run_checks,
+)
 from lion_parcel_etl_spark.operators.scd2 import scd2_apply
 from lion_parcel_etl_spark.pipelines.bonus import metrics_detail, metrics_final
 from lion_parcel_etl_spark.pipelines.retail import (
@@ -63,11 +68,41 @@ def build_retail_pipeline() -> Pipeline:
         # the small current partition churns per run (SURVEY §7 item 8)
         wh.overwrite(out, "retail_transactions_scd", partition_by=["is_current"])
 
+    def checks(ctx):
+        # the dbt-test stage the reference scaffolds but leaves empty
+        # (SURVEY §5): the constraints its models imply, enforced.
+        spark, wh = ctx["spark"], ctx["warehouse"]
+        mart = wh.read(spark, "retail_transactions")
+        scd = wh.read(spark, "retail_transactions_scd").withColumn(
+            "is_current", F.col("is_current").cast("boolean")
+        )
+        summary = run_checks(
+            {
+                "retail_transactions.id_unique": expect_unique(mart, ["id"]),
+                "retail_transactions.id_not_null": expect_not_null(mart, ["id"]),
+                "scd.key_unique": expect_unique(scd, ["id", "valid_from"]),
+                # SCD2 invariant: exactly one open version per key
+                "scd.one_current_per_id": scd.groupBy("id")
+                .agg(F.sum(F.col("is_current").cast("int")).alias("n_current"))
+                .filter(F.col("n_current") != 1),
+            }
+        )
+        ctx.setdefault("check_results", {})["retail_hourly_etl"] = summary
+        failed = [s["check"] for s in summary if not s["passed"]]
+        if failed:
+            raise RuntimeError(f"quality checks failed: {failed}")
+
     return (
         Pipeline("retail_hourly_etl")
         .task("stage", stage, tags={"staging"})
         .task("retail_transactions", mart_merge, deps=["stage"], tags={"mart", "retail_transactions"})
         .task("retail_transactions_scd", mart_scd, deps=["stage"], tags={"mart", "retail_transactions_scd"})
+        .task(
+            "checks",
+            checks,
+            deps=["retail_transactions", "retail_transactions_scd"],
+            tags={"test"},
+        )
     )
 
 
@@ -85,8 +120,23 @@ def build_bonus_pipeline() -> Pipeline:
         target = _read_if_exists(wh, spark, "lion_parcell_bonus_test")
         wh.overwrite(bonus_prod_model(target, staging), "lion_parcell_bonus_test")
 
+    def checks(ctx):
+        spark, wh = ctx["spark"], ctx["warehouse"]
+        prod = wh.read(spark, "lion_parcell_bonus_test")
+        summary = run_checks(
+            {
+                "bonus_prod.id_unique": expect_unique(prod, ["id"]),
+                "bonus_prod.id_not_null": expect_not_null(prod, ["id"]),
+            }
+        )
+        ctx.setdefault("check_results", {})["bonus_test"] = summary
+        failed = [s["check"] for s in summary if not s["passed"]]
+        if failed:
+            raise RuntimeError(f"quality checks failed: {failed}")
+
     return (
         Pipeline("bonus_test")
         .task("bonus_stg", bonus_stg, tags={"staging"})
         .task("bonus_prod", bonus_prod, deps=["bonus_stg"], tags={"mart"})
+        .task("checks", checks, deps=["bonus_prod"], tags={"test"})
     )

@@ -97,6 +97,8 @@ def test_bonus_dag_golden_rowcounts(spark, wh):
     prod = wh.read(spark, "lion_parcell_bonus_test")
     assert prod.count() == 4
     assert prod.columns == ["id", "runtime_date", "load_time", "Message"]
+    # the dbt-test stage ran and passed
+    assert all(s["passed"] for s in ctx["check_results"]["bonus_test"])
     # idempotent re-run (hourly schedule replays): same result
     p.run(ctx)
     assert wh.read(spark, "lion_parcell_bonus_test").count() == 4
