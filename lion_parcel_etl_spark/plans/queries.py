@@ -1245,7 +1245,12 @@ def q_dedup_clusters(spark, sf_dir):
     recursive CTE."""
     docs = _t(spark, sf_dir, "documents")
     pairs = DD.minhash_near_dup(docs, "doc_id", "text", threshold=JACCARD_THRESHOLD)
-    cc = DD.connected_components(pairs, "id_a", "id_b")
+    # Broadcast the label table: it holds only docs that appear in a
+    # near-dup pair, and its localCheckpoint lineage has no stats, so
+    # the planner would otherwise fall back to a sort-merge join and
+    # shuffle the whole corpus. At extreme dup rates (labels ~ corpus)
+    # write the labels to a table instead and let AQE pick the join.
+    cc = F.broadcast(DD.connected_components(pairs, "id_a", "id_b"))
     return (
         docs.select("doc_id")
         .join(cc, docs["doc_id"] == cc["node"], "left")
