@@ -84,11 +84,30 @@ HEADLINE = [
 ]
 
 
+def _shuffle_bytes(spark) -> int:
+    """Cumulative shuffle-write bytes across completed stages (Spark UI
+    REST API). Per-query deltas turn the bench into network-volume
+    evidence, not just wall time — the number that actually predicts
+    100 TB behavior. Returns -1 when the UI is unavailable."""
+    import json as _json
+    import urllib.request
+
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages?status=COMPLETE", timeout=5
+        ) as r:
+            return sum(s.get("shuffleWriteBytes", 0) for s in _json.load(r))
+    except Exception:
+        return -1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    spark = get_spark(app_name="bench")
+    spark = get_spark(app_name="bench", extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
 
     def run(df) -> None:
@@ -100,15 +119,20 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    shuffle: dict[str, int] = {}
     for name in HEADLINE:
         fn, _ = QUERIES[name]
         t0 = time.perf_counter()
         run(fn(spark, sf_dir))
         cold[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
+        sb0 = _shuffle_bytes(spark)
         t0 = time.perf_counter()
         run(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        sb1 = _shuffle_bytes(spark)
+        if sb0 >= 0 and sb1 >= 0:
+            shuffle[name] = sb1 - sb0
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
@@ -120,6 +144,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold": cold,
+                "shuffle_write_bytes": shuffle,
                 "cold_total": round(sum(cold.values()), 3),
                 "sf": sf,
             }
