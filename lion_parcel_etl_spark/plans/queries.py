@@ -1894,6 +1894,39 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 """
 
 
+def q_window_ranks(spark, sf_dir):
+    """Ranking-function family (rank / dense_rank / percent_rank /
+    ntile / cume_dist) over one shared window spec — one sort per
+    customer partition serves all five. percent_rank/cume_dist round at
+    1e-9 (pure rational arithmetic on row positions; both engines
+    compute identical doubles, rounding is belt-and-braces)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 9).alias("prnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.cume_dist().over(w), 9).alias("cdist"),
+    )
+
+
+SQL_WINDOW_RANKS = """
+SELECT o_custkey, o_orderkey,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       round(percent_rank() OVER w, 9) AS prnk,
+       ntile(4) OVER w AS quartile,
+       round(cume_dist() OVER w, 9) AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
 def q_star_join_revenue(spark, sf_dir):
     """TPC-H Q5-shaped star join: region → nation → customer/supplier
     dims chained onto the orders⋈lineitem fact spine, revenue by
@@ -2119,6 +2152,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "having_agg": (q_having_agg, SQL_HAVING),
     "window_running": (q_window_running, SQL_WINDOW_RUN),
     "star_join_revenue": (q_star_join_revenue, SQL_STAR_JOIN),
+    "window_ranks": (q_window_ranks, SQL_WINDOW_RANKS),
     "token_frequency": (q_token_frequency, SQL_TOKEN_FREQ),
     "doc_chunking": (q_doc_chunking, SQL_CHUNKING),
     "embedding_centroids": (q_embedding_centroids, SQL_CENTROIDS),
