@@ -1894,6 +1894,58 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 """
 
 
+def q_date_spine_fill(spark, sf_dir):
+    """Time-series densification (gap fill): generate the full day
+    spine over a fixed range with one `sequence → explode` row, left
+    join the sparse per-day aggregate onto it, and zero-fill the gaps.
+    The spine is a handful of rows → broadcast side; the daily agg is
+    partial-aggregated before its one shuffle. At 100 TB the spine
+    stays tiny (days, not data) — densification cost is the daily agg,
+    which the date-partitioned layout prunes to the requested range."""
+    ev = _t(spark, sf_dir, "events")
+    lo, hi = "2024-01-01", "2024-01-31"
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(lo).cast("date"), F.lit(hi).cast("date"), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("day")
+    )
+    daily = (
+        ev.filter(
+            (F.col("ts") >= F.lit(f"{lo} 00:00:00")) & (F.col("ts") < F.lit("2024-02-01 00:00:00"))
+        )
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("value_sum"),
+        )
+    )
+    return spine.join(daily, "day", "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("value_sum", F.lit(0.0)).alias("value_sum"),
+    )
+
+
+SQL_DATE_SPINE = """
+WITH spine AS (
+  SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                                INTERVAL 1 DAY))::DATE AS day
+), daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+         SUM(CAST(round(value*100) AS BIGINT)) / 100.0 AS value_sum
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-02-01 00:00:00'
+  GROUP BY CAST(ts AS DATE)
+)
+SELECT strftime(s.day, '%Y-%m-%d') AS day,
+       COALESCE(d.n, 0) AS n,
+       COALESCE(d.value_sum, 0.0) AS value_sum
+FROM spine s LEFT JOIN daily d ON d.day = s.day
+"""
+
+
 def q_window_ranks(spark, sf_dir):
     """Ranking-function family (rank / dense_rank / percent_rank /
     ntile / cume_dist) over one shared window spec — one sort per
@@ -2153,6 +2205,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "window_running": (q_window_running, SQL_WINDOW_RUN),
     "star_join_revenue": (q_star_join_revenue, SQL_STAR_JOIN),
     "window_ranks": (q_window_ranks, SQL_WINDOW_RANKS),
+    "date_spine_fill": (q_date_spine_fill, SQL_DATE_SPINE),
     "token_frequency": (q_token_frequency, SQL_TOKEN_FREQ),
     "doc_chunking": (q_doc_chunking, SQL_CHUNKING),
     "embedding_centroids": (q_embedding_centroids, SQL_CENTROIDS),
