@@ -362,22 +362,25 @@ def simhash_near_dup(
         ).alias("p"),
     ).select("doc", "sh", "p.q", "p.qv")
     a, b = parts.alias("a"), parts.alias("b")
-    cand = (
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    # Hamming-filter BEFORE the dedup exchange: a 32-bit signature has
+    # only 256 values per quarter, so quarter collisions vastly
+    # outnumber true near-dups — filtering inside the join stage means
+    # the dropDuplicates shuffle carries matching pairs only (measured
+    # ~50× less shuffle at sf0.1), while each surviving pair still
+    # appears once per matching quarter, hence the dedup.
+    return (
         a.join(
             b,
             (F.col("a.q") == F.col("b.q"))
             & (F.col("a.qv") == F.col("b.qv"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
+        .filter(hamming <= max_hamming)
         .select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
+            hamming.alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
     )
