@@ -1894,6 +1894,52 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 """
 
 
+def q_full_outer_join(spark, sf_dir):
+    """Full-outer equi-join (completes the join-type matrix; the
+    reconciliation shape — rows only-left, only-right, or both): daily
+    order counts vs daily event counts aligned on day. Both sides are
+    partial-aggregated to ~days rows BEFORE the join, so the full-outer
+    join itself is tiny regardless of input scale; a full-outer between
+    raw fact tables would instead shuffle both sides on the key
+    (sort-merge — broadcast cannot implement full-outer's
+    unmatched-build-side rows)."""
+    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    od = o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    ed = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return od.join(ed, "day", "full_outer").select(
+        "day",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.when(F.col("n_orders").isNull(), F.lit("events_only"))
+        .when(F.col("n_events").isNull(), F.lit("orders_only"))
+        .otherwise(F.lit("both"))
+        .alias("presence"),
+    )
+
+
+SQL_FULL_OUTER = """
+WITH od AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+), ed AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT COALESCE(od.day, ed.day) AS day,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(n_events, 0) AS n_events,
+       CASE WHEN n_orders IS NULL THEN 'events_only'
+            WHEN n_events IS NULL THEN 'orders_only'
+            ELSE 'both' END AS presence
+FROM od FULL OUTER JOIN ed ON od.day = ed.day
+"""
+
+
 def q_date_spine_fill(spark, sf_dir):
     """Time-series densification (gap fill): generate the full day
     spine over a fixed range with one `sequence → explode` row, left
@@ -2206,6 +2252,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "star_join_revenue": (q_star_join_revenue, SQL_STAR_JOIN),
     "window_ranks": (q_window_ranks, SQL_WINDOW_RANKS),
     "date_spine_fill": (q_date_spine_fill, SQL_DATE_SPINE),
+    "full_outer_join": (q_full_outer_join, SQL_FULL_OUTER),
     "token_frequency": (q_token_frequency, SQL_TOKEN_FREQ),
     "doc_chunking": (q_doc_chunking, SQL_CHUNKING),
     "embedding_centroids": (q_embedding_centroids, SQL_CENTROIDS),
