@@ -83,3 +83,42 @@ def test_interval_window_bounds(spark, sf_dir):
     # sla_ts = order_ts + 7 days => strictly later as fixed-width string
     assert df.filter(F.col("sla_ts") <= F.col("order_ts")).count() == 0
     df.unpersist()
+
+
+def test_window_ranks_bounds(spark, sf_dir):
+    from lion_parcel_etl_spark.plans.queries import q_window_ranks
+
+    df = q_window_ranks(spark, sf_dir).cache()
+    assert df.filter((F.col("quartile") < 1) | (F.col("quartile") > 4)).count() == 0
+    assert df.filter((F.col("prnk") < 0) | (F.col("prnk") > 1)).count() == 0
+    assert df.filter(F.col("drnk") > F.col("rnk")).count() == 0
+    df.unpersist()
+
+
+def test_date_spine_has_every_day(spark, sf_dir):
+    from lion_parcel_etl_spark.plans.queries import q_date_spine_fill
+
+    df = q_date_spine_fill(spark, sf_dir).cache()
+    assert df.count() == 31  # full January spine regardless of data gaps
+    assert df.select("day").distinct().count() == 31
+    assert df.filter(F.col("n") < 0).count() == 0
+    df.unpersist()
+
+
+def test_full_outer_presence_partition(spark, sf_dir):
+    from lion_parcel_etl_spark.plans.queries import q_full_outer_join
+
+    df = q_full_outer_join(spark, sf_dir).cache()
+    both = df.filter("presence = 'both'")
+    only = df.filter("presence != 'both'")
+    assert df.count() == both.count() + only.count()
+    # unmatched sides were zero-filled, never negative/null
+    assert df.filter(F.col("n_orders").isNull() | F.col("n_events").isNull()).count() == 0
+    df.unpersist()
+
+
+def test_star_join_revenue_positive(spark, sf_dir):
+    from lion_parcel_etl_spark.plans.queries import q_star_join_revenue
+
+    rows = q_star_join_revenue(spark, sf_dir).collect()
+    assert rows and all(r.revenue > 0 and r.n_lines > 0 for r in rows)
