@@ -47,6 +47,8 @@ HEADLINE = [
     "scd2_events",
     "window_topk",
     "window_running",
+    "window_ranks",
+    "full_outer_join",
     "exists_subquery",
     "scalar_subquery",
     "having_agg",
