@@ -3,11 +3,19 @@
 ``entry(spark)`` smoke-runs the flagship query; ``queries()`` exposes
 every implemented operator from SURVEY.md §2 (plus the training-data
 operators); ``oracle_sql()`` gives the DuckDB-equivalent SQL for each.
-The only entries without oracles are the approximate family —
-``lsh_topk`` / ``ivf_topk`` / ``dedup_embedding_lsh`` (validated by
-recall/equality against their exact twins in tests/test_similarity.py)
-and ``approx_stats`` (sketch estimates, tolerance-checked in
-tests/test_sketches.py).
+The only entries without oracles are ``ivf_topk`` (iterative k-means
+refinement — validated by recall/equality against the exact baseline
+in tests/test_similarity.py) and ``approx_stats`` (sketch estimates,
+tolerance-checked in tests/test_sketches.py); the rest of the
+approximate family (``lsh_topk``, ``dedup_embedding_lsh``) is fully
+deterministic (md5-derived hyperplanes) and oracle-checked.
+
+Every query builder is wrapped so it runs correctly on ANY
+SparkSession the caller provides, not just the repo's own
+``session.get_spark()``: the wrapper pins the three runtime-settable
+SQL confs the plans depend on (ANSI off for legacy null-on-error
+semantics, UTC session time zone for timestamp formatting, and
+nanos-as-long for the events table's TIMESTAMP(NANOS) parquet column).
 """
 
 from __future__ import annotations
@@ -18,16 +26,47 @@ from pyspark.sql import DataFrame, SparkSession
 
 from lion_parcel_etl_spark.plans.queries import QUERIES
 
+_REQUIRED_CONFS = {
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def _harden(spark: SparkSession) -> None:
+    """Pin the runtime SQL confs the query plans assume.
+
+    All three are runtime-settable; a conf a particular build refuses
+    to set at runtime is skipped (the plans degrade gracefully — e.g.
+    ``_t`` handles both bigint-nanos and native-timestamp reads).
+    """
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _harden(spark)
+        return fn(spark, sf_dir)
+
+    run.__name__ = getattr(fn, "__name__", "query")
+    run.__doc__ = fn.__doc__
+    return run
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _harden(spark)
     fn, _ = QUERIES["pricing_summary"]
     return fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: fn for name, (fn, _) in QUERIES.items()}
+    return {name: _wrap(fn) for name, (fn, _) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

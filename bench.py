@@ -109,7 +109,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    spark = get_spark(app_name="bench", extra_conf={"spark.ui.enabled": "true"})
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # _shuffle_bytes sums over the UI's retained-stage buffer;
+            # at the default (1000) eviction starts mid-bench and the
+            # cumulative counter SHRINKS, yielding negative deltas.
+            "spark.ui.retainedStages": "100000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     def run(df) -> None:
@@ -133,7 +142,9 @@ def main() -> None:
         run(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
         sb1 = _shuffle_bytes(spark)
-        if sb0 >= 0 and sb1 >= 0:
+        if sb0 >= 0 and sb1 >= sb0:
+            # sb1 < sb0 means the stage buffer evicted mid-query and the
+            # delta is meaningless — omit rather than record garbage.
             shuffle[name] = sb1 - sb0
         spark.catalog.clearCache()
 

@@ -9,8 +9,8 @@ designed for the 100 TB shape:
   md5-derived hash → k permutation mins); the expensive part, candidate
   generation, is an equi-join on (band_index, band_hash) which LSH keeps
   tiny compared to the quadratic brute-force pair join.
-- **simhash** — per-row 32-bit signature; near-dup = small Hamming
-  distance, candidates via exact match on signature quarters
+- **simhash** — per-row 64-bit signature; near-dup = small Hamming
+  distance, candidates via exact match on 16-bit signature quarters
   (Hamming ≤ 3 ⇒ at least one of 4 quarters equal — pigeonhole).
 - **ngram_jaccard_pairs** — the exact (quadratic) verifier; used as the
   ground-truth re-rank after LSH banding, or standalone at small scale.
@@ -75,6 +75,23 @@ def _lcg_coeffs(k: int, seed: int = 1) -> list[tuple[int, int]]:
 MINHASH_K = 16
 MINHASH_COEFFS = _lcg_coeffs(MINHASH_K)
 
+# Real-corpus defaults for near-dup detection at LOW thresholds: more
+# bands → higher recall at the same rows-per-band, and k=64 signatures
+# sharpen the Jaccard estimate (±1/√k). The k=16/bands=4 shape stays the
+# DuckDB-oracle variant (64 embedded coefficient pairs would bloat the
+# SQL); both shapes share one prefix-stable LCG coefficient stream, so
+# minhash_coeffs(64)[:16] == MINHASH_COEFFS.
+MINHASH_K_CORPUS = 64
+MINHASH_BANDS_CORPUS = 16
+
+
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) permutation coefficients for any k —
+    a prefix-stable stream (coeffs(k2)[:k1] == coeffs(k1) for k1<k2)."""
+    if k <= MINHASH_K:
+        return MINHASH_COEFFS[:k]
+    return _lcg_coeffs(k)
+
 
 def hash32(col: Column) -> Column:
     """First 8 hex chars of md5 as a non-negative bigint in [0, 2^32)."""
@@ -119,12 +136,11 @@ def minhash_signature(text: Column, n: int = 3, k: int = MINHASH_K) -> Column:
     every md5 k-fold; the single fold hashes each shingle exactly once.
     """
 
+    coeffs = minhash_coeffs(k)
+
     def step(acc: Column, h: Column) -> Column:
         permuted = F.array(
-            *[
-                (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
-                for a, b in MINHASH_COEFFS[:k]
-            ]
+            *[(F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME) for a, b in coeffs]
         )
         return F.zip_with(acc, permuted, lambda x, y: F.least(x, y))
 
@@ -204,7 +220,17 @@ def minhash_near_dup(
     shuffle that grows with corpus size, and banding keeps candidate
     groups small; identical-signature skew (giant clusters of near-identical
     docs) is the one hotspot — mitigate upstream with exact_dedup first.
+
+    Parameter guide: candidate probability is 1-(1-s^r)^bands with
+    r = k/bands rows per band. The k=16/bands=4 default is the
+    oracle-checked shape; for real corpora at low thresholds use
+    k=MINHASH_K_CORPUS/bands=MINHASH_BANDS_CORPUS (64/16) — same r=4,
+    4× the bands → much higher recall (asserted vs exact Jaccard in
+    tests/test_dedup.py), and precision stays 1.0 by construction
+    because every candidate is verified against true Jaccard.
     """
+    if k % bands != 0:
+        raise ValueError(f"k={k} must be divisible by bands={bands}")
     rows = k // bands
     sig = pin(
         spread_input(docs).select(
@@ -310,25 +336,59 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exiting via max_iter means propagation did NOT converge — some
+        # chain is longer than max_iter hops from its component minimum,
+        # and the labels would silently split one component into several.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing); raise max_iter or use "
+            f"an alternating large-star/small-star variant for long-chain graphs"
+        )
     return labels.select(F.col("node"), F.col("comp").alias("component"))
 
 
-def simhash(text: Column, bits: int = 32) -> Column:
-    """Per-row SimHash over word tokens (md5-derived 32-bit token
-    hashes; bit b set when the weighted bit-sum is positive).
+def simhash(text: Column, bits: int = 64) -> Column:
+    """Per-row SimHash over word tokens; bit b set when the weighted
+    bit-sum is positive. 64-bit by default: a 32-bit signature has only
+    2^8-value pigeonhole quarters, so at ≥10^8 docs quarter collisions
+    (and thus candidate pairs) explode — 64 bits gives 2^16-value
+    quarters, keeping candidate volume sane at billion-doc scale.
+
+    Token hashes are two md5 words (hex 1-8 → bits 0-31, hex 9-16 →
+    bits 32-63; one md5 per token, sliced twice). The signature is the
+    SIGNED 64-bit integer whose bit pattern is the simhash: bit 63's
+    weight is -(2^63), matching two's-complement — both engines store
+    it in a plain BIGINT, and xor/bit_count for Hamming distance are
+    bit-pattern operations that don't care about sign.
 
     One fold carrying all ``bits`` running bit-sums (vs. ``bits``
-    independent folds, which would recompute every token md5 32×)."""
+    independent folds, which would recompute every token md5 64×)."""
+
+    def word(h: Column, b: int) -> Column:
+        return h["lo"] if b < 32 else h["hi"]
 
     def step(acc: Column, h: Column) -> Column:
         signs = F.array(
-            *[((F.shiftright(h, b) % 2) * 2 - 1).cast("long") for b in range(bits)]
+            *[((F.shiftright(word(h, b), b % 32) % 2) * 2 - 1).cast("long") for b in range(bits)]
         )
         return F.zip_with(acc, signs, lambda x, y: x + y)
 
-    harr = F.transform(tokens(text), hash32)
+    hexes = F.transform(tokens(text), F.md5)
+    harr = F.transform(
+        hexes,
+        lambda x: F.struct(
+            F.conv(F.substring(x, 1, 8), 16, 10).cast("bigint").alias("lo"),
+            F.conv(F.substring(x, 9, 8), 16, 10).cast("bigint").alias("hi"),
+        ),
+    )
     bit_sums = F.aggregate(harr, F.array_repeat(F.lit(0).cast("long"), bits), step)
-    weights = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    weights = F.array(
+        *[
+            F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
+            for b in range(bits)
+        ]
+    )
     weighted = F.zip_with(
         bit_sums, weights, lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long"))
     )
@@ -340,22 +400,28 @@ def simhash_near_dup(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Candidates via the pigeonhole trick: with 4 signature quarters, any
-    pair within Hamming 3 shares at least one exact quarter — four
-    equi-joins instead of a cross join.
+    Candidates via the pigeonhole trick: with 4 signature quarters
+    (16 bits each over the 64-bit signature), any pair within Hamming 3
+    shares at least one exact quarter — four equi-joins instead of a
+    cross join.
     """
     sig = pin(
         spread_input(docs).select(F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("sh"))
     )
     # same pin rationale as minhash_near_dup: one signature pass,
     # reused by all 4 quarter expansions and both self-join sides.
+    # qv masks with & 0xFFFF (not %): sh is SIGNED 64-bit; the mask
+    # discards whatever the arithmetic shift sign-extends in.
     parts = sig.select(
         "doc",
         "sh",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(q).alias("q"), (F.shiftright(F.col("sh"), q * 8) % 256).alias("qv"))
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright(F.col("sh"), q * 16).bitwiseAND(F.lit(65535)).alias("qv"),
+                    )
                     for q in range(4)
                 ]
             )
@@ -363,8 +429,7 @@ def simhash_near_dup(
     ).select("doc", "sh", "p.q", "p.qv")
     a, b = parts.alias("a"), parts.alias("b")
     hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
-    # Hamming-filter BEFORE the dedup exchange: a 32-bit signature has
-    # only 256 values per quarter, so quarter collisions vastly
+    # Hamming-filter BEFORE the dedup exchange: quarter collisions
     # outnumber true near-dups — filtering inside the join stage means
     # the dropDuplicates shuffle carries matching pairs only (measured
     # ~50× less shuffle at sf0.1), while each surviving pair still

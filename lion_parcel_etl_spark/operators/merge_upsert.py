@@ -111,24 +111,44 @@ def merge_upsert_partitioned(
         warehouse.overwrite(updates, table, partition_by=[partition_col])
         return [str(r[0]) for r in updates.select(partition_col).distinct().collect()]
 
-    parts = [str(r[0]) for r in updates.select(partition_col).distinct().collect()]
+    raw_parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    # Null-safe prune on the ORIGINAL typed values (a string cast would
+    # miss nulls and can disagree with partition-directory escaping).
+    vals = [p for p in raw_parts if p is not None]
+    cond = F.col(partition_col).isin(vals) if vals else F.lit(False)
+    if len(vals) < len(raw_parts):  # batch contains a null partition value
+        cond = cond | F.col(partition_col).isNull()
     target = warehouse.read(spark, table)
-    affected = target.filter(F.col(partition_col).cast("string").isin(parts))
+    affected = target.filter(cond)
     merged = merge_upsert(affected, updates, keys)
 
     table_dir = warehouse.table_path(table)
     tmp = f"{table_dir}.__tmp__{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
-    for p in parts:
-        src = os.path.join(tmp, f"{partition_col}={p}")
-        dst = os.path.join(table_dir, f"{partition_col}={p}")
-        if not os.path.isdir(src):  # batch had rows for p but merge emitted none
+    # Swap every partition directory Spark actually wrote, DISCOVERED by
+    # listing the tmp output — never reconstructed from str(value), whose
+    # escaping (':' → '%3A', null → __HIVE_DEFAULT_PARTITION__, …) can
+    # differ and would silently rmtree the merged data with the tmp dir.
+    prefix = f"{partition_col}="
+    swapped = []
+    for entry in sorted(os.listdir(tmp)):
+        src = os.path.join(tmp, entry)
+        if not (entry.startswith(prefix) and os.path.isdir(src)):
             continue
+        dst = os.path.join(table_dir, entry)
         old = f"{dst}.__old__{uuid.uuid4().hex[:8]}"
         if os.path.isdir(dst):
             os.rename(dst, old)
         os.rename(src, dst)
         if os.path.isdir(old):
             shutil.rmtree(old)
+        swapped.append(entry[len(prefix):])
     shutil.rmtree(tmp, ignore_errors=True)
-    return parts
+    if raw_parts and not swapped:
+        # merge_upsert never drops update rows, so an empty swap set means
+        # the write itself produced nothing — surface it, don't lose data.
+        raise RuntimeError(
+            f"merge_upsert_partitioned: batch touched partitions {raw_parts!r} "
+            f"but the merged write produced no partition directories"
+        )
+    return swapped

@@ -73,12 +73,41 @@ def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return (feats / n if n > 0 else feats).tolist()
 
 
-def extract_features(media: DataFrame, batch_bytes: int = 64 << 20) -> DataFrame:
+def _byte_buckets(
+    batch_bytes: int, total_bytes: int | None, buckets: int | None
+) -> int | None:
+    """Bucket count for a byte-budget repartition, WITHOUT scanning.
+
+    The r01 version paid an extra full ``octet_length`` pass + a driver
+    ``collect()`` just to size buckets — cheap at sf0.1, a wasted 100 TB
+    table scan at scale. Now the caller supplies either ``buckets``
+    directly or a ``total_bytes`` estimate (catalog statistics, a prior
+    run's metrics, the landing area's file sizes); with neither, returns
+    None → no repartition, deferring to the scan's own partitioning
+    (``spark.sql.files.maxPartitionBytes`` already bounds bytes/task for
+    file sources — the repartition only matters after a join/shuffle
+    whose output isn't byte-bounded).
+    """
+    if buckets is not None:
+        return max(1, buckets)
+    if total_bytes is not None:
+        return max(1, int(total_bytes // batch_bytes) + 1)
+    return None
+
+
+def extract_features(
+    media: DataFrame,
+    batch_bytes: int = 64 << 20,
+    total_bytes: int | None = None,
+    buckets: int | None = None,
+) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    ``mapInPandas`` keeps the transfer columnar; the repartition keys on
-    a byte-budget bucket so no task holds more than ~batch_bytes of
-    payload at once — the knob that matters when rows are megabytes.
+    ``mapInPandas`` keeps the transfer columnar; with a caller-supplied
+    size estimate (``total_bytes`` or ``buckets``) the input is
+    repartitioned so no task holds more than ~batch_bytes of payload at
+    once — the knob that matters when rows are megabytes. Single-scan
+    either way (see _byte_buckets).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -98,17 +127,10 @@ def extract_features(media: DataFrame, batch_bytes: int = 64 << 20) -> DataFrame
             )
             yield out
 
-    sized = media.withColumn("__sz", F.octet_length("payload"))
-    # running byte budget is approximated by hashing ids into enough
-    # buckets that expected bytes/bucket ≤ batch_bytes
-    stats = sized.agg(F.sum("__sz").alias("total")).collect()[0]
-    total = stats["total"] or 0
-    buckets = max(1, int(total // batch_bytes) + 1)
-    return (
-        sized.repartition(buckets, F.col("media_id"))
-        .drop("__sz")
-        .mapInPandas(run, schema=FEATURES_SCHEMA)
-    )
+    n = _byte_buckets(batch_bytes, total_bytes, buckets)
+    if n is not None:
+        media = media.repartition(n, F.col("media_id"))
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -127,6 +149,8 @@ def resize_images(
     media: DataFrame,
     max_edge: int = 256,
     batch_bytes: int = 64 << 20,
+    total_bytes: int | None = None,
+    buckets: int | None = None,
 ) -> DataFrame:
     """Image resize with stubbed pixel math, real Spark plumbing.
 
@@ -161,11 +185,10 @@ def resize_images(
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
     )
-    stats = imgs.agg(F.sum(F.octet_length("payload")).alias("total")).collect()[0]
-    buckets = max(1, int((stats["total"] or 0) // batch_bytes) + 1)
-    return imgs.repartition(buckets, F.col("media_id")).mapInPandas(
-        run, schema=RESIZED_SCHEMA
-    )
+    n = _byte_buckets(batch_bytes, total_bytes, buckets)
+    if n is not None:
+        imgs = imgs.repartition(n, F.col("media_id"))
+    return imgs.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -76,9 +76,21 @@ def scd2_apply(
     hist = target.filter(~F.col("is_current"))
 
     s = snapshot.alias("s")
-    p = prev.alias("p")
     if broadcast_snapshot:
-        s = F.broadcast(s)
+        # Spark cannot broadcast the PRESERVED (left) side of a left-outer
+        # join — a hint there is silently dropped and the planner falls
+        # back to shuffling BOTH sides (at 100 TB: the full current
+        # dimension). Instead: semi-prune prev down to the snapshot's keys
+        # (broadcast the tiny key set → prev streams, never shuffles),
+        # then broadcast the pruned side as the BUILD of the left join.
+        # |pruned prev| ≤ |snapshot|, so it is broadcastable whenever the
+        # snapshot itself is. No distinct() on the key set: left-semi
+        # semantics ignore build-side duplicates, and the distinct's
+        # hash-aggregate would be the only shuffle in the whole plan.
+        key_set = F.broadcast(snapshot.select(*key))
+        p = F.broadcast(prev.join(key_set, on=key, how="left_semi")).alias("p")
+    else:
+        p = prev.alias("p")
 
     changed = None
     for c in tracked:

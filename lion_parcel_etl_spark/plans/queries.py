@@ -107,7 +107,7 @@ def q_pricing_summary(spark, sf_dir):
 
 SQL_PRICING = f"""
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
        SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_base_price,
        SUM(CAST(round(l_extendedprice*100) AS BIGINT)
            * CAST(round((1.0 - l_discount)*100) AS BIGINT)) / 10000.0 AS sum_disc_price,
@@ -147,8 +147,10 @@ FROM orders
 def q_project_filter_cast(spark, sf_dir):
     """Projection + predicates + null-on-error cast (P1/P4/P6/P9).
 
-    Spark non-ANSI cast ≡ DuckDB TRY_CAST (the pandas errors='coerce'
-    analog, reference public/lion_parcell_bonus_test_stg.py:220)."""
+    Spark try_cast ≡ DuckDB TRY_CAST (the pandas errors='coerce'
+    analog, reference public/lion_parcell_bonus_test_stg.py:220) —
+    session-independent, unlike a plain cast whose behavior flips
+    under ANSI mode."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
@@ -157,7 +159,10 @@ def q_project_filter_cast(spark, sf_dir):
             "event_id",
             "user_id",
             "event_type",
-            F.col("event_type").cast("int").alias("bad_cast"),  # null, never error
+            # try_cast: null-on-error regardless of the session's ANSI
+            # setting (a plain cast crashes under an ANSI-on session —
+            # the driver's default in Spark 4).
+            F.col("event_type").try_cast("int").alias("bad_cast"),
             F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long").alias("k"),
             (F.col("value") * 2.0).alias("value_x2"),
         )
@@ -662,13 +667,24 @@ def q_approx_stats(spark, sf_dir):
     distinct orders and GK approximate percentiles per group — one
     pass, constant memory per group, mergeable. Rows-only gate (the
     estimates are implementation-defined); accuracy vs exact is
-    asserted in tests/test_sketches.py."""
+    asserted in tests/test_sketches.py. Percentiles are emitted as
+    SCALAR columns (not array<double>) so any rows-only harness that
+    canonicalizes through pandas can hash the frame."""
     from lion_parcel_etl_spark.operators import sketches as SK
 
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        SK.approx_distinct("l_orderkey").alias("approx_orders"),
-        SK.approx_quantiles("l_extendedprice", [0.5, 0.95]).alias("approx_p50_p95"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            SK.approx_distinct("l_orderkey").alias("approx_orders"),
+            SK.approx_quantiles("l_extendedprice", [0.5, 0.95]).alias("_pct"),
+        )
+        .select(
+            "l_returnflag",
+            "approx_orders",
+            F.element_at("_pct", 1).alias("approx_p50"),
+            F.element_at("_pct", 2).alias("approx_p95"),
+        )
     )
 
 
@@ -876,7 +892,7 @@ def q_sessionize(spark, sf_dir):
 
 
 SQL_SESSIONIZE = f"""
-SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events FROM (
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
   SELECT user_id,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
                 OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC), ts) > {SESSION_GAP_S}
@@ -1286,12 +1302,23 @@ def q_simhash(spark, sf_dir):
 
 
 def _duck_simhash() -> str:
-    harr = f"list_transform({_DUCK_TOKS}, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)"
+    # 64-bit twin of operators/dedup.py simhash: bits 0-31 from md5 hex
+    # 1-8 (hlo), 32-63 from hex 9-16 (hhi); bit 63's weight is the
+    # signed-64 minimum written overflow-free as (-(2^63-1) - 1).
     terms = " + ".join(
-        f"(CASE WHEN list_sum(list_transform({harr}, h -> ((h >> {b}) & 1) * 2 - 1)) > 0 THEN {1 << b} ELSE 0 END)"
-        for b in range(32)
+        "(CASE WHEN list_sum(list_transform({w}, h -> ((h >> {s}) & 1) * 2 - 1)) > 0 "
+        "THEN {wt} ELSE 0 END)".format(
+            w="hlo" if b < 32 else "hhi",
+            s=b % 32,
+            wt="(-9223372036854775807 - 1)" if b == 63 else str(1 << b),
+        )
+        for b in range(64)
     )
-    return f"SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM documents ORDER BY doc_id"
+    return f"""SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM (
+  SELECT doc_id,
+         list_transform({_DUCK_TOKS}, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hlo,
+         list_transform({_DUCK_TOKS}, t -> ('0x' || substr(md5(t), 9, 8))::BIGINT) AS hhi
+  FROM documents) ORDER BY doc_id"""
 
 
 SIMHASH_MAX_HAMMING = 3
@@ -1308,7 +1335,9 @@ def _duck_simhash_pairs() -> str:
     return f"""
 WITH sigs AS ({_duck_simhash().replace("ORDER BY doc_id", "")}),
 parts AS (
-  SELECT doc_id, simhash, q.q AS q, (simhash >> (q.q * 8)) & 255 AS qv
+  -- 16-bit quarters of the 64-bit signature; & 65535 discards the
+  -- arithmetic shift's sign extension, matching Spark's mask
+  SELECT doc_id, simhash, q.q AS q, (simhash >> (q.q * 16)) & 65535 AS qv
   FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS q) q
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1469,10 +1498,55 @@ ORDER BY id_a, id_b
 """
 
 
+def _duck_embedding_near_dup_lsh(
+    threshold: float = 0.35, dims: int = 64, planes: int = 6, tables: int = 8
+) -> str:
+    """DuckDB twin of SIM.embedding_near_dup_lsh (same md5-derived
+    plane-matrix literals as _duck_lsh_topk): pairs collide in ≥1
+    (table, bucket), exact sequential-order cosine verify ≥ threshold."""
+    M = SIM.plane_matrix(tables, planes, dims)
+    rows = ", ".join(
+        "({r}, [{c}])".format(r=r, c=", ".join(repr(v) for v in M[r]))
+        for r in range(tables * planes)
+    )
+    dot = (
+        "list_sum(list_transform(range(1, len(va) + 1), "
+        "i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)))"
+    )
+    na = "sqrt(list_sum(list_transform(va, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    nb = "sqrt(list_sum(list_transform(vb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    return f"""
+WITH M(r, coef) AS (VALUES {rows}),
+emb_b AS (
+  SELECT e.vec_id, e.embedding, m.r // {planes} AS tbl,
+         SUM(CASE WHEN list_sum(list_transform(range(1, {dims} + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * m.coef[i])) > 0
+              THEN 1 << (m.r % {planes}) ELSE 0 END) AS bkt
+  FROM embeddings e CROSS JOIN M m
+  GROUP BY e.vec_id, e.embedding, m.r // {planes}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS va, b.embedding AS vb
+  FROM emb_b a JOIN emb_b b
+    ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         round(CASE WHEN {na} * {nb} > 0 THEN {dot} / ({na} * {nb})
+                    ELSE 0.0 END, 6) AS cosine_sim
+  FROM cand
+)
+SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= {threshold}
+"""
+
+
 def q_embedding_near_dup_lsh(spark, sf_dir):
     """Scale path for embedding near-dup: LSH-bucketed candidates +
-    exact verify. Approximate recall → rows-only driver check; subset/
-    precision vs the exact variant is asserted in tests.
+    exact verify. Bucket assignment is md5-deterministic, so the full
+    pipeline (bucketing → candidate join → exact verify) has a DuckDB
+    oracle; recall vs the exact variant is additionally asserted in
+    tests/test_similarity.py.
 
     At sf0.1 (n=2000) the exact blocked variant is faster — bucket
     collisions still cover ~13% of all pairs, so pruning doesn't pay
@@ -1506,12 +1580,66 @@ def q_ivf_topk(spark, sf_dir):
 
 
 def q_lsh_topk(spark, sf_dir):
-    """Approximate ANN (multi-table hyperplane LSH). No SQL oracle —
-    recall is validated against q_cosine_topk in tests; driver records
-    rows-only."""
+    """Approximate ANN (multi-table hyperplane LSH). Fully
+    deterministic: the hyperplane matrix is md5-derived (no RNG state),
+    so bucket assignment is expressible in DuckDB SQL — the oracle
+    embeds the identical coefficient lists as literals and replays
+    bucketing + candidate join + exact re-rank (see _duck_lsh_topk).
+    Recall vs the exact baseline is additionally asserted in
+    tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return SIM.lsh_topk(emb, queries, dims=64, k=5)
+
+
+def _duck_lsh_topk(dims: int = 64, k: int = 5, planes: int = 6, tables: int = 8) -> str:
+    """DuckDB twin of SIM.lsh_topk: the md5-derived plane matrix is
+    embedded as exact repr() literals (u/2^32 - 0.5 round-trips
+    losslessly through decimal repr), bucket t = Σ_p sign-bit(row
+    t·planes+p)·2^p, candidates share (table, bucket), exact cosine
+    re-rank. The only cross-engine risk is a dot product within float
+    noise of 0 flipping a sign bit — |dot| ~ 1e-17 events, negligible."""
+    M = SIM.plane_matrix(tables, planes, dims)
+    rows = ", ".join(
+        "({r}, [{c}])".format(r=r, c=", ".join(repr(v) for v in M[r]))
+        for r in range(tables * planes)
+    )
+    return f"""
+WITH M(r, coef) AS (VALUES {rows}),
+emb_b AS (
+  SELECT e.vec_id, e.embedding, m.r // {planes} AS tbl,
+         SUM(CASE WHEN list_sum(list_transform(range(1, {dims} + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * m.coef[i])) > 0
+              THEN 1 << (m.r % {planes}) ELSE 0 END) AS bkt
+  FROM embeddings e CROSS JOIN M m
+  GROUP BY e.vec_id, e.embedding, m.r // {planes}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.embedding AS qv, c.embedding AS cv
+  FROM emb_b q JOIN emb_b c ON q.tbl = c.tbl AND q.bkt = c.bkt
+  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(
+           CASE WHEN sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+                THEN list_sum(list_transform(range(1, len(qv) + 1),
+                        i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                ELSE 0.0 END, 6) AS cosine_sim
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {k}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1851,7 +1979,7 @@ SQL_HAVING = f"""
 SELECT c_name, o_orderkey, strftime(o_orderdate, '{TS_FMT_DUCK}') AS order_ts,
        o_totalprice, sum_qty
 FROM orders o
-JOIN (SELECT l_orderkey, SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+JOIN (SELECT l_orderkey, CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
       FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 120) b
   ON o.o_orderkey = b.l_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -2179,13 +2307,19 @@ def q_embedding_centroids(spark, sf_dir):
     )
 
 
-SQL_CENTROIDS = f"""
+# Ragged-data-proof oracle: the dim spine comes from the DATA's max
+# length (not the EMB_DIMS constant), n_vecs counts only rows where the
+# position EXISTS (mirroring posexplode, which emits nothing past an
+# array's end — a bare COUNT(*) would count every embedding at every
+# dim), and the HAVING drops (label, dim) groups no embedding reaches.
+SQL_CENTROIDS = """
 SELECT e.label, d.dim,
        round(avg(CAST(e.embedding[d.dim] AS DOUBLE)), 6) AS centroid,
-       COUNT(*) AS n_vecs
+       COUNT(*) FILTER (WHERE d.dim <= len(e.embedding)) AS n_vecs
 FROM embeddings e,
-     (SELECT unnest(generate_series(1, {EMB_DIMS})) AS dim) d
+     (SELECT unnest(generate_series(1, (SELECT MAX(len(embedding)) FROM embeddings))) AS dim) d
 GROUP BY e.label, d.dim
+HAVING COUNT(*) FILTER (WHERE d.dim <= len(e.embedding)) > 0
 """
 
 
@@ -2239,8 +2373,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     "cosine_topk": (q_cosine_topk, SQL_COSINE),
     "dedup_embedding": (q_embedding_near_dup, _duck_embedding_near_dup()),
-    "dedup_embedding_lsh": (q_embedding_near_dup_lsh, None),
-    "lsh_topk": (q_lsh_topk, None),
+    "dedup_embedding_lsh": (q_embedding_near_dup_lsh, _duck_embedding_near_dup_lsh()),
+    "lsh_topk": (q_lsh_topk, _duck_lsh_topk()),
     "ivf_topk": (q_ivf_topk, None),
     "scd2_timetravel": (q_scd2_timetravel, SQL_SCD2_TT),
     "scd2_version_count": (q_scd2_version_count, SQL_SCD2_VC),

@@ -162,15 +162,34 @@ def stream_merge_into(
     scanned once, never shuffled) → atomic overwrite-swap, so readers
     see either the pre- or post-batch mart. Restart safety: the
     checkpoint tracks consumed input, and a replayed batch re-merges
-    the same keys — idempotent by construction. ``order_col`` dedupes
-    within a batch (last event per key wins), required when one batch
-    can carry several updates for one key.
+    the same keys — idempotent by construction. ``order_col`` gives
+    "latest per key" semantics that hold ACROSS batches, not just
+    within one: the batch is deduped to its last event per key, and an
+    update only replaces the existing target row when its ``order_col``
+    is >= the target's (an out-of-order source delivering an older
+    event for a key in a later batch cannot regress the mart; >= keeps
+    replayed batches idempotent). Without ``order_col``, update-wins
+    applies and the source must be ordered per key.
     """
     from lion_parcel_etl_spark.operators.merge_upsert import merge_upsert
 
     def _merge(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
         tgt = warehouse.read(spark, table) if warehouse.exists(table) else None
+        if order_col is not None and tgt is not None:
+            # Cross-batch ordering guard. The target is large — never
+            # broadcast it whole: semi-prune its (key, order) projection
+            # to the batch's keys first (broadcast key set, ≤ |batch|
+            # rows), then broadcast the pruned side into the batch join.
+            cur = (
+                tgt.select(*keys, F.col(order_col).alias("__cur_ord"))
+                .join(F.broadcast(batch.select(*keys)), on=keys, how="left_semi")
+            )
+            batch = (
+                batch.join(F.broadcast(cur), on=keys, how="left")
+                .filter(F.col("__cur_ord").isNull() | (F.col(order_col) >= F.col("__cur_ord")))
+                .drop("__cur_ord")
+            )
         merged = merge_upsert(
             tgt,
             batch,

@@ -95,3 +95,48 @@ def test_connected_components_is_transitive_closure(spark, docs):
     for r in pairs.collect():
         assert comp[r.id_a] == comp[r.id_b]
         assert comp[r.id_a] <= min(r.id_a, r.id_b)
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/testdata/sf0.001"), reason="testdata missing")
+def test_minhash_parameterized_recall_vs_exact(spark):
+    """Both parameter shapes against ground truth on real documents:
+    precision is 1.0 by construction (exact-Jaccard verification), and
+    the corpus shape (k=64, bands=16: same rows-per-band, 4x bands)
+    must not lose recall vs the oracle shape (k=16, bands=4)."""
+    from lion_parcel_etl_spark.operators.dedup import (
+        MINHASH_BANDS_CORPUS,
+        MINHASH_K_CORPUS,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t = 0.3
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=t).collect()
+    }
+    assert exact, "ground truth must be non-empty for the recall test to mean anything"
+
+    def pairs(k, bands):
+        got = minhash_near_dup(docs, "doc_id", "text", k=k, bands=bands, threshold=t).collect()
+        assert all(r.jaccard >= t for r in got)  # precision 1.0
+        return {(r.id_a, r.id_b) for r in got}
+
+    small = pairs(16, 4)
+    big = pairs(MINHASH_K_CORPUS, MINHASH_BANDS_CORPUS)
+    assert small <= exact and big <= exact
+    recall_small = len(small) / len(exact)
+    recall_big = len(big) / len(exact)
+    assert recall_big >= recall_small
+    assert recall_big >= 0.8
+
+
+def test_minhash_coeffs_prefix_stable():
+    from lion_parcel_etl_spark.operators.dedup import MINHASH_COEFFS, minhash_coeffs
+
+    assert minhash_coeffs(64)[:16] == MINHASH_COEFFS
+    assert len(set(minhash_coeffs(64))) == 64
+
+
+def test_minhash_rejects_indivisible_bands(spark, docs):
+    with pytest.raises(ValueError):
+        minhash_near_dup(docs, "doc_id", "text", k=16, bands=5)

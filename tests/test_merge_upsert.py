@@ -96,3 +96,47 @@ def test_partitioned_merge_rewrites_only_touched_partitions(spark, tmp_path):
     assert got.filter("id in (0, 3, 99)").filter("v = 'NEW'").count() == 3
     # no duplicated keys anywhere
     assert got.groupBy("id").count().filter("count > 1").count() == 0
+
+
+def test_partitioned_merge_escaped_partition_values(spark, tmp_path):
+    """Partition values containing ':' are %3A-escaped in directory
+    names; the swap must discover directories by LISTING the tmp output
+    — reconstructing them from str(value) silently skipped the swap and
+    then deleted the merged data with the tmp dir (ADVICE r01)."""
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.merge_upsert import merge_upsert_partitioned
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(1, "a", "2024-01-01 10:00:00"), (2, "b", "2024-01-01 11:00:00")],
+        "id long, v string, hr string",
+    )
+    merge_upsert_partitioned(spark, wh, "mart", base, ["id"], "hr")
+    updates = spark.createDataFrame(
+        [(1, "NEW", "2024-01-01 10:00:00")], "id long, v string, hr string"
+    )
+    touched = merge_upsert_partitioned(spark, wh, "mart", updates, ["id"], "hr")
+    assert len(touched) == 1
+    got = wh.read(spark, "mart")
+    assert got.count() == 2
+    assert got.filter("id = 1").collect()[0].v == "NEW"
+    assert got.filter("id = 2").collect()[0].v == "b"
+
+
+def test_partitioned_merge_null_partition_value(spark, tmp_path):
+    """Null partition values land in __HIVE_DEFAULT_PARTITION__; the
+    prune must match them with isNull (a string-cast isin can't) and
+    the swap must install the escaped directory."""
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.merge_upsert import merge_upsert_partitioned
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "d1")], "id long, v string, day string"
+    )
+    merge_upsert_partitioned(spark, wh, "mart", base, ["id"], "day")
+    updates = spark.createDataFrame([(1, "NEW", None)], "id long, v string, day string")
+    merge_upsert_partitioned(spark, wh, "mart", updates, ["id"], "day")
+    got = wh.read(spark, "mart")
+    assert got.count() == 2
+    assert got.filter("id = 1").collect()[0].v == "NEW"

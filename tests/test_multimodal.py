@@ -67,3 +67,19 @@ def test_resize_never_upscales(spark, media):
 
     out = {r["media_id"]: r for r in resize_images(media, max_edge=1000).collect()}
     assert (out[1]["width"], out[1]["height"]) == (16, 16)
+
+
+def test_extract_features_single_scan_no_estimate(spark, media):
+    """Without a caller-supplied size estimate there must be NO sizing
+    scan and NO repartition exchange — one pass over the payloads
+    (VERDICT r01: the old octet_length+collect pre-pass was a wasted
+    full table scan at 100 TB)."""
+    from lion_parcel_etl_spark.operators.bucketing import plan_string
+    from lion_parcel_etl_spark.operators.multimodal import extract_features
+
+    plan = plan_string(extract_features(media))
+    assert "Exchange" not in plan
+
+    # caller-supplied estimate → byte-budget repartition appears
+    plan2 = plan_string(extract_features(media, batch_bytes=1024, total_bytes=10 * 1024))
+    assert "Exchange" in plan2

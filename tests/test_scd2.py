@@ -153,6 +153,30 @@ def test_scd2_plan_broadcasts_snapshot(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_scd2_never_shuffles_target(spark):
+    """The 100 TB contract: every join in scd2_apply builds on a
+    broadcast side (snapshot keys / pruned prev / update keys) — the
+    target dimension must plan with ZERO shuffle Exchanges, and no
+    broadcast hint may be silently dropped into a sort-merge join."""
+    from lion_parcel_etl_spark.operators.bucketing import plan_string
+
+    t0 = ts("2025-10-01 10:00:00")
+    tgt = run(spark, None, [(1, 10, "Created", "JKT", "BDG", t0, t0)], "2025-10-01 10:05:00")
+    snap = retail_snapshot(
+        src_df(spark, [(1, 10, "On Way", "JKT", "BDG", t0, ts("2025-10-01 11:00:00"))]),
+        "2025-10-01 11:05:00",
+    )
+    out = scd2_apply(tgt, snap, KEY, TRACKED, "updated_at", "2025-10-01 11:05:00")
+    plan = plan_string(out)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    shuffles = [
+        line
+        for line in plan.splitlines()
+        if line.strip().split()[:2][-1:] == ["Exchange"]
+    ]
+    assert not shuffles, f"target shuffled: {shuffles}"
+
+
 def test_partitioned_scd2_appends_history_and_swaps_current(spark, tmp_path):
     import os
 

@@ -156,3 +156,33 @@ def test_stream_merge_into_incremental_mart(spark, tmp_path):
     cols = ["user_id", "event_id"]
     assert _rows(got2, cols) == _rows(want, cols)
     ev.unpersist(); got2.unpersist()
+
+
+def test_stream_merge_out_of_order_batches_do_not_regress(spark, tmp_path):
+    """Cross-batch ordering guard (ADVICE r01): a later batch carrying
+    an OLDER event for a key must not overwrite the newer target row."""
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.streaming import stream_merge_into
+
+    schema = "user_id long, event_id long, ts timestamp, status string"
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        stream_merge_into(stream, wh, "latest", ["user_id"], ckpt, order_col="ts")
+
+    import datetime as dt
+
+    t_new = dt.datetime(2024, 1, 5, 12, 0, 0)
+    t_old = dt.datetime(2024, 1, 1, 12, 0, 0)
+    spark.createDataFrame([(1, 100, t_new, "NEW")], schema).write.mode("append").parquet(landing)
+    run()
+    # batch 2: stale event for user 1, fresh user 2
+    spark.createDataFrame(
+        [(1, 50, t_old, "STALE"), (2, 51, t_old, "OK")], schema
+    ).write.mode("append").parquet(landing)
+    run()
+    got = {r.user_id: r.status for r in wh.read(spark, "latest").collect()}
+    assert got == {1: "NEW", 2: "OK"}

@@ -2,7 +2,20 @@
 queries() entry on Spark and its oracle_sql() on DuckDB over the same
 sf dir; compare row count, column names, and exact sorted values.
 
-Usage: python tools/check_oracles.py [sf_dir] [query ...]
+Usage: python tools/check_oracles.py [--driver-sim] [sf_dir] [query ...]
+
+``--driver-sim`` reproduces the DRIVER'S environment rather than the
+repo's, catching the two failure classes a get_spark()-based check is
+structurally blind to:
+
+- a **default-conf SparkSession** (no ANSI override → ANSI ON in
+  Spark 4, no UTC pin, no nanosAsLong) — the queries() wrappers must
+  set whatever they need on the session they're handed;
+- **pandas canonicalization** on both sides (Spark ``toPandas``,
+  DuckDB ``.df()``) — DuckDB types integer SUMs as HUGEINT which
+  pandas materializes as float64, so a bare ``SUM(<int>)`` oracle
+  hashes ``3.0`` against Spark's ``3``; arrays become Python lists
+  which break pandas sorting. Both bite only through pandas.
 """
 
 from __future__ import annotations
@@ -16,16 +29,17 @@ import duckdb
 
 import __spark_entry__ as entrymod
 from lion_parcel_etl_spark.plans.queries import TABLES
-from lion_parcel_etl_spark.session import get_spark
 
 
 def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(v)
+        return repr(float(v))  # float(): np.float64 repr differs under numpy>=2
     if isinstance(v, bool):
         return str(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(canon(x) for x in v) + "]"
     return str(v) if v is not None else "\x00NULL"
 
 
@@ -34,10 +48,47 @@ def rowset(cols, rows):
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+def pandas_canon(pdf):
+    """(cols, canonical sorted rows) through the pandas type system —
+    the same lossy path the driver's harness uses."""
+    import pandas as pd
+
+    cols = list(pdf.columns)
+    rows = [
+        tuple(None if v is pd.NaT else v for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+    return cols, rowset(cols, rows)
+
+
+def build_session(driver_sim: bool):
+    if driver_sim:
+        # What the driver does: a plain builder, no repo confs. The
+        # queries() wrappers are responsible for anything they need.
+        import os
+
+        from pyspark.sql import SparkSession
+
+        return (
+            SparkSession.builder.appName("driver-sim")
+            .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    from lion_parcel_etl_spark.session import get_spark
+
+    return get_spark(app_name="oracle-check", extra_conf={"spark.sql.shuffle.partitions": "8"})
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
-    spark = get_spark(app_name="oracle-check", extra_conf={"spark.sql.shuffle.partitions": "8"})
+    argv = list(sys.argv[1:])
+    driver_sim = "--driver-sim" in argv
+    if driver_sim:
+        argv.remove("--driver-sim")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
+    spark = build_session(driver_sim)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -50,8 +101,12 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            if driver_sim:
+                scols, sset = pandas_canon(sdf.toPandas())
+                srows = sset
+            else:
+                scols = sdf.columns
+                srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error {e}")
             failed.append(name)
@@ -61,8 +116,12 @@ def main():
             continue
         try:
             res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            if driver_sim:
+                dcols, dset = pandas_canon(res.df())
+                drows = dset
+            else:
+                dcols = [d[0] for d in res.description]
+                drows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error {str(e)[:300]}")
             failed.append(name)
@@ -73,7 +132,10 @@ def main():
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if not problems:
-            sset, dset = rowset(scols, srows), rowset(dcols, drows)
+            if driver_sim:
+                sset, dset = srows, drows
+            else:
+                sset, dset = rowset(scols, srows), rowset(dcols, drows)
             if sset != dset:
                 diff = [(a, b) for a, b in zip(sset, dset) if a != b][:3]
                 problems.append(f"values differ; first diffs: {diff}")
