@@ -21,10 +21,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class Warehouse:
-    """A directory of databases, each a directory of parquet tables."""
+    """A directory of databases, each a directory of parquet tables.
 
-    def __init__(self, root: str):
+    Pass a :class:`~lion_parcel_etl_spark.metrics.RunMetrics` as
+    ``metrics`` to get structured rows/bytes per write (the reference's
+    ``MERGE 20`` / ``INSERT 0 13`` log lines as data); collection reads
+    parquet footers only — no recompute of the written DataFrame.
+    """
+
+    def __init__(self, root: str, metrics=None):
         self.root = root
+        self.metrics = metrics
         os.makedirs(root, exist_ok=True)
 
     def create_database(self, name: str) -> None:
@@ -70,6 +77,8 @@ class Warehouse:
         os.rename(tmp, final)
         if os.path.exists(old):
             shutil.rmtree(old)
+        if self.metrics is not None:
+            self.metrics.record_write(name, final)
 
     def drop(self, name: str) -> None:
         path = self.table_path(name)

@@ -144,6 +144,11 @@ def merge_upsert_partitioned(
             shutil.rmtree(old)
         swapped.append(entry[len(prefix):])
     shutil.rmtree(tmp, ignore_errors=True)
+    if getattr(warehouse, "metrics", None) is not None and swapped:
+        warehouse.metrics.record_dirs(
+            table,
+            [os.path.join(table_dir, f"{prefix}{p}") for p in swapped],
+        )
     if raw_parts and not swapped:
         # merge_upsert never drops update rows, so an empty swap set means
         # the write itself produced nothing — surface it, don't lose data.

@@ -191,3 +191,8 @@ def scd2_apply_partitioned(
     os.rename(tmp, dst)
     if os.path.isdir(old):
         shutil.rmtree(old)
+    if getattr(warehouse, "metrics", None) is not None:
+        # this run's writes = the swapped current partition (the history
+        # append's files are interleaved with prior runs' and aren't
+        # isolated here)
+        warehouse.metrics.record_dirs(table, [dst])

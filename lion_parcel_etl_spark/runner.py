@@ -122,8 +122,40 @@ class Pipeline:
     ) -> dict[str, float]:
         """Execute the (tag-selected) subgraph; returns task → seconds.
         Raises TaskFailed on the first failure (fail-fast)."""
-        timings: dict[str, float] = {}
+        report = self.run_with_metrics(ctx, tags)
+        return {name: r["wall_s"] for name, r in report.items()}
+
+    def run_with_metrics(
+        self,
+        ctx: dict,
+        tags: Iterable[str] | None = None,
+    ) -> dict[str, dict]:
+        """Like :meth:`run`, but returns a structured per-task report —
+        the engine's analog of the reference's logged Postgres command
+        tags (``MERGE 20`` / ``INSERT 0 13``) and
+        ``df.info(memory_usage='deep')`` size lines:
+
+            {task: {"wall_s": float,
+                    "writes": [{"table", "rows", "bytes", "files"}]}}
+
+        Writes are attributed to the task that performed them via a
+        ``RunMetrics`` recorder: uses ``ctx["run_metrics"]`` if the
+        caller supplied one (sharing it with their Warehouse), else
+        installs a fresh recorder at that key and, when ``ctx``
+        carries a metrics-less ``warehouse``, attaches it.
+        """
+        from lion_parcel_etl_spark.metrics import RunMetrics
+
+        rm = ctx.get("run_metrics")
+        if rm is None:
+            rm = ctx["run_metrics"] = RunMetrics()
+            wh = ctx.get("warehouse")
+            if wh is not None and getattr(wh, "metrics", None) is None:
+                wh.metrics = rm
+
+        report: dict[str, dict] = {}
         for t in self._topo(self._select(tags)):
+            mark = rm.mark()
             t0 = time.perf_counter()
             for attempt in range(t.retries + 1):
                 try:
@@ -134,5 +166,8 @@ class Pipeline:
                         raise TaskFailed(t.name, e) from e
                     if t.retry_delay_s > 0:
                         time.sleep(t.retry_delay_s)
-            timings[t.name] = time.perf_counter() - t0
-        return timings
+            report[t.name] = {
+                "wall_s": time.perf_counter() - t0,
+                "writes": [w.as_dict() for w in rm.writes[mark:]],
+            }
+        return report

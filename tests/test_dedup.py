@@ -140,3 +140,17 @@ def test_minhash_coeffs_prefix_stable():
 def test_minhash_rejects_indivisible_bands(spark, docs):
     with pytest.raises(ValueError):
         minhash_near_dup(docs, "doc_id", "text", k=16, bands=5)
+
+
+def test_connected_components_long_chain_pointer_doubling(spark):
+    """A 400-hop path graph: plain min-label propagation needs ~400
+    rounds (far beyond max_iter=25) — pointer doubling must converge
+    within the default budget and label every node with the chain's
+    minimum."""
+    from lion_parcel_etl_spark.operators.dedup import connected_components
+
+    n = 400
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["src", "dst"])
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert len(got) == n + 1
+    assert set(got.values()) == {0}

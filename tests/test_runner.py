@@ -97,3 +97,70 @@ def test_retries_exhausted_raises_taskfailed():
     with pytest.raises(TaskFailed):
         p.run({})
     assert calls["n"] == 3
+
+
+def test_run_with_metrics_attributes_writes_per_task(spark, tmp_path):
+    """Structured per-task report: each task's warehouse writes show up
+    under that task with footer-derived row counts and on-disk bytes —
+    the engine's MERGE-20-style command-tag analog."""
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.metrics import RunMetrics
+
+    rm = RunMetrics()
+    wh = Warehouse(str(tmp_path / "wh"), metrics=rm)
+
+    def write_a(ctx):
+        df = spark.range(20).withColumnRenamed("id", "k")
+        ctx["warehouse"].overwrite(df, "tbl_a")
+
+    def write_b(ctx):
+        ctx["warehouse"].overwrite(spark.range(13), "tbl_b")
+
+    def no_write(ctx):
+        pass
+
+    p = (
+        Pipeline("m")
+        .task("a", write_a)
+        .task("b", write_b, deps=["a"])
+        .task("c", no_write, deps=["b"])
+    )
+    report = p.run_with_metrics({"warehouse": wh, "run_metrics": rm})
+    assert [w["table"] for w in report["a"]["writes"]] == ["tbl_a"]
+    assert report["a"]["writes"][0]["rows"] == 20
+    assert report["a"]["writes"][0]["bytes"] > 0
+    assert report["b"]["writes"][0]["rows"] == 13
+    assert report["c"]["writes"] == []
+    assert all(r["wall_s"] >= 0 for r in report.values())
+
+
+def test_run_with_metrics_auto_attaches_recorder(spark, tmp_path):
+    from lion_parcel_etl_spark.catalog import Warehouse
+
+    wh = Warehouse(str(tmp_path / "wh"))
+
+    def write(ctx):
+        ctx["warehouse"].overwrite(spark.range(7), "t")
+
+    report = Pipeline("m2").task("w", write).run_with_metrics({"warehouse": wh})
+    assert report["w"]["writes"][0]["rows"] == 7
+
+
+def test_partitioned_merge_records_swapped_partitions_only(spark, tmp_path):
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.metrics import RunMetrics
+    from lion_parcel_etl_spark.operators.merge_upsert import merge_upsert_partitioned
+
+    rm = RunMetrics()
+    wh = Warehouse(str(tmp_path / "wh"), metrics=rm)
+    base = spark.createDataFrame(
+        [(i, "v", f"d{i % 3}") for i in range(30)], "id long, v string, day string"
+    )
+    merge_upsert_partitioned(spark, wh, "mart", base, ["id"], "day")
+    mark = rm.mark()
+    upd = spark.createDataFrame([(0, "NEW", "d0")], "id long, v string, day string")
+    merge_upsert_partitioned(spark, wh, "mart", upd, ["id"], "day")
+    new = rm.writes[mark:]
+    assert len(new) == 1
+    # only the d0 partition (10 rows) was rewritten, not the whole mart
+    assert new[0].rows == 10
