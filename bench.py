@@ -73,6 +73,8 @@ HEADLINE = [
     "minhash_near_dup",
     "simhash_near_dup",
     "text_analysis",
+    "tfidf_topk",
+    "bm25_rank",
     "token_frequency",
     "doc_chunking",
     "embedding_centroids",

@@ -110,3 +110,122 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(quality_score(t), 6).alias("quality"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def tokens_long(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, term) long form: lower-cased whitespace tokens exploded
+    one row per occurrence — the shared first stage of the IR operators
+    below. One scan; the explode multiplies rows but every downstream
+    aggregate partial-aggregates before its exchange."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0)
+        ).alias("term"),
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 5,
+) -> DataFrame:
+    """Top-N terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, the sklearn smooth-idf form).
+
+    Scale shape: tf partial-aggregates (doc, term) counts before its
+    exchange; df aggregates the already-tiny tf table by term; the
+    corpus size joins in as a broadcast 1-row aggregate (no collect).
+    The tf⋈df join is deliberately UNhinted — document frequency tables
+    are vocabulary-sized, which at web scale exceeds broadcast range;
+    AQE promotes it to broadcast when small. Ranking orders by the
+    ROUNDED score (then term) so cross-engine last-ulp float noise can
+    never reorder the top-N.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_long(docs, id_col, text_col)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= top_n)
+    )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top-N documents for a bag-of-words query by BM25
+    (idf = ln(1 + (N - df + 0.5)/(df + 0.5)), the positive variant).
+
+    Scale shape: the token stream filters to the QUERY terms before any
+    aggregation (the predicate prunes ~|vocab|/|query| of the exploded
+    rows map-side); per-term doc frequencies are ≤ |query| rows →
+    broadcast; corpus stats (N, avg doc length) are a broadcast 1-row
+    aggregate. Only documents containing ≥1 query term are scored —
+    everything else never leaves its scan task. Final top-N is
+    orderBy+limit (TakeOrderedAndProject: per-partition heaps, no
+    global sort), ranked on the ROUNDED score for cross-engine order
+    stability.
+    """
+    from pyspark.sql import Window
+
+    terms = sorted({t.lower() for t in query_terms})
+    toks = tokens_long(docs, id_col, text_col).filter(F.col("term").isin(terms))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(token_count(F.col(text_col)).cast("double")).alias("avgdl"),
+    )
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).cast("double").alias("dl"),
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    scores = contrib.groupBy("doc_id").agg(F.round(F.sum("c"), 6).alias("score"))
+    top = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(top_n)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    # the global window runs over top_n rows only — already limited
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))

@@ -1387,6 +1387,83 @@ ORDER BY media_id
 """
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (operators/text.py tfidf_topk):
+    the IR feature-extraction step of a curation pipeline. Rank orders
+    by the rounded score so float noise can't flip the top-N."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.tfidf_topk(docs, "doc_id", "text", top_n=5)
+
+
+SQL_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+BM25_TERMS = ["spark", "query", "merge", "window"]
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def q_bm25_rank(spark, sf_dir):
+    """Top-20 documents for a fixed bag-of-words query by BM25
+    (operators/text.py bm25_rank): relevance ranking over the corpus
+    with query-term pruning before any shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.bm25_rank(docs, BM25_TERMS, "doc_id", "text", k1=BM25_K1, b=BM25_B, top_n=20)
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in sorted(BM25_TERMS))
+
+SQL_BM25 = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+  FROM documents
+),
+qtoks AS (SELECT doc_id, term FROM toks WHERE term IN ({_BM25_IN})),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM qtoks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         avg(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)) AS avgdl
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS dl
+       FROM documents),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({BM25_K1} + 1.0))
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+scores AS (SELECT doc_id, round(SUM(c), 6) AS score FROM contrib GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk
+  FROM scores
+)
+SELECT doc_id, score, rnk FROM ranked WHERE rnk <= 20
+"""
+
+
 def q_text_analysis(spark, sf_dir):
     """Language-ID + quality + token count + fingerprint in one
     zero-shuffle projection."""
@@ -2370,6 +2447,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "simhash": (q_simhash, _duck_simhash()),
     "simhash_near_dup": (q_simhash_pairs, _duck_simhash_pairs()),
     "text_analysis": (q_text_analysis, _duck_text_analysis()),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF),
+    "bm25_rank": (q_bm25_rank, SQL_BM25),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     "cosine_topk": (q_cosine_topk, SQL_COSINE),
     "dedup_embedding": (q_embedding_near_dup, _duck_embedding_near_dup()),

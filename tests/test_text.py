@@ -65,3 +65,76 @@ def test_analyze_documents_single_projection(spark):
     # whole plan is a single codegen'd projection: no shuffle
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_tfidf_topk_math_and_ordering(spark):
+    from lion_parcel_etl_spark.operators.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, top_n=2).collect()
+    got = {(r.doc_id, r.rnk): (r.term, r.tfidf) for r in out}
+    import math
+
+    def idf(df, n=3):
+        return math.log((n + 1) / (df + 1)) + 1
+
+    # doc 1: apple tf=2 df=1; banana tf=1 df=2
+    assert got[(1, 1)][0] == "apple"
+    assert abs(got[(1, 1)][1] - round(2 * idf(1), 6)) < 1e-9
+    assert got[(1, 2)][0] == "banana"
+    # doc 3: cherry tf=3 df=2 beats durian tf=1 df=1
+    assert got[(3, 1)][0] == "cherry"
+    # every doc emits at most top_n rows, ranks contiguous from 1
+    from collections import Counter
+
+    per_doc = Counter(r.doc_id for r in out)
+    assert all(v <= 2 for v in per_doc.values())
+
+
+def test_bm25_rank_prefers_matching_docs(spark):
+    from lion_parcel_etl_spark.operators.text import bm25_rank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark join"),
+            (2, "spark join filter"),
+            (3, "filter scan merge"),
+            (4, "totally unrelated words only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_rank(docs, ["spark"], top_n=10).collect()
+    ids = [r.doc_id for r in out]
+    # only docs containing a query term are ranked; higher tf wins
+    assert set(ids) == {1, 2}
+    assert ids[0] == 1 and out[0].rnk == 1
+    assert out[0].score > out[1].score
+
+
+def test_bm25_query_term_filter_prunes_before_shuffle(spark):
+    """The scale contract: the term filter must sit under the first
+    aggregation (map-side prune), not after a shuffle of all tokens."""
+    from lion_parcel_etl_spark.operators.bucketing import plan_string
+    from lion_parcel_etl_spark.operators.text import bm25_rank
+
+    import re
+
+    docs = spark.createDataFrame([(1, "spark x")], "doc_id long, text string")
+    plan = plan_string(bm25_rank(docs, ["spark"]))
+    # node ids number bottom-up: the Filter whose condition tests the
+    # term column must have a LOWER id than every Exchange — i.e. it
+    # runs in the scan/generate stage, before anything shuffles
+    term_filters = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) Filter\nInput.*\nCondition : .*term#", plan)
+    ]
+    exchanges = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) Exchange", plan)]
+    assert term_filters and exchanges
+    assert min(term_filters) < min(exchanges)

@@ -36,8 +36,14 @@ def audit(name: str, plan: str) -> list[str]:
     flags = []
     if "CartesianProduct" in plan:
         flags.append("CARTESIAN")
-    if "BroadcastNestedLoopJoin" in plan and name not in ("cosine_topk",):
-        # cosine_topk intentionally BNL-joins a tiny broadcast query set
+    if "BroadcastNestedLoopJoin" in plan and name not in (
+        "cosine_topk",
+        "tfidf_topk",
+        "bm25_rank",
+    ):
+        # intentional BNLJs: cosine_topk broadcasts a tiny query set;
+        # tfidf/bm25 cross-join a broadcast ONE-ROW corpus-stats
+        # aggregate (N, avgdl) — a scalar fan-in, not a pair explosion
         flags.append("BNLJ")
     if "BatchEvalPython" in plan:
         flags.append("PY_UDF_ROW_AT_A_TIME")
