@@ -79,6 +79,7 @@ HEADLINE = [
     "doc_chunking",
     "embedding_centroids",
     "dedup_clusters",
+    "curation_pipeline",
     "multimodal_features",
     "cosine_topk",
     "lsh_topk",

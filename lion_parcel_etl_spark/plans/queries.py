@@ -1515,6 +1515,77 @@ ORDER BY doc_id
 """
 
 
+CURATION_MIN_QUALITY = 0.55
+CURATION_MIN_TOKENS = 20
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation — the composition a training-data
+    pipeline actually runs, as ONE declarative plan: text analysis
+    (quality score + token count + language ID, zero-shuffle
+    projection) → keep filter → MinHash-LSH near-dup clustering →
+    one representative per cluster (min doc_id among the keepers).
+    Every stage is the already-oracle-checked operator; this entry
+    proves they compose without materialization barriers."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    an = TX.analyze_documents(docs).select("doc_id", "lang_guess", "quality", "n_tokens")
+    keep = an.filter(
+        (F.col("quality") >= CURATION_MIN_QUALITY)
+        & (F.col("n_tokens") >= CURATION_MIN_TOKENS)
+    )
+    pairs = DD.minhash_near_dup(docs, "doc_id", "text", threshold=JACCARD_THRESHOLD)
+    cc = F.broadcast(DD.connected_components(pairs, "id_a", "id_b"))
+    lab = keep.join(cc, keep["doc_id"] == cc["node"], "left").select(
+        keep["doc_id"],
+        "lang_guess",
+        "quality",
+        "n_tokens",
+        F.coalesce("component", keep["doc_id"]).alias("cluster_id"),
+    )
+    w = W.partitionBy("cluster_id").orderBy("doc_id")
+    return (
+        lab.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang_guess", "quality", "n_tokens")
+    )
+
+
+def _duck_curation() -> str:
+    analysis = _duck_text_analysis().replace("ORDER BY doc_id", "")
+    return f"""
+WITH RECURSIVE a AS ({analysis}),
+keep AS (
+  SELECT doc_id, lang_guess, quality, n_tokens FROM a
+  WHERE quality >= {CURATION_MIN_QUALITY} AND n_tokens >= {CURATION_MIN_TOKENS}
+),
+pairs AS (
+  SELECT id_a, id_b FROM ({_duck_minhash_pairs()})
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a
+),
+lab AS (
+  SELECT k.doc_id, k.lang_guess, k.quality, k.n_tokens,
+         COALESCE(c.cluster, k.doc_id) AS cluster_id
+  FROM keep k LEFT JOIN comp c ON c.node = k.doc_id
+),
+rep AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS rn
+  FROM lab
+)
+SELECT doc_id, lang_guess, quality, n_tokens FROM rep WHERE rn = 1
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force exact ANN baseline: top-5 cosine neighbors for the
     first 5 vectors."""
@@ -2444,6 +2515,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIG),
     "minhash_near_dup": (q_minhash_pairs, _duck_minhash_pairs()),
     "dedup_clusters": (q_dedup_clusters, _duck_dedup_clusters()),
+    "curation_pipeline": (q_curation_pipeline, _duck_curation()),
     "simhash": (q_simhash, _duck_simhash()),
     "simhash_near_dup": (q_simhash_pairs, _duck_simhash_pairs()),
     "text_analysis": (q_text_analysis, _duck_text_analysis()),
