@@ -71,6 +71,7 @@ HEADLINE = [
     "json_extract",
     "dedup_exact",
     "minhash_near_dup",
+    "minhash_incremental",
     "simhash_near_dup",
     "text_analysis",
     "tfidf_topk",

@@ -204,6 +204,46 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def minhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = MINHASH_K
+) -> DataFrame:
+    """(doc, sig, shingles) — the signature table. Persist this (a
+    parquet table via Warehouse) and the incremental path below never
+    recomputes the historical corpus. Shingles are stored because the
+    exact-Jaccard verification needs them; if storage is tighter than
+    recompute, drop the column and verify by re-shingling from the
+    corpus text instead."""
+    return spread_input(docs).select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(F.col(text_col), n, k).alias("sig"),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    )
+
+
+def _banded(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """(doc, band, bh) band rows: md5 over each band's signature slice."""
+    rows = k // bands
+    return sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[F.col("sig")[i * rows + j].cast("string") for j in range(rows)],
+                            )
+                        ).alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bh")
+
+
 def minhash_near_dup(
     docs: DataFrame,
     id_col: str,
@@ -231,14 +271,7 @@ def minhash_near_dup(
     """
     if k % bands != 0:
         raise ValueError(f"k={k} must be divisible by bands={bands}")
-    rows = k // bands
-    sig = pin(
-        spread_input(docs).select(
-            F.col(id_col).alias("doc"),
-            minhash_signature(F.col(text_col), n, k).alias("sig"),
-            word_shingles(F.col(text_col), n).alias("shingles"),
-        )
-    )
+    sig = pin(minhash_signatures(docs, id_col, text_col, n, k))
     # pinning is the real-scale design too: signatures are computed once
     # and reused by every band AND both sides of the self-join (at 100 TB
     # you'd write this to a table); without it Catalyst's projection
@@ -248,20 +281,7 @@ def minhash_near_dup(
     # shingle arrays along (4 copies of every shingle set). Verification
     # fetches shingles afterwards by joining the (tiny) candidate pairs
     # back to the persisted signature table.
-    banded = sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.md5(F.concat_ws(",", *[F.col("sig")[i * rows + j].cast("string") for j in range(rows)])).alias("bh"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bh")
+    banded = _banded(sig, k, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -276,6 +296,60 @@ def minhash_near_dup(
     )
     sh_a = sig.select(F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = sig.select(F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b"))
+    scored = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+    return scored.select(
+        "id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_near_dup_incremental(
+    old_sigs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING AT LEAST ONE NEW DOC: the production
+    shape of continuous ingestion at 100 TB. ``old_sigs`` is the
+    persisted signature store (:func:`minhash_signatures` written to a
+    table); only the new batch's signatures are computed, and the new
+    batch's band rows are BROADCAST against the store's — the store
+    streams through one scan, is never shuffled, and old×old pairs
+    (already known from prior runs) are never recomputed. Per-batch
+    cost is O(|store| scan + |batch| everything-else) instead of the
+    full-corpus O(|store|²/2^bands) rerun.
+
+    Doc ids must be disjoint between store and batch (pairs are
+    normalized with least/greatest, so overlap would self-pair).
+    Output matches the full-run :func:`minhash_near_dup` restricted to
+    pairs touching a new doc (asserted in tests/test_dedup.py).
+    """
+    if k % bands != 0:
+        raise ValueError(f"k={k} must be divisible by bands={bands}")
+    new_sigs = pin(minhash_signatures(new_docs, id_col, text_col, n, k))
+    all_sigs = old_sigs.select("doc", "sig", "shingles").unionByName(
+        new_sigs.select("doc", "sig", "shingles")
+    )
+    a = _banded(all_sigs, k, bands).alias("a")
+    b = F.broadcast(_banded(new_sigs, k, bands)).alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .select(
+            F.least(F.col("a.doc"), F.col("b.doc")).alias("id_a"),
+            F.greatest(F.col("a.doc"), F.col("b.doc")).alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = all_sigs.select(F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = all_sigs.select(F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b"))
     scored = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     return scored.select(
         "id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard")

@@ -1251,6 +1251,29 @@ SELECT * FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+def q_minhash_incremental(spark, sf_dir):
+    """Incremental dedup against a signature store (continuous-ingest
+    shape): docs with doc_id % 4 == 0 arrive as the 'new batch', the
+    rest are the persisted store; pairs touching a new doc must match
+    the full run restricted to those pairs. The batch's band rows are
+    broadcast — the store is scanned once, never shuffled."""
+    docs = _t(spark, sf_dir, "documents")
+    store = DD.minhash_signatures(docs.filter("doc_id % 4 != 0"), "doc_id", "text")
+    batch = docs.filter("doc_id % 4 = 0")
+    return DD.minhash_near_dup_incremental(
+        store, batch, "doc_id", "text", threshold=JACCARD_THRESHOLD
+    )
+
+
+def _duck_minhash_incremental() -> str:
+    # ground truth: the full-run pair set restricted to pairs touching
+    # a batch (doc_id % 4 == 0) document
+    return f"""
+SELECT id_a, id_b, jaccard FROM ({_duck_minhash_pairs()})
+WHERE id_a % 4 = 0 OR id_b % 4 = 0
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Cluster formation over the MinHash near-dup pair graph:
     connected components (min-label propagation, operators/dedup.py)
@@ -2516,6 +2539,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "minhash_near_dup": (q_minhash_pairs, _duck_minhash_pairs()),
     "dedup_clusters": (q_dedup_clusters, _duck_dedup_clusters()),
     "curation_pipeline": (q_curation_pipeline, _duck_curation()),
+    "minhash_incremental": (q_minhash_incremental, _duck_minhash_incremental()),
     "simhash": (q_simhash, _duck_simhash()),
     "simhash_near_dup": (q_simhash_pairs, _duck_simhash_pairs()),
     "text_analysis": (q_text_analysis, _duck_text_analysis()),

@@ -154,3 +154,54 @@ def test_connected_components_long_chain_pointer_doubling(spark):
     got = {r.node: r.component for r in connected_components(edges).collect()}
     assert len(got) == n + 1
     assert set(got.values()) == {0}
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/testdata/sf0.001"), reason="testdata missing")
+def test_minhash_incremental_matches_full_run(spark):
+    """Incremental dedup against a persisted signature store must find
+    exactly the full-run pairs that touch a new doc — old x old pairs
+    are the store's business, not the batch's."""
+    from lion_parcel_etl_spark.operators.dedup import (
+        minhash_near_dup_incremental,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.filter("doc_id % 4 != 0")
+    new = docs.filter("doc_id % 4 = 0")
+    t = 0.3
+
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_near_dup(docs, "doc_id", "text", threshold=t).collect()
+    }
+    expected = {p: j for p, j in full.items() if p[0] % 4 == 0 or p[1] % 4 == 0}
+    assert expected, "split must produce cross pairs for the test to bite"
+
+    store = minhash_signatures(old, "doc_id", "text")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_near_dup_incremental(
+            store, new, "doc_id", "text", threshold=t
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_minhash_incremental_store_never_shuffles(spark):
+    """Plan contract: the batch's bands broadcast; no shuffle Exchange
+    feeds the candidate join (the store side streams)."""
+    from lion_parcel_etl_spark.operators.bucketing import plan_string
+    from lion_parcel_etl_spark.operators.dedup import (
+        minhash_near_dup_incremental,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common text tokens here for shingles today ok") for i in range(8)],
+        "doc_id long, text string",
+    )
+    store = minhash_signatures(docs.filter("doc_id < 6"), "doc_id", "text")
+    out = minhash_near_dup_incremental(store, docs.filter("doc_id >= 6"), "doc_id", "text")
+    plan = plan_string(out)
+    assert "BroadcastHashJoin" in plan
