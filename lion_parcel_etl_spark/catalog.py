@@ -80,6 +80,35 @@ class Warehouse:
         if self.metrics is not None:
             self.metrics.record_write(name, final)
 
+    def append(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Append-only write (no swap): the shape for accretive tables
+        — signature stores, history partitions, pair logs. Not atomic
+        against concurrent readers the way overwrite is; a reader may
+        see a partially-written batch's files (back with a table format
+        for snapshot isolation)."""
+        path = self.table_path(name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        before = self._parquet_files(path) if self.metrics is not None else set()
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        if self.metrics is not None:
+            # record only THIS append's files, not the accreted table
+            self.metrics.record_files(name, sorted(self._parquet_files(path) - before))
+
+    @staticmethod
+    def _parquet_files(path: str) -> set[str]:
+        out = set()
+        for dirpath, _dirs, files in os.walk(path):
+            out.update(os.path.join(dirpath, f) for f in files if f.endswith(".parquet"))
+        return out
+
     def drop(self, name: str) -> None:
         path = self.table_path(name)
         if os.path.exists(path):

@@ -78,6 +78,19 @@ class RunMetrics:
         self.writes.append(wm)
         return wm
 
+    def record_files(self, table: str, paths: list[str]) -> WriteMetrics:
+        """One WriteMetrics over an explicit file list — the append
+        shape, where only the files a batch just added count."""
+        import pyarrow.parquet as pq
+
+        rows = size = 0
+        for fp in paths:
+            rows += pq.ParquetFile(fp).metadata.num_rows
+            size += os.path.getsize(fp)
+        wm = WriteMetrics(table=table, rows=rows, bytes=size, files=len(paths))
+        self.writes.append(wm)
+        return wm
+
     def mark(self) -> int:
         """Position marker; writes[mark:] are the ones since."""
         return len(self.writes)

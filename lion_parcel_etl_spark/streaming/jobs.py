@@ -231,3 +231,57 @@ def run_available_now(
     else:
         q = writer.format("memory").queryName(table_name or "stream_out").start()
     q.awaitTermination()
+
+
+def stream_near_dup_pairs(
+    df: DataFrame,
+    warehouse,
+    sig_table: str,
+    pairs_table: str,
+    id_col: str,
+    text_col: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+) -> None:
+    """Continuous near-dup detection: each micro-batch runs the
+    INCREMENTAL MinHash path against the accreted signature store
+    (operators/dedup.py minhash_near_dup_incremental — batch bands
+    broadcast, store streamed once, old x old never recomputed), then
+    appends the surviving pairs to ``pairs_table`` and the batch's
+    signatures to ``sig_table``. The first batch self-joins (no store
+    yet). Per-batch cost is O(|store| scan + |batch|), which is what
+    makes corpus-scale dedup sustainable under continuous ingestion.
+
+    Restart caveat: signature/pair appends are not transactional with
+    the checkpoint — a crash between append and commit can replay a
+    batch and duplicate its signature rows (pairs are re-emitted
+    identically). Dedup the store on doc id when compacting, or back
+    the warehouse with a table format for exactly-once appends.
+    """
+    from lion_parcel_etl_spark.operators.dedup import (
+        minhash_near_dup,
+        minhash_near_dup_incremental,
+        minhash_signatures,
+    )
+
+    def _batch(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        if warehouse.exists(sig_table):
+            store = warehouse.read(spark, sig_table)
+            pairs = minhash_near_dup_incremental(
+                store, batch, id_col, text_col, threshold=threshold
+            )
+        else:
+            pairs = minhash_near_dup(batch, id_col, text_col, threshold=threshold)
+        warehouse.append(pairs, pairs_table)
+        warehouse.append(minhash_signatures(batch, id_col, text_col), sig_table)
+
+    q = (
+        df.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

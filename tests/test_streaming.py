@@ -186,3 +186,45 @@ def test_stream_merge_out_of_order_batches_do_not_regress(spark, tmp_path):
     run()
     got = {r.user_id: r.status for r in wh.read(spark, "latest").collect()}
     assert got == {1: "NEW", 2: "OK"}
+
+
+def test_stream_near_dup_pairs_incremental_store(spark, tmp_path):
+    """Two micro-batches of documents: the accumulated pairs table must
+    equal the batch-1 self-join plus the batch-2-touching pairs — and
+    batch 2 must run the incremental path against the signature store."""
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.dedup import minhash_near_dup
+    from lion_parcel_etl_spark.streaming import stream_near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    b1 = [(1, base), (2, base), (4, "completely different words about engines")]
+    b2 = [(3, base + " extra token"), (5, "another unrelated doc")]
+    schema = "doc_id long, text string"
+
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        stream_near_dup_pairs(
+            stream, wh, "sigs", "pairs", "doc_id", "text", ckpt, threshold=0.3
+        )
+
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(landing)
+    run()
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(landing)
+    run()
+
+    got = {
+        (r.id_a, r.id_b) for r in wh.read(spark, "pairs").collect()
+    }
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup(
+            spark.createDataFrame(b1 + b2, schema), "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    assert got == full
+    # the store accreted both batches' signatures
+    assert wh.read(spark, "sigs").count() == 5
