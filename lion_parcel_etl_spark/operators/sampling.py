@@ -88,3 +88,33 @@ def stratified_sample(
         .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(fraction)))
         .drop("__rn", "__n")
     )
+
+
+def rate_sample_by_group(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    salt: str = "",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-group Bernoulli-rate sampling with a deterministic hash coin
+    — the data-MIXING step of corpus construction: "keep 100% of
+    source A, 30% of source B, 5% of the crawl". Stateless per-row
+    expression (no shuffle, no RNG coordination); a row's keep/drop
+    decision is stable under re-runs, repartitions, and appends, and an
+    UNSEEN group falls back to ``default_rate`` (0.0 = drop unknown
+    sources — the safe default for curated mixes).
+
+    Unlike ``df.sampleBy``, which draws a fresh random coin per run,
+    the id-hash coin makes the mix reproducible and incrementally
+    extendable: sampling tomorrow's append keeps exactly yesterday's
+    rows. Independent mixes come from different ``salt`` values.
+    """
+    u = id_hash(F.col(id_col), salt) / F.lit(float(HASH_MOD))
+    rate = None
+    for name, r in rates.items():
+        cond = F.col(group_col) == F.lit(name)
+        rate = F.when(cond, F.lit(float(r))) if rate is None else rate.when(cond, F.lit(float(r)))
+    rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(F.lit(float(default_rate)))
+    return df.filter(u < rate)

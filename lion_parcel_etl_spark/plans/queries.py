@@ -1137,6 +1137,36 @@ SELECT doc_id, lang FROM (
 """
 
 
+SOURCE_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+SOURCE_MIX_DEFAULT = 0.05
+
+
+def q_source_mix(spark, sf_dir):
+    """Corpus data-mixing (operators/sampling.py rate_sample_by_group):
+    per-source keep rates with a deterministic md5 coin — "100% of
+    src0, 50% of src1, …, 5% of everything else". Zero shuffle; the
+    mix is stable under re-runs and appends."""
+    from lion_parcel_etl_spark.operators.sampling import rate_sample_by_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return rate_sample_by_group(
+        docs, "source", SOURCE_MIX_RATES, "doc_id", default_rate=SOURCE_MIX_DEFAULT
+    ).select("doc_id", "source")
+
+
+def _duck_source_mix() -> str:
+    from lion_parcel_etl_spark.operators.sampling import HASH_MOD, duck_id_hash
+
+    u = f"{duck_id_hash('doc_id')} / {float(HASH_MOD)!r}"
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {float(r)!r}" for s, r in SOURCE_MIX_RATES.items()
+    )
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE {u} < (CASE {whens} ELSE {float(SOURCE_MIX_DEFAULT)!r} END)
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return DD.exact_dedup(docs, "doc_id", "text")  # unsorted: compare sorts rows
@@ -2533,6 +2563,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "array_reduce": (q_array_reduce, SQL_ARRAY_REDUCE),
     "hash_split": (q_hash_split, _duck_hash_split()),
     "stratified_sample": (q_stratified_sample, _duck_stratified_sample()),
+    "source_mix": (q_source_mix, _duck_source_mix()),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIG),

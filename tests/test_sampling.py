@@ -52,3 +52,24 @@ def test_stratified_sample_deterministic(docs):
     assert a == b
     c = {r["doc_id"] for r in stratified_sample(docs, ["lang"], 0.3, "doc_id", salt="s2").collect()}
     assert a != c  # a different salt draws a different sample
+
+
+def test_rate_sample_by_group_deterministic_and_monotone(spark):
+    """The md5 coin: re-runs identical; raising a group's rate only
+    ADDS rows (yesterday's sample survives tomorrow's rate bump);
+    unseen groups fall back to default_rate."""
+    from lion_parcel_etl_spark.operators.sampling import rate_sample_by_group
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(300)], "id long, src string"
+    )
+    a1 = {r.id for r in rate_sample_by_group(df, "src", {"s0": 0.5}, "id").collect()}
+    a2 = {r.id for r in rate_sample_by_group(df, "src", {"s0": 0.5}, "id").collect()}
+    assert a1 == a2
+    bigger = {r.id for r in rate_sample_by_group(df, "src", {"s0": 0.9}, "id").collect()}
+    assert a1 <= bigger
+    # default_rate=0: unseen groups fully dropped
+    assert all(i % 3 == 0 for i in a1)
+    # default keeps unknown groups at the fallback rate
+    with_default = rate_sample_by_group(df, "src", {"s0": 0.5}, "id", default_rate=1.0)
+    assert with_default.filter("src != 's0'").count() == 200
