@@ -45,10 +45,18 @@ class Warehouse:
         return os.path.join(self.root, *parts)
 
     def exists(self, name: str) -> bool:
+        """True when the table directory holds any parquet data —
+        including under partition subdirectories (day=…, __batch_id=…),
+        which a top-level-only listing would miss. os.walk short-
+        circuits on the first data file, so this is O(dirs-until-hit),
+        not a full-tree scan."""
         path = self.table_path(name)
-        return os.path.isdir(path) and any(
-            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(path)
-        )
+        if not os.path.isdir(path):
+            return False
+        for _dirpath, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") or f == "_SUCCESS" for f in files):
+                return True
+        return False
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self.table_path(name))
@@ -108,6 +116,27 @@ class Warehouse:
         for dirpath, _dirs, files in os.walk(path):
             out.update(os.path.join(dirpath, f) for f in files if f.endswith(".parquet"))
         return out
+
+    def append_batch(self, df: DataFrame, name: str, batch_id: int | str) -> None:
+        """Idempotent append for checkpointed micro-batch writers: the
+        batch lands in a ``__batch_id=<id>`` partition directory that is
+        swapped atomically, so a checkpoint REPLAY of the same batch
+        rewrites its own directory instead of duplicating rows — the
+        plain-parquet stand-in for a table format's transactional
+        append. Readers see ``__batch_id`` as a partition column; select
+        explicit columns (or drop it) downstream."""
+        final = os.path.join(self.table_path(name), f"__batch_id={batch_id}")
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        tmp = f"{final}.__tmp__{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        old = f"{final}.__old__{uuid.uuid4().hex[:8]}"
+        if os.path.exists(final):
+            os.rename(final, old)
+        os.rename(tmp, final)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if self.metrics is not None:
+            self.metrics.record_write(name, final)
 
     def drop(self, name: str) -> None:
         path = self.table_path(name)

@@ -252,11 +252,13 @@ def stream_near_dup_pairs(
     yet). Per-batch cost is O(|store| scan + |batch|), which is what
     makes corpus-scale dedup sustainable under continuous ingestion.
 
-    Restart caveat: signature/pair appends are not transactional with
-    the checkpoint — a crash between append and commit can replay a
-    batch and duplicate its signature rows (pairs are re-emitted
-    identically). Dedup the store on doc id when compacting, or back
-    the warehouse with a table format for exactly-once appends.
+    Restart safety: both appends go through ``Warehouse.append_batch``
+    keyed on the micro-batch id — a checkpoint replay rewrites the same
+    per-batch partition directories instead of duplicating rows, so the
+    store and pair log are exactly-once up to the atomicity of a
+    directory swap. The store read excludes the CURRENT batch id, so a
+    replayed batch doesn't match against its own half-written
+    signatures.
     """
     from lion_parcel_etl_spark.operators.dedup import (
         minhash_near_dup,
@@ -264,19 +266,23 @@ def stream_near_dup_pairs(
         minhash_signatures,
     )
 
-    def _batch(batch: DataFrame, _batch_id: int) -> None:
+    def _batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         if batch.isEmpty():
             return
         if warehouse.exists(sig_table):
-            store = warehouse.read(spark, sig_table)
+            store = warehouse.read(spark, sig_table).filter(
+                F.col("__batch_id") != batch_id
+            ).select("doc", "sig", "shingles")
             pairs = minhash_near_dup_incremental(
                 store, batch, id_col, text_col, threshold=threshold
             )
         else:
             pairs = minhash_near_dup(batch, id_col, text_col, threshold=threshold)
-        warehouse.append(pairs, pairs_table)
-        warehouse.append(minhash_signatures(batch, id_col, text_col), sig_table)
+        warehouse.append_batch(pairs, pairs_table, batch_id)
+        warehouse.append_batch(
+            minhash_signatures(batch, id_col, text_col), sig_table, batch_id
+        )
 
     q = (
         df.writeStream.foreachBatch(_batch)

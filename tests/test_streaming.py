@@ -228,3 +228,18 @@ def test_stream_near_dup_pairs_incremental_store(spark, tmp_path):
     assert got == full
     # the store accreted both batches' signatures
     assert wh.read(spark, "sigs").count() == 5
+
+
+def test_append_batch_replay_is_idempotent(spark, tmp_path):
+    """A checkpoint replay re-invokes foreachBatch with the SAME batch
+    id; append_batch must rewrite that batch's partition, not duplicate
+    it."""
+    from lion_parcel_etl_spark.catalog import Warehouse
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    wh.append_batch(spark.range(10), "log", 0)
+    wh.append_batch(spark.range(10), "log", 0)  # replay
+    wh.append_batch(spark.range(5), "log", 1)
+    got = wh.read(spark, "log")
+    assert got.count() == 15
+    assert got.select("id").distinct().count() == 10
