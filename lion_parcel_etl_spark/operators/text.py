@@ -229,3 +229,30 @@ def bm25_rank(
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     # the global window runs over top_n rows only — already limited
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+# PII scrubbing patterns: (placeholder, regex). Deliberately simple,
+# deterministic, and identical in Spark (Java regex) and DuckDB (RE2):
+# no lookarounds, no backrefs — the intersection both engines compile
+# the same way.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("<PHONE>", r"\+?[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}"),
+    ("<IP>", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"),
+]
+
+
+def redact_pii(text: Column) -> tuple[Column, Column]:
+    """(redacted_text, n_redactions): emails, phone numbers and IPv4
+    literals replaced by typed placeholders — the scrubbing pass a
+    training corpus runs before anything else. Pure per-row regex
+    expressions (zero shuffle, whole-stage codegen); counts are taken
+    per pattern on the ORIGINAL text (the patterns don't overlap), so
+    the count column is order-independent and SQL-mirrorable.
+    """
+    redacted = text
+    n = F.lit(0).cast("long")
+    for placeholder, pat in PII_PATTERNS:
+        n = n + F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("long")
+        redacted = F.regexp_replace(redacted, pat, placeholder)
+    return redacted, n

@@ -1517,6 +1517,52 @@ SELECT doc_id, score, rnk FROM ranked WHERE rnk <= 20
 """
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing (operators/text.py redact_pii): emails/phones/IPs
+    → typed placeholders, zero-shuffle per-row regex. The synthetic
+    corpus carries no PII, so the query PLANTS deterministic PII built
+    from customer fields (name-derived email, key-derived phone/IP)
+    and asserts the scrubber removes exactly what was planted — the
+    redaction is exercised for real, not vacuously."""
+    c = _t(spark, sf_dir, "customer")
+    handle = F.lower(F.regexp_replace(F.col("c_name"), r"[^A-Za-z0-9]", "."))
+    planted = F.concat(
+        F.lit("contact "), F.col("c_name"),
+        F.lit(" at "), handle, F.lit("@example.com"),
+        F.lit(" or 555-01"), F.lpad((F.col("c_custkey") % 100).cast("string"), 2, "0"),
+        F.lit("-"), F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (F.col("c_custkey") % 256).cast("string"),
+        F.lit("."), ((F.col("c_custkey") * 7) % 256).cast("string"),
+    )
+    red, n = TX.redact_pii(planted)
+    return c.select(
+        "c_custkey",
+        red.alias("redacted"),
+        n.alias("n_redactions"),
+    )
+
+
+def _duck_pii_redact() -> str:
+    planted = (
+        "'contact ' || c_name || ' at ' || "
+        "lower(regexp_replace(c_name, '[^A-Za-z0-9]', '.', 'g')) || '@example.com'"
+        " || ' or 555-01' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0')"
+        " || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
+        " || ' from 10.0.' || CAST(c_custkey % 256 AS VARCHAR)"
+        " || '.' || CAST((c_custkey * 7) % 256 AS VARCHAR)"
+    )
+    red = "t"
+    count_terms = []
+    for placeholder, pat in TX.PII_PATTERNS:
+        count_terms.append(f"len(regexp_extract_all(t, '{pat}'))")
+        red = f"regexp_replace({red}, '{pat}', '{placeholder}', 'g')"
+    counts = " + ".join(count_terms)
+    return f"""
+SELECT c_custkey, {red} AS redacted, CAST({counts} AS BIGINT) AS n_redactions
+FROM (SELECT c_custkey, {planted} AS t FROM customer)
+"""
+
+
 def q_text_analysis(spark, sf_dir):
     """Language-ID + quality + token count + fingerprint in one
     zero-shuffle projection."""
@@ -2564,6 +2610,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "hash_split": (q_hash_split, _duck_hash_split()),
     "stratified_sample": (q_stratified_sample, _duck_stratified_sample()),
     "source_mix": (q_source_mix, _duck_source_mix()),
+    "pii_redact": (q_pii_redact, _duck_pii_redact()),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIG),

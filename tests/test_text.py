@@ -138,3 +138,22 @@ def test_bm25_query_term_filter_prunes_before_shuffle(spark):
     exchanges = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) Exchange", plan)]
     assert term_filters and exchanges
     assert min(term_filters) < min(exchanges)
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    from lion_parcel_etl_spark.operators.text import redact_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.org and 555-123-4567 from 192.168.0.1"),
+            (2, "no pii here at all"),
+            (3, "two mails p@q.io r@s.com"),
+        ],
+        "id long, text string",
+    )
+    red, n = redact_pii(F.col("text"))
+    got = {r.id: (r.red, r.n) for r in df.select("id", red.alias("red"), n.alias("n")).collect()}
+    assert got[1] == ("mail <EMAIL> and <PHONE> from <IP>", 3)
+    assert got[2] == ("no pii here at all", 0)
+    assert got[3] == ("two mails <EMAIL> <EMAIL>", 2)
