@@ -825,6 +825,49 @@ FROM clicks c ASOF LEFT JOIN purchases p
 """
 
 
+def q_asof_join_forward(spark, sf_dir):
+    """Forward as-of join (operators/temporal.py, direction='forward'):
+    each click gets the user's NEXT purchase at-or-after it — the
+    "time-to-conversion" probe. Same single-shuffle union+window plan
+    as the backward variant, ordered descending. Oracle is DuckDB's
+    native ASOF with the comparison reversed (c.ts <= p.ts picks the
+    least p.ts >= c.ts)."""
+    from lion_parcel_etl_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    out = asof_join(clicks, purchases, ["user_id"], direction="forward")
+    return out.select(
+        "event_id",
+        "user_id",
+        fmt_ts("ts").alias("ts"),
+        F.col("pvalue_r").alias("next_purchase_value"),
+        fmt_ts("ts_r").alias("purchase_ts"),
+    )
+
+
+SQL_ASOF_FWD = f"""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, MAX(value) AS pvalue FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, strftime(c.ts, '{TS_FMT_DUCK}') AS ts,
+       p.pvalue AS next_purchase_value,
+       strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
 def q_range_join(spark, sf_dir):
     """Range (interval-containment) join via bin discretization
     (operators/temporal.py): clicks landing in the 2-hour window after
@@ -2600,6 +2643,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "asof_join": (q_asof_join, SQL_ASOF),
+    "asof_join_forward": (q_asof_join_forward, SQL_ASOF_FWD),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "scalar_functions": (q_scalar_functions, SQL_SCALARS),
     "salted_agg": (q_salted_agg, SQL_SALTED),
