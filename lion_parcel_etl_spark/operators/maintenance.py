@@ -71,3 +71,32 @@ def compact(
         "bytes_after": bytes_after,
         "target_files": n_out,
     }
+
+
+def vacuum(wh: Warehouse, min_age_seconds: float = 3600.0) -> list[str]:
+    """Remove orphaned ``.__tmp__*`` / ``.__old__*`` directories left by
+    a writer that crashed between its write and its swap. Only
+    directories older than ``min_age_seconds`` are touched, so a
+    concurrently-running writer's live temp dir is never yanked out
+    from under it. Returns the removed paths.
+    """
+    import re
+    import shutil
+    import time
+
+    pat = re.compile(r"\.(__tmp__|__old__)[0-9a-f]{8}$")
+    removed: list[str] = []
+    cutoff = time.time() - min_age_seconds
+    for dirpath, dirnames, _files in os.walk(wh.root):
+        for d in list(dirnames):
+            if not pat.search(d):
+                continue
+            full = os.path.join(dirpath, d)
+            try:
+                if os.path.getmtime(full) <= cutoff:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(full)
+                    dirnames.remove(d)
+            except OSError:
+                continue
+    return removed

@@ -50,3 +50,24 @@ def test_compact_sorted_layout_has_disjoint_file_ranges(spark, tmp_path):
     assert len(ranges) >= 2
     for prev, cur in zip(ranges, ranges[1:]):
         assert prev["hi"] < cur["lo"]
+
+
+def test_vacuum_removes_only_stale_writer_debris(spark, tmp_path):
+    import os
+
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.maintenance import vacuum
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    wh.overwrite(spark.range(5), "t")
+    tdir = wh.table_path("t")
+    stale = f"{tdir}.__tmp__deadbeef"
+    fresh = f"{tdir}.__old__cafebabe"
+    os.makedirs(stale)
+    os.makedirs(fresh)
+    os.utime(stale, (0, 0))  # ancient
+    removed = vacuum(wh, min_age_seconds=3600)
+    assert removed == [stale]
+    assert not os.path.exists(stale) and os.path.exists(fresh)
+    # live table untouched
+    assert wh.read(spark, "t").count() == 5
