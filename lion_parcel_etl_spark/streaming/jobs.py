@@ -291,3 +291,38 @@ def stream_near_dup_pairs(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_session_windows(
+    spark: SparkSession,
+    events_path: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Native streaming session windows (``F.session_window``): per-user
+    sessions close after ``gap`` of event-time silence; the watermark
+    bounds how long an open session can wait for stragglers (state is
+    O(open sessions), finalized windows are emitted and dropped). The
+    batch twin is plans/queries.py q_sessionize (lag-based gap marking,
+    oracle-checked): per-user session COUNTS are equal for any input
+    whose late data respects the watermark — asserted in
+    tests/test_streaming.py.
+
+    Boundary note: ``session_window`` is end-EXCLUSIVE — an event at
+    exactly ``last_event + gap`` starts a NEW session, i.e. the batch
+    equivalent marks a new session on ``gap_seconds >= G`` (the
+    registered ``sessionize`` query uses the strict ``> G``, so the two
+    differ by exactly the boundary-hit events).
+    """
+    ev = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -243,3 +243,59 @@ def test_append_batch_replay_is_idempotent(spark, tmp_path):
     got = wh.read(spark, "log")
     assert got.count() == 15
     assert got.select("id").distinct().count() == 10
+
+
+def test_stream_session_windows_match_batch_sessionize(spark, tmp_path, events_dir):
+    """Streaming session windows must produce the same per-user session
+    counts as the batch lag-based sessionize (the oracle-checked twin),
+    given complete input within the watermark."""
+    from lion_parcel_etl_spark.plans.queries import QUERIES
+    from lion_parcel_etl_spark.streaming import stream_session_windows
+
+    # Append-mode emits only sessions the watermark has CLOSED; plant a
+    # far-future sentinel event (unused user id) so the final watermark
+    # passes every real session's end and all of them are emitted.
+    import datetime as dt
+
+    sentinel_user = 10**9
+    spark.createDataFrame(
+        [(10**9, dt.datetime(2030, 1, 1), sentinel_user, "click", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.mode("append").parquet(events_dir)
+
+    stream = stream_session_windows(
+        spark, events_dir, gap="30 minutes", watermark="0 seconds"
+    )
+    assert stream.isStreaming
+    run_available_now(
+        stream,
+        str(tmp_path / "ckpt_sess"),
+        out_path=str(tmp_path / "out_sess"),
+    )
+    got = (
+        spark.read.parquet(str(tmp_path / "out_sess"))
+        .filter(F.col("user_id") != sentinel_user)
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    got_counts = {r.user_id: r["count"] for r in got}
+
+    # batch twin with session_window's end-EXCLUSIVE boundary: a new
+    # session starts when the gap is >= 30 min (q_sessionize's oracle
+    # uses the strict >, so it can't be compared verbatim)
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(events_dir).filter(F.col("user_id") != sentinel_user)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    want_df = (
+        ev.withColumn(
+            "new_sess",
+            F.when(gap.isNull() | (gap >= 1800), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"))
+    )
+    want = {r.user_id: r.n_sessions for r in want_df.collect()}
+    assert got_counts == want
