@@ -1606,6 +1606,87 @@ FROM (SELECT c_custkey, {planted} AS t FROM customer)
 """
 
 
+def _media_table(spark, sf_dir):
+    """Synthetic media table over documents with DETERMINISTIC geometry
+    and duration (the real parquet carries only text; width/height/
+    duration derive from doc_id/n_chars so both engines build the
+    identical table)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            (F.lit(100) + F.col("doc_id") % 1900).cast("int").alias("width"),
+            (F.lit(100) + (F.col("doc_id") * 3) % 1000).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def q_resize_images(spark, sf_dir):
+    """Image-resize geometry (operators/multimodal.py resize_images):
+    aspect-preserving fit into 256², Arrow-batched mapInPandas with the
+    pixel kernel stubbed — the SQL-checkable part is the real geometry
+    math (truncating scale application, floor at 1px), which must be
+    bit-identical across engines because both evaluate the same double
+    expression."""
+    from lion_parcel_etl_spark.operators.multimodal import resize_images
+
+    media = _media_table(spark, sf_dir)
+    out = resize_images(media, max_edge=256)
+    return out.select("media_id", "width", "height", "orig_width", "orig_height")
+
+
+SQL_RESIZE = """
+WITH img AS (
+  SELECT doc_id AS media_id,
+         CAST(100 + doc_id % 1900 AS INTEGER) AS w,
+         CAST(100 + (doc_id * 3) % 1000 AS INTEGER) AS h
+  FROM documents WHERE (doc_id % 3 + 1) = 1
+), scaled AS (
+  SELECT media_id, w, h,
+         least(256.0 / greatest(greatest(w, h), 1), 1.0) AS s
+  FROM img
+)
+SELECT media_id,
+       CAST(greatest(CAST(trunc(w * s) AS BIGINT), 1) AS INTEGER) AS width,
+       CAST(greatest(CAST(trunc(h * s) AS BIGINT), 1) AS INTEGER) AS height,
+       w AS orig_width, h AS orig_height
+FROM scaled
+"""
+
+
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan (operators/multimodal.py
+    frame_sample_plan): one row per sampled frame timestamp — the
+    explode-shaped row multiplication a real sampler produces, counted
+    per video for a stable compare."""
+    from lion_parcel_etl_spark.operators.multimodal import frame_sample_plan
+
+    media = _media_table(spark, sf_dir)
+    frames = frame_sample_plan(media, every_ms=1000)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_ts_ms").alias("last_frame_ms"),
+    )
+
+
+SQL_FRAMES = """
+SELECT doc_id AS media_id,
+       COUNT(*) AS n_frames,
+       CAST(MAX(f.ts) AS BIGINT) AS last_frame_ms
+FROM documents d,
+     LATERAL (SELECT unnest(generate_series(0, greatest(d.n_chars * 10 - 1, 0), 1000)) AS ts) f
+WHERE (d.doc_id % 3 + 1) = 3
+GROUP BY doc_id
+"""
+
+
 def q_text_analysis(spark, sf_dir):
     """Language-ID + quality + token count + fingerprint in one
     zero-shuffle projection."""
@@ -2655,6 +2736,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stratified_sample": (q_stratified_sample, _duck_stratified_sample()),
     "source_mix": (q_source_mix, _duck_source_mix()),
     "pii_redact": (q_pii_redact, _duck_pii_redact()),
+    "resize_images": (q_resize_images, SQL_RESIZE),
+    "frame_sample": (q_frame_sample, SQL_FRAMES),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIG),
