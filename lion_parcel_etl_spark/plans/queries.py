@@ -2131,6 +2131,71 @@ SELECT o_custkey, 'urgent_only' AS tag FROM (
 """
 
 
+def q_set_ops_all(spark, sf_dir):
+    """INTERSECT ALL / EXCEPT ALL — the multiplicity-preserving set
+    family (§2.8): per-key counts are min(l, r) and max(l - r, 0)
+    respectively, which the engines implement with the same one-
+    exchange hash-partition plan as the DISTINCT variants plus a
+    count buffer. Lineitem line numbers per orderkey give real
+    multiplicity (an orderkey appears once per line)."""
+    li = _t(spark, sf_dir, "lineitem")
+    shipped = li.filter(F.col("l_returnflag") == "N").select("l_orderkey")
+    high = li.filter(F.col("l_quantity") > 25.0).select("l_orderkey")
+    inter = shipped.intersectAll(high).select(
+        F.col("l_orderkey"), F.lit("inter_all").alias("tag")
+    )
+    exc = shipped.exceptAll(high).select(
+        F.col("l_orderkey"), F.lit("except_all").alias("tag")
+    )
+    return inter.unionByName(exc)
+
+
+SQL_SET_OPS_ALL = """
+SELECT l_orderkey, 'inter_all' AS tag FROM (
+  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'N'
+  INTERSECT ALL
+  SELECT l_orderkey FROM lineitem WHERE l_quantity > 25.0
+)
+UNION ALL
+SELECT l_orderkey, 'except_all' AS tag FROM (
+  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'N'
+  EXCEPT ALL
+  SELECT l_orderkey FROM lineitem WHERE l_quantity > 25.0
+)
+"""
+
+
+def q_unpivot(spark, sf_dir):
+    """UNPIVOT/melt (the inverse of q_pivot): wide per-part metric
+    columns → long (part, metric, value) rows — the DataFrame
+    ``unpivot`` API over a computed wide projection, matched against
+    DuckDB's UNPIVOT."""
+    p = _t(spark, sf_dir, "part")
+    wide = p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+        F.length("p_name").cast("double").alias("name_len"),
+    )
+    return wide.unpivot(
+        ids=["p_partkey"],
+        values=["size", "retailprice", "name_len"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+SQL_UNPIVOT = """
+UNPIVOT (
+  SELECT p_partkey,
+         CAST(p_size AS DOUBLE) AS size,
+         p_retailprice AS retailprice,
+         CAST(length(p_name) AS DOUBLE) AS name_len
+  FROM part
+) ON size, retailprice, name_len INTO NAME metric VALUE value
+"""
+
+
 def q_distinct_agg(spark, sf_dir):
     """Exact distinct aggregation per group (no distinct-agg exists in
     the reference, §2.5 note). Catalyst plans count(DISTINCT x) as a
@@ -2705,6 +2770,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multi_join_topk": (q_multi_join_topk, SQL_MULTI_JOIN),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "set_ops": (q_set_ops, SQL_SET_OPS),
+    "set_ops_all": (q_set_ops_all, SQL_SET_OPS_ALL),
+    "unpivot": (q_unpivot, SQL_UNPIVOT),
     "distinct_agg": (q_distinct_agg, SQL_DISTINCT_AGG),
     "join_inner_residual": (q_join_inner_residual, SQL_JOIN_INNER),
     "anti_join": (q_anti_join, SQL_ANTI),
