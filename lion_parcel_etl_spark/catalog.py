@@ -97,25 +97,35 @@ class Warehouse:
         """Append-only write (no swap): the shape for accretive tables
         — signature stores, history partitions, pair logs. Not atomic
         against concurrent readers the way overwrite is; a reader may
-        see a partially-written batch's files (back with a table format
-        for snapshot isolation)."""
-        path = self.table_path(name)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        before = self._parquet_files(path) if self.metrics is not None else set()
+        see a partially-moved batch's files (back with a table format
+        for snapshot isolation).
+
+        The batch lands in a private tmp dir and its files are RENAMED
+        into the table (uuid-prefixed names; same-filesystem renames),
+        so both the write and the metrics attribution are
+        O(files-just-written) — never a walk of the accreted table,
+        which for a long-lived store would grow with table age."""
+        final = self.table_path(name)
+        os.makedirs(final, exist_ok=True)
+        tmp = f"{final}.__tmp__{uuid.uuid4().hex[:8]}"
         writer = df.write.mode("append")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(path)
+        writer.parquet(tmp)
+        moved: list[str] = []
+        for dirpath, _dirs, files in os.walk(tmp):
+            rel = os.path.relpath(dirpath, tmp)
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                dstdir = final if rel == "." else os.path.join(final, rel)
+                os.makedirs(dstdir, exist_ok=True)
+                dst = os.path.join(dstdir, f"{uuid.uuid4().hex[:8]}-{f}")
+                os.rename(os.path.join(dirpath, f), dst)
+                moved.append(dst)
+        shutil.rmtree(tmp, ignore_errors=True)
         if self.metrics is not None:
-            # record only THIS append's files, not the accreted table
-            self.metrics.record_files(name, sorted(self._parquet_files(path) - before))
-
-    @staticmethod
-    def _parquet_files(path: str) -> set[str]:
-        out = set()
-        for dirpath, _dirs, files in os.walk(path):
-            out.update(os.path.join(dirpath, f) for f in files if f.endswith(".parquet"))
-        return out
+            self.metrics.record_files(name, sorted(moved))
 
     def append_batch(self, df: DataFrame, name: str, batch_id: int | str) -> None:
         """Idempotent append for checkpointed micro-batch writers: the

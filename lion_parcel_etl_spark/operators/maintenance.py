@@ -74,26 +74,57 @@ def compact(
 
 
 def vacuum(wh: Warehouse, min_age_seconds: float = 3600.0) -> list[str]:
-    """Remove orphaned ``.__tmp__*`` / ``.__old__*`` directories left by
-    a writer that crashed between its write and its swap. Only
-    directories older than ``min_age_seconds`` are touched, so a
-    concurrently-running writer's live temp dir is never yanked out
-    from under it. Returns the removed paths.
+    """Clean up ``.__tmp__*`` / ``.__old__*`` directories left by a
+    writer that crashed between its write and its swap.
+
+    Crash-recovery rule first, deletion second: a swap renames
+    ``base -> base.__old__x`` and then ``tmp -> base``; a crash between
+    the two leaves the COMMITTED data only in ``__old__`` with no
+    ``base``. Such an ``__old__`` is RESTORED (renamed back to
+    ``base``), never deleted — deleting it would turn a recoverable
+    crash into permanent data loss. Only debris whose base path exists
+    (i.e. genuinely superseded or uncommitted) is removed.
+
+    Age check: a directory counts as stale only when the NEWEST mtime
+    in its whole tree is older than ``min_age_seconds`` — a live
+    long-running write keeps touching files deep inside its tmp dir,
+    so it can never look stale no matter how long the job runs (the
+    top-level mtime alone is set at job start and would).
+
+    Returns the removed paths (restores are not in the list).
     """
     import re
     import shutil
     import time
 
-    pat = re.compile(r"\.(__tmp__|__old__)[0-9a-f]{8}$")
+    pat = re.compile(r"^(?P<base>.+)\.(__tmp__|__old__)[0-9a-f]{8}$")
+
+    def newest_mtime(path: str) -> float:
+        newest = os.path.getmtime(path)
+        for dp, dns, fns in os.walk(path):
+            for entry in dns + fns:
+                try:
+                    newest = max(newest, os.path.getmtime(os.path.join(dp, entry)))
+                except OSError:
+                    continue
+        return newest
+
     removed: list[str] = []
     cutoff = time.time() - min_age_seconds
     for dirpath, dirnames, _files in os.walk(wh.root):
         for d in list(dirnames):
-            if not pat.search(d):
+            m = pat.match(d)
+            if not m:
                 continue
             full = os.path.join(dirpath, d)
+            base = os.path.join(dirpath, m.group("base"))
             try:
-                if os.path.getmtime(full) <= cutoff:
+                if "__old__" in d and not os.path.exists(base):
+                    # interrupted swap: this is the only committed copy
+                    os.rename(full, base)
+                    dirnames.remove(d)
+                    continue
+                if newest_mtime(full) <= cutoff:
                     shutil.rmtree(full, ignore_errors=True)
                     removed.append(full)
                     dirnames.remove(d)

@@ -246,13 +246,18 @@ def redact_pii(text: Column) -> tuple[Column, Column]:
     """(redacted_text, n_redactions): emails, phone numbers and IPv4
     literals replaced by typed placeholders — the scrubbing pass a
     training corpus runs before anything else. Pure per-row regex
-    expressions (zero shuffle, whole-stage codegen); counts are taken
-    per pattern on the ORIGINAL text (the patterns don't overlap), so
-    the count column is order-independent and SQL-mirrorable.
+    expressions (zero shuffle, whole-stage codegen).
+
+    Each pattern is counted on the text AS ALREADY REDACTED by the
+    previous patterns, so ``n_redactions`` equals the number of
+    replacements actually performed even when patterns overlap (e.g.
+    a phone number embedded in an email's local part is consumed by
+    the email replacement and not double-counted). The SQL oracle
+    mirrors the same replacement chain.
     """
     redacted = text
     n = F.lit(0).cast("long")
     for placeholder, pat in PII_PATTERNS:
-        n = n + F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("long")
+        n = n + F.size(F.regexp_extract_all(redacted, F.lit(pat), 0)).cast("long")
         redacted = F.regexp_replace(redacted, pat, placeholder)
     return redacted, n

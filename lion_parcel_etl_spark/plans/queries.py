@@ -1454,21 +1454,7 @@ def q_multimodal_features(spark, sf_dir):
     vectors themselves are validated in tests/test_multimodal.py."""
     from lion_parcel_etl_spark.operators.multimodal import extract_features
 
-    docs = _t(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
-        ).alias("kind"),
-        F.col("text").cast("binary").alias("payload"),
-        F.struct(
-            F.lit("application/octet-stream").alias("mime"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
-        ).alias("meta"),
-    )
+    media = _media_table(spark, sf_dir)
     feats = extract_features(media)
     return feats.select("media_id", "kind", "n_bytes", "digest")
 
@@ -1594,10 +1580,12 @@ def _duck_pii_redact() -> str:
         " || ' from 10.0.' || CAST(c_custkey % 256 AS VARCHAR)"
         " || '.' || CAST((c_custkey * 7) % 256 AS VARCHAR)"
     )
+    # counts mirror the operator: each pattern counted on the text as
+    # already redacted by the previous patterns (overlap-safe)
     red = "t"
     count_terms = []
     for placeholder, pat in TX.PII_PATTERNS:
-        count_terms.append(f"len(regexp_extract_all(t, '{pat}'))")
+        count_terms.append(f"len(regexp_extract_all({red}, '{pat}'))")
         red = f"regexp_replace({red}, '{pat}', '{placeholder}', 'g')"
     counts = " + ".join(count_terms)
     return f"""
@@ -2169,7 +2157,13 @@ def q_unpivot(spark, sf_dir):
     """UNPIVOT/melt (the inverse of q_pivot): wide per-part metric
     columns → long (part, metric, value) rows — the DataFrame
     ``unpivot`` API over a computed wide projection, matched against
-    DuckDB's UNPIVOT."""
+    DuckDB's UNPIVOT.
+
+    Null semantics are made EXPLICIT: Spark's unpivot keeps null-value
+    rows while DuckDB's UNPIVOT silently drops them, so the Spark side
+    filters nulls to pin the shared (exclude-nulls) semantics — on
+    nullable metrics the two would otherwise diverge even though this
+    table's metrics happen to be non-null."""
     p = _t(spark, sf_dir, "part")
     wide = p.select(
         "p_partkey",
@@ -2182,7 +2176,7 @@ def q_unpivot(spark, sf_dir):
         values=["size", "retailprice", "name_len"],
         variableColumnName="metric",
         valueColumnName="value",
-    )
+    ).filter(F.col("value").isNotNull())
 
 
 SQL_UNPIVOT = """

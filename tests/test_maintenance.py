@@ -71,3 +71,44 @@ def test_vacuum_removes_only_stale_writer_debris(spark, tmp_path):
     assert not os.path.exists(stale) and os.path.exists(fresh)
     # live table untouched
     assert wh.read(spark, "t").count() == 5
+
+
+def test_vacuum_restores_interrupted_swap(spark, tmp_path):
+    """Crash between the two swap renames leaves committed data ONLY in
+    __old__ with no base dir — vacuum must restore it, not delete it."""
+    import os
+    import shutil
+
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.maintenance import vacuum
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    wh.overwrite(spark.range(7), "t")
+    tdir = wh.table_path("t")
+    old = f"{tdir}.__old__deadbeef"
+    shutil.move(tdir, old)  # simulate: base renamed away, new swap never landed
+    os.utime(old, (0, 0))
+    removed = vacuum(wh, min_age_seconds=0)
+    assert removed == []
+    assert wh.read(spark, "t").count() == 7
+
+
+def test_vacuum_spares_recently_active_tmp_tree(spark, tmp_path):
+    """A live writer touches files DEEP in its tmp dir; vacuum must use
+    the newest mtime in the tree, not the top-level dir mtime."""
+    import os
+
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.maintenance import vacuum
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    wh.overwrite(spark.range(3), "t")
+    tdir = wh.table_path("t")
+    tmp = f"{tdir}.__tmp__cafed00d"
+    os.makedirs(os.path.join(tmp, "inner"))
+    with open(os.path.join(tmp, "inner", "part-0.parquet"), "w") as f:
+        f.write("x")  # fresh mtime deep inside
+    os.utime(tmp, (0, 0))  # top-level dir looks ancient
+    removed = vacuum(wh, min_age_seconds=3600)
+    assert removed == []
+    assert os.path.isdir(tmp)

@@ -157,3 +157,16 @@ def test_redact_pii_replaces_and_counts(spark):
     assert got[1] == ("mail <EMAIL> and <PHONE> from <IP>", 3)
     assert got[2] == ("no pii here at all", 0)
     assert got[3] == ("two mails <EMAIL> <EMAIL>", 2)
+
+
+def test_redact_pii_overlapping_patterns_count_replacements(spark):
+    """A phone embedded in an email's local part is consumed by the
+    email replacement — it must count ONCE, not twice (counts run on
+    the progressively-redacted text)."""
+    from lion_parcel_etl_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame([(1, "reach me: 555-123-4567@corp.com")], "id long, text string")
+    red, n = redact_pii(F.col("text"))
+    r = df.select(red.alias("red"), n.alias("n")).first()
+    assert r.red == "reach me: <EMAIL>"
+    assert r.n == 1
