@@ -2416,6 +2416,44 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
+WINDOW_RANGE_S = 7 * 86400  # rolling 7 days
+
+
+def q_window_range(spark, sf_dir):
+    """Time-RANGE window frame: per-customer rolling 7-day spend and
+    order count — the frame is defined by a VALUE range over event
+    time (epoch seconds), not a row count, so bursts of same-day
+    orders all see the same trailing window. Same one-sort-per-
+    partition execution as a ROWS frame; exact cents keep the rolling
+    sum order-stable. DuckDB twin uses the identical numeric RANGE
+    frame over epoch(o_orderdate)."""
+    o = _t(spark, sf_dir, "orders")
+    epoch = F.unix_timestamp("o_orderdate")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-WINDOW_RANGE_S, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        fmt_ts("o_orderdate").alias("order_ts"),
+        (F.sum(cents(F.col("o_totalprice"))).over(w) / 100.0).alias("spend_7d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_7d"),
+    )
+
+
+SQL_WINDOW_RANGE = f"""
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '{TS_FMT_DUCK}') AS order_ts,
+       SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER w / 100.0 AS spend_7d,
+       COUNT(*) OVER w AS n_orders_7d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN {WINDOW_RANGE_S} PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_window_running(spark, sf_dir):
     """Window navigation + running frame (lag/lead/row_number/
     cumulative sum) — completes the window family next to
@@ -2765,6 +2803,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "set_ops": (q_set_ops, SQL_SET_OPS),
     "set_ops_all": (q_set_ops_all, SQL_SET_OPS_ALL),
+    "window_range": (q_window_range, SQL_WINDOW_RANGE),
     "unpivot": (q_unpivot, SQL_UNPIVOT),
     "distinct_agg": (q_distinct_agg, SQL_DISTINCT_AGG),
     "join_inner_residual": (q_join_inner_residual, SQL_JOIN_INNER),
