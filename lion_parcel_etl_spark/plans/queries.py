@@ -2416,6 +2416,69 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
+FUNNEL_WINDOW_S = 3600  # click → purchase conversion horizon
+
+
+def q_funnel_conversion(spark, sf_dir):
+    """Two-step funnel with a time horizon: for each user's FIRST
+    click, did a purchase follow within an hour? Conversion counts per
+    click-day. Built from the engine's own primitives — a per-user min
+    (first click), then a forward as-of join to the next purchase —
+    so the sequence analysis is two hash shuffles on user_id, never a
+    per-user collect or a nested-loop time join."""
+    from lion_parcel_etl_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .groupBy("user_id", "ts")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+    )
+    joined = asof_join(first_click, purchases, ["user_id"], direction="forward")
+    converted = (
+        F.col("ts_r").isNotNull()
+        & (F.unix_timestamp("ts_r") - F.unix_timestamp("ts") <= FUNNEL_WINDOW_S)
+    )
+    return (
+        joined.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("click_day"),
+            converted.cast("int").alias("conv"),
+        )
+        .groupBy("click_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_first_clicks"),
+            F.sum("conv").cast("long").alias("n_converted"),
+        )
+        .orderBy("click_day")
+    )
+
+
+SQL_FUNNEL = f"""
+WITH first_click AS (
+  SELECT user_id, MIN(ts) AS ts FROM events WHERE event_type = 'click'
+  GROUP BY user_id
+), purchases AS (
+  SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT strftime(f.ts, '%Y-%m-%d') AS click_day,
+       COUNT(*) AS n_first_clicks,
+       CAST(SUM(CASE WHEN p.ts IS NOT NULL
+                      AND date_diff('second', f.ts, p.ts) <= {FUNNEL_WINDOW_S}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM first_click f ASOF LEFT JOIN purchases p
+  ON f.user_id = p.user_id AND f.ts <= p.ts
+GROUP BY strftime(f.ts, '%Y-%m-%d')
+ORDER BY click_day
+"""
+
+
 WINDOW_RANGE_S = 7 * 86400  # rolling 7 days
 
 
@@ -2804,6 +2867,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "set_ops": (q_set_ops, SQL_SET_OPS),
     "set_ops_all": (q_set_ops_all, SQL_SET_OPS_ALL),
     "window_range": (q_window_range, SQL_WINDOW_RANGE),
+    "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL),
     "unpivot": (q_unpivot, SQL_UNPIVOT),
     "distinct_agg": (q_distinct_agg, SQL_DISTINCT_AGG),
     "join_inner_residual": (q_join_inner_residual, SQL_JOIN_INNER),
