@@ -48,6 +48,8 @@ HEADLINE = [
     "window_topk",
     "window_running",
     "window_ranks",
+    "window_range",
+    "funnel_conversion",
     "full_outer_join",
     "exists_subquery",
     "scalar_subquery",
