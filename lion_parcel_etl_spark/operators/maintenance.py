@@ -97,7 +97,7 @@ def vacuum(wh: Warehouse, min_age_seconds: float = 3600.0) -> list[str]:
     import shutil
     import time
 
-    pat = re.compile(r"^(?P<base>.+)\.(__tmp__|__old__)[0-9a-f]{8}$")
+    pat = re.compile(r"^(?P<base>.+)\.(?P<marker>__tmp__|__old__)[0-9a-f]{8}$")
 
     def newest_mtime(path: str) -> float:
         newest = os.path.getmtime(path)
@@ -119,12 +119,18 @@ def vacuum(wh: Warehouse, min_age_seconds: float = 3600.0) -> list[str]:
             full = os.path.join(dirpath, d)
             base = os.path.join(dirpath, m.group("base"))
             try:
-                if "__old__" in d and not os.path.exists(base):
-                    # interrupted swap: this is the only committed copy
-                    os.rename(full, base)
-                    dirnames.remove(d)
+                stale = newest_mtime(full) <= cutoff
+                if m.group("marker") == "__old__" and not os.path.exists(base):
+                    # Interrupted swap: this is the only committed copy.
+                    # Restore ONLY when stale — a baseless __old__ also
+                    # exists for microseconds inside a LIVE swap (between
+                    # its two renames), and restoring then would make the
+                    # writer's tmp->final rename collide and crash it.
+                    if stale:
+                        os.rename(full, base)
+                        dirnames.remove(d)
                     continue
-                if newest_mtime(full) <= cutoff:
+                if stale:
                     shutil.rmtree(full, ignore_errors=True)
                     removed.append(full)
                     dirnames.remove(d)

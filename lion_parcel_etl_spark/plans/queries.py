@@ -2435,11 +2435,7 @@ def q_funnel_conversion(spark, sf_dir):
         .agg(F.min("ts").alias("ts"))
     )
     purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select("user_id", "ts")
-        .groupBy("user_id", "ts")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .drop("_n")
+        ev.filter(F.col("event_type") == "purchase").select("user_id", "ts").distinct()
     )
     joined = asof_join(first_click, purchases, ["user_id"], direction="forward")
     converted = (

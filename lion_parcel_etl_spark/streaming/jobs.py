@@ -169,10 +169,12 @@ def stream_merge_into(
     is >= the target's (an out-of-order source delivering an older
     event for a key in a later batch cannot regress the mart; >= keeps
     replayed batches idempotent). A batch row whose ``order_col`` is
-    NULL cannot establish ordering: it is inserted for a NEW key but
-    deliberately loses to ANY existing row (an unordered event never
-    overwrites an ordered mart entry). Without ``order_col``,
-    update-wins applies and the source must be ordered per key.
+    NULL cannot establish ordering: it is inserted for a NEW key and
+    loses to any existing row whose order is non-null (an unordered
+    event never overwrites an ordered mart entry); when the EXISTING
+    row's order is itself NULL, no ordering exists on either side and
+    plain update-wins applies. Without ``order_col``, update-wins
+    applies and the source must be ordered per key.
     """
     from lion_parcel_etl_spark.operators.merge_upsert import merge_upsert
 

@@ -112,3 +112,39 @@ def test_vacuum_spares_recently_active_tmp_tree(spark, tmp_path):
     removed = vacuum(wh, min_age_seconds=3600)
     assert removed == []
     assert os.path.isdir(tmp)
+
+
+def test_vacuum_marker_is_suffix_not_substring(spark, tmp_path):
+    """A TABLE NAME containing '__old__' must not trick the restore
+    path into publishing crashed __tmp__ debris as committed data."""
+    import os
+
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.maintenance import vacuum
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    os.makedirs(os.path.join(wh.root, "default"))
+    debris = os.path.join(wh.root, "default", "my__old__t.__tmp__deadbeef")
+    os.makedirs(debris)
+    os.utime(debris, (0, 0))
+    removed = vacuum(wh, min_age_seconds=0)
+    assert removed == [debris]
+    assert not os.path.exists(os.path.join(wh.root, "default", "my__old__t"))
+
+
+def test_vacuum_restore_waits_for_staleness(spark, tmp_path):
+    """A FRESH baseless __old__ is a live swap in flight — vacuum must
+    not restore it out from under the writer."""
+    import os
+    import shutil
+
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.maintenance import vacuum
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    wh.overwrite(spark.range(4), "t")
+    tdir = wh.table_path("t")
+    old = f"{tdir}.__old__cafebabe"
+    shutil.move(tdir, old)  # mid-swap state, mtimes are current
+    vacuum(wh, min_age_seconds=3600)
+    assert os.path.isdir(old) and not os.path.exists(tdir)
