@@ -2416,6 +2416,77 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
+HIST_BUCKETS = 10
+
+
+def q_histogram(spark, sf_dir):
+    """Equal-width histogram of order totals: bucket index by pure
+    floor math over the global min/max (broadcast 1-row aggregate —
+    no driver collect), counts per bucket. The max value clamps into
+    the last bucket. Exact integer cents make the bucket boundaries
+    engine-independent."""
+    o = _t(spark, sf_dir, "orders")
+    v = cents(F.col("o_totalprice"))
+    rng = o.agg(
+        F.min(v).alias("lo"),
+        F.max(v).alias("hi"),
+    )
+    # double division + truncating cast ≡ integer floor-division for
+    # positive operands with numerators < 2^53 (cents ~5e8 here), which
+    # is the DuckDB twin's `//`
+    b = F.least(
+        (((v - F.col("lo")) * HIST_BUCKETS) / (F.col("hi") - F.col("lo") + 1)).cast("long"),
+        F.lit(HIST_BUCKETS - 1).cast("long"),
+    )
+    return (
+        o.crossJoin(F.broadcast(rng))
+        .select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("bucket")
+    )
+
+
+SQL_HISTOGRAM = f"""
+WITH v AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders),
+r AS (SELECT MIN(c) AS lo, MAX(c) AS hi FROM v)
+SELECT least(((v.c - r.lo) * {HIST_BUCKETS}) // (r.hi - r.lo + 1),
+             {HIST_BUCKETS - 1}) AS bucket,
+       COUNT(*) AS n_orders
+FROM v CROSS JOIN r
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+def q_corr_stats(spark, sf_dir):
+    """Bivariate statistics per group: Pearson correlation and sample
+    covariance of quantity vs extended price — the aggregate family
+    q_stats_agg doesn't cover. Rounded at 1e-4 (double accumulation-
+    order noise is ~1e-10 at these magnitudes)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr(q, p), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp(q, p), 4).alias("covar_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_CORR = """
+SELECT l_returnflag, COUNT(*) AS n,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 FUNNEL_WINDOW_S = 3600  # click → purchase conversion horizon
 
 
@@ -2864,6 +2935,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "set_ops_all": (q_set_ops_all, SQL_SET_OPS_ALL),
     "window_range": (q_window_range, SQL_WINDOW_RANGE),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL),
+    "histogram": (q_histogram, SQL_HISTOGRAM),
+    "corr_stats": (q_corr_stats, SQL_CORR),
     "unpivot": (q_unpivot, SQL_UNPIVOT),
     "distinct_agg": (q_distinct_agg, SQL_DISTINCT_AGG),
     "join_inner_residual": (q_join_inner_residual, SQL_JOIN_INNER),
