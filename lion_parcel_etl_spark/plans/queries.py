@@ -1797,6 +1797,43 @@ SELECT doc_id, lang_guess, quality, n_tokens FROM rep WHERE rn = 1
 """
 
 
+def q_embedding_clusters(spark, sf_dir):
+    """Cluster formation in EMBEDDING space: connected components over
+    the exact cosine near-dup pair graph → canonical cluster_id per
+    vector (min vec_id of its component) — the same pairs→groups step
+    q_dedup_clusters provides for text, completing the dedup story for
+    the second modality. Labels broadcast for the final left join
+    (only paired vectors carry labels)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = SIM.embedding_near_dup(emb, threshold=0.35, n_blocks=8)
+    cc = F.broadcast(DD.connected_components(pairs, "id_a", "id_b"))
+    return (
+        emb.select("vec_id")
+        .join(cc, emb["vec_id"] == cc["node"], "left")
+        .select("vec_id", F.coalesce("component", "vec_id").alias("cluster_id"))
+    )
+
+
+def _duck_embedding_clusters() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_duck_embedding_near_dup()})
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a
+)
+SELECT e.vec_id, COALESCE(c.cluster, e.vec_id) AS cluster_id
+FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force exact ANN baseline: top-5 cosine neighbors for the
     first 5 vectors."""
@@ -2986,6 +3023,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     "cosine_topk": (q_cosine_topk, SQL_COSINE),
     "dedup_embedding": (q_embedding_near_dup, _duck_embedding_near_dup()),
+    "embedding_clusters": (q_embedding_clusters, _duck_embedding_clusters()),
     "dedup_embedding_lsh": (q_embedding_near_dup_lsh, _duck_embedding_near_dup_lsh()),
     "lsh_topk": (q_lsh_topk, _duck_lsh_topk()),
     "ivf_topk": (q_ivf_topk, None),
