@@ -2453,6 +2453,61 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
+DORMANT_CUTOFF = "2000-01-01 00:00:00"
+
+
+def q_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape: customers with above-average positive balance
+    with NO orders after the cutoff (dormant, not absent — every
+    synthetic customer has old orders) — scalar aggregate subquery +
+    anti join + group-by, per nation. The above-average threshold compares in
+    exact integers (cents·n > sum_cents — the scalar_subquery trick),
+    so no float boundary can flip membership between engines; the
+    one-row average aggregate joins in as a broadcast, and the
+    anti-join side projects to order custkeys before its exchange."""
+    c = _t(spark, sf_dir, "customer")
+    bal = cents(F.col("c_acctbal"))
+    pos = c.filter(F.col("c_acctbal") > 0.0)
+    avg_row = pos.agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum(bal).alias("sum_pos"),
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(DORMANT_CUTOFF))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_row))
+        .filter(bal * F.col("n_pos") > F.col("sum_pos"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            (F.sum(bal) / 100.0).alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+SQL_DORMANT = f"""
+WITH a AS (
+  SELECT COUNT(*) AS n_pos,
+         SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS sum_pos
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, COUNT(*) AS n_custs,
+       SUM(CAST(round(c_acctbal*100) AS BIGINT)) / 100.0 AS total_bal
+FROM customer c CROSS JOIN a
+WHERE CAST(round(c_acctbal*100) AS BIGINT) * a.n_pos > a.sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{DORMANT_CUTOFF}')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 HIST_BUCKETS = 10
 
 
@@ -2973,6 +3028,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "window_range": (q_window_range, SQL_WINDOW_RANGE),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL),
     "histogram": (q_histogram, SQL_HISTOGRAM),
+    "dormant_customers": (q_dormant_customers, SQL_DORMANT),
     "corr_stats": (q_corr_stats, SQL_CORR),
     "unpivot": (q_unpivot, SQL_UNPIVOT),
     "distinct_agg": (q_distinct_agg, SQL_DISTINCT_AGG),
