@@ -118,3 +118,47 @@ def test_scd2_unchanged_snapshot_is_noop(spark, rows):
     c1 = sorted(map(tuple, state1.select("id", "val", "is_current").collect()))
     c2 = sorted(map(tuple, state2.select("id", "val", "is_current").collect()))
     assert c1 == c2
+
+
+# --- as-of join vs brute force ------------------------------------------
+
+TS = st.integers(min_value=0, max_value=50)
+ASOF_LEFT = st.lists(st.tuples(KEYS, TS), min_size=1, max_size=10, unique=True)
+ASOF_RIGHT = st.lists(st.tuples(KEYS, TS), max_size=10).map(
+    lambda rows: list({(k, t): (k, t, k * 100 + t) for k, t in rows}.values())
+)  # unique (key, ts), deterministic payload
+
+
+@given(left=ASOF_LEFT, right=ASOF_RIGHT, direction=st.sampled_from(["backward", "forward"]))
+@SLOW_OK
+def test_asof_join_matches_bruteforce(spark, left, right, direction):
+    """asof_join == per-row argmin/argmax over the inequality, for ANY
+    input: inclusive ties, no-match nulls, both directions."""
+    from lion_parcel_etl_spark.operators.temporal import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid int, k int, ts int"
+    )
+    rdf = spark.createDataFrame(right or [(None, None, None)], "k int, ts int, pay int").filter(
+        F.col("k").isNotNull()
+    )
+    out = {
+        r["lid"]: (r["pay_r"], r["ts_r"])
+        for r in asof_join(ldf, rdf, ["k"], left_ts="ts", direction=direction).collect()
+    }
+
+    def brute(k, t):
+        if direction == "backward":
+            cands = [(rt, pay) for (rk, rt, pay) in (right or []) if rk == k and rt <= t]
+            if not cands:
+                return (None, None)
+            rt, pay = max(cands)
+            return (pay, rt)
+        cands = [(rt, pay) for (rk, rt, pay) in (right or []) if rk == k and rt >= t]
+        if not cands:
+            return (None, None)
+        rt, pay = min(cands)
+        return (pay, rt)
+
+    for i, (k, t) in enumerate(left):
+        assert out[i] == brute(k, t), (direction, k, t, out[i], brute(k, t))
