@@ -2938,6 +2938,41 @@ LIMIT {VOCAB_TOPK}
 """
 
 
+def q_bigram_frequency(spark, sf_dir):
+    """Corpus bigram counts, top-k — the n-gram LM/tokenizer-training
+    statistic next to the unigram vocabulary: word 2-shingles (the same
+    zipped-slice construction MinHash shingling uses, so no per-element
+    re-tokenization), exploded WITH multiplicity (a repeated bigram in
+    one doc counts every occurrence), partial-agg absorbed skew,
+    TakeOrderedAndProject top-k."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = DD.tokens(F.col("text"))
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.arrays_zip(F.slice(toks, 1, m), F.slice(toks, 2, m))
+    bigrams = F.transform(pairs, lambda s: F.concat_ws(" ", s["0"], s["1"]))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(VOCAB_TOPK)
+    )
+
+
+SQL_BIGRAM_FREQ = f"""
+SELECT bigram, COUNT(*) AS n
+FROM (
+  SELECT unnest(list_transform(
+           range(1, greatest(len({_DUCK_TOKS}) - 1, 0) + 1),
+           i -> {_DUCK_TOKS}[i] || ' ' || {_DUCK_TOKS}[i+1])) AS bigram
+  FROM documents
+)
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT {VOCAB_TOPK}
+"""
+
+
 def q_doc_chunking(spark, sf_dir):
     """Fixed-size token chunking with overlap (training-sample maker):
     windows of {CHUNK_SIZE} tokens every {CHUNK_STRIDE} — pure per-row
@@ -3030,6 +3065,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "histogram": (q_histogram, SQL_HISTOGRAM),
     "dormant_customers": (q_dormant_customers, SQL_DORMANT),
     "corr_stats": (q_corr_stats, SQL_CORR),
+    "bigram_frequency": (q_bigram_frequency, SQL_BIGRAM_FREQ),
     "unpivot": (q_unpivot, SQL_UNPIVOT),
     "distinct_agg": (q_distinct_agg, SQL_DISTINCT_AGG),
     "join_inner_residual": (q_join_inner_residual, SQL_JOIN_INNER),
