@@ -93,12 +93,15 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    import time
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir)
             if driver_sim:
@@ -112,7 +115,7 @@ def main():
             failed.append(name)
             continue
         if name not in oracles:
-            print(f"okro {name}: rows-only ({len(srows)} rows)")
+            print(f"okro {name}: rows-only ({len(srows)} rows) [{time.perf_counter() - t0:.1f}s]")
             continue
         try:
             res = con.execute(oracles[name])
@@ -143,7 +146,10 @@ def main():
             print(f"FAIL {name}: " + " | ".join(problems))
             failed.append(name)
         else:
-            print(f"ok   {name}: {len(srows)} rows match")
+            # elapsed = Spark + DuckDB + compare: flags queries whose
+            # ORACLE cost (e.g. recursive closures) would bloat a
+            # driver-side correctness run
+            print(f"ok   {name}: {len(srows)} rows match [{time.perf_counter() - t0:.1f}s]")
     print("\n==", "ALL OK" if not failed else f"FAILED: {failed}")
     return 1 if failed else 0
 
