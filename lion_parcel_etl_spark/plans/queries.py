@@ -275,6 +275,59 @@ def _event_snapshot(ev, cutoff):
     )
 
 
+def q_scd2_dimension_join(spark, sf_dir):
+    """Point-in-time dimension join — THE query SCD2 history exists
+    for: each fact row joined to the dimension VERSION valid at its
+    event time (valid_from <= ts < valid_to). Implemented as the as-of
+    operator on valid_from (versions are contiguous per key, so the
+    latest version at-or-before the event is the containing one) plus
+    a residual upper-bound filter — one shuffle on the key, never an
+    inequality nested-loop join. Facts whose ts precedes the user's
+    first version drop out (inner point-in-time semantics)."""
+    from lion_parcel_etl_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    s1 = _event_snapshot(ev, EV_C1)
+    s2 = _event_snapshot(ev, EV_C2)
+    state1 = scd2_apply(None, s1, ["user_id"], ["event_type", "value"], "ts", RUN0)
+    state2 = scd2_apply(state1, s2, ["user_id"], ["event_type", "value"], "ts", RUN1)
+    dim = state2.select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        "valid_to",
+        F.col("event_type").alias("state_event_type"),
+        F.col("value").alias("state_value"),
+    )
+    facts = ev.select("event_id", "user_id", "ts")
+    j = asof_join(facts, dim, ["user_id"], direction="backward")
+    return (
+        j.filter(F.col("ts") < F.col("valid_to_r"))
+        .select(
+            "event_id",
+            "user_id",
+            fmt_ts("ts").alias("event_ts"),
+            F.col("state_event_type_r").alias("state_event_type"),
+            F.col("state_value_r").alias("state_value"),
+        )
+    )
+
+
+def _sql_scd2_dim_join() -> str:
+    # reuse the full SCD2 oracle as the dimension; its fixed-width
+    # timestamp strings compare lexicographically == chronologically
+    return f"""
+WITH dim AS ({{scd2}})
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '{TS_FMT_DUCK}') AS event_ts,
+       d.event_type AS state_event_type,
+       d.value AS state_value
+FROM events e JOIN dim d
+  ON d.user_id = e.user_id
+ AND strftime(e.ts, '{TS_FMT_DUCK}') >= d.valid_from
+ AND strftime(e.ts, '{TS_FMT_DUCK}') < d.valid_to
+"""
+
+
 def q_scd2_events(spark, sf_dir):
     """Two-run SCD2 apply (reference retail_transactions_scd.sql whole
     model: J2/J3/J4/U1/F4/F16) over an events changelog: snapshot =
@@ -3055,6 +3108,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "merge_upsert": (q_merge_upsert, SQL_MERGE),
     "softdelete_mart": (q_softdelete_mart, SQL_SOFTDELETE),
     "scd2_events": (q_scd2_events, SQL_SCD2),
+    "scd2_dimension_join": (
+        q_scd2_dimension_join,
+        _sql_scd2_dim_join().format(scd2=SQL_SCD2),
+    ),
     "join_left": (q_join_left, SQL_JOIN_LEFT),
     "multi_join_topk": (q_multi_join_topk, SQL_MULTI_JOIN),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
