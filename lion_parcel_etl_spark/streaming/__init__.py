@@ -5,6 +5,7 @@ from lion_parcel_etl_spark.streaming.jobs import (  # noqa: F401
     stream_merge_into,
     stream_metrics_detail,
     stream_near_dup_pairs,
+    stream_scd2,
     stream_session_windows,
     stream_running_user_totals,
 )

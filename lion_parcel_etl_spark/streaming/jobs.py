@@ -331,3 +331,59 @@ def stream_session_windows(
             "n_events",
         )
     )
+
+
+def stream_scd2(
+    df: DataFrame,
+    warehouse,
+    table: str,
+    key: list[str],
+    tracked: list[str],
+    snapshot_ts_col: str,
+    checkpoint: str,
+    run_ts_col: str | None = None,
+) -> None:
+    """Streaming SCD2 dimension maintenance via ``foreachBatch`` — the
+    continuous twin of the reference's hourly SCD2 dbt run: each
+    micro-batch reduces to one snapshot row per key (latest by
+    ``snapshot_ts_col``) and applies one SCD2 run through
+    ``scd2_apply_partitioned``, so the history partition is append-only
+    and only the small current partition is swapped per batch (the
+    target dimension is never shuffled — scd2_apply's semi-prune +
+    broadcast contract).
+
+    The injected run timestamp is the batch's max ``snapshot_ts_col``
+    (or ``run_ts_col`` if given) — deterministic from the data, never
+    wall clock, so a checkpoint replay of the same batch applies an
+    IDENTICAL run: change detection then sees no differences and the
+    dimension is unchanged (idempotent up to the non-transactional
+    swap caveat of the partitioned materializer).
+    """
+    from lion_parcel_etl_spark.operators.scd2 import scd2_apply_partitioned
+
+    order_col = run_ts_col or snapshot_ts_col
+
+    def _batch(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key).orderBy(F.col(order_col).desc())
+        snap = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        run_ts = str(batch.agg(F.max(order_col)).first()[0])
+        scd2_apply_partitioned(
+            spark, warehouse, table, snap, key, tracked, snapshot_ts_col, run_ts
+        )
+
+    q = (
+        df.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -299,3 +299,44 @@ def test_stream_session_windows_match_batch_sessionize(spark, tmp_path, events_d
     )
     want = {r.user_id: r.n_sessions for r in want_df.collect()}
     assert got_counts == want
+
+
+def test_stream_scd2_matches_batch_two_runs(spark, tmp_path):
+    """Two micro-batches through the streaming SCD2 materializer must
+    leave the dimension in the same state as two batch scd2_apply runs
+    over the same snapshots."""
+    import datetime as dt
+
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.scd2 import scd2_apply
+    from lion_parcel_etl_spark.streaming import stream_scd2
+
+    schema = "user_id long, status string, ts timestamp"
+    t1, t2 = dt.datetime(2024, 1, 1, 10), dt.datetime(2024, 1, 2, 10)
+    b1 = [(1, "new", t1), (2, "new", t1)]
+    b2 = [(1, "active", t2), (2, "new", t2)]  # user 1 changed, user 2 not
+
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        stream_scd2(stream, wh, "dim", ["user_id"], ["status"], "ts", ckpt)
+
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(landing)
+    run()
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(landing)
+    run()
+
+    got = wh.read(spark, "dim").drop("state")
+    s1 = spark.createDataFrame(b1, schema)
+    s2 = spark.createDataFrame(b2, schema)
+    want1 = scd2_apply(None, s1, ["user_id"], ["status"], "ts", str(t1))
+    want = scd2_apply(want1, s2, ["user_id"], ["status"], "ts", str(t2))
+    cols = ["user_id", "status", "valid_from", "valid_to", "is_current"]
+    canon = lambda df: sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+    assert canon(got) == canon(want)
+    # user 1: two versions, old expired at t2; user 2: single current
+    assert got.filter("user_id = 1").count() == 2
+    assert got.filter("user_id = 2").count() == 1
