@@ -162,3 +162,53 @@ def test_asof_join_matches_bruteforce(spark, left, right, direction):
 
     for i, (k, t) in enumerate(left):
         assert out[i] == brute(k, t), (direction, k, t, out[i], brute(k, t))
+
+
+# --- range join vs brute force ------------------------------------------
+
+POINTS = st.lists(st.tuples(KEYS, TS), min_size=1, max_size=8, unique=True)
+INTERVALS = st.lists(
+    st.tuples(KEYS, TS, st.integers(min_value=0, max_value=20)),
+    max_size=6,
+    unique=True,
+).map(lambda rows: [(k, s, s + d) for k, s, d in rows])
+
+
+@given(points=POINTS, intervals=INTERVALS, bin_s=st.sampled_from([1, 3, 7]))
+@SLOW_OK
+def test_range_join_matches_bruteforce(spark, points, intervals, bin_s):
+    """Bin-discretized range join == brute-force containment for ANY
+    input and ANY bin width — including intervals straddling bin edges
+    and points exactly on interval endpoints (inclusive both ends)."""
+    import datetime as dt
+
+    from lion_parcel_etl_spark.operators.temporal import range_join
+
+    epoch = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return epoch + dt.timedelta(seconds=s)
+
+    pdf = spark.createDataFrame(
+        [(i, k, ts(t)) for i, (k, t) in enumerate(points)],
+        "pid int, k int, pts timestamp",
+    )
+    idf = spark.createDataFrame(
+        [(j, k, ts(s), ts(e)) for j, (k, s, e) in enumerate(intervals)]
+        or [(None, None, None, None)],
+        "iid int, k int, s timestamp, e timestamp",
+    ).filter(F.col("iid").isNotNull())
+
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(
+            pdf, idf, point_ts="pts", start_col="s", end_col="e", by=["k"], bin_seconds=bin_s
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (pk, pt) in enumerate(points)
+        for j, (ik, s, e) in enumerate(intervals)
+        if pk == ik and s <= pt <= e
+    }
+    assert got == want
