@@ -41,11 +41,12 @@ def audit(name: str, plan: str) -> list[str]:
         "tfidf_topk",
         "bm25_rank",
         "histogram",
+        "dormant_customers",
     ):
         # intentional BNLJs: cosine_topk broadcasts a tiny query set;
-        # tfidf/bm25/histogram cross-join a broadcast ONE-ROW stats
-        # aggregate (N, avgdl, min/max) — a scalar fan-in, not a pair
-        # explosion
+        # tfidf/bm25/histogram/dormant_customers cross-join a broadcast
+        # ONE-ROW stats aggregate (N, avgdl, min/max, avg balance) — a
+        # scalar fan-in, not a pair explosion
         flags.append("BNLJ")
     if "BatchEvalPython" in plan:
         flags.append("PY_UDF_ROW_AT_A_TIME")
