@@ -248,3 +248,40 @@ def test_partitioned_merge_equals_plain_merge(spark, tmp_path_factory, base, upd
     got = sorted(tuple(r) for r in wh.read(spark, "t").select("id", "val", "day").collect())
     want = sorted(tuple(r) for r in merge_upsert(b, u, keys=["id"]).collect())
     assert got == want
+
+
+# --- stratified sample invariants ----------------------------------------
+
+STRATA_ROWS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=99), st.sampled_from(["a", "b", "c"])),
+    min_size=1,
+    max_size=20,
+).map(lambda rows: list({i: (i, g) for i, g in rows}.values()))
+
+
+@given(rows=STRATA_ROWS, frac=st.sampled_from([0.1, 0.3, 0.5, 0.9]))
+@SLOW_OK
+def test_stratified_sample_properties(spark, rows, frac):
+    """For ANY strata layout and fraction: per-stratum counts are
+    exactly ceil(n*frac), every non-empty stratum is represented, and
+    the sample is a subset chosen independently of row order."""
+    import math
+
+    from lion_parcel_etl_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(rows, "id int, g string")
+    out = stratified_sample(df, ["g"], frac, "id").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["g"], set()).add(r["id"])
+    want_counts = {}
+    for _, g in rows:
+        want_counts[g] = want_counts.get(g, 0) + 1
+    for g, n in want_counts.items():
+        assert len(got.get(g, ())) == math.ceil(n * frac)
+    # order independence: same sample from a shuffled input
+    out2 = stratified_sample(df.orderBy(F.rand(seed=7)), ["g"], frac, "id").collect()
+    got2 = {}
+    for r in out2:
+        got2.setdefault(r["g"], set()).add(r["id"])
+    assert got == got2
