@@ -285,3 +285,37 @@ def test_stratified_sample_properties(spark, rows, frac):
     for r in out2:
         got2.setdefault(r["g"], set()).add(r["id"])
     assert got == got2
+
+
+# --- simhash pigeonhole completeness -------------------------------------
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+DOCS = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=3, max_size=8).map(" ".join),
+    min_size=2,
+    max_size=8,
+    unique=True,
+)
+
+
+@given(texts=DOCS)
+@SLOW_OK
+def test_simhash_near_dup_finds_every_pair_within_bound(spark, texts):
+    """The 16-bit-quarter pigeonhole guarantees NO false negatives at
+    Hamming <= 3: the operator's output must equal brute-force all-pairs
+    Hamming filtering exactly (verified pairs only, each once)."""
+    from lion_parcel_etl_spark.operators.dedup import simhash, simhash_near_dup
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    sigs = {r["doc_id"]: r["s"] for r in docs.select("doc_id", simhash(F.col("text")).alias("s")).collect()}
+    brute = {
+        (a, b): bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+        for a in sigs
+        for b in sigs
+        if a < b and bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert got == brute
