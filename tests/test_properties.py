@@ -319,3 +319,43 @@ def test_simhash_near_dup_finds_every_pair_within_bound(spark, texts):
         for r in simhash_near_dup(docs, "doc_id", "text", max_hamming=3).collect()
     }
     assert got == brute
+
+
+# --- connected components vs union-find ----------------------------------
+
+EDGES = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30)),
+    min_size=1,
+    max_size=25,
+).map(lambda es: [(a, b) for a, b in es if a != b] or [(0, 1)])
+
+
+@given(edges=EDGES)
+@SLOW_OK
+def test_connected_components_matches_union_find(spark, edges):
+    """Any multigraph: labels equal plain union-find components with
+    min-node representatives (pointer doubling must change nothing but
+    the round count)."""
+    from lion_parcel_etl_spark.operators.dedup import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min = {}
+    for n in parent:
+        comp_min.setdefault(find(n), set()).add(n)
+    want = {n: min(m) for _, m in comp_min.items() for n in m}
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == want
