@@ -54,6 +54,11 @@ HEADLINE = [
     "exists_subquery",
     "scalar_subquery",
     "having_agg",
+    "min_cost_supplier",
+    "exclusive_returns",
+    "sliding_window",
+    "ntile_quartiles",
+    "mode_median",
     "order_limit",
     "rollup_agg",
     "cube_agg",

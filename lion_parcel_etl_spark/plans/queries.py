@@ -3101,6 +3101,253 @@ HAVING COUNT(*) FILTER (WHERE d.dim <= len(e.embedding)) > 0
 """
 
 
+def q_min_cost_supplier(spark, sf_dir):
+    """Correlated-MIN subquery (TPC-H Q2 shape; no partsupp table in
+    the testdata, so the part↔supplier cost link is lineitem): for each
+    small part (p_size < 10), the supplier(s) whose line hit the part's
+    minimum extended price. Plan shape: one shuffle builds the per-part
+    MIN, the join back to lineitem re-uses the same hash partitioning
+    on l_partkey (AQE: no second exchange of the agg side), and all
+    three dims are broadcast — at 100 TB only lineitem moves, once.
+    Float equality on min_price is safe: both engines compare the
+    untouched parquet doubles, no arithmetic on either side."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    mn = (
+        li.groupBy("l_partkey")
+        .agg(F.min("l_extendedprice").alias("min_price"))
+        .withColumnRenamed("l_partkey", "m_partkey")
+    )
+    return (
+        li.join(mn, (li.l_partkey == mn.m_partkey)
+                & (li.l_extendedprice == mn.min_price))
+        .select(F.col("l_partkey").alias("partkey"), "l_suppkey", "min_price")
+        .distinct()
+        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("partkey").alias("p_partkey"), "p_name",
+            "s_name", F.col("n_name").alias("nation"), "min_price",
+        )
+    )
+
+
+SQL_MIN_COST = """
+WITH mn AS (
+  SELECT l_partkey, MIN(l_extendedprice) AS min_price
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT DISTINCT p.p_partkey, p.p_name, s.s_name, n.n_name AS nation, mn.min_price
+FROM lineitem l
+JOIN mn ON l.l_partkey = mn.l_partkey AND l.l_extendedprice = mn.min_price
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size < 10
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+"""
+
+
+def q_exclusive_returns(spark, sf_dir):
+    """EXISTS + NOT EXISTS pair (TPC-H Q21 shape, adapted to the
+    columns present — returnflag instead of receipt/commit dates):
+    suppliers who shipped a returned line on a multi-supplier order
+    where NO other supplier's line was returned, counted per supplier.
+    Both subqueries become joins on the SAME key (l_orderkey) with a
+    suppkey-inequality residual — semi for EXISTS, anti for NOT
+    EXISTS — so the whole query is three co-partitioned hash joins on
+    one key; only distinct (orderkey, suppkey) pairs are shuffled, not
+    full lines."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    al = li.select("l_orderkey", "l_suppkey").distinct()
+    rl = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other_any = al.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    )
+    other_ret = rl.select(
+        F.col("l_orderkey").alias("r_ok"), F.col("l_suppkey").alias("r_sk")
+    )
+    base = (
+        rl.join(
+            other_any,
+            (rl.l_orderkey == other_any.o_ok) & (rl.l_suppkey != other_any.o_sk),
+            "left_semi",
+        )
+        .join(
+            other_ret,
+            (rl.l_orderkey == other_ret.r_ok) & (rl.l_suppkey != other_ret.r_sk),
+            "left_anti",
+        )
+    )
+    return (
+        base.join(F.broadcast(s), base.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+SQL_EXCL_RETURNS = """
+WITH al AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+     rl AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            WHERE l_returnflag = 'R')
+SELECT s.s_name, COUNT(*) AS numwait
+FROM rl
+JOIN supplier s ON s.s_suppkey = rl.l_suppkey
+WHERE EXISTS (SELECT 1 FROM al
+              WHERE al.l_orderkey = rl.l_orderkey
+                AND al.l_suppkey <> rl.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM rl r2
+                  WHERE r2.l_orderkey = rl.l_orderkey
+                    AND r2.l_suppkey <> rl.l_suppkey)
+GROUP BY s.s_name
+"""
+
+
+def q_sliding_window(spark, sf_dir):
+    """Hopping (sliding) time window: 2-day windows sliding by 1 day
+    over events — each event lands in exactly two windows. Uses
+    Spark's native ``F.window(ts, '2 days', '1 day')`` (epoch-aligned
+    boundaries); the oracle replays the same assignment by unnesting
+    the two window starts per event. Shuffle carries only (window,
+    partial agg) pairs thanks to map-side combine; the ×2 row
+    multiplication happens BEFORE partial aggregation, so it never
+    reaches the exchange. Cents trick keeps the sums order-free."""
+    ev = _t(spark, sf_dir, "events")
+    w = F.window("ts", "2 days", "1 day")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("value_sum"),
+        )
+        .select(
+            fmt_ts(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+SQL_SLIDING = f"""
+SELECT strftime(ws, '{TS_FMT_DUCK}') AS window_start,
+       COUNT(*) AS n_events,
+       SUM(CAST(round(value*100) AS BIGINT)) / 100.0 AS value_sum
+FROM (
+  SELECT unnest([date_trunc('day', ts), date_trunc('day', ts) - INTERVAL 1 DAY]) AS ws,
+         value
+  FROM events
+)
+GROUP BY ws
+"""
+
+
+def q_ntile_quartiles(spark, sf_dir):
+    """Exact global NTILE(4) over orders by total price (deterministic
+    tie-break on o_orderkey), then per-quartile stats. An exact ntile
+    is inherently a total order — Spark plans a single-partition
+    window, which is the honest cost of the exact answer; the 100 TB
+    path for 'which quartile is this row in' is width_bucket over
+    approx_percentile boundaries (see q_histogram / q_approx_stats for
+    that family). Aggregates use the cents trick."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents(F.col("o_totalprice"))) / 100.0).alias("price_sum"),
+            F.min("o_totalprice").alias("price_min"),
+            F.max("o_totalprice").alias("price_max"),
+        )
+    )
+
+
+SQL_NTILE = """
+SELECT quartile, COUNT(*) AS n_orders,
+       SUM(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS price_sum,
+       MIN(o_totalprice) AS price_min,
+       MAX(o_totalprice) AS price_max
+FROM (
+  SELECT o_totalprice,
+         ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+  FROM orders
+)
+GROUP BY quartile
+"""
+
+
+def q_mode_median(spark, sf_dir):
+    """Deterministic MODE and exact MEDIAN per group, built from
+    first principles so both engines compute the identical answer:
+    mode = the smallest most-frequent l_quantity (rank by count DESC,
+    value ASC — engine-native mode() breaks frequency ties
+    arbitrarily); median = average of the middle value(s) of the
+    sorted sequence via two row_number bounds. The mode path
+    aggregates BEFORE its window (distinct values per group, tiny);
+    the median path windows over the raw rows within each group —
+    per-group sort, no global order."""
+    li = _t(spark, sf_dir, "lineitem")
+    # mode over distinct-value counts (≤ ~50 rows per group)
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wm = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_quantity").asc()
+    )
+    mode = (
+        counts.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("qty_mode"))
+    )
+    # exact median: middle element(s) by row_number
+    wr = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    ranked = li.select(
+        "l_returnflag", "l_quantity", F.row_number().over(wr).alias("rn")
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")))
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        .groupBy("l_returnflag")
+        .agg(F.avg("l_quantity").alias("qty_median"))
+    )
+    return mode.join(med, "l_returnflag")
+
+
+SQL_MODE_MEDIAN = """
+WITH counts AS (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+), mode AS (
+  SELECT l_returnflag, l_quantity AS qty_mode
+  FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                  ORDER BY cnt DESC, l_quantity ASC) AS rn FROM counts)
+  WHERE rn = 1
+), ranked AS (
+  SELECT l_returnflag, l_quantity,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+), med AS (
+  SELECT l_returnflag, AVG(l_quantity) AS qty_median
+  FROM ranked
+  WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+     OR rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
+  GROUP BY l_returnflag
+)
+SELECT mode.l_returnflag, qty_mode, qty_median
+FROM mode JOIN med ON mode.l_returnflag = med.l_returnflag
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "stage_load": (q_stage_load, SQL_STAGE),
@@ -3113,6 +3360,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         _sql_scd2_dim_join().format(scd2=SQL_SCD2),
     ),
     "join_left": (q_join_left, SQL_JOIN_LEFT),
+    "min_cost_supplier": (q_min_cost_supplier, SQL_MIN_COST),
+    "exclusive_returns": (q_exclusive_returns, SQL_EXCL_RETURNS),
+    "sliding_window": (q_sliding_window, SQL_SLIDING),
+    "ntile_quartiles": (q_ntile_quartiles, SQL_NTILE),
+    "mode_median": (q_mode_median, SQL_MODE_MEDIAN),
     "multi_join_topk": (q_multi_join_topk, SQL_MULTI_JOIN),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "set_ops": (q_set_ops, SQL_SET_OPS),

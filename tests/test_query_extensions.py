@@ -122,3 +122,84 @@ def test_star_join_revenue_positive(spark, sf_dir):
 
     rows = q_star_join_revenue(spark, sf_dir).collect()
     assert rows and all(r.revenue > 0 and r.n_lines > 0 for r in rows)
+
+
+def test_min_cost_supplier_is_true_min(spark, sf_dir):
+    from lion_parcel_etl_spark.plans.queries import q_min_cost_supplier
+
+    df = q_min_cost_supplier(spark, sf_dir).cache()
+    assert df.count() > 0
+    li_min = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.min("l_extendedprice").alias("true_min"))
+    )
+    bad = (
+        df.join(li_min, "p_partkey")
+        .filter(F.col("min_price") != F.col("true_min"))
+        .count()
+    )
+    assert bad == 0
+    df.unpersist()
+
+
+def test_exclusive_returns_bounded(spark, sf_dir):
+    from lion_parcel_etl_spark.plans.queries import q_exclusive_returns
+
+    df = q_exclusive_returns(spark, sf_dir).cache()
+    assert df.filter(F.col("numwait") < 1).count() == 0
+    total = df.agg(F.sum("numwait")).first()[0] or 0
+    r_pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .filter("l_returnflag = 'R'")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .count()
+    )
+    assert 0 < total <= r_pairs
+    df.unpersist()
+
+
+def test_sliding_window_double_counts(spark, sf_dir):
+    from lion_parcel_etl_spark.plans.queries import q_sliding_window
+
+    n_events = _t(spark, sf_dir, "events").count()
+    total = q_sliding_window(spark, sf_dir).agg(F.sum("n_events")).first()[0]
+    # width 2d / slide 1d: every event lands in exactly two windows
+    assert total == 2 * n_events
+
+
+def test_ntile_quartiles_balanced_and_ordered(spark, sf_dir):
+    from lion_parcel_etl_spark.plans.queries import q_ntile_quartiles
+
+    rows = sorted(
+        q_ntile_quartiles(spark, sf_dir).collect(), key=lambda r: r.quartile
+    )
+    assert [r.quartile for r in rows] == [1, 2, 3, 4]
+    sizes = [r.n_orders for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert sum(sizes) == _t(spark, sf_dir, "orders").count()
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.price_max <= hi.price_min
+
+
+def test_mode_median_first_principles(spark, sf_dir):
+    from lion_parcel_etl_spark.plans.queries import q_mode_median
+
+    li = _t(spark, sf_dir, "lineitem").cache()
+    for r in q_mode_median(spark, sf_dir).collect():
+        grp = li.filter(F.col("l_returnflag") == r.l_returnflag)
+        counts = {
+            row.l_quantity: row.cnt
+            for row in grp.groupBy("l_quantity")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        top = max(counts.values())
+        assert counts[r.qty_mode] == top
+        assert r.qty_mode == min(q for q, c in counts.items() if c == top)
+        vals = sorted(v.l_quantity for v in grp.select("l_quantity").collect())
+        n = len(vals)
+        expect = (vals[(n - 1) // 2] + vals[n // 2]) / 2.0
+        assert abs(r.qty_median - expect) < 1e-9
+    li.unpersist()
