@@ -59,6 +59,7 @@ HEADLINE = [
     "sliding_window",
     "ntile_quartiles",
     "mode_median",
+    "incremental_rollup",
     "order_limit",
     "rollup_agg",
     "cube_agg",

@@ -3348,6 +3348,41 @@ FROM mode JOIN med ON mode.l_returnflag = med.l_returnflag
 """
 
 
+def q_incremental_rollup(spark, sf_dir):
+    """Incrementally-maintained monthly revenue rollup
+    (operators/rollup.py; the aggregate-table analog of the
+    reference's dbt incremental materializations,
+    retail_transactions.sql:1-7): orders arrive in two batches split
+    at ORDER_CUTOFF; each batch partial-aggregates into mergeable per-month
+    states (exact integer cents), the states merge, finals derive at
+    read time. The answer is provably batch-split-independent
+    (property-tested in tests/test_rollup.py), so the oracle is simply
+    the single-shot GROUP BY over all orders. At 100 TB the second
+    batch's cost is O(|batch|), never O(|history|)."""
+    from lion_parcel_etl_spark.operators import rollup as RU
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    metrics = {"totalprice": F.col("o_totalprice")}
+    s1 = RU.rollup_state(o.filter(F.col("o_orderdate") < ORDER_CUTOFF), ["month"], metrics)
+    s2 = RU.rollup_state(o.filter(F.col("o_orderdate") >= ORDER_CUTOFF), ["month"], metrics)
+    return RU.rollup_finalize(RU.rollup_merge(s1, s2, ["month"]), ["month"])
+
+
+SQL_INCR_ROLLUP = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       SUM(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS totalprice_sum,
+       COUNT(o_totalprice) AS totalprice_cnt,
+       round(SUM(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0
+             / COUNT(o_totalprice), 6) AS totalprice_avg,
+       MIN(o_totalprice) AS totalprice_min,
+       MAX(o_totalprice) AS totalprice_max
+FROM orders
+GROUP BY strftime(o_orderdate, '%Y-%m')
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "stage_load": (q_stage_load, SQL_STAGE),
@@ -3365,6 +3400,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sliding_window": (q_sliding_window, SQL_SLIDING),
     "ntile_quartiles": (q_ntile_quartiles, SQL_NTILE),
     "mode_median": (q_mode_median, SQL_MODE_MEDIAN),
+    "incremental_rollup": (q_incremental_rollup, SQL_INCR_ROLLUP),
     "multi_join_topk": (q_multi_join_topk, SQL_MULTI_JOIN),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "set_ops": (q_set_ops, SQL_SET_OPS),
