@@ -92,6 +92,7 @@ HEADLINE = [
     "multimodal_features",
     "cosine_topk",
     "lsh_topk",
+    "pq_topk",
     "ivf_topk",
     "dedup_embedding",
     "dedup_embedding_lsh",

@@ -491,3 +491,124 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN via asymmetric
+# distance computation (ADC) — Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", IEEE TPAMI 2011 (public method).
+# ---------------------------------------------------------------------------
+
+def _subspace_sqdist(a: Column, b: Column, j: int, dsub: int) -> Column:
+    """Squared L2 distance between subspace ``j`` of two vectors, as an
+    explicit left-associated sum of ``dsub`` terms — the SAME textual
+    expression shape the DuckDB oracle uses, so the doubles are
+    bit-identical across engines (floating-point addition is not
+    reassociated by either optimizer)."""
+    out = None
+    for d in range(1, dsub + 1):
+        t = F.element_at(a, j * dsub + d).cast("double") - F.element_at(
+            b, j * dsub + d
+        ).cast("double")
+        term = t * t
+        out = term if out is None else out + term
+    return out
+
+
+def pq_codes(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    dsub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector into ``m`` one-byte codes (one per subspace):
+    code_j = argmin over codebook entries of the subspace-j squared L2
+    distance, ties broken toward the smaller code.
+
+    ``codebook`` must have columns (code, cv) — one row per centroid.
+    The sampled-codebook variant (lowest-id vectors as centroids) is
+    fully deterministic and therefore SQL-oracle-checkable, like the
+    IVF coarse quantizer's seeding; a k-means-trained codebook can be
+    swapped in without touching this encode path.
+
+    Scale shape: one broadcast cross join (|codebook| is ~16-256 rows)
+    and a partial-aggregated groupBy on the vector id — codes for a
+    100 TB corpus are produced in a single scan, and at 8 bytes/vector
+    the code table is ~4000× smaller than 64-dim float32 vectors."""
+    c = codebook.select(F.col("code"), F.col("cv"))
+    pairs = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("ev")
+    ).join(F.broadcast(c), how="cross")
+    aggs = [
+        F.min(
+            F.struct(
+                _subspace_sqdist(F.col("ev"), F.col("cv"), j, dsub).alias("d"),
+                F.col("code").alias("code"),
+            )
+        )["code"].alias(f"c{j}")
+        for j in range(m)
+    ]
+    return pairs.groupBy("vec_id").agg(*aggs)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_codes: int = 16,
+    m: int = 8,
+    dsub: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k by PQ + asymmetric distance computation.
+
+    Build: sampled codebook (the ``n_codes`` lowest-id vectors) →
+    per-vector codes. Query: per (query, subspace, code) distance
+    table (``m·n_codes`` rows per query, broadcast), then the corpus
+    code table streams through ``m`` broadcast hash joins — approx
+    distance is the explicit chained sum of the m looked-up entries.
+    No shuffle touches the corpus until the final per-query top-k of
+    survivors; at scale the distance-table joins collapse into one
+    generated-column stage over an 8-byte-per-row code table, which is
+    the whole point of PQ: the raw vectors are never re-read at query
+    time."""
+    cb = (
+        corpus.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).alias("code"), F.col(vec_col).alias("cv"))
+    )
+    codes = pq_codes(corpus, cb, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    res = codes
+    total = None
+    for j in range(m):
+        qd = (
+            q.join(F.broadcast(cb), how="cross")
+            .select(
+                F.col("query_id").alias(f"qid{j}"),
+                F.col("code").alias(f"code{j}"),
+                _subspace_sqdist(F.col("qv"), F.col("cv"), j, dsub).alias(f"qd{j}"),
+            )
+        )
+        cond = F.col(f"c{j}") == F.col(f"code{j}")
+        if j > 0:
+            cond = cond & (F.col("qid0") == F.col(f"qid{j}"))
+        res = res.join(F.broadcast(qd), cond)
+        term = F.col(f"qd{j}")
+        total = term if total is None else total + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        res.select(
+            F.col("qid0").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(total, round_digits).alias("approx_dist"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

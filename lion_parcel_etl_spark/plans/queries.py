@@ -3383,6 +3383,80 @@ GROUP BY strftime(o_orderdate, '%Y-%m')
 """
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011, public method):
+    vectors compress to 8 one-byte codes (sampled 16-entry codebook
+    per 8-dim subspace), queries rank the corpus by asymmetric
+    distance (per-subspace lookup-table sums) without touching raw
+    vectors. Fully deterministic — sampled codebook + explicit
+    left-associated float sums — so the DuckDB oracle replays encode,
+    lookup, and ranking exactly (see _duck_pq_topk). Recall vs the
+    exact baseline is additionally asserted in
+    tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.pq_topk(emb, queries, n_codes=16, m=8, dsub=8, k=5)
+
+
+def _duck_pq_dist(a: str, b: str, j: int, dsub: int = 8) -> str:
+    """Left-associated chained squared-L2 over subspace j — textual
+    twin of similarity._subspace_sqdist (same float op order)."""
+    terms = [
+        f"(CAST({a}[{j * dsub + d}] AS DOUBLE) - CAST({b}[{j * dsub + d}] AS DOUBLE))"
+        f" * (CAST({a}[{j * dsub + d}] AS DOUBLE) - CAST({b}[{j * dsub + d}] AS DOUBLE))"
+        for d in range(1, dsub + 1)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+def _duck_pq_topk(n_codes: int = 16, m: int = 8, dsub: int = 8, k: int = 5) -> str:
+    dist_cols = ",\n         ".join(
+        f"{_duck_pq_dist('e.embedding', 'cb.cv', j, dsub)} AS d{j}" for j in range(m)
+    )
+    code_cols = ", ".join(
+        f"(min({{'d': d{j}, 'code': code}})).code AS c{j}" for j in range(m)
+    )
+    qd_cols = ",\n         ".join(
+        f"{_duck_pq_dist('q.embedding', 'cb.cv', j, dsub)} AS qd{j}" for j in range(m)
+    )
+    joins = "\n  ".join(
+        f"JOIN qd q{j} ON q{j}.code = c.c{j}"
+        + ("" if j == 0 else f" AND q{j}.query_id = q0.query_id")
+        for j in range(m)
+    )
+    total = "q0.qd0"
+    for j in range(1, m):
+        total = f"({total} + q{j}.qd{j})"
+    return f"""
+WITH cb AS MATERIALIZED (
+  SELECT vec_id AS code, embedding AS cv FROM embeddings WHERE vec_id < {n_codes}
+), pairs AS MATERIALIZED (
+  SELECT e.vec_id, cb.code,
+         {dist_cols}
+  FROM embeddings e CROSS JOIN cb
+), codes AS MATERIALIZED (
+  SELECT vec_id, {code_cols} FROM pairs GROUP BY vec_id
+), qd AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, cb.code,
+         {qd_cols}
+  FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 5
+), joined AS (
+  SELECT q0.query_id, c.vec_id AS neighbor_id,
+         round({total}, 6) AS approx_dist
+  FROM codes c
+  {joins}
+)
+SELECT query_id, neighbor_id, approx_dist, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY approx_dist, neighbor_id) AS BIGINT) AS rank
+  FROM joined WHERE neighbor_id <> query_id
+) WHERE rank <= {k}
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "stage_load": (q_stage_load, SQL_STAGE),
@@ -3463,6 +3537,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_clusters": (q_embedding_clusters, _duck_embedding_clusters()),
     "dedup_embedding_lsh": (q_embedding_near_dup_lsh, _duck_embedding_near_dup_lsh()),
     "lsh_topk": (q_lsh_topk, _duck_lsh_topk()),
+    "pq_topk": (q_pq_topk, _duck_pq_topk()),
     "ivf_topk": (q_ivf_topk, None),
     "scd2_timetravel": (q_scd2_timetravel, SQL_SCD2_TT),
     "scd2_version_count": (q_scd2_version_count, SQL_SCD2_VC),

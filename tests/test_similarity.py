@@ -132,3 +132,50 @@ def test_embedding_near_dup_lsh_precision_and_recall(spark, emb):
     # prob per table is (1 - theta/pi)^6 ~ 0.054, OR over 8 tables ~ 0.36.
     # Genuinely-near duplicates (cos -> 1) are found with prob -> 1.
     assert recall >= 0.2, f"LSH near-dup recall too low: {recall}"
+
+
+@needs_td
+def test_pq_codes_shape_and_range(spark, emb):
+    from lion_parcel_etl_spark.operators.similarity import pq_codes
+
+    cb = emb.filter("vec_id < 16").selectExpr("vec_id AS code", "embedding AS cv")
+    codes = pq_codes(emb, cb, m=8, dsub=8).cache()
+    assert codes.count() == emb.count()
+    for j in range(8):
+        import pyspark.sql.functions as F
+
+        bad = codes.filter((F.col(f"c{j}") < 0) | (F.col(f"c{j}") >= 16)).count()
+        assert bad == 0
+    # codebook vectors must encode to themselves in every subspace
+    # (their subspace distance to themselves is exactly 0)
+    own = codes.filter("vec_id < 16").collect()
+    for r in own:
+        assert all(r[f"c{j}"] == r.vec_id for j in range(8)), r
+    codes.unpersist()
+
+
+@needs_td
+def test_pq_recall_against_brute_force(spark, emb):
+    from lion_parcel_etl_spark.operators.similarity import pq_topk
+
+    queries = emb.filter("vec_id < 10")
+    # exact top-5 by L2 == top-5 by cosine only for normalized vectors;
+    # compare against exact *L2* brute force computed in numpy instead
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    exact_pairs = set()
+    for qi in range(10):
+        q = M[ids == qi][0]
+        d = ((M - q) ** 2).sum(axis=1)
+        order = sorted(zip(d, ids), key=lambda t: (t[0], t[1]))
+        top = [int(i) for dist, i in order if i != qi][:5]
+        exact_pairs |= {(qi, n) for n in top}
+    approx = pq_topk(emb, queries, n_codes=16, m=8, dsub=8, k=5).collect()
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # 16-entry sampled codebooks on gaussian data are coarse; PQ must
+    # still far exceed random top-5 hit rate (~1%)
+    assert recall >= 0.2, f"PQ recall too low: {recall}"
