@@ -42,11 +42,13 @@ def audit(name: str, plan: str) -> list[str]:
         "bm25_rank",
         "histogram",
         "dormant_customers",
+        "pq_topk",
     ):
         # intentional BNLJs: cosine_topk broadcasts a tiny query set;
         # tfidf/bm25/histogram/dormant_customers cross-join a broadcast
         # ONE-ROW stats aggregate (N, avgdl, min/max, avg balance) — a
-        # scalar fan-in, not a pair explosion
+        # scalar fan-in, not a pair explosion; pq_topk cross-joins the
+        # broadcast 16-row PQ codebook (encode + query lookup tables)
         flags.append("BNLJ")
     if "BatchEvalPython" in plan:
         flags.append("PY_UDF_ROW_AT_A_TIME")
