@@ -4,7 +4,9 @@ from lion_parcel_etl_spark.streaming.jobs import (  # noqa: F401
     stream_hourly_counts,
     stream_merge_into,
     stream_metrics_detail,
+    read_rollup,
     stream_near_dup_pairs,
+    stream_rollup_into,
     stream_scd2,
     stream_session_windows,
     stream_running_user_totals,

@@ -387,3 +387,64 @@ def stream_scd2(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_rollup_into(
+    df: DataFrame,
+    warehouse,
+    table: str,
+    keys: list[str],
+    metrics: dict,
+    checkpoint: str,
+) -> None:
+    """Continuously-maintained aggregate rollup (the streaming twin of
+    operators/rollup.py and of the reference's incremental dbt models):
+    each micro-batch partial-aggregates into mergeable per-key states
+    (sum/cnt/min/max in exact cents) and lands them in its own
+    ``__batch_id`` partition via ``Warehouse.append_batch``.
+
+    Exactly-once by layout, not by locking: a checkpoint replay of
+    batch N overwrites partition ``__batch_id=N`` instead of adding to
+    it, so additive states can never double-count. The stored table is
+    a LOG of per-batch states; :func:`read_rollup` merges it at read
+    time (states are commutative monoids — merge order is irrelevant).
+    At scale, compact old batches with ``rollup_merge`` +
+    ``append_batch(..., "compacted-<hi>")`` during quiet hours; per-run
+    streaming cost stays O(|batch|), never O(|history|).
+    """
+    from lion_parcel_etl_spark.operators.rollup import rollup_state
+
+    def _batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        warehouse.append_batch(rollup_state(batch, keys, metrics), table, batch_id)
+
+    q = (
+        df.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_rollup(spark: SparkSession, warehouse, table: str, keys: list[str]) -> DataFrame:
+    """Current rollup value: merge every stored per-batch state and
+    derive finals. One co-partitioned shuffle over state rows (≤
+    batches × keys), independent of how much raw history produced
+    them."""
+    from lion_parcel_etl_spark.operators.rollup import rollup_finalize
+
+    state = warehouse.read(spark, table).drop("__batch_id")
+    cols = [c for c in state.columns if c not in keys]
+    aggs = []
+    for c in cols:
+        if c.endswith("__sum") or c.endswith("__cnt"):
+            aggs.append(F.sum(c).alias(c))
+        elif c.endswith("__min"):
+            aggs.append(F.min(c).alias(c))
+        elif c.endswith("__max"):
+            aggs.append(F.max(c).alias(c))
+        else:
+            raise ValueError(f"not a mergeable state column: {c}")
+    return rollup_finalize(state.groupBy(*keys).agg(*aggs), keys)

@@ -340,3 +340,45 @@ def test_stream_scd2_matches_batch_two_runs(spark, tmp_path):
     # user 1: two versions, old expired at t2; user 2: single current
     assert got.filter("user_id = 1").count() == 2
     assert got.filter("user_id = 2").count() == 1
+
+
+def test_stream_rollup_matches_batch_single_shot(spark, tmp_path):
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.rollup import rollup_finalize, rollup_state
+    from lion_parcel_etl_spark.streaming.jobs import read_rollup, stream_rollup_into
+
+    ev = spark.read.parquet(EVENTS)
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = ev.orderBy("event_id").limit(300).cache()
+    split = "2024-01-03 00:00:00"
+    first, second = ev.filter(f"ts < '{split}'"), ev.filter(f"ts >= '{split}'")
+
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    metrics = {"value": F.col("value")}
+
+    def run():
+        stream = spark.readStream.schema(ev.schema).parquet(landing)
+        stream_rollup_into(stream, wh, "ev_rollup", ["event_type"], metrics, ckpt)
+
+    first.write.mode("append").parquet(landing)
+    run()
+    second.write.mode("append").parquet(landing)
+    run()  # same checkpoint: second batch only
+
+    got = read_rollup(spark, wh, "ev_rollup", ["event_type"])
+    want = rollup_finalize(
+        rollup_state(ev, ["event_type"], metrics), ["event_type"]
+    )
+    cols = sorted(got.columns)
+    assert got.columns == want.columns
+    assert _rows(got, cols) == _rows(want, cols)
+
+    # replaying one batch's append (a checkpoint replay) must not
+    # double-count: additive states land in per-batch partitions
+    wh.append_batch(rollup_state(second, ["event_type"], metrics), "ev_rollup", 1)
+    again = read_rollup(spark, wh, "ev_rollup", ["event_type"])
+    assert _rows(again, cols) == _rows(want, cols)
+    ev.unpersist()
