@@ -60,6 +60,8 @@ HEADLINE = [
     "ntile_quartiles",
     "mode_median",
     "incremental_rollup",
+    "conditional_agg",
+    "fuzzy_join",
     "order_limit",
     "rollup_agg",
     "cube_agg",

@@ -547,3 +547,57 @@ def simhash_near_dup(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All pairs within Levenshtein distance 1, via deletion-
+    neighborhood blocking (the SymSpell candidate rule, public
+    technique): two strings are within edit distance 1 iff they share
+    a member of {s} ∪ {s with one character deleted}, so candidates
+    come from an equi-join on that variant set — no quadratic compare,
+    no similarity-threshold tuning. Each surviving candidate is
+    verified with the exact ``levenshtein`` built-in.
+
+    Scale shape: a string of length L emits L+1 variants (pure per-row
+    array expressions, zero shuffle until the variant equi-join); the
+    join key is the variant string, so the one exchange carries
+    n·(L+1) short rows, and candidate groups stay tiny unless the
+    corpus is adversarially self-similar. This is the fuzzy-match
+    analog of the MinHash band join — same bucket-join pattern, exact
+    distance instead of Jaccard. Only ``max_dist=1`` is implemented
+    (d-deletion neighborhoods generalize it at (L choose d) variant
+    cost)."""
+    if max_dist != 1:
+        raise NotImplementedError("deletion-neighborhood blocking implemented for max_dist=1")
+    variants = F.array_append(
+        F.expr(
+            f"transform(sequence(1, length({text_col})), "
+            f"i -> concat(left({text_col}, i-1), substring({text_col}, i+1)))"
+        ),
+        F.col(text_col),
+    )
+    v = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("name"),
+        F.explode(variants).alias("var"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cand = (
+        a.join(b, (F.col("a.var") == F.col("b.var")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return cand.filter(dist <= max_dist).select(
+        "id_a", "id_b", dist.cast("long").alias("dist")
+    )

@@ -3457,6 +3457,69 @@ SELECT query_id, neighbor_id, approx_dist, rank FROM (
 """
 
 
+def q_fuzzy_join(spark, sf_dir):
+    """Fuzzy entity matching: customer-name pairs within Levenshtein
+    distance 1, candidates from deletion-neighborhood blocking
+    (operators/dedup.py edit_distance_pairs — the SymSpell rule, which
+    is COMPLETE for distance ≤ 1, unlike prefix blocking) and verified
+    with the exact levenshtein built-in. The oracle replays the same
+    variant join + verify in DuckDB."""
+    cust = _t(spark, sf_dir, "customer")
+    return DD.edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=1)
+
+
+SQL_FUZZY = """
+WITH v AS MATERIALIZED (
+  SELECT c_custkey AS id, c_name AS name,
+         unnest(list_append(
+           list_transform(range(1, length(c_name) + 1),
+                          i -> left(c_name, CAST(i - 1 AS INTEGER))
+                               || substring(c_name, CAST(i + 1 AS INTEGER))),
+           c_name)) AS var
+  FROM customer
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b
+  FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(name_a, name_b) <= 1
+"""
+
+
+def q_conditional_agg(spark, sf_dir):
+    """Conditional/boolean aggregate family in one pass per group:
+    count_if, filtered sum (sum-of-when with the cents trick),
+    bool_and / bool_or, and a DETERMINISTIC any_value stand-in (min —
+    engine-native any_value is free to return an arbitrary row, which
+    can never hash-match an oracle). All map-side partial aggregates;
+    one shuffle of group rows."""
+    o = _t(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 300000
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_if(big).alias("n_big"),
+        (F.sum(F.when(big, cents(F.col("o_totalprice"))).otherwise(F.lit(0))) / 100.0
+         ).alias("big_price_sum"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_f"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.min("o_orderstatus").alias("first_status"),
+    )
+
+
+SQL_COND_AGG = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice > 300000) AS BIGINT) AS n_big,
+       CAST(COALESCE(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+            FILTER (WHERE o_totalprice > 300000), 0) AS BIGINT) / 100.0 AS big_price_sum,
+       bool_or(o_orderstatus = 'F') AS any_f,
+       bool_and(o_totalprice > 0) AS all_positive,
+       MIN(o_orderstatus) AS first_status
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "stage_load": (q_stage_load, SQL_STAGE),
@@ -3475,6 +3538,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ntile_quartiles": (q_ntile_quartiles, SQL_NTILE),
     "mode_median": (q_mode_median, SQL_MODE_MEDIAN),
     "incremental_rollup": (q_incremental_rollup, SQL_INCR_ROLLUP),
+    "conditional_agg": (q_conditional_agg, SQL_COND_AGG),
+    "fuzzy_join": (q_fuzzy_join, SQL_FUZZY),
     "multi_join_topk": (q_multi_join_topk, SQL_MULTI_JOIN),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "set_ops": (q_set_ops, SQL_SET_OPS),

@@ -205,3 +205,37 @@ def test_minhash_incremental_store_never_shuffles(spark):
     out = minhash_near_dup_incremental(store, docs.filter("doc_id >= 6"), "doc_id", "text")
     plan = plan_string(out)
     assert "BroadcastHashJoin" in plan
+
+
+def test_edit_distance_pairs_complete_vs_brute_force(spark):
+    from lion_parcel_etl_spark.operators.dedup import edit_distance_pairs
+
+    names = [
+        "alpha", "alphb", "alph", "alphas",  # subst / delete / insert of alpha
+        "beta", "betz", "gamma", "gamm", "gxmma",
+        "x", "y", "",  # tiny strings; "" vs 1-char = distance 1
+    ]
+    rows = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs(df, "id", "name").collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        (i, j, lev(a, b))
+        for (i, a) in rows
+        for (j, b) in rows
+        if i < j and lev(a, b) <= 1
+    }
+    assert got == want
