@@ -62,6 +62,7 @@ HEADLINE = [
     "incremental_rollup",
     "conditional_agg",
     "fuzzy_join",
+    "nested_semi_join",
     "order_limit",
     "rollup_agg",
     "cube_agg",

@@ -3520,6 +3520,47 @@ GROUP BY o_orderpriority
 """
 
 
+def q_nested_semi_join(spark, sf_dir):
+    """Nested IN-subquery chain (TPC-H Q20 shape): suppliers who moved
+    more than 60 units of some Brand#1 part, with their nation. Both
+    IN-subqueries become semi joins: part's key-set broadcasts into
+    lineitem (brand filter first, so only matching partkeys exchange),
+    the per-(supplier, part) HAVING aggregate reduces before its
+    distinct, and the surviving supplier key-set is tiny → broadcast
+    semi against supplier. Exact integer quantity sums (cents-free:
+    quantities round to whole units)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    heavy = (
+        li.join(F.broadcast(p.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("q"))
+        .filter(F.col("q") > 60)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", F.col("n_name").alias("nation"))
+    )
+
+
+SQL_NESTED_SEMI = """
+SELECT s.s_name, n.n_name AS nation
+FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 60
+)
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "stage_load": (q_stage_load, SQL_STAGE),
@@ -3540,6 +3581,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "incremental_rollup": (q_incremental_rollup, SQL_INCR_ROLLUP),
     "conditional_agg": (q_conditional_agg, SQL_COND_AGG),
     "fuzzy_join": (q_fuzzy_join, SQL_FUZZY),
+    "nested_semi_join": (q_nested_semi_join, SQL_NESTED_SEMI),
     "multi_join_topk": (q_multi_join_topk, SQL_MULTI_JOIN),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "set_ops": (q_set_ops, SQL_SET_OPS),
