@@ -88,6 +88,7 @@ HEADLINE = [
     "tfidf_topk",
     "bm25_rank",
     "token_frequency",
+    "lm_surprisal",
     "doc_chunking",
     "embedding_centroids",
     "dedup_clusters",

@@ -3561,6 +3561,69 @@ WHERE s.s_suppkey IN (
 """
 
 
+def q_lm_surprisal(spark, sf_dir):
+    """Statistical language-model quality scoring: per-document mean
+    bigram surprisal under an add-one-smoothed bigram model trained on
+    the corpus itself — the classic cheap fluency/outlier filter for
+    training data (docs whose bigrams are globally rare score high).
+    surprisal(w1,w2) = log2(C(w1)+V) - log2(C(w1,w2)+1): logs of exact
+    integers, so both engines feed log2 identical inputs; the per-doc
+    mean rounds at 1e-6 (same tolerance policy as the centroid/cosine
+    folds). Plan: bigrams explode zero-shuffle (zipped slices), the
+    two count tables are vocabulary-sized partial aggregates that AQE
+    broadcasts back into the bigram stream, and V arrives as a one-row
+    broadcast scalar."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = DD.tokens(F.col("text"))
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.arrays_zip(F.slice(toks, 1, m), F.slice(toks, 2, m))
+    bg = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2")
+    )
+    c12 = bg.groupBy(F.col("w1").alias("g1"), F.col("w2").alias("g2")).agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    c1 = bg.groupBy(F.col("w1").alias("h1")).agg(F.count(F.lit(1)).alias("c1"))
+    v = (
+        docs.select(F.explode(toks).alias("token"))
+        .agg(F.count_distinct("token").alias("vsize"))
+    )
+    surprisal = F.log2(F.col("c1") + F.col("vsize")) - F.log2(F.col("c12") + 1)
+    return (
+        bg.join(c12, (bg.w1 == c12.g1) & (bg.w2 == c12.g2))
+        .join(c1, bg.w1 == c1.h1)
+        .join(F.broadcast(v), how="cross")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(surprisal), 6).alias("avg_surprisal"),
+        )
+    )
+
+
+SQL_LM_SURPRISAL = f"""
+WITH bg AS MATERIALIZED (
+  SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1, toks[CAST(i + 1 AS INTEGER)] AS w2
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+       LATERAL unnest(range(1, len(toks))) AS t(i)
+), c12 AS MATERIALIZED (
+  SELECT w1 AS g1, w2 AS g2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+), c1 AS MATERIALIZED (
+  SELECT w1 AS h1, COUNT(*) AS c1 FROM bg GROUP BY w1
+), v AS (
+  SELECT COUNT(DISTINCT token) AS vsize
+  FROM (SELECT unnest({_DUCK_TOKS}) AS token FROM documents)
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       round(AVG(log2(c1 + vsize) - log2(c12 + 1)), 6) AS avg_surprisal
+FROM bg
+JOIN c12 ON bg.w1 = c12.g1 AND bg.w2 = c12.g2
+JOIN c1 ON bg.w1 = c1.h1
+CROSS JOIN v
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "stage_load": (q_stage_load, SQL_STAGE),
@@ -3582,6 +3645,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "conditional_agg": (q_conditional_agg, SQL_COND_AGG),
     "fuzzy_join": (q_fuzzy_join, SQL_FUZZY),
     "nested_semi_join": (q_nested_semi_join, SQL_NESTED_SEMI),
+    "lm_surprisal": (q_lm_surprisal, SQL_LM_SURPRISAL),
     "multi_join_topk": (q_multi_join_topk, SQL_MULTI_JOIN),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "set_ops": (q_set_ops, SQL_SET_OPS),

@@ -203,3 +203,25 @@ def test_mode_median_first_principles(spark, sf_dir):
         expect = (vals[(n - 1) // 2] + vals[n // 2]) / 2.0
         assert abs(r.qty_median - expect) < 1e-9
     li.unpersist()
+
+
+def test_lm_surprisal_ranks_rare_text_higher(spark, sf_dir):
+    from lion_parcel_etl_spark.plans.queries import q_lm_surprisal
+    from lion_parcel_etl_spark.operators.dedup import tokens as tok_fn
+
+    df = q_lm_surprisal(spark, sf_dir).cache()
+    assert df.filter(F.col("avg_surprisal") <= 0).count() == 0
+    # n_bigrams = token count - 1 for every scored doc
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.size(tok_fn(F.col("text"))) - 1).alias("expect")
+    )
+    bad = (
+        df.join(docs, "doc_id")
+        .filter(F.col("n_bigrams") != F.col("expect"))
+        .count()
+    )
+    assert bad == 0
+    # docs with < 2 tokens are unscored; everything else appears once
+    scorable = docs.filter(F.col("expect") >= 1).count()
+    assert df.count() == scorable
+    df.unpersist()

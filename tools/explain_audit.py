@@ -43,12 +43,14 @@ def audit(name: str, plan: str) -> list[str]:
         "histogram",
         "dormant_customers",
         "pq_topk",
+        "lm_surprisal",
     ):
         # intentional BNLJs: cosine_topk broadcasts a tiny query set;
         # tfidf/bm25/histogram/dormant_customers cross-join a broadcast
         # ONE-ROW stats aggregate (N, avgdl, min/max, avg balance) — a
         # scalar fan-in, not a pair explosion; pq_topk cross-joins the
-        # broadcast 16-row PQ codebook (encode + query lookup tables)
+        # broadcast 16-row PQ codebook (encode + query lookup tables);
+        # lm_surprisal cross-joins the broadcast ONE-ROW vocabulary size
         flags.append("BNLJ")
     if "BatchEvalPython" in plan:
         flags.append("PY_UDF_ROW_AT_A_TIME")
