@@ -97,6 +97,7 @@ HEADLINE = [
     "cosine_topk",
     "lsh_topk",
     "pq_topk",
+    "ivf_topk_seeded",
     "ivf_topk",
     "dedup_embedding",
     "dedup_embedding_lsh",

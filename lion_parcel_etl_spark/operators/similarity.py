@@ -499,20 +499,63 @@ def lsh_topk(
 # Nearest Neighbor Search", IEEE TPAMI 2011 (public method).
 # ---------------------------------------------------------------------------
 
-def _subspace_sqdist(a: Column, b: Column, j: int, dsub: int) -> Column:
+def _subspace_sqdist(a: Column, b: Column, j, dsub: int) -> Column:
     """Squared L2 distance between subspace ``j`` of two vectors, as an
     explicit left-associated sum of ``dsub`` terms — the SAME textual
     expression shape the DuckDB oracle uses, so the doubles are
     bit-identical across engines (floating-point addition is not
-    reassociated by either optimizer)."""
+    reassociated by either optimizer). ``j`` may be an int literal or
+    a Column (dynamic subspace index): the arithmetic chain — and so
+    the result — is identical either way, but the Column form keeps
+    the expression SMALL (one chain instead of m copies), which keeps
+    whole-stage codegen effective."""
+    jc = F.lit(j) if isinstance(j, int) else j
     out = None
     for d in range(1, dsub + 1):
-        t = F.element_at(a, j * dsub + d).cast("double") - F.element_at(
-            b, j * dsub + d
-        ).cast("double")
+        idx = (jc * dsub + d).cast("int")
+        t = F.element_at(a, idx).cast("double") - F.element_at(b, idx).cast("double")
         term = t * t
         out = term if out is None else out + term
     return out
+
+
+def _pq_codes_long(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    dsub: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(vec_id, j, code) PQ assignment in long form: the corpus ×
+    codebook broadcast cross join explodes the subspace index FIRST,
+    so the per-row distance is ONE small dynamic-index chain (not m
+    inlined copies) and the argmin is a plain (vec, subspace) grouped
+    struct-min — both codegen-friendly."""
+    c = codebook.select(F.col("code"), F.col("cv"))
+    sub = (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("ev"))
+        .join(F.broadcast(c), how="cross")
+        .select(
+            "vec_id",
+            "code",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
+            "ev",
+            "cv",
+        )
+        .select(
+            "vec_id",
+            "j",
+            F.struct(
+                _subspace_sqdist(F.col("ev"), F.col("cv"), F.col("j"), dsub).alias("d"),
+                F.col("code").alias("code"),
+            ).alias("dc"),
+        )
+    )
+    return (
+        sub.groupBy("vec_id", "j")
+        .agg(F.min("dc")["code"].alias("code"))
+    )
 
 
 def pq_codes(
@@ -537,20 +580,13 @@ def pq_codes(
     and a partial-aggregated groupBy on the vector id — codes for a
     100 TB corpus are produced in a single scan, and at 8 bytes/vector
     the code table is ~4000× smaller than 64-dim float32 vectors."""
-    c = codebook.select(F.col("code"), F.col("cv"))
-    pairs = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("ev")
-    ).join(F.broadcast(c), how="cross")
-    aggs = [
-        F.min(
-            F.struct(
-                _subspace_sqdist(F.col("ev"), F.col("cv"), j, dsub).alias("d"),
-                F.col("code").alias("code"),
-            )
-        )["code"].alias(f"c{j}")
-        for j in range(m)
-    ]
-    return pairs.groupBy("vec_id").agg(*aggs)
+    long = _pq_codes_long(corpus, codebook, m, dsub, id_col, vec_col)
+    return long.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("j") == j, F.col("code"))).alias(f"c{j}")
+            for j in range(m)
+        ]
+    )
 
 
 def pq_topk(
@@ -567,48 +603,116 @@ def pq_topk(
     """Approximate top-k by PQ + asymmetric distance computation.
 
     Build: sampled codebook (the ``n_codes`` lowest-id vectors) →
-    per-vector codes. Query: per (query, subspace, code) distance
-    table (``m·n_codes`` rows per query, broadcast), then the corpus
-    code table streams through ``m`` broadcast hash joins — approx
-    distance is the explicit chained sum of the m looked-up entries.
-    No shuffle touches the corpus until the final per-query top-k of
-    survivors; at scale the distance-table joins collapse into one
-    generated-column stage over an 8-byte-per-row code table, which is
-    the whole point of PQ: the raw vectors are never re-read at query
-    time."""
+    per-vector codes, unpivoted to (vec, subspace, code). Query: ONE
+    per-(query, subspace, code) distance table (``m·n_codes`` rows per
+    query, broadcast); the corpus code table streams through a single
+    broadcast hash join on (subspace, code) and the approx distance is
+    the per-(query, vec) grouped sum of the m looked-up entries,
+    rounded at 1e-6 (the repo's standard fold tolerance — the m=8-term
+    sum's accumulation-order noise is ~1e-15 absolute). No shuffle
+    touches the corpus until that partial-aggregated group-by; the raw
+    vectors are never re-read at query time, which is the whole point
+    of PQ."""
     cb = (
         corpus.filter(F.col(id_col) < n_codes)
         .select(F.col(id_col).alias("code"), F.col(vec_col).alias("cv"))
     )
-    codes = pq_codes(corpus, cb, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col)
+    codes_long = _pq_codes_long(corpus, cb, m, dsub, id_col, vec_col)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    res = codes
-    total = None
-    for j in range(m):
-        qd = (
-            q.join(F.broadcast(cb), how="cross")
-            .select(
-                F.col("query_id").alias(f"qid{j}"),
-                F.col("code").alias(f"code{j}"),
-                _subspace_sqdist(F.col("qv"), F.col("cv"), j, dsub).alias(f"qd{j}"),
-            )
+    qd_long = (
+        q.join(F.broadcast(cb), how="cross")
+        .select(
+            "query_id",
+            "code",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
+            "qv",
+            "cv",
         )
-        cond = F.col(f"c{j}") == F.col(f"code{j}")
-        if j > 0:
-            cond = cond & (F.col("qid0") == F.col(f"qid{j}"))
-        res = res.join(F.broadcast(qd), cond)
-        term = F.col(f"qd{j}")
-        total = term if total is None else total + term
+        .select(
+            "query_id",
+            "code",
+            "j",
+            _subspace_sqdist(F.col("qv"), F.col("cv"), F.col("j"), dsub).alias("qd"),
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id").asc()
     )
     return (
-        res.select(
-            F.col("qid0").alias("query_id"),
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(total, round_digits).alias("approx_dist"),
-        )
+        codes_long.join(F.broadcast(qd_long), ["j", "code"])
+        .groupBy(F.col("query_id"), F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("qd"), round_digits).alias("approx_dist"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )
+
+
+def ivf_topk_seeded(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Declarative IVF: the same inverted-list probing as
+    :func:`ivf_topk`, but with the coarse quantizer FIXED at the
+    deterministic seeds (lowest-id vectors) and every step a JVM
+    column expression — no k-means refinement, no UDF — so the whole
+    index-build + probe + re-rank pipeline is SQL-replayable and
+    oracle-checked (plans/queries _duck_ivf_seeded). ivf_topk remains
+    the refined/production variant; this one pins down the probing
+    semantics exactly.
+
+    Plan shape: assignment is a broadcast cross join against the
+    n_centroids-row seed table folded into an argmax (one aggregate,
+    corpus never shuffles by vector); probe lists and the query set
+    broadcast; only candidates from probed lists are exactly
+    re-ranked."""
+    seeds = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("code"), F.col(vec_col).alias("sv")
+    )
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ev"))
+    sim_cs = F.round(cosine(F.col("ev"), F.col("sv")), 6)
+    # argmax with min-code tie-break: max of (sim, -code), negate back
+    asg = (
+        c.join(F.broadcast(seeds), how="cross")
+        .select("cid", "ev", F.struct(sim_cs.alias("s"), (-F.col("code")).alias("nc")).alias("sc"))
+        .groupBy("cid")
+        .agg(F.max("sc").alias("m"))
+        .select("cid", (-F.col("m.nc")).cast("long").alias("code"))
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    sim_qs = F.round(cosine(F.col("qv"), F.col("sv")), 6)
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("ps").desc(), F.col("code").asc()
+    )
+    probes = (
+        q.join(F.broadcast(seeds), how="cross")
+        .select("query_id", "code", sim_qs.alias("ps"))
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= nprobe)
+        .select(F.col("query_id").alias("pq"), F.col("code"))
+    )
+    cand = (
+        asg.join(F.broadcast(probes), "code")
+        .select(F.col("pq").alias("query_id"), F.col("cid").alias("neighbor_id"))
+        .join(c.withColumnRenamed("cid", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("ev")), 6).alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(wk).cast("long"))
         .filter(F.col("rank") <= k)
     )

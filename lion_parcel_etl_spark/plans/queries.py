@@ -3422,14 +3422,12 @@ def _duck_pq_topk(n_codes: int = 16, m: int = 8, dsub: int = 8, k: int = 5) -> s
     qd_cols = ",\n         ".join(
         f"{_duck_pq_dist('q.embedding', 'cb.cv', j, dsub)} AS qd{j}" for j in range(m)
     )
-    joins = "\n  ".join(
-        f"JOIN qd q{j} ON q{j}.code = c.c{j}"
-        + ("" if j == 0 else f" AND q{j}.query_id = q0.query_id")
-        for j in range(m)
+    codes_stack = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, c{j} AS code FROM codes" for j in range(m)
     )
-    total = "q0.qd0"
-    for j in range(1, m):
-        total = f"({total} + q{j}.qd{j})"
+    qd_stack = " UNION ALL ".join(
+        f"SELECT query_id, code, {j} AS j, qd{j} AS qd FROM qd" for j in range(m)
+    )
     return f"""
 WITH cb AS MATERIALIZED (
   SELECT vec_id AS code, embedding AS cv FROM embeddings WHERE vec_id < {n_codes}
@@ -3439,15 +3437,20 @@ WITH cb AS MATERIALIZED (
   FROM embeddings e CROSS JOIN cb
 ), codes AS MATERIALIZED (
   SELECT vec_id, {code_cols} FROM pairs GROUP BY vec_id
+), codes_long AS MATERIALIZED (
+  {codes_stack}
 ), qd AS MATERIALIZED (
   SELECT q.vec_id AS query_id, cb.code,
          {qd_cols}
   FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 5
+), qd_long AS MATERIALIZED (
+  {qd_stack}
 ), joined AS (
-  SELECT q0.query_id, c.vec_id AS neighbor_id,
-         round({total}, 6) AS approx_dist
-  FROM codes c
-  {joins}
+  SELECT qd_long.query_id, codes_long.vec_id AS neighbor_id,
+         round(SUM(qd_long.qd), 6) AS approx_dist
+  FROM codes_long
+  JOIN qd_long ON qd_long.j = codes_long.j AND qd_long.code = codes_long.code
+  GROUP BY qd_long.query_id, codes_long.vec_id
 )
 SELECT query_id, neighbor_id, approx_dist, rank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id
@@ -3624,6 +3627,71 @@ GROUP BY doc_id
 """
 
 
+def q_ivf_topk_seeded(spark, sf_dir):
+    """Declarative IVF ANN (similarity.ivf_topk_seeded): inverted-list
+    probing with the coarse quantizer fixed at the deterministic seed
+    vectors — every step (assignment argmax, probe ranking, exact
+    re-rank) a JVM column expression, so the oracle replays the ENTIRE
+    index build + probe pipeline in SQL. Complements ivf_topk (the
+    k-means-refined production variant, recall-tested rows-only):
+    together they pin down both the probing semantics (here, by hash
+    equality) and the refinement quality (there, by recall)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.ivf_topk_seeded(emb, queries, n_centroids=16, nprobe=4, k=5)
+
+
+def _duck_cos(a: str, b: str) -> str:
+    """DuckDB cosine expression textually mirroring similarity.cosine
+    (sequential list folds; zero-norm → 0.0) — same formula as the
+    cosine_topk oracle."""
+    def sq(v: str) -> str:
+        return (f"sqrt(list_sum(list_transform({v}, "
+                f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+    dot = (f"list_sum(list_transform(range(1, len({a}) + 1), "
+           f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+    return (f"CASE WHEN {sq(a)} * {sq(b)} > 0 "
+            f"THEN {dot} / ({sq(a)} * {sq(b)}) ELSE 0.0 END")
+
+
+def _duck_ivf_seeded(n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    cos_es = _duck_cos("e.embedding", "s.sv")
+    cos_qs = _duck_cos("q.embedding", "s.sv")
+    cos_eq = _duck_cos("e.embedding", "q.embedding")
+    return f"""
+WITH seeds AS MATERIALIZED (
+  SELECT vec_id AS code, embedding AS sv FROM embeddings WHERE vec_id < {n_centroids}
+), asg AS MATERIALIZED (
+  SELECT cid, code FROM (
+    SELECT e.vec_id AS cid, s.code,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({cos_es}, 6) DESC, s.code ASC) AS rn
+    FROM embeddings e CROSS JOIN seeds s
+  ) WHERE rn = 1
+), probes AS MATERIALIZED (
+  SELECT query_id, code FROM (
+    SELECT q.vec_id AS query_id, s.code,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round({cos_qs}, 6) DESC, s.code ASC) AS pr
+    FROM embeddings q CROSS JOIN seeds s WHERE q.vec_id < 5
+  ) WHERE pr <= {nprobe}
+), scored AS (
+  SELECT p.query_id, a.cid AS neighbor_id,
+         round({cos_eq}, 6) AS cosine_sim
+  FROM asg a
+  JOIN probes p ON p.code = a.code
+  JOIN embeddings e ON e.vec_id = a.cid
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE a.cid <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "stage_load": (q_stage_load, SQL_STAGE),
@@ -3709,6 +3777,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_embedding_lsh": (q_embedding_near_dup_lsh, _duck_embedding_near_dup_lsh()),
     "lsh_topk": (q_lsh_topk, _duck_lsh_topk()),
     "pq_topk": (q_pq_topk, _duck_pq_topk()),
+    "ivf_topk_seeded": (q_ivf_topk_seeded, _duck_ivf_seeded()),
     "ivf_topk": (q_ivf_topk, None),
     "scd2_timetravel": (q_scd2_timetravel, SQL_SCD2_TT),
     "scd2_version_count": (q_scd2_version_count, SQL_SCD2_VC),

@@ -179,3 +179,36 @@ def test_pq_recall_against_brute_force(spark, emb):
     # 16-entry sampled codebooks on gaussian data are coarse; PQ must
     # still far exceed random top-5 hit rate (~1%)
     assert recall >= 0.2, f"PQ recall too low: {recall}"
+
+
+@needs_td
+def test_ivf_seeded_full_probe_equals_brute_force(spark, emb):
+    from lion_parcel_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_seeded,
+    )
+
+    queries = emb.filter("vec_id < 5")
+    exact = cosine_topk(emb, queries, k=5).collect()
+    full = ivf_topk_seeded(emb, queries, n_centroids=16, nprobe=16, k=5).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(map(tuple, full), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, exact), key=lambda t: (t[0], t[3])
+    )
+
+
+@needs_td
+def test_ivf_seeded_partial_probe_recall(spark, emb):
+    from lion_parcel_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_seeded,
+    )
+
+    queries = emb.filter("vec_id < 10")
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk_seeded(emb, queries, n_centroids=16, nprobe=4, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"seeded-IVF recall too low: {recall}"

@@ -44,13 +44,15 @@ def audit(name: str, plan: str) -> list[str]:
         "dormant_customers",
         "pq_topk",
         "lm_surprisal",
+        "ivf_topk_seeded",
     ):
         # intentional BNLJs: cosine_topk broadcasts a tiny query set;
         # tfidf/bm25/histogram/dormant_customers cross-join a broadcast
         # ONE-ROW stats aggregate (N, avgdl, min/max, avg balance) — a
         # scalar fan-in, not a pair explosion; pq_topk cross-joins the
         # broadcast 16-row PQ codebook (encode + query lookup tables);
-        # lm_surprisal cross-joins the broadcast ONE-ROW vocabulary size
+        # lm_surprisal cross-joins the broadcast ONE-ROW vocabulary size;
+        # ivf_topk_seeded cross-joins the broadcast 16-row seed table
         flags.append("BNLJ")
     if "BatchEvalPython" in plan:
         flags.append("PY_UDF_ROW_AT_A_TIME")
