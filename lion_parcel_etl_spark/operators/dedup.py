@@ -587,17 +587,23 @@ def edit_distance_pairs(
         F.explode(variants).alias("var"),
     )
     a, b = v.alias("a"), v.alias("b")
+    # the dedup exchange carries BARE id pairs (a pair can share up to
+    # L+1 variants): no name strings in the shuffle, and levenshtein
+    # runs exactly once per distinct pair — names come back via two
+    # joins against the name table (AQE broadcasts it when small; at
+    # corpus scale it hash-joins on the id like any dimension)
     cand = (
         a.join(b, (F.col("a.var") == F.col("b.var")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.name").alias("name_a"),
-            F.col("b.name").alias("name_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    names = docs.select(F.col(id_col).alias("nid"), F.col(text_col).alias("nname"))
+    na = names.select(F.col("nid").alias("id_a"), F.col("nname").alias("name_a"))
+    nb = names.select(F.col("nid").alias("id_b"), F.col("nname").alias("name_b"))
     dist = F.levenshtein("name_a", "name_b")
-    return cand.filter(dist <= max_dist).select(
-        "id_a", "id_b", dist.cast("long").alias("dist")
+    return (
+        cand.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(dist <= max_dist)
+        .select("id_a", "id_b", dist.cast("long").alias("dist"))
     )
