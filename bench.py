@@ -72,6 +72,8 @@ HEADLINE = [
     "approx_stats",
     "tumbling_window",
     "sessionize",
+    "event_transitions",
+    "cohort_retention",
     "asof_join",
     "range_join",
     "stratified_sample",

@@ -3692,6 +3692,105 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM (
 """
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over the event stream:
+    per-user event sequences (ordered by ts with event_id tie-break —
+    total order, so both engines see identical successors), LEAD to
+    pair each event with its successor, then global transition counts
+    and row-normalized probabilities. The lead window sorts WITHIN
+    user partitions (no global order); the probability denominator is
+    a window over the tiny counts table, not the event stream."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("prob"),
+    )
+
+
+SQL_TRANSITIONS = """
+WITH pairs AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), counts AS (
+  SELECT event_type, next_type, COUNT(*) AS n
+  FROM pairs WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, n,
+       round(n / SUM(n) OVER (PARTITION BY event_type), 6) AS prob
+FROM counts
+"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-active week,
+    tracked across activity weeks, with the retained share of each
+    cohort. Three aggregates, each partial-combined before its
+    exchange: distinct (user, week) activity, per-user first week,
+    cohort sizes; the final percentage joins cohort size back as a
+    broadcast (weeks × cohorts is tiny). The classic growth-analytics
+    query shape (self-referential time bucketing + ratio-to-cohort)."""
+    ev = _t(spark, sf_dir, "events")
+    act = (
+        ev.select(
+            "user_id",
+            F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias("week"),
+        )
+        .distinct()
+    )
+    first = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        act.join(first, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+    )
+
+
+SQL_COHORT = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         strftime(date_trunc('week', ts), '%Y-%m-%d') AS week
+  FROM events
+), first AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id
+), sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM first GROUP BY cohort_week
+), cells AS (
+  SELECT f.cohort_week, a.week, COUNT(*) AS n_active
+  FROM act a JOIN first f ON f.user_id = a.user_id
+  GROUP BY f.cohort_week, a.week
+)
+SELECT c.cohort_week, c.week, c.n_active, s.cohort_size,
+       round(c.n_active / s.cohort_size, 6) AS retention
+FROM cells c JOIN sizes s ON s.cohort_week = c.cohort_week
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "stage_load": (q_stage_load, SQL_STAGE),
@@ -3714,6 +3813,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "fuzzy_join": (q_fuzzy_join, SQL_FUZZY),
     "nested_semi_join": (q_nested_semi_join, SQL_NESTED_SEMI),
     "lm_surprisal": (q_lm_surprisal, SQL_LM_SURPRISAL),
+    "event_transitions": (q_event_transitions, SQL_TRANSITIONS),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT),
     "multi_join_topk": (q_multi_join_topk, SQL_MULTI_JOIN),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "set_ops": (q_set_ops, SQL_SET_OPS),

@@ -225,3 +225,30 @@ def test_lm_surprisal_ranks_rare_text_higher(spark, sf_dir):
     scorable = docs.filter(F.col("expect") >= 1).count()
     assert df.count() == scorable
     df.unpersist()
+
+
+def test_event_transitions_probabilities_normalize(spark, sf_dir):
+    from lion_parcel_etl_spark.plans.queries import q_event_transitions
+
+    df = q_event_transitions(spark, sf_dir).cache()
+    assert df.filter((F.col("prob") <= 0) | (F.col("prob") > 1)).count() == 0
+    sums = df.groupBy("event_type").agg(F.sum("prob").alias("s")).collect()
+    assert sums and all(abs(r.s - 1.0) < 1e-4 for r in sums)
+    df.unpersist()
+
+
+def test_cohort_retention_bounds(spark, sf_dir):
+    from lion_parcel_etl_spark.plans.queries import q_cohort_retention
+
+    df = q_cohort_retention(spark, sf_dir).cache()
+    assert df.count() > 0
+    assert df.filter((F.col("retention") <= 0) | (F.col("retention") > 1)).count() == 0
+    assert df.filter(F.col("week") < F.col("cohort_week")).count() == 0
+    # the cohort's own first week is fully retained by construction
+    assert (
+        df.filter(F.col("week") == F.col("cohort_week"))
+        .filter(F.col("retention") != 1.0)
+        .count()
+        == 0
+    )
+    df.unpersist()
