@@ -74,6 +74,7 @@ HEADLINE = [
     "sessionize",
     "event_transitions",
     "cohort_retention",
+    "pagerank",
     "asof_join",
     "range_join",
     "stratified_sample",

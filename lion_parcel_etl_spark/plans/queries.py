@@ -3791,6 +3791,95 @@ FROM cells c JOIN sizes s ON s.cohort_week = c.cohort_week
 """
 
 
+PAGERANK_ITERS = 3
+PAGERANK_DAMP = 0.85
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank over the customer↔supplier trade graph (edges both
+    ways per distinct trading pair, so every node has out-degree ≥ 1),
+    damping 0.85, exactly PAGERANK_ITERS power iterations — the
+    iterative-graph-algorithm shape (like connected_components) but
+    with per-edge float flow. Each iteration is one join of the edge
+    list with the current rank vector plus a grouped sum on the
+    destination; the edge list is the only big operand and is scanned
+    once per iteration, never reshuffled (it stays hash-partitioned on
+    src across iterations). Fixed iteration count keeps it
+    SQL-replayable: the oracle unrolls the same three steps; final
+    ranks round at 1e-6."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    # pin: the distinct'ed edge list feeds every iteration (and deg and
+    # nodes) — without it Catalyst re-expands the scan+join+distinct
+    # subtree once per consumer (measured ~5 recomputes for 3 iters)
+    edges = DD.pin(
+        pairs.selectExpr("c AS src", "s AS dst").unionByName(
+            pairs.selectExpr("s AS src", "c AS dst")
+        )
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks, edges.src == F.col("node"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("flow"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit((1.0 - PAGERANK_DAMP) / n_nodes)
+                + F.lit(PAGERANK_DAMP) * F.coalesce("flow", F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+def _duck_pagerank(iters: int = PAGERANK_ITERS, d: float = PAGERANK_DAMP) -> str:
+    step = """
+, r{i} AS MATERIALIZED (
+  SELECT n.node,
+         ({base}) + {d} * COALESCE(f.flow, 0.0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank / deg.out_deg) AS flow
+    FROM edges e
+    JOIN deg ON deg.src = e.src
+    JOIN r{prev} r ON r.node = e.src
+    GROUP BY e.dst
+  ) f ON f.node = n.node
+)"""
+    body = "".join(
+        step.format(i=i, prev=i - 1, d=d, base=f"(1.0 - {d}) / nn.n")
+        .replace("FROM nodes n LEFT JOIN", "FROM nodes n CROSS JOIN nn LEFT JOIN")
+        for i in range(1, iters + 1)
+    )
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT 'c' || o.o_custkey AS c, 's' || l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), edges AS MATERIALIZED (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+), nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn){body}
+SELECT node, round(rank, 9) AS rank FROM r{iters}
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "stage_load": (q_stage_load, SQL_STAGE),
@@ -3815,6 +3904,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lm_surprisal": (q_lm_surprisal, SQL_LM_SURPRISAL),
     "event_transitions": (q_event_transitions, SQL_TRANSITIONS),
     "cohort_retention": (q_cohort_retention, SQL_COHORT),
+    "pagerank": (q_pagerank, _duck_pagerank()),
     "multi_join_topk": (q_multi_join_topk, SQL_MULTI_JOIN),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "set_ops": (q_set_ops, SQL_SET_OPS),

@@ -252,3 +252,17 @@ def test_cohort_retention_bounds(spark, sf_dir):
         == 0
     )
     df.unpersist()
+
+
+def test_pagerank_is_a_distribution(spark, sf_dir):
+    from lion_parcel_etl_spark.plans.queries import q_pagerank
+
+    df = q_pagerank(spark, sf_dir).cache()
+    n = df.count()
+    assert n > 0
+    assert df.filter(F.col("rank") <= 0).count() == 0
+    total = df.agg(F.sum("rank")).first()[0]
+    # power iteration preserves total mass = 1 (no dangling nodes:
+    # every node has out-degree >= 1 by construction)
+    assert abs(total - 1.0) < 1e-6
+    df.unpersist()
