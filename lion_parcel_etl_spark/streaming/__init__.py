@@ -7,6 +7,7 @@ from lion_parcel_etl_spark.streaming.jobs import (  # noqa: F401
     read_rollup,
     stream_near_dup_pairs,
     stream_rollup_into,
+    stream_interval_join,
     stream_scd2,
     stream_session_windows,
     stream_running_user_totals,

@@ -448,3 +448,56 @@ def read_rollup(spark: SparkSession, warehouse, table: str, keys: list[str]) -> 
         else:
             raise ValueError(f"not a mergeable state column: {c}")
     return rollup_finalize(state.groupBy(*keys).agg(*aggs), keys)
+
+
+def stream_interval_join(
+    spark: SparkSession,
+    events_path: str,
+    first_type: str = "click",
+    then_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM interval join: pair each ``first_type`` event with
+    the same user's ``then_type`` events that follow within ``within``
+    — the streaming form of the funnel/conversion join
+    (q_funnel_conversion is the batch twin of this shape).
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time gap, which is exactly what lets Spark expire buffered
+    rows: state per side is limited to the watermark horizon instead
+    of growing with the stream. The equality key (user_id) keeps it a
+    hash join; the time-range predicate is the residual."""
+    ev = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
+    first = (
+        ev.filter(F.col("event_type") == first_type)
+        .select(
+            F.col("user_id").alias("f_user"),
+            F.col("event_id").alias("first_id"),
+            F.col("ts").alias("first_ts"),
+        )
+        .withWatermark("first_ts", watermark)
+    )
+    then = (
+        ev.filter(F.col("event_type") == then_type)
+        .select(
+            F.col("user_id").alias("t_user"),
+            F.col("event_id").alias("then_id"),
+            F.col("ts").alias("then_ts"),
+            F.col("value").alias("then_value"),
+        )
+        .withWatermark("then_ts", watermark)
+    )
+    cond = (
+        (F.col("f_user") == F.col("t_user"))
+        & (F.col("then_ts") > F.col("first_ts"))
+        & (F.col("then_ts") <= F.col("first_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return first.join(then, cond).select(
+        F.col("f_user").alias("user_id"),
+        "first_id",
+        "first_ts",
+        "then_id",
+        "then_ts",
+        "then_value",
+    )

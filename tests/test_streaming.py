@@ -382,3 +382,29 @@ def test_stream_rollup_matches_batch_single_shot(spark, tmp_path):
     again = read_rollup(spark, wh, "ev_rollup", ["event_type"])
     assert _rows(again, cols) == _rows(want, cols)
     ev.unpersist()
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path, events_dir):
+    from lion_parcel_etl_spark.streaming.jobs import stream_interval_join
+    from lion_parcel_etl_spark.streaming import run_available_now
+
+    out = stream_interval_join(spark, events_dir, within="1 hour")
+    run_available_now(out, str(tmp_path / "ckpt"), table_name="sj_out")
+    got = spark.table("sj_out")
+
+    ev = spark.read.parquet(events_dir)
+    first = ev.filter("event_type = 'click'").selectExpr(
+        "user_id AS f_user", "event_id AS first_id", "ts AS first_ts"
+    )
+    then = ev.filter("event_type = 'purchase'").selectExpr(
+        "user_id AS t_user", "event_id AS then_id", "ts AS then_ts", "value AS then_value"
+    )
+    want = first.join(
+        then,
+        (F.col("f_user") == F.col("t_user"))
+        & (F.col("then_ts") > F.col("first_ts"))
+        & (F.col("then_ts") <= F.expr("first_ts + INTERVAL 1 hour")),
+    )
+    cols = ["first_id", "then_id"]
+    assert want.count() > 0
+    assert _rows(got, cols) == _rows(want, cols)
