@@ -71,6 +71,7 @@ HEADLINE = [
     "stats_agg",
     "approx_stats",
     "tumbling_window",
+    "session_window_native",
     "sessionize",
     "event_transitions",
     "cohort_retention",

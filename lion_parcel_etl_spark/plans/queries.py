@@ -3880,6 +3880,57 @@ SELECT node, round(rank, 9) AS rank FROM r{iters}
 """
 
 
+def q_session_window_native(spark, sf_dir):
+    """Spark's NATIVE session_window aggregation in batch mode (the
+    merging-session operator Catalyst implements specially; the
+    streaming twin is streaming/jobs.stream_session_windows): per-user
+    sessions that extend while events arrive within 30 minutes of the
+    last one; window end = last event + gap, end-exclusive, so a gap
+    of EXACTLY 30 minutes starts a new session (note the >= vs the
+    strict > of the lag-based q_sessionize — both semantics are
+    useful; this entry pins Spark's). Oracle = gaps-and-islands with
+    the same >= boundary on exact microsecond timestamps."""
+    ev = _t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy("user_id", sw.alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            fmt_ts(F.col("sw.start")).alias("session_start"),
+            fmt_ts(F.col("sw.end")).alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+SQL_SESSION_NATIVE = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), isl AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '{TS_FMT_DUCK}') AS session_end,
+       COUNT(*) AS n_events,
+       SUM(CAST(round(value*100) AS BIGINT)) / 100.0 AS value_sum
+FROM isl
+GROUP BY user_id, sid
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "stage_load": (q_stage_load, SQL_STAGE),
@@ -3905,6 +3956,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "event_transitions": (q_event_transitions, SQL_TRANSITIONS),
     "cohort_retention": (q_cohort_retention, SQL_COHORT),
     "pagerank": (q_pagerank, _duck_pagerank()),
+    "session_window_native": (q_session_window_native, SQL_SESSION_NATIVE),
     "multi_join_topk": (q_multi_join_topk, SQL_MULTI_JOIN),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "set_ops": (q_set_ops, SQL_SET_OPS),
