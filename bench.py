@@ -89,6 +89,9 @@ HEADLINE = [
     "minhash_incremental",
     "simhash_near_dup",
     "text_analysis",
+    "ewma",
+    "window_firstlast",
+    "compression_ratio",
     "tfidf_topk",
     "bm25_rank",
     "token_frequency",

@@ -3931,6 +3931,92 @@ GROUP BY user_id, sid
 """
 
 
+def q_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average per user — an inherently
+    SEQUENTIAL recurrence (s_i = 0.3·x_i + 0.7·s_{i-1}) expressed as an
+    ordered JVM-side fold: collect each user's (ts, event_id, value)
+    structs, array_sort for a total order, then F.aggregate seeded with
+    the first value folds the tail left-to-right. DuckDB's list_reduce
+    has identical seeding-and-order semantics, so the doubles match
+    exactly (rounded at 1e-6 for belt and braces). Scale note: state
+    is one user's event list — bounded by the per-key history, the
+    same bound any stateful sequential op carries; the heavy lifting
+    (grouping) is one partial-agg shuffle."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "value"))
+    )
+    vals = F.transform(arr, lambda s: s["value"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(0.7) + x * F.lit(0.3),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(ewma, 6).alias("ewma_value"),
+        )
+    )
+
+
+SQL_EWMA = """
+SELECT user_id, COUNT(*) AS n_events,
+       round(list_reduce(list(value ORDER BY ts, event_id),
+                         (acc, x) -> acc * 0.7 + x * 0.3), 6) AS ewma_value
+FROM events
+WHERE value IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def q_compression_ratio(spark, sf_dir):
+    """zlib compressibility per document (operators/text.py
+    compression_ratio) — repetition/boilerplate detection for corpus
+    curation. No SQL oracle (zlib is not expressible in DuckDB SQL):
+    the driver records a rows-only check; determinism and ordering
+    behavior are pinned by tests/test_text.py on known inputs. One of
+    two sanctioned Arrow-batched Python crossings in the text family
+    (the other is multimodal feature extraction)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.compression_ratio(docs)
+
+
+def q_window_firstlast(spark, sf_dir):
+    """first_value / last_value / nth_value window family with an
+    explicit full-partition frame (the default frame stops at CURRENT
+    ROW, which silently breaks last_value — the classic window-frame
+    trap, pinned here on both engines): per user, the first, last and
+    second event values by time."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.first("value").over(w).alias("first_value"),
+            F.last("value").over(w).alias("last_value"),
+            F.nth_value("value", 2).over(w).alias("second_value"),
+        )
+        .distinct()
+    )
+
+
+SQL_FIRSTLAST = """
+SELECT DISTINCT user_id,
+       first_value(value) OVER w AS first_value,
+       last_value(value) OVER w AS last_value,
+       nth_value(value, 2) OVER w AS second_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "stage_load": (q_stage_load, SQL_STAGE),
@@ -3957,6 +4043,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cohort_retention": (q_cohort_retention, SQL_COHORT),
     "pagerank": (q_pagerank, _duck_pagerank()),
     "session_window_native": (q_session_window_native, SQL_SESSION_NATIVE),
+    "ewma": (q_ewma, SQL_EWMA),
+    "compression_ratio": (q_compression_ratio, None),
+    "window_firstlast": (q_window_firstlast, SQL_FIRSTLAST),
     "multi_join_topk": (q_multi_join_topk, SQL_MULTI_JOIN),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "set_ops": (q_set_ops, SQL_SET_OPS),

@@ -170,3 +170,26 @@ def test_redact_pii_overlapping_patterns_count_replacements(spark):
     r = df.select(red.alias("red"), n.alias("n")).first()
     assert r.red == "reach me: <EMAIL>"
     assert r.n == 1
+
+
+def test_compression_ratio_orders_texts_sensibly(spark):
+    from lion_parcel_etl_spark.operators.text import compression_ratio
+
+    import random
+
+    rng = random.Random(7)
+    noise = "".join(chr(rng.randrange(0x21, 0x7F)) for _ in range(2000))
+    rows = [
+        (1, "abc " * 500),          # highly repetitive
+        (2, noise),                 # incompressible noise
+        (3, None),                  # null text -> null ratio
+        (4, ""),                    # empty -> null ratio
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.compression_ratio for r in compression_ratio(df).collect()}
+    assert out[1] < 0.05                 # template text crushes
+    assert out[2] > 0.8                  # noise does not
+    assert out[3] is None and out[4] is None
+    # deterministic across runs
+    again = {r.doc_id: r.compression_ratio for r in compression_ratio(df).collect()}
+    assert out == again
