@@ -157,3 +157,65 @@ def merge_upsert_partitioned(
             f"but the merged write produced no partition directories"
         )
     return swapped
+
+
+# numeric widening lattice for union_evolve: the smallest common type
+# two drifted column types can both losslessly cast to
+_WIDEN_ORDER = ["tinyint", "smallint", "int", "bigint", "float", "double"]
+
+
+def _widen(a, b):
+    from pyspark.sql import types as T
+
+    if a == b:
+        return a
+    an, bn = a.simpleString(), b.simpleString()
+    if an in _WIDEN_ORDER and bn in _WIDEN_ORDER:
+        name = _WIDEN_ORDER[max(_WIDEN_ORDER.index(an), _WIDEN_ORDER.index(bn))]
+        # integers mixed with float widen to double (float can't hold
+        # every bigint; double is the engine-wide numeric fallback)
+        if name == "float" and {an, bn} & {"int", "bigint"}:
+            name = "double"
+        return getattr(
+            T,
+            {
+                "tinyint": "ByteType", "smallint": "ShortType", "int": "IntegerType",
+                "bigint": "LongType", "float": "FloatType", "double": "DoubleType",
+            }[name],
+        )()
+    raise TypeError(f"union_evolve: cannot reconcile {an} and {bn}")
+
+
+def union_evolve(dfs: list[DataFrame]) -> DataFrame:
+    """Union DataFrames whose schemas DRIFTED across batches: the
+    united schema is the union of all column names (first-seen order,
+    case-insensitive match like sync_columns), missing columns fill
+    with typed nulls, and same-name numeric columns widen to their
+    smallest common type (int ∪ bigint → bigint, int ∪ double →
+    double). Incompatible drift (string vs int) raises instead of
+    silently corrupting — the read-side counterpart of the writer's
+    ``sync_all_columns`` evolution (reference K9,
+    retail_transactions.sql:6). Pure projections + unionByName: no
+    shuffle, preserves partitioning of each input."""
+    if not dfs:
+        raise ValueError("union_evolve: no inputs")
+    merged: dict[str, object] = {}
+    canon: dict[str, str] = {}
+    for df in dfs:
+        for f in df.schema.fields:
+            key = f.name.lower()
+            if key not in merged:
+                merged[key] = f.dataType
+                canon[key] = f.name
+            else:
+                merged[key] = _widen(merged[key], f.dataType)
+    out = None
+    for df in dfs:
+        have = {c.lower(): c for c in df.columns}
+        cols = [
+            (F.col(have[k]).cast(t) if k in have else F.lit(None).cast(t)).alias(canon[k])
+            for k, t in merged.items()
+        ]
+        part = df.select(*cols)
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -140,3 +140,35 @@ def test_partitioned_merge_null_partition_value(spark, tmp_path):
     got = wh.read(spark, "mart")
     assert got.count() == 2
     assert got.filter("id = 1").collect()[0].v == "NEW"
+
+
+def test_union_evolve_widens_and_fills(spark):
+    from lion_parcel_etl_spark.operators.merge_upsert import union_evolve
+
+    a = spark.createDataFrame([(1, 10)], "id int, x int")
+    b = spark.createDataFrame([(2, 3.5, "n")], "id bigint, x double, note string")
+    out = union_evolve([a, b])
+    assert dict(out.dtypes) == {"id": "bigint", "x": "double", "note": "string"}
+    rows = {r.id: (r.x, r.note) for r in out.collect()}
+    assert rows == {1: (10.0, None), 2: (3.5, "n")}
+
+
+def test_union_evolve_case_insensitive_first_name_wins(spark):
+    from lion_parcel_etl_spark.operators.merge_upsert import union_evolve
+
+    a = spark.createDataFrame([(1,)], "Message string")
+    b = spark.createDataFrame([(2,)], "message string")
+    out = union_evolve([a, b])
+    assert out.columns == ["Message"]
+    assert out.count() == 2
+
+
+def test_union_evolve_rejects_incompatible_drift(spark):
+    import pytest as _pytest
+
+    from lion_parcel_etl_spark.operators.merge_upsert import union_evolve
+
+    a = spark.createDataFrame([(1,)], "x int")
+    b = spark.createDataFrame([("s",)], "x string")
+    with _pytest.raises(TypeError):
+        union_evolve([a, b])
