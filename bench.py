@@ -72,6 +72,7 @@ HEADLINE = [
     "approx_stats",
     "tumbling_window",
     "session_window_native",
+    "session_overlap",
     "sessionize",
     "event_transitions",
     "cohort_retention",

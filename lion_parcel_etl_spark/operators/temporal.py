@@ -145,3 +145,48 @@ def range_join(
         )
         .drop("__bin")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    by: list[str] | None = None,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Inner join of interval rows to every interval OVERLAPPING them
+    (half-open semantics: [s1,e1) ∩ [s2,e2) ≠ ∅ ⟺ s1 < e2 ∧ s2 < e1),
+    optionally also keyed on ``by`` — the interval-algebra sibling of
+    :func:`range_join`.
+
+    Same discretization idea, with one extra trick: two overlapping
+    intervals share ALL the bins of their intersection, so a plain
+    bin equi-join would emit the pair once per shared bin. Requiring
+    the matched bin to equal ``greatest(start_bin_l, start_bin_r)`` —
+    the FIRST shared bin — makes every true pair match exactly once,
+    so no dedup exchange is needed at all. The shuffle is an equi-join
+    on (by, bin), skew-splittable by AQE; fan-out per interval is its
+    length in bins."""
+    by = by or []
+
+    def binned(df, start, end, tag):
+        sb = (F.unix_timestamp(start) / F.lit(bin_seconds)).cast("long")
+        eb = (F.unix_timestamp(end) / F.lit(bin_seconds)).cast("long")
+        return df.withColumn(f"__sb_{tag}", sb).withColumn(
+            "__bin", F.explode(F.sequence(sb, eb))
+        )
+
+    bl = binned(left, left_start, left_end, "l")
+    br = binned(right, right_start, right_end, "r")
+    return (
+        bl.join(br, [*by, "__bin"])
+        .filter(
+            (F.col(left_start) < F.col(right_end))
+            & (F.col(right_start) < F.col(left_end))
+            & (F.col("__bin") == F.greatest("__sb_l", "__sb_r"))
+        )
+        .drop("__bin", "__sb_l", "__sb_r")
+    )

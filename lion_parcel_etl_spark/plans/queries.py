@@ -4017,6 +4017,73 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_session_overlap(spark, sf_dir):
+    """Interval-OVERLAP join (operators/temporal.py
+    interval_overlap_join): per user, click sessions that overlap
+    purchase sessions in time — intervals × intervals, the join shape
+    range_join (points × intervals) can't express. Sessions come from
+    the native session_window (30-min gap, end = last + gap); the
+    overlap join bins time and counts each true pair exactly once via
+    the first-shared-bin trick (no dedup exchange). Oracle = gaps-and-
+    islands sessions + a plain theta join."""
+    from lion_parcel_etl_spark.operators.temporal import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+
+    def sess(t, p):
+        return (
+            ev.filter(F.col("event_type") == t)
+            .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+            .agg(F.count(F.lit(1)).alias(f"n_{p}"))
+            .select(
+                "user_id",
+                F.col("sw.start").alias(f"{p}_start"),
+                F.col("sw.end").alias(f"{p}_end"),
+                f"n_{p}",
+            )
+        )
+
+    a, b = sess("click", "click"), sess("purchase", "purchase")
+    return interval_overlap_join(
+        a, b, "click_start", "click_end", "purchase_start", "purchase_end",
+        by=["user_id"], bin_seconds=3600,
+    ).select(
+        "user_id",
+        fmt_ts("click_start").alias("click_start"),
+        fmt_ts("purchase_start").alias("purchase_start"),
+        "n_click",
+        "n_purchase",
+    )
+
+
+SQL_SESSION_OVERLAP = f"""
+WITH marked AS (
+  SELECT user_id, event_type, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events WHERE event_type IN ('click', 'purchase')
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), isl AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), sess AS (
+  SELECT user_id, event_type, MIN(ts) AS s,
+         MAX(ts) + INTERVAL 30 MINUTE AS e, COUNT(*) AS n
+  FROM isl GROUP BY user_id, event_type, sid
+)
+SELECT a.user_id,
+       strftime(a.s, '{TS_FMT_DUCK}') AS click_start,
+       strftime(b.s, '{TS_FMT_DUCK}') AS purchase_start,
+       a.n AS n_click, b.n AS n_purchase
+FROM sess a JOIN sess b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND a.s < b.e AND b.s < a.e
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "stage_load": (q_stage_load, SQL_STAGE),
@@ -4046,6 +4113,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ewma": (q_ewma, SQL_EWMA),
     "compression_ratio": (q_compression_ratio, None),
     "window_firstlast": (q_window_firstlast, SQL_FIRSTLAST),
+    "session_overlap": (q_session_overlap, SQL_SESSION_OVERLAP),
     "multi_join_topk": (q_multi_join_topk, SQL_MULTI_JOIN),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "set_ops": (q_set_ops, SQL_SET_OPS),

@@ -104,3 +104,71 @@ def test_range_join_matches_naive(spark, events):
     ) == sorted((r["event_id"], str(r["p_ts"])) for r in naive.collect())
     # each qualifying pair appears exactly once
     assert got.count() == got.dropDuplicates(["event_id", "p_ts"]).count()
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    import random
+
+    from lion_parcel_etl_spark.operators.temporal import interval_overlap_join
+
+    rng = random.Random(11)
+    base = 1_700_000_000
+
+    def mk(n, key_space):
+        rows = []
+        for i in range(n):
+            s = base + rng.randrange(0, 200_000)
+            e = s + rng.randrange(1, 30_000)  # up to ~8h, bins of 1h
+            rows.append((i, rng.randrange(key_space), s, e))
+        return rows
+
+    lrows, rrows = mk(60, 3), mk(60, 3)
+    to_df = lambda rows, p: spark.createDataFrame(
+        [(i, k) for i, k, _, _ in rows], f"{p}id long, {p}k long"
+    ).join(
+        spark.createDataFrame(
+            [(i, s, e) for i, _, s, e in rows], f"{p}id long, {p}s long, {p}e long"
+        ),
+        f"{p}id",
+    ).selectExpr(
+        f"{p}id", f"{p}k",
+        f"to_timestamp({p}s) AS {p}start", f"to_timestamp({p}e) AS {p}end",
+    )
+    L, R = to_df(lrows, "l"), to_df(rrows, "r")
+    got = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            L, R, "lstart", "lend", "rstart", "rend", bin_seconds=3600
+        )
+        .withColumn("__eq", F.col("lk") == F.col("rk"))
+        .filter("__eq")  # emulate keyed join for comparison below
+        .collect()
+    }
+    want = {
+        (li, ri)
+        for (li, lk, ls, le) in lrows
+        for (ri, rk, rs, re) in rrows
+        if lk == rk and ls < re and rs < le
+    }
+    assert got == want
+
+    # keyed variant gives the same pairs with the key as equi-join
+    keyed = interval_overlap_join(
+        L.withColumnRenamed("lk", "k"),
+        R.withColumnRenamed("rk", "k"),
+        "lstart", "lend", "rstart", "rend", by=["k"], bin_seconds=3600,
+    )
+    assert {(r.lid, r.rid) for r in keyed.collect()} == want
+
+
+def test_interval_overlap_half_open_boundary(spark):
+    from lion_parcel_etl_spark.operators.temporal import interval_overlap_join
+
+    # [0, 10) and [10, 20) touch but do NOT overlap
+    L = spark.createDataFrame([(1,)], "lid long").selectExpr(
+        "lid", "to_timestamp(1700000000) AS lstart", "to_timestamp(1700000010) AS lend"
+    )
+    R = spark.createDataFrame([(2,)], "rid long").selectExpr(
+        "rid", "to_timestamp(1700000010) AS rstart", "to_timestamp(1700000020) AS rend"
+    )
+    assert interval_overlap_join(L, R, "lstart", "lend", "rstart", "rend").count() == 0
