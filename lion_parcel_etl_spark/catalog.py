@@ -189,14 +189,35 @@ class VersionedTable:
         return os.path.join(self.path, self.VDIR, f"v{version:08d}")
 
     def versions(self) -> list[int]:
+        """COMMITTED versions only: a directory counts when Spark's
+        ``_SUCCESS`` marker exists, so a commit that crashed mid-write
+        (no marker) is invisible to versions()/read()/rollback() — the
+        guarantee that readers never observe a partial commit holds
+        even for explicitly-addressed versions."""
         vdir = os.path.join(self.path, self.VDIR)
         if not os.path.isdir(vdir):
             return []
         out = []
         for d in os.listdir(vdir):
-            if d.startswith("v") and d[1:].isdigit():
+            if (
+                d.startswith("v")
+                and d[1:].isdigit()
+                and os.path.isfile(os.path.join(vdir, d, "_SUCCESS"))
+            ):
                 out.append(int(d[1:]))
         return sorted(out)
+
+    def _all_version_dirs(self) -> list[int]:
+        """Every v-numbered directory, committed or orphaned — the
+        numbering domain for the next commit and vacuum's sweep set."""
+        vdir = os.path.join(self.path, self.VDIR)
+        if not os.path.isdir(vdir):
+            return []
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(vdir)
+            if d.startswith("v") and d[1:].isdigit()
+        )
 
     def current_version(self) -> int | None:
         ptr = os.path.join(self.path, self.POINTER)
@@ -206,7 +227,8 @@ class VersionedTable:
             return int(f.read().strip()[1:])
 
     def commit(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
-        version = (self.versions() or [0])[-1] + 1
+        # number past orphans too, so a crashed v<N> slot is never reused
+        version = (self._all_version_dirs() or [0])[-1] + 1
         target = self._vpath(version)
         os.makedirs(os.path.dirname(target), exist_ok=True)
         writer = df.write.mode("overwrite")
@@ -230,27 +252,27 @@ class VersionedTable:
             version = self.current_version()
             if version is None:
                 raise FileNotFoundError(f"{self.name}: no committed version")
-        vp = self._vpath(version)
-        if not os.path.isdir(vp):
-            raise FileNotFoundError(f"{self.name}: version {version} not found")
-        return spark.read.parquet(vp)
+        if version not in self.versions():
+            raise FileNotFoundError(f"{self.name}: version {version} not committed")
+        return spark.read.parquet(self._vpath(version))
 
     def rollback(self, version: int) -> None:
-        if not os.path.isdir(self._vpath(version)):
-            raise FileNotFoundError(f"{self.name}: version {version} not found")
+        if version not in self.versions():
+            raise FileNotFoundError(f"{self.name}: version {version} not committed")
         self._flip(version)
 
     def vacuum(self, keep_last: int = 2) -> list[str]:
-        """Drop version dirs older than the newest ``keep_last``, never
-        the current pointer's target (a rolled-back current survives
-        even when old). Returns removed paths."""
+        """Drop version dirs older than the newest ``keep_last`` —
+        including orphans from crashed commits — but never the current
+        pointer's target (a rolled-back current survives even when
+        old). Returns removed paths."""
         cur = self.current_version()
         vs = self.versions()
         keep = set(vs[-keep_last:]) if keep_last > 0 else set()
         if cur is not None:
             keep.add(cur)
         removed = []
-        for v in vs:
+        for v in self._all_version_dirs():
             if v not in keep:
                 shutil.rmtree(self._vpath(v))
                 removed.append(self._vpath(v))

@@ -49,6 +49,12 @@ def interleave_bits(buckets: list[Column], bits: int) -> Column:
     """Morton interleave: bit i of bucket j lands at position
     i*len(buckets)+j of the key. Pure shift/and/or expression tree."""
     dims = len(buckets)
+    if bits * dims > 63:
+        raise ValueError(
+            f"interleave_bits: {bits} bits x {dims} columns = {bits * dims} "
+            "key bits exceeds a long's 63 — negative Morton keys would "
+            "invert the clustering order; lower bits or cluster fewer columns"
+        )
     out = F.lit(0).cast("long")
     for i in range(bits):
         for j, b in enumerate(buckets):
@@ -76,7 +82,10 @@ def zorder_key(
                      F.max(F.col(c).cast("double")).alias(f"{c}__hi")]
         row = df.agg(*aggs).first()
         for c in missing:
-            ranges[c] = (row[f"{c}__lo"], row[f"{c}__hi"])
+            lo, hi = row[f"{c}__lo"], row[f"{c}__hi"]
+            # an all-null column has no range: treat as constant
+            # (bucketize already maps hi <= lo to bucket 0)
+            ranges[c] = (0.0, 0.0) if lo is None or hi is None else (lo, hi)
     buckets = [bucketize(F.col(c), ranges[c][0], ranges[c][1], bits) for c in cols]
     return interleave_bits(buckets, bits)
 

@@ -160,8 +160,14 @@ def merge_upsert_partitioned(
 
 
 # numeric widening lattice for union_evolve: the smallest common type
-# two drifted column types can both losslessly cast to
-_WIDEN_ORDER = ["tinyint", "smallint", "int", "bigint", "float", "double"]
+# two drifted column types can both LOSSLESSLY cast to. Integer types
+# carry their bit width; float types the bit width of their mantissa —
+# an integer may widen into a float type only when every value fits the
+# mantissa exactly (int ∪ double ok: 32 ≤ 53; bigint ∪ double NOT ok:
+# 64 > 53 silently collapses distinct ids above 2^53).
+_INT_BITS = {"tinyint": 8, "smallint": 16, "int": 32, "bigint": 64}
+_FLOAT_MANTISSA = {"float": 24, "double": 53}
+_INT_ORDER = ["tinyint", "smallint", "int", "bigint"]
 
 
 def _widen(a, b):
@@ -170,19 +176,25 @@ def _widen(a, b):
     if a == b:
         return a
     an, bn = a.simpleString(), b.simpleString()
-    if an in _WIDEN_ORDER and bn in _WIDEN_ORDER:
-        name = _WIDEN_ORDER[max(_WIDEN_ORDER.index(an), _WIDEN_ORDER.index(bn))]
-        # integers mixed with float widen to double (float can't hold
-        # every bigint; double is the engine-wide numeric fallback)
-        if name == "float" and {an, bn} & {"int", "bigint"}:
-            name = "double"
-        return getattr(
-            T,
-            {
-                "tinyint": "ByteType", "smallint": "ShortType", "int": "IntegerType",
-                "bigint": "LongType", "float": "FloatType", "double": "DoubleType",
-            }[name],
-        )()
+    names = {
+        "tinyint": "ByteType", "smallint": "ShortType", "int": "IntegerType",
+        "bigint": "LongType", "float": "FloatType", "double": "DoubleType",
+    }
+    if an in _INT_BITS and bn in _INT_BITS:
+        name = _INT_ORDER[max(_INT_ORDER.index(an), _INT_ORDER.index(bn))]
+        return getattr(T, names[name])()
+    if an in _FLOAT_MANTISSA and bn in _FLOAT_MANTISSA:
+        return T.DoubleType()
+    if {an, bn} <= set(names):  # one int, one float
+        i = an if an in _INT_BITS else bn
+        f = bn if an in _INT_BITS else an
+        target = "double" if f == "double" or _INT_BITS[i] > 24 else "float"
+        if _INT_BITS[i] > _FLOAT_MANTISSA[target]:
+            raise TypeError(
+                f"union_evolve: widening {i} into {target} is lossy above "
+                f"2^{_FLOAT_MANTISSA[target]} — refusing to silently corrupt"
+            )
+        return getattr(T, names[target])()
     raise TypeError(f"union_evolve: cannot reconcile {an} and {bn}")
 
 

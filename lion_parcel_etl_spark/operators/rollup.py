@@ -54,6 +54,24 @@ def rollup_state(
     return batch.groupBy(*keys).agg(*aggs)
 
 
+def state_aggs(cols: list[str]) -> list[Column]:
+    """The merge aggregate for each state column, dispatched on the
+    STATE_SUFFIXES convention — the single source of truth shared by
+    rollup_merge and the streaming read path (streaming.read_rollup),
+    so a new state kind can't silently diverge between them."""
+    aggs = []
+    for c in cols:
+        if c.endswith("__sum") or c.endswith("__cnt"):
+            aggs.append(F.sum(c).alias(c))
+        elif c.endswith("__min"):
+            aggs.append(F.min(c).alias(c))
+        elif c.endswith("__max"):
+            aggs.append(F.max(c).alias(c))
+        else:
+            raise ValueError(f"not a mergeable state column: {c}")
+    return aggs
+
+
 def rollup_merge(state: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
     """Merge two state tables (either may have keys the other lacks).
 
@@ -66,17 +84,7 @@ def rollup_merge(state: DataFrame, delta: DataFrame, keys: list[str]) -> DataFra
     if set(cols) != {c for c in delta.columns if c not in keys}:
         raise ValueError("state and delta column sets differ")
     both = state.unionByName(delta)
-    aggs = []
-    for c in cols:
-        if c.endswith("__sum") or c.endswith("__cnt"):
-            aggs.append(F.sum(c).alias(c))
-        elif c.endswith("__min"):
-            aggs.append(F.min(c).alias(c))
-        elif c.endswith("__max"):
-            aggs.append(F.max(c).alias(c))
-        else:
-            raise ValueError(f"not a mergeable state column: {c}")
-    return both.groupBy(*keys).agg(*aggs)
+    return both.groupBy(*keys).agg(*state_aggs(cols))
 
 
 def rollup_finalize(state: DataFrame, keys: list[str]) -> DataFrame:

@@ -273,7 +273,6 @@ def compression_ratio(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     deterministic for a fixed zlib level, validated on known inputs in
     tests/test_text.py. Zero shuffle — a pure projection; at 100 TB
     the cost is one streamed pass at C-compression speed."""
-    import pandas as pd  # noqa: F401  (signature typing)
 
     @F.pandas_udf("double")
     def _ratio(texts):
@@ -289,6 +288,5 @@ def compression_ratio(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
 
     return docs.select(
         F.col(id_col),
-        F.col(text_col).alias("text"),
         F.round(_ratio(F.col(text_col)), 6).alias("compression_ratio"),
-    ).drop("text")
+    )

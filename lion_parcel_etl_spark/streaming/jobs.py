@@ -433,21 +433,11 @@ def read_rollup(spark: SparkSession, warehouse, table: str, keys: list[str]) -> 
     derive finals. One co-partitioned shuffle over state rows (≤
     batches × keys), independent of how much raw history produced
     them."""
-    from lion_parcel_etl_spark.operators.rollup import rollup_finalize
+    from lion_parcel_etl_spark.operators.rollup import rollup_finalize, state_aggs
 
     state = warehouse.read(spark, table).drop("__batch_id")
     cols = [c for c in state.columns if c not in keys]
-    aggs = []
-    for c in cols:
-        if c.endswith("__sum") or c.endswith("__cnt"):
-            aggs.append(F.sum(c).alias(c))
-        elif c.endswith("__min"):
-            aggs.append(F.min(c).alias(c))
-        elif c.endswith("__max"):
-            aggs.append(F.max(c).alias(c))
-        else:
-            raise ValueError(f"not a mergeable state column: {c}")
-    return rollup_finalize(state.groupBy(*keys).agg(*aggs), keys)
+    return rollup_finalize(state.groupBy(*keys).agg(*state_aggs(cols)), keys)
 
 
 def stream_interval_join(

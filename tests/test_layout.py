@@ -105,3 +105,21 @@ def test_zorder_key_constant_range_is_safe(spark):
     z = df.select(zorder_key(df, ["a", "b"], bits=4).alias("z"))
     vals = [r.z for r in z.collect()]
     assert len(vals) == 10 and all(v >= 0 for v in vals)
+
+
+def test_zorder_all_null_column_treated_as_constant(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "wh"))
+    df = spark.range(100).selectExpr(
+        "id AS event_id", "id % 7 AS user_id", "CAST(NULL AS DOUBLE) AS value"
+    )
+    wh.overwrite(df, "t")
+    zorder_compact(spark, wh, "t", ["user_id", "value"], n_files=4)
+    assert wh.read(spark, "t").count() == 100
+
+
+def test_interleave_bits_rejects_sign_bit_overflow(spark):
+    import pytest as _pytest
+
+    cols = [F.lit(1).cast("long")] * 8
+    with _pytest.raises(ValueError):
+        interleave_bits(cols, 8)  # 64 key bits > 63

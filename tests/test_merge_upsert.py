@@ -163,6 +163,22 @@ def test_union_evolve_case_insensitive_first_name_wins(spark):
     assert out.count() == 2
 
 
+def test_union_evolve_rejects_lossy_numeric_drift(spark):
+    import pytest as _pytest
+
+    from lion_parcel_etl_spark.operators.merge_upsert import union_evolve
+
+    # bigint ∪ double would collapse distinct ids above 2^53
+    a = spark.createDataFrame([(9007199254740993,)], "x bigint")
+    b = spark.createDataFrame([(1.5,)], "x double")
+    with _pytest.raises(TypeError):
+        union_evolve([a, b])
+    # int ∪ float would be lossy too (24-bit mantissa); widens to double
+    c = spark.createDataFrame([(2147483647,)], "x int")
+    d = spark.createDataFrame([(1.5,)], "x float")
+    assert dict(union_evolve([c, d]).dtypes) == {"x": "double"}
+
+
 def test_union_evolve_rejects_incompatible_drift(spark):
     import pytest as _pytest
 

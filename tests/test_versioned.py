@@ -54,14 +54,21 @@ def test_vacuum_keeps_current_even_when_old(spark, vt):
 
 def test_crashed_commit_orphan_is_invisible_then_vacuumed(spark, vt):
     vt.commit(_df(spark, ["a"]))
-    # simulate a crash AFTER data write, BEFORE pointer flip
+    # simulate a crash MID-WRITE: data files exist, no _SUCCESS marker
     orphan = vt._vpath(2)
     os.makedirs(orphan)
     _df(spark, ["partial"]).write.mode("overwrite").parquet(orphan)
+    os.remove(os.path.join(orphan, "_SUCCESS"))
     assert vt.current_version() == 1  # reader still sees v1
     assert [r.v for r in vt.read(spark).collect()] == ["a"]
-    # the NEXT commit does not reuse the orphan's slot blindly: it
-    # writes v3 and readers jump from v1 to v3
+    # the torn directory is not a version: invisible to listing,
+    # unreadable, un-rollback-able
+    assert vt.versions() == [1]
+    with pytest.raises(FileNotFoundError):
+        vt.read(spark, version=2)
+    with pytest.raises(FileNotFoundError):
+        vt.rollback(2)
+    # the NEXT commit does not reuse the orphan's slot: it writes v3
     v3 = vt.commit(_df(spark, ["b"]))
     assert v3 == 3 and vt.current_version() == 3
     removed = vt.vacuum(keep_last=1)
