@@ -3820,10 +3820,13 @@ def q_pagerank(spark, sf_dir):
     # pin: the distinct'ed edge list feeds every iteration (and deg and
     # nodes) — without it Catalyst re-expands the scan+join+distinct
     # subtree once per consumer (measured ~5 recomputes for 3 iters)
+    # coalesce before pinning: the edge list is ~1e5 short rows — a
+    # handful of partitions keeps the 3 iterations' stages from
+    # degenerating into tiny-task storms on wide local parallelism
     edges = DD.pin(
-        pairs.selectExpr("c AS src", "s AS dst").unionByName(
-            pairs.selectExpr("s AS src", "c AS dst")
-        )
+        pairs.selectExpr("c AS src", "s AS dst")
+        .unionByName(pairs.selectExpr("s AS src", "c AS dst"))
+        .coalesce(8)
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()
