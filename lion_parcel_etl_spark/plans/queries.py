@@ -3809,13 +3809,16 @@ def q_pagerank(spark, sf_dir):
     ranks round at 1e-6."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
+    # distinct on the (custkey, suppkey) LONG pair, labels built after:
+    # the dedup exchange carries 16 bytes/row instead of two strings
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
         )
-        .distinct()
     )
     # pin: the distinct'ed edge list feeds every iteration (and deg and
     # nodes) — without it Catalyst re-expands the scan+join+distinct
