@@ -93,6 +93,7 @@ HEADLINE = [
     "ewma",
     "window_firstlast",
     "compression_ratio",
+    "contamination_check",
     "tfidf_topk",
     "bm25_rank",
     "token_frequency",

@@ -607,3 +607,47 @@ def edit_distance_pairs(
         .filter(dist <= max_dist)
         .select("id_a", "id_b", dist.cast("long").alias("dist"))
     )
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ≥
+    ``min_shared`` distinct word n-gram shingles with ANY eval-set
+    document — the standard n-gram-overlap contamination check run
+    before training on scraped corpora (public method; production runs
+    use longer shingles, n≈8-13 — ``n`` is the knob).
+
+    Scale shape: the eval set is small by definition (a benchmark), so
+    its distinct shingle set broadcasts; the corpus side explodes its
+    shingles and streams through one broadcast semi-ish join — a
+    single scan of the corpus, one partial-agg shuffle of matched
+    (doc, shingle) pairs only. Returns every corpus doc with its
+    shared-shingle count and flag."""
+    ev = F.broadcast(
+        eval_set.select(F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
+        .distinct()
+    )
+    doc_sh = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    counts = (
+        doc_sh.join(ev, "sh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("n_shared"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) >= min_shared).alias("contaminated"),
+        )
+    )

@@ -4090,6 +4090,41 @@ FROM sess a JOIN sess b
 """
 
 
+def q_contamination_check(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.py
+    contamination_flags): docs 0-9 play the held-out eval set; every
+    other document is flagged when it shares ≥ 1 distinct word
+    3-shingle with any eval doc — the n-gram-overlap contamination
+    check run before training on scraped corpora (real deployments use
+    n≈8-13; n is the operator's knob, 3 matches the corpus's shingle
+    infra and the oracle's _DUCK_SHINGLES twin). One corpus scan, eval
+    shingles broadcast, matched pairs partial-aggregated."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    return DD.contamination_flags(corpus, ev, "doc_id", "text", n=3)
+
+
+SQL_CONTAMINATION = f"""
+WITH ev AS MATERIALIZED (
+  SELECT DISTINCT unnest({_DUCK_SHINGLES}) AS sh
+  FROM documents WHERE doc_id < 10
+), ds AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh
+  FROM documents WHERE doc_id >= 10
+), cnt AS (
+  SELECT ds.doc_id, COUNT(DISTINCT ds.sh) AS n_shared
+  FROM ds JOIN ev ON ds.sh = ev.sh
+  GROUP BY ds.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(cnt.n_shared, 0) AS n_shared,
+       COALESCE(cnt.n_shared, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN cnt ON cnt.doc_id = d.doc_id
+WHERE d.doc_id >= 10
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "stage_load": (q_stage_load, SQL_STAGE),
@@ -4118,6 +4153,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "session_window_native": (q_session_window_native, SQL_SESSION_NATIVE),
     "ewma": (q_ewma, SQL_EWMA),
     "compression_ratio": (q_compression_ratio, None),
+    "contamination_check": (q_contamination_check, SQL_CONTAMINATION),
     "window_firstlast": (q_window_firstlast, SQL_FIRSTLAST),
     "session_overlap": (q_session_overlap, SQL_SESSION_OVERLAP),
     "multi_join_topk": (q_multi_join_topk, SQL_MULTI_JOIN),

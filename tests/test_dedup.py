@@ -239,3 +239,25 @@ def test_edit_distance_pairs_complete_vs_brute_force(spark):
         if i < j and lev(a, b) <= 1
     }
     assert got == want
+
+
+def test_contamination_flags_exact_overlap_semantics(spark):
+    from lion_parcel_etl_spark.operators.dedup import contamination_flags
+
+    ev = spark.createDataFrame(
+        [(0, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox sleeps"),   # shares 2 shingles
+            (11, "a totally different sentence"), # shares none
+            (12, "quick brown fox"),              # shares 1 (whole text)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_shared, r.contaminated)
+           for r in contamination_flags(corpus, ev, "doc_id", "text").collect()}
+    assert out[10] == (2, True)
+    assert out[11] == (0, False)
+    assert out[12] == (1, True)
+    assert set(out) == {10, 11, 12}  # every corpus doc reported
