@@ -5,10 +5,13 @@ every implemented operator from SURVEY.md §2 (plus the training-data
 operators); ``oracle_sql()`` gives the DuckDB-equivalent SQL for each.
 The only entries without oracles are ``ivf_topk`` (iterative k-means
 refinement — validated by recall/equality against the exact baseline
-in tests/test_similarity.py) and ``approx_stats`` (sketch estimates,
-tolerance-checked in tests/test_sketches.py); the rest of the
-approximate family (``lsh_topk``, ``dedup_embedding_lsh``) is fully
-deterministic (md5-derived hyperplanes) and oracle-checked.
+in tests/test_similarity.py), ``approx_stats`` (sketch estimates,
+tolerance-checked in tests/test_sketches.py) and ``compression_ratio``
+(zlib is not expressible in SQL; pinned on known inputs in
+tests/test_text.py). The rest of the approximate family (``lsh_topk``,
+``pq_topk``, ``ivf_topk_seeded``, ``dedup_embedding_lsh``) is fully
+deterministic (md5-derived hyperplanes / sampled codebooks / seeded
+quantizers) and oracle-checked.
 
 Every query builder is wrapped so it runs correctly on ANY
 SparkSession the caller provides, not just the repo's own
