@@ -359,3 +359,42 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "src int, dst int")
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert got == want
+
+
+@settings(deadline=None, max_examples=15, suppress_health_check=list(HealthCheck))
+@given(
+    drops=st.lists(st.sampled_from(["a", "b", "c"]), min_size=3, max_size=3),
+    splits=st.lists(st.integers(0, 2), min_size=6, max_size=6),
+)
+def test_union_evolve_row_and_column_closure(spark, drops, splits):
+    """union_evolve over ANY batch split with ANY per-batch column
+    drop: total rows are preserved, the united schema is the union of
+    surviving columns, and dropped cells come back as nulls."""
+    from lion_parcel_etl_spark.operators.merge_upsert import union_evolve
+
+    rows = [(i, i * 10, float(i), f"s{i}") for i in range(6)]
+    batches = [[], [], []]
+    for r, b in zip(rows, splits):
+        batches[b].append(r)
+    dfs = []
+    for bi, batch in enumerate(batches):
+        if not batch:
+            continue
+        df = spark.createDataFrame(batch, "id long, a long, b double, c string")
+        df = df.drop(drops[bi])  # schema drift: this batch lost a column
+        dfs.append(df)
+    if not dfs:
+        return
+    out = union_evolve(dfs)
+    assert out.count() == sum(len(b) for b in batches if b)
+    survivors = {"id"} | {c for bi, b in enumerate(batches) if b
+                          for c in ("a", "b", "c") if c != drops[bi]}
+    assert set(out.columns) == survivors
+    # every value that survived its batch's drop is intact
+    col_idx = {"id": 0, "a": 1, "b": 2, "c": 3}
+    got = {r["id"]: r.asDict() for r in out.collect()}
+    for bi, batch in enumerate(batches):
+        for row in batch:
+            for c in survivors - {"id"}:
+                want = None if c == drops[bi] else row[col_idx[c]]
+                assert got[row[0]].get(c) == want
