@@ -73,6 +73,8 @@ HEADLINE = [
     "tumbling_window",
     "session_window_native",
     "session_overlap",
+    "sliding_distinct",
+    "cumulative_distinct",
     "sessionize",
     "event_transitions",
     "cohort_retention",

@@ -4125,6 +4125,70 @@ WHERE d.doc_id >= 10
 """
 
 
+def q_sliding_distinct(spark, sf_dir):
+    """Distinct counting inside hopping windows: distinct users per
+    2-day/1-day-slide window. Exact count-distinct expands to a
+    two-phase aggregate (Catalyst's distinct-agg rewrite: partial
+    dedup on (window, user), then count) — the shuffle carries one row
+    per (window, user), never raw events. The sketch twin for true
+    firehoses is approx_count_distinct (see approx_stats)."""
+    ev = _t(spark, sf_dir, "events")
+    w = F.window("ts", "2 days", "1 day")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(fmt_ts(F.col("w.start")).alias("window_start"), "n_users")
+    )
+
+
+SQL_SLIDING_DISTINCT = f"""
+SELECT strftime(ws, '{TS_FMT_DUCK}') AS window_start,
+       COUNT(DISTINCT user_id) AS n_users
+FROM (
+  SELECT unnest([date_trunc('day', ts), date_trunc('day', ts) - INTERVAL 1 DAY]) AS ws,
+         user_id
+  FROM events
+)
+GROUP BY ws
+"""
+
+
+def q_cumulative_distinct(spark, sf_dir):
+    """Cumulative distinct-to-date (running count of users ever seen,
+    by day) — the naive form re-scans all history per day; the scalable
+    form used here is first-seen reduction: one aggregate finds each
+    user's first active day, a per-day count of debuts follows, and a
+    running sum over the tiny day series yields the exact cumulative
+    distinct. History is read once regardless of the number of days."""
+    ev = _t(spark, sf_dir, "events")
+    first = (
+        ev.select("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    debuts = first.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return debuts.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("users_to_date")
+    )
+
+
+SQL_CUM_DISTINCT = """
+WITH first AS (
+  SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS first_day
+  FROM events GROUP BY user_id
+), debuts AS (
+  SELECT first_day AS day, COUNT(*) AS new_users FROM first GROUP BY first_day
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS users_to_date
+FROM debuts
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "stage_load": (q_stage_load, SQL_STAGE),
@@ -4154,6 +4218,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ewma": (q_ewma, SQL_EWMA),
     "compression_ratio": (q_compression_ratio, None),
     "contamination_check": (q_contamination_check, SQL_CONTAMINATION),
+    "sliding_distinct": (q_sliding_distinct, SQL_SLIDING_DISTINCT),
+    "cumulative_distinct": (q_cumulative_distinct, SQL_CUM_DISTINCT),
     "window_firstlast": (q_window_firstlast, SQL_FIRSTLAST),
     "session_overlap": (q_session_overlap, SQL_SESSION_OVERLAP),
     "multi_join_topk": (q_multi_join_topk, SQL_MULTI_JOIN),
