@@ -58,3 +58,60 @@ def hll_merge(rollup: DataFrame, keys: list[str]) -> DataFrame:
     return agg.agg(
         F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("approx_distinct")
     )
+
+
+def frequent_items(
+    df: DataFrame,
+    col: str,
+    k: int = 100,
+    partition_capacity: int = 2000,
+) -> DataFrame:
+    """Approximate heavy hitters via distributed Misra-Gries (public
+    streaming-algorithm family; SpaceSaving is the sibling): each
+    partition keeps at most ``partition_capacity`` counters in one
+    Arrow-batched pass, the per-partition summaries merge by summing
+    (MG summaries are mergeable — Agarwal et al., "Mergeable
+    Summaries", PODS 2012), and the global top-``k`` survivors emerge
+    from a TakeOrderedAndProject.
+
+    Guarantee: est ≤ true_count, and true_count - est ≤ N/capacity
+    summed per partition — so with capacity ≫ k every true heavy
+    hitter above the error band survives (asserted vs the exact count
+    in tests/test_sketches.py). Memory is O(capacity) per task and
+    O(candidates) in the merge — never O(distinct items), which is the
+    whole point at 100 TB vocabularies.
+    """
+    import pandas as pd
+
+    out_schema = f"{col} string, est long"
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v in pdf[col]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < partition_capacity:
+                    counters[v] = 1
+                else:
+                    # decrement-all step (amortized via min subtraction)
+                    dec = min(counters.values())
+                    counters = {
+                        key: c - dec for key, c in counters.items() if c > dec
+                    }
+        if counters:
+            yield pd.DataFrame(
+                {col: list(counters.keys()), "est": list(counters.values())}
+            )
+
+    partials = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        mg, schema=out_schema
+    )
+    return (
+        partials.groupBy(col)
+        .agg(F.sum("est").alias("est"))
+        .orderBy(F.col("est").desc(), F.col(col).asc())
+        .limit(k)
+    )

@@ -4125,6 +4125,22 @@ WHERE d.doc_id >= 10
 """
 
 
+def q_frequent_tokens(spark, sf_dir):
+    """Approximate heavy hitters over the corpus vocabulary
+    (operators/sketches.py frequent_items — distributed Misra-Gries,
+    O(capacity) memory per task instead of O(distinct tokens)). No SQL
+    oracle: MG counter contents depend on partition boundaries, so the
+    driver records a rows-only check; the under-estimate and
+    no-missed-heavy-hitter guarantees are asserted against the exact
+    counts in tests/test_sketches.py. The exact twin is
+    token_frequency."""
+    from lion_parcel_etl_spark.operators.sketches import frequent_items
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(DD.tokens(F.col("text"))).alias("token"))
+    return frequent_items(toks, "token", k=VOCAB_TOPK)
+
+
 def q_sliding_distinct(spark, sf_dir):
     """Distinct counting inside hopping windows: distinct users per
     2-day/1-day-slide window. Exact count-distinct expands to a
@@ -4220,6 +4236,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "contamination_check": (q_contamination_check, SQL_CONTAMINATION),
     "sliding_distinct": (q_sliding_distinct, SQL_SLIDING_DISTINCT),
     "cumulative_distinct": (q_cumulative_distinct, SQL_CUM_DISTINCT),
+    "frequent_tokens": (q_frequent_tokens, None),
     "window_firstlast": (q_window_firstlast, SQL_FIRSTLAST),
     "session_overlap": (q_session_overlap, SQL_SESSION_OVERLAP),
     "multi_join_topk": (q_multi_join_topk, SQL_MULTI_JOIN),

@@ -56,3 +56,35 @@ def test_hll_rollup_merges_without_rescan(events):
         hll_rollup(events, [], "user_id").select("hll"), []
     ).collect()[0]["approx_distinct"]
     assert merged == direct
+
+
+def test_frequent_items_never_misses_true_heavy_hitters(spark):
+    from lion_parcel_etl_spark.operators.sketches import frequent_items
+    from lion_parcel_etl_spark.plans.queries import _t
+    import os
+
+    sf = os.path.join(os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001")
+    docs = _t(spark, sf, "documents")
+    from pyspark.sql import functions as F
+    from lion_parcel_etl_spark.operators.dedup import tokens
+
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    n_total = toks.count()
+    exact = {
+        r.token: r.n
+        for r in toks.groupBy("token").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    cap = 500
+    n_parts = toks.rdd.getNumPartitions()
+    approx = {r.token: r.est for r in frequent_items(toks, "token", k=50, partition_capacity=cap).collect()}
+    # underestimates only, bounded by the summed per-partition error
+    err_bound = n_parts * (n_total / cap)
+    for t, est in approx.items():
+        assert est <= exact[t]
+        assert exact[t] - est <= err_bound
+    # every token whose true count clears the error band must be found
+    for t, n in exact.items():
+        if n > err_bound and len(approx) >= 50:
+            top50_floor = min(approx.values())
+            if n - err_bound > top50_floor:
+                assert t in approx, (t, n, err_bound)
