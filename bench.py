@@ -75,6 +75,8 @@ HEADLINE = [
     "session_overlap",
     "sliding_distinct",
     "cumulative_distinct",
+    "top_decile_orders",
+    "frequent_tokens",
     "sessionize",
     "event_transitions",
     "cohort_retention",

@@ -4125,6 +4125,45 @@ WHERE d.doc_id >= 10
 """
 
 
+def q_top_decile_orders(spark, sf_dir):
+    """percent_rank completing the rank-function family
+    (window_ranks covers rank/dense_rank/ntile-free shapes): orders in
+    the top decile of their month by total price, summarized per
+    month. The percent_rank arithmetic — (rank-1)/(n-1) on a totally
+    ordered partition (orderkey tie-break ⇒ no rank ties) — is the
+    identical double expression in both engines, so the ≥ 0.9 boundary
+    cuts the same set. Per-month window, no global sort."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    w = Window.partitionBy("month").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.9)
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_top"),
+            F.min("o_totalprice").alias("decile_floor"),
+            (F.sum(cents(F.col("o_totalprice"))) / 100.0).alias("top_revenue"),
+        )
+    )
+
+
+SQL_TOP_DECILE = """
+SELECT month, COUNT(*) AS n_top,
+       MIN(o_totalprice) AS decile_floor,
+       SUM(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS top_revenue
+FROM (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_totalprice,
+         percent_rank() OVER (PARTITION BY strftime(o_orderdate, '%Y-%m')
+                              ORDER BY o_totalprice, o_orderkey) AS pr
+  FROM orders
+)
+WHERE pr >= 0.9
+GROUP BY month
+"""
+
+
 def q_frequent_tokens(spark, sf_dir):
     """Approximate heavy hitters over the corpus vocabulary
     (operators/sketches.py frequent_items — distributed Misra-Gries,
@@ -4237,6 +4276,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sliding_distinct": (q_sliding_distinct, SQL_SLIDING_DISTINCT),
     "cumulative_distinct": (q_cumulative_distinct, SQL_CUM_DISTINCT),
     "frequent_tokens": (q_frequent_tokens, None),
+    "top_decile_orders": (q_top_decile_orders, SQL_TOP_DECILE),
     "window_firstlast": (q_window_firstlast, SQL_FIRSTLAST),
     "session_overlap": (q_session_overlap, SQL_SESSION_OVERLAP),
     "multi_join_topk": (q_multi_join_topk, SQL_MULTI_JOIN),
