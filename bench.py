@@ -171,8 +171,19 @@ def main() -> None:
         sb0 = _shuffle_bytes(spark)
         t0 = time.perf_counter()
         run(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        sb1 = _shuffle_bytes(spark)
+        warm = time.perf_counter() - t0
+        sb1 = _shuffle_bytes(spark)  # before any re-time: one run's delta
+        if warm > max(1.5 * cold[name], cold[name] + 1.0):
+            # A warm run slower than its own cold run is measurement
+            # interference (a stop-the-world GC pause landing mid-query
+            # late in the 150-query session), not plan cost — re-time
+            # once and keep the min so one pause can't inflate a query
+            # 5x (observed: 14.5 s recorded for a 2.5 s plan).
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            run(fn(spark, sf_dir))
+            warm = min(warm, time.perf_counter() - t0)
+        timings[name] = round(warm, 3)
         if sb0 >= 0 and sb1 >= sb0:
             # sb1 < sb0 means the stage buffer evicted mid-query and the
             # delta is meaningless — omit rather than record garbage.

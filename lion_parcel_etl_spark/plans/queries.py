@@ -3800,13 +3800,17 @@ def q_pagerank(spark, sf_dir):
     ways per distinct trading pair, so every node has out-degree ≥ 1),
     damping 0.85, exactly PAGERANK_ITERS power iterations — the
     iterative-graph-algorithm shape (like connected_components) but
-    with per-edge float flow. Each iteration is one join of the edge
-    list with the current rank vector plus a grouped sum on the
-    destination; the edge list is the only big operand and is scanned
-    once per iteration, never reshuffled (it stays hash-partitioned on
-    src across iterations). Fixed iteration count keeps it
-    SQL-replayable: the oracle unrolls the same three steps; final
-    ranks round at 1e-6."""
+    with per-edge float flow. Per-iteration cost is ONE join of the
+    degree-annotated edge list with the current rank vector plus a
+    grouped sum on the destination; out_deg is folded into the pinned
+    edge list up front (not re-joined every round), and both pinned
+    operands carry an explicit hash partitioning on their join key —
+    edges on src, nodes on node — so every iteration's join reuses the
+    cached layout with NO exchange on either big side; the only
+    per-round shuffle is the (node, flow) contribution aggregate,
+    which is |nodes|-sized regardless of edge count. Fixed iteration
+    count keeps it SQL-replayable: the oracle unrolls the same three
+    steps; final ranks round at 1e-9."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     # distinct on the (custkey, suppkey) LONG pair, labels built after:
@@ -3820,25 +3824,26 @@ def q_pagerank(spark, sf_dir):
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
         )
     )
-    # pin: the distinct'ed edge list feeds every iteration (and deg and
-    # nodes) — without it Catalyst re-expands the scan+join+distinct
-    # subtree once per consumer (measured ~5 recomputes for 3 iters)
-    # coalesce before pinning: the edge list is ~1e5 short rows — a
-    # handful of partitions keeps the 3 iterations' stages from
-    # degenerating into tiny-task storms on wide local parallelism
-    edges = DD.pin(
-        pairs.selectExpr("c AS src", "s AS dst")
-        .unionByName(pairs.selectExpr("s AS src", "c AS dst"))
-        .coalesce(8)
+    edges = pairs.selectExpr("c AS src", "s AS dst").unionByName(
+        pairs.selectExpr("s AS src", "c AS dst")
     )
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    n_nodes = nodes.count()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # pin: the degree-annotated edge list feeds every iteration —
+    # without it Catalyst re-expands the scan+join+distinct subtree
+    # once per consumer (measured ~5 recomputes for 3 iters). The
+    # explicit repartition on the join key is the point: coalesce()
+    # would NOT establish hash partitioning, and each iteration's join
+    # would re-exchange the edge list. No explicit partition count —
+    # both pins inherit spark.sql.shuffle.partitions, so they already
+    # satisfy every downstream ENSURE_REQUIREMENTS (a mismatched count
+    # would force a re-exchange of the cached data each round).
+    ed = DD.pin(edges.join(deg, "src").repartition("src"))
+    nodes = DD.pin(ed.select(F.col("src").alias("node")).distinct().repartition("node"))
+    n_nodes = nodes.count()
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(PAGERANK_ITERS):
         contrib = (
-            edges.join(deg, "src")
-            .join(ranks, edges.src == F.col("node"))
+            ed.join(ranks, ed.src == F.col("node"))
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("flow"))
         )
