@@ -81,6 +81,19 @@ def frequent_items(
     O(candidates) in the merge — never O(distinct items), which is the
     whole point at 100 TB vocabularies.
     """
+    partials = _mg_partials(df, col, partition_capacity)
+    return (
+        partials.groupBy(col)
+        .agg(F.sum("est").alias("est"))
+        .orderBy(F.col("est").desc(), F.col(col).asc())
+        .limit(k)
+    )
+
+
+def _mg_partials(df: DataFrame, col: str, partition_capacity: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries as (col, est) rows — the
+    map side shared by the approximate (:func:`frequent_items`) and
+    exact (:func:`frequent_items_exact`) heavy-hitter paths."""
     import pandas as pd
 
     out_schema = f"{col} string, est long"
@@ -106,12 +119,55 @@ def frequent_items(
                 {col: list(counters.keys()), "est": list(counters.values())}
             )
 
-    partials = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+    return df.select(F.col(col).cast("string").alias(col)).mapInPandas(
         mg, schema=out_schema
     )
+
+
+def frequent_items_exact(
+    df: DataFrame,
+    col: str,
+    phi: float = 0.002,
+    partition_capacity: int = 2000,
+) -> DataFrame:
+    """EXACT φ-heavy hitters (every value with count ≥ ⌈φ·N⌉) via the
+    standard two-pass sketch-then-recount pattern.
+
+    Pass 1 runs the Misra-Gries map side and merges the per-partition
+    summaries into a bounded candidate set (≤ partitions × capacity
+    rows). MG's undercount across the whole input is at most
+    N/(capacity+1), so requiring capacity+1 > 1/φ guarantees every
+    true φ-heavy hitter has a positive merged estimate — the candidate
+    set is a SUPERSET of the answer. Pass 2 broadcasts the candidates,
+    left-semi prunes the input to candidate rows only, recounts them
+    exactly, and keeps those at or above ⌈φ·N⌉.
+
+    Unlike the raw sketch (whose counter contents depend on partition
+    boundaries) the result is deterministic and partition-independent
+    — an exact relational answer at sketch memory cost: O(capacity)
+    per task, an aggregate over candidate values only (never the full
+    vocabulary), and two scans of the input instead of one.
+    """
+    if partition_capacity + 1 <= 1.0 / phi:
+        raise ValueError(
+            f"partition_capacity={partition_capacity} too small for phi={phi}: "
+            f"need capacity+1 > 1/phi so no true heavy hitter can be evicted"
+        )
+    vals = df.select(F.col(col).cast("string").alias(col))
+    cand = (
+        _mg_partials(vals, col, partition_capacity)
+        .select(col)
+        .dropDuplicates([col])
+    )
+    total = vals.agg(F.count(F.lit(1)).alias("n_total"))
+    exact = (
+        vals.join(F.broadcast(cand), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     return (
-        partials.groupBy(col)
-        .agg(F.sum("est").alias("est"))
-        .orderBy(F.col("est").desc(), F.col(col).asc())
-        .limit(k)
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.ceil(F.lit(phi) * F.col("n_total")))
+        .select(col, "cnt")
+        .orderBy(F.col("cnt").desc(), F.col(col).asc())
     )

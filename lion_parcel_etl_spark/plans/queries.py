@@ -4185,6 +4185,39 @@ def q_frequent_tokens(spark, sf_dir):
     return frequent_items(toks, "token", k=VOCAB_TOPK)
 
 
+HH_PHI = 0.002
+
+
+def q_heavy_hitters_exact(spark, sf_dir):
+    """EXACT φ-heavy hitters over the corpus vocabulary via the
+    two-pass sketch-then-recount pattern (operators/sketches.py
+    frequent_items_exact): Misra-Gries candidates (O(capacity) memory
+    per task, candidate set provably a superset of the answer because
+    capacity+1 > 1/φ bounds total undercount below φ·N), then a
+    broadcast left-semi recount of candidate tokens only. Unlike
+    frequent_tokens (the raw sketch, partition-dependent, rows-only
+    check) this is deterministic and SQL-replayable — the oracle is a
+    plain GROUP BY/HAVING — while never aggregating the full
+    vocabulary: the scale path for trillion-token corpora where
+    token_frequency's exact global group-by is the thing you avoid."""
+    from lion_parcel_etl_spark.operators.sketches import frequent_items_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(DD.tokens(F.col("text"))).alias("token"))
+    return frequent_items_exact(toks, "token", phi=HH_PHI, partition_capacity=2000)
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH t AS (SELECT unnest({_DUCK_TOKS}) AS token FROM documents),
+tot AS (SELECT COUNT(*) AS n_total FROM t)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM t
+GROUP BY token
+HAVING COUNT(*) >= (SELECT ceil({HH_PHI} * n_total) FROM tot)
+ORDER BY cnt DESC, token ASC
+"""
+
+
 def q_sliding_distinct(spark, sf_dir):
     """Distinct counting inside hopping windows: distinct users per
     2-day/1-day-slide window. Exact count-distinct expands to a
@@ -4281,6 +4314,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sliding_distinct": (q_sliding_distinct, SQL_SLIDING_DISTINCT),
     "cumulative_distinct": (q_cumulative_distinct, SQL_CUM_DISTINCT),
     "frequent_tokens": (q_frequent_tokens, None),
+    "heavy_hitters_exact": (q_heavy_hitters_exact, SQL_HEAVY_HITTERS),
     "top_decile_orders": (q_top_decile_orders, SQL_TOP_DECILE),
     "window_firstlast": (q_window_firstlast, SQL_FIRSTLAST),
     "session_overlap": (q_session_overlap, SQL_SESSION_OVERLAP),

@@ -88,3 +88,53 @@ def test_frequent_items_never_misses_true_heavy_hitters(spark):
             top50_floor = min(approx.values())
             if n - err_bound > top50_floor:
                 assert t in approx, (t, n, err_bound)
+
+
+def test_frequent_items_exact_matches_plain_groupby(spark):
+    """The two-pass MG+recount answer must equal the exact GROUP
+    BY/HAVING answer regardless of partition layout — including an
+    adversarial many-partition layout where the raw sketch's counter
+    contents would differ."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lion_parcel_etl_spark.operators.dedup import tokens
+    from lion_parcel_etl_spark.operators.sketches import frequent_items_exact
+    from lion_parcel_etl_spark.plans.queries import _t
+
+    sf = os.path.join(
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001"
+    )
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    phi = 0.002
+    n_total = toks.count()
+    import math
+
+    thr = math.ceil(phi * n_total)
+    expected = sorted(
+        (r.token, r.n)
+        for r in toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= thr)
+        .collect()
+    )
+    for layout in (toks, toks.repartition(16)):
+        got = sorted(
+            (r.token, r.cnt)
+            for r in frequent_items_exact(
+                layout, "token", phi=phi, partition_capacity=600
+            ).collect()
+        )
+        assert got == expected
+
+
+def test_frequent_items_exact_rejects_undersized_capacity(spark):
+    import pytest as _pytest
+
+    from lion_parcel_etl_spark.operators.sketches import frequent_items_exact
+
+    df = spark.range(10).selectExpr("CAST(id AS STRING) AS v")
+    with _pytest.raises(ValueError, match="partition_capacity"):
+        frequent_items_exact(df, "v", phi=0.001, partition_capacity=500)
