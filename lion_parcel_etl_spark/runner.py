@@ -23,6 +23,7 @@ from __future__ import annotations
 import time
 from collections.abc import Callable, Iterable
 from dataclasses import dataclass, field
+from datetime import datetime, timedelta
 
 
 class TaskFailed(RuntimeError):
@@ -171,3 +172,115 @@ class Pipeline:
                 "writes": [w.as_dict() for w in rm.writes[mark:]],
             }
         return report
+
+@dataclass(frozen=True)
+class ScheduledRun:
+    """One data interval [logical_ts, run_ts): Airflow's model, where a
+    run *for* interval start ``logical_ts`` fires *at* interval end
+    ``run_ts`` (the hourly DAG for 09:00 runs at 10:00 over 09-10
+    data). ``run_ts`` is what gets injected into ``ctx`` — the same
+    injected-timestamp discipline the tasks already follow."""
+
+    logical_ts: datetime
+    run_ts: datetime
+
+
+class Scheduler:
+    """Interval-scheduling semantics over a :class:`Pipeline` —
+    the cron-loop half of the reference's orchestration (reference
+    ``dags/retail_hourly_etl.py:22-23``: ``schedule_interval="0 * * *
+    *"``, ``catchup=False``, ``max_active_runs=1``) that the task
+    runner alone does not model.
+
+    Deterministic by construction: the caller injects ``now`` into
+    :meth:`tick`; nothing here reads the wall clock, so a backfill or
+    a replay is just a sequence of ``tick(now=...)`` calls.
+
+    - ``catchup=False`` (the reference's setting): when several
+      intervals are overdue at a tick, only the LATEST runs; the
+      skipped intervals are reported (``skipped`` in the tick result)
+      and the watermark advances past them — exactly Airflow's
+      latest-only behavior. ``catchup=True`` runs every missed
+      interval in order (backfill).
+    - ``max_active_runs=1``: a re-entrant :meth:`tick` while a run is
+      active returns ``[]`` instead of overlapping it — the
+      single-slot guard that keeps the incremental merge/SCD2 tasks
+      serialized (they assume no concurrent writer per table).
+    - A failed run (``TaskFailed``) is recorded with ``"failed"`` and
+      the watermark still advances: with the reference's retries=0,
+      the next hourly interval proceeds regardless — state-repair is
+      the job of the idempotent merge, not the scheduler.
+    """
+
+    def __init__(
+        self,
+        pipeline: Pipeline,
+        interval: timedelta,
+        start: datetime,
+        catchup: bool = False,
+        max_active_runs: int = 1,
+    ):
+        if interval <= timedelta(0):
+            raise ValueError(f"interval must be positive, got {interval!r}")
+        self.pipeline = pipeline
+        self.interval = interval
+        self.catchup = catchup
+        self.max_active_runs = max_active_runs
+        self._watermark = start  # start of the next un-run interval
+        self._active = 0
+
+    def due_runs(self, now: datetime) -> tuple[list[ScheduledRun], list[ScheduledRun]]:
+        """(to_run, skipped) at ``now``: every whole interval between
+        the watermark and ``now`` is due; catchup=False keeps only the
+        latest and reports the rest as skipped."""
+        due: list[ScheduledRun] = []
+        t = self._watermark
+        while t + self.interval <= now:
+            due.append(ScheduledRun(t, t + self.interval))
+            t += self.interval
+        if self.catchup or len(due) <= 1:
+            return due, []
+        return due[-1:], due[:-1]
+
+    def tick(
+        self,
+        ctx: dict,
+        now: datetime,
+        tags: Iterable[str] | None = None,
+    ) -> list[dict]:
+        """Run everything due at ``now`` (serially, in interval order);
+        returns one record per executed run:
+
+            {"logical_ts", "run_ts", "failed": str | None,
+             "skipped": [logical_ts, ...],   # catchup=False collapse
+             "report": {task: {"wall_s", "writes"}}}
+        """
+        if self._active >= self.max_active_runs:
+            return []
+        to_run, skipped = self.due_runs(now)
+        results: list[dict] = []
+        for r in to_run:
+            self._active += 1
+            failed: str | None = None
+            report: dict = {}
+            try:
+                report = self.pipeline.run_with_metrics(
+                    {**ctx, "run_ts": r.run_ts, "logical_ts": r.logical_ts},
+                    tags,
+                )
+            except TaskFailed as e:
+                failed = e.task
+            finally:
+                self._active -= 1
+            self._watermark = r.run_ts
+            results.append(
+                {
+                    "logical_ts": r.logical_ts,
+                    "run_ts": r.run_ts,
+                    "failed": failed,
+                    "skipped": [s.logical_ts for s in skipped],
+                    "report": report,
+                }
+            )
+            skipped = []  # attributed to the first executed run only
+        return results

@@ -178,3 +178,94 @@ def test_append_metrics_record_batch_only(spark, tmp_path):
     wh.append(spark.range(3), "log")
     assert [w.rows for w in rm.writes] == [10, 3]
     assert wh.read(spark, "log").count() == 13
+
+
+def _hourly(pipeline_runs: list):
+    """A one-task pipeline that logs each run's injected timestamps."""
+    p = Pipeline("hourly")
+    p.task("t", lambda ctx: pipeline_runs.append((ctx["logical_ts"], ctx["run_ts"])))
+    return p
+
+
+def test_scheduler_catchup_false_runs_latest_only():
+    from datetime import datetime, timedelta
+
+    from lion_parcel_etl_spark.runner import Scheduler
+
+    runs: list = []
+    s = Scheduler(
+        _hourly(runs),
+        interval=timedelta(hours=1),
+        start=datetime(2025, 8, 2, 8),
+        catchup=False,
+    )
+    # 4 intervals overdue at 12:30 -> only 11:00-12:00 runs
+    out = s.tick({}, now=datetime(2025, 8, 2, 12, 30))
+    assert [r["logical_ts"] for r in out] == [datetime(2025, 8, 2, 11)]
+    assert out[0]["skipped"] == [
+        datetime(2025, 8, 2, 8),
+        datetime(2025, 8, 2, 9),
+        datetime(2025, 8, 2, 10),
+    ]
+    assert runs == [(datetime(2025, 8, 2, 11), datetime(2025, 8, 2, 12))]
+    # watermark advanced past the skipped intervals: nothing re-runs
+    assert s.tick({}, now=datetime(2025, 8, 2, 12, 59)) == []
+    # the next whole interval fires exactly once
+    out = s.tick({}, now=datetime(2025, 8, 2, 13))
+    assert [r["logical_ts"] for r in out] == [datetime(2025, 8, 2, 12)]
+
+
+def test_scheduler_catchup_true_backfills_in_order():
+    from datetime import datetime, timedelta
+
+    from lion_parcel_etl_spark.runner import Scheduler
+
+    runs: list = []
+    s = Scheduler(
+        _hourly(runs),
+        interval=timedelta(hours=1),
+        start=datetime(2025, 8, 2, 8),
+        catchup=True,
+    )
+    out = s.tick({}, now=datetime(2025, 8, 2, 11, 5))
+    assert [r["logical_ts"].hour for r in out] == [8, 9, 10]
+    assert all(r["skipped"] == [] for r in out)
+    assert [lt.hour for lt, _ in runs] == [8, 9, 10]
+
+
+def test_scheduler_single_slot_blocks_reentrant_tick():
+    from datetime import datetime, timedelta
+
+    from lion_parcel_etl_spark.runner import Scheduler
+
+    reentrant: list = []
+    p = Pipeline("outer")
+
+    def t(ctx):
+        # a task trying to trigger the scheduler mid-run: the single
+        # slot is busy, so the nested tick must do nothing
+        reentrant.append(s.tick({}, now=datetime(2025, 8, 2, 23)))
+
+    p.task("t", t)
+    s = Scheduler(
+        p, interval=timedelta(hours=1), start=datetime(2025, 8, 2, 8), catchup=False
+    )
+    out = s.tick({}, now=datetime(2025, 8, 2, 10))
+    assert len(out) == 1 and out[0]["failed"] is None
+    assert reentrant == [[]]
+
+
+def test_scheduler_failed_run_advances_watermark():
+    from datetime import datetime, timedelta
+
+    from lion_parcel_etl_spark.runner import Scheduler
+
+    p = Pipeline("failing")
+    p.task("boom", lambda ctx: (_ for _ in ()).throw(RuntimeError("x")))
+    s = Scheduler(
+        p, interval=timedelta(hours=1), start=datetime(2025, 8, 2, 8), catchup=True
+    )
+    out = s.tick({}, now=datetime(2025, 8, 2, 10))
+    assert [r["failed"] for r in out] == ["boom", "boom"]
+    # retries=0 semantics: the failed interval is not re-attempted
+    assert s.tick({}, now=datetime(2025, 8, 2, 10, 30)) == []
