@@ -141,6 +141,24 @@ def download_all(
         return list(pool.map(one, todo))
 
 
+def download_folder(
+    folder_url: str,
+    dest_dir: str | Path,
+    fetch: Callable[[str], bytes] = default_fetch,
+    max_workers: int = 6,
+    suffix: str = "",
+) -> list[Path]:
+    """One-call public-folder download (S10): list the folder, then
+    fetch every file whose name ends with ``suffix`` (default: all) —
+    the engine's analog of the reference's vestigial gdown
+    ``download_folder`` path (``public/__pycache__/drive.cpython-310.pyc``),
+    built on the same injectable-fetch listing/download machinery as
+    the staging scraper rather than a third-party client."""
+    return download_all(
+        list_folder(folder_url, fetch), dest_dir, fetch, max_workers, suffix
+    )
+
+
 def list_json_files(directory: str | Path) -> list[Path]:
     return sorted(Path(directory).glob("*.json"))
 

@@ -86,3 +86,32 @@ def test_download_fans_out(tmp_path):
 
     written = download_all(items, tmp_path, fetch=fetch, max_workers=4)
     assert len(written) == 20 and len(seen) == 20
+
+
+def test_download_folder_one_call_end_to_end(tmp_path):
+    """S10: the gdown-style one-call path — folder URL in, local files
+    out — listing and fetching through the same injectable fetch."""
+    from lion_parcel_etl_spark.sources.drive import download_folder
+
+    listing = (
+        '<a data-id="abcdefghij1234567890x">'
+        '<div class="flip-entry-title">a.json</div></a>'
+        '<a data-id="abcdefghij1234567890y">'
+        '<div class="flip-entry-title">b.csv</div></a>'
+    )
+    payloads = {
+        "abcdefghij1234567890x": b'{"a": 1}',
+        "abcdefghij1234567890y": b"b,c\n1,2\n",
+    }
+
+    def fetch(url):
+        if "embeddedfolderview" in url:
+            return listing.encode()
+        return payloads[url.rsplit("id=", 1)[1]]
+
+    url = "https://drive.google.com/drive/folders/FOLDER123?usp=sharing"
+    written = download_folder(url, tmp_path, fetch=fetch)
+    assert sorted(p.name for p in written) == ["a.json", "b.csv"]
+    assert (tmp_path / "a.json").read_bytes() == b'{"a": 1}'
+    only_json = download_folder(url, tmp_path / "j", fetch=fetch, suffix=".json")
+    assert [p.name for p in only_json] == ["a.json"]
