@@ -99,6 +99,72 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings via zipped slices — the
+    same shingle construction MinHash uses; pure array exprs, no
+    explode, no shuffle."""
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(n)])
+    return F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
+    )
+
+
+def repetition_metrics(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition statistics — the filter family used to
+    drop degenerate/boilerplate documents from LLM training corpora
+    (as popularized by the Gopher/MassiveText quality rules):
+
+    - ``top2_mass``: fraction of all word 2-grams taken by the single
+      most frequent 2-gram (a high value = looping/boilerplate text);
+    - ``dup3_frac``: fraction of word 3-grams that are repeats of an
+      earlier 3-gram (1 - distinct/total);
+    - ``flagged``: either metric over its fixed threshold.
+
+    Shape: one projection of per-row array expressions (transform/
+    filter/array_distinct higher-order functions) — fully JVM-side,
+    ZERO shuffle, embarrassingly parallel at any corpus size. The
+    per-row cost of top2_mass is O(distinct·total) on the gram list,
+    which is bounded by document length, not corpus size; for
+    megabyte-scale documents chunk first (doc_chunking)."""
+    t = F.col(text_col)
+    from lion_parcel_etl_spark.operators.dedup import tokens
+
+    toks = tokens(t)
+    g2 = _word_ngrams(toks, 2)
+    g3 = _word_ngrams(toks, 3)
+    top2 = F.array_max(
+        F.transform(
+            F.array_distinct(g2),
+            lambda g: F.size(F.filter(g2, lambda x: x == g)),
+        )
+    )
+    top2_mass = F.when(
+        F.size(g2) > 0, F.round(top2 / F.size(g2), 6)
+    ).otherwise(F.lit(0.0))
+    dup3 = F.when(
+        F.size(g3) > 0,
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(g3)) / F.size(g3).cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    out = docs.select(
+        F.col(id_col),
+        top2_mass.alias("top2_mass"),
+        dup3.alias("dup3_frac"),
+    )
+    return out.withColumn(
+        "flagged",
+        (F.col("top2_mass") > REP_TOP2_MAX) | (F.col("dup3_frac") > REP_DUP3_MAX),
+    )
+
+
+REP_TOP2_MAX = 0.18
+REP_DUP3_MAX = 0.40
+
+
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach all text-analysis columns in one projection
     (single scan, fully codegen'd)."""

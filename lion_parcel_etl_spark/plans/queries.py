@@ -4185,6 +4185,46 @@ def q_frequent_tokens(spark, sf_dir):
     return frequent_items(toks, "token", k=VOCAB_TOPK)
 
 
+def q_repetition_metrics(spark, sf_dir):
+    """Gopher-style repetition filters per document (operators/text.py
+    repetition_metrics): top-bigram mass + duplicate-trigram fraction
+    + threshold flag, all as per-row higher-order array expressions —
+    zero shuffle, the same embarrassingly-parallel shape as
+    text_analysis. The oracle replays the identical gram construction
+    with DuckDB list lambdas."""
+    from lion_parcel_etl_spark.operators.text import repetition_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_metrics(docs, "doc_id", "text")
+
+
+def _duck_repetition() -> str:
+    from lion_parcel_etl_spark.operators.text import REP_DUP3_MAX, REP_TOP2_MAX
+
+    return f"""
+WITH d AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+g AS (
+  SELECT doc_id,
+    list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS g2,
+    list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+  FROM d
+),
+m AS (
+  SELECT doc_id,
+    CASE WHEN len(g2) > 0 THEN round(
+      CAST(list_max(list_transform(list_distinct(g2),
+                                   x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE)
+      / len(g2), 6) ELSE 0.0 END AS top2_mass,
+    CASE WHEN len(g3) > 0 THEN round(
+      1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6) ELSE 0.0 END AS dup3_frac
+  FROM g
+)
+SELECT doc_id, top2_mass, dup3_frac,
+       (top2_mass > {REP_TOP2_MAX} OR dup3_frac > {REP_DUP3_MAX}) AS flagged
+FROM m
+"""
+
+
 HH_PHI = 0.002
 
 
@@ -4315,6 +4355,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cumulative_distinct": (q_cumulative_distinct, SQL_CUM_DISTINCT),
     "frequent_tokens": (q_frequent_tokens, None),
     "heavy_hitters_exact": (q_heavy_hitters_exact, SQL_HEAVY_HITTERS),
+    "repetition_metrics": (q_repetition_metrics, _duck_repetition()),
     "top_decile_orders": (q_top_decile_orders, SQL_TOP_DECILE),
     "window_firstlast": (q_window_firstlast, SQL_FIRSTLAST),
     "session_overlap": (q_session_overlap, SQL_SESSION_OVERLAP),

@@ -193,3 +193,24 @@ def test_compression_ratio_orders_texts_sensibly(spark):
     # deterministic across runs
     again = {r.doc_id: r.compression_ratio for r in compression_ratio(df).collect()}
     assert out == again
+
+
+def test_repetition_metrics_hand_computed(spark):
+    from lion_parcel_etl_spark.operators.text import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            # tokens a b a b a b: bigrams [ab,ba,ab,ba,ab] -> top 3/5;
+            # trigrams [aba,bab,aba,bab] -> 2 distinct of 4 -> 0.5
+            (1, "a b a b a b"),
+            # 12 distinct tokens: every gram unique
+            (2, "q w e r t y u i o p a s"),
+            (3, ""),  # no tokens -> zeros, not flagged
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+    assert rows[1].top2_mass == 0.6 and rows[1].dup3_frac == 0.5 and rows[1].flagged
+    assert rows[2].top2_mass == round(1 / 11, 6) and rows[2].dup3_frac == 0.0
+    assert not rows[2].flagged
+    assert rows[3].top2_mass == 0.0 and rows[3].dup3_frac == 0.0 and not rows[3].flagged
