@@ -118,3 +118,35 @@ def rate_sample_by_group(
         rate = F.when(cond, F.lit(float(r))) if rate is None else rate.when(cond, F.lit(float(r)))
     rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(F.lit(float(default_rate)))
     return df.filter(u < rate)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    salt: str = "",
+) -> DataFrame:
+    """Hard per-group cap: keep at most ``cap`` rows per group — the
+    domain-cap curation step (bound over-represented sources/domains
+    to a fixed budget) next to ``rate_sample_by_group``'s proportional
+    mix. Which rows survive is decided ONLY by id hash (smallest-hash
+    first, id tiebreak), so the selection is order- and
+    partition-independent and replayable by the SQL oracle.
+
+    Plan: one exchange on the group key, then a per-group sort +
+    row_number — rank, not a global sort. A pathological mega-group
+    concentrates its sort on one reducer; at that scale pre-prune with
+    a hash threshold just above cap/|group| (from a cheap count) and
+    rank only the survivors — the pruned rank equals the exact one
+    whenever the threshold keeps ≥ cap rows, which a count-based
+    threshold with slack guarantees in practice but not provably, so
+    this function keeps the exact single-pass form."""
+    w = Window.partitionBy(group_col).orderBy(
+        id_hash(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

@@ -4185,6 +4185,37 @@ def q_frequent_tokens(spark, sf_dir):
     return frequent_items(toks, "token", k=VOCAB_TOPK)
 
 
+DOMAIN_CAP = 15
+
+
+def q_domain_caps(spark, sf_dir):
+    """Per-source hard caps (operators/sampling.py cap_per_group): at
+    most DOMAIN_CAP documents survive per source, selected by smallest
+    id-hash — the bound-the-big-domains curation step that a
+    proportional mix (source_mix) can't express. One exchange on
+    source + a per-group rank; survival depends only on ids, so the
+    oracle replays the identical hash ordering."""
+    from lion_parcel_etl_spark.operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return cap_per_group(docs, "source", "doc_id", DOMAIN_CAP).select(
+        "doc_id", "source"
+    )
+
+
+def _duck_domain_caps() -> str:
+    from lion_parcel_etl_spark.operators.sampling import duck_id_hash
+
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {duck_id_hash("doc_id")}, doc_id) AS rn
+  FROM documents
+) WHERE rn <= {DOMAIN_CAP}
+"""
+
+
 def q_repetition_metrics(spark, sf_dir):
     """Gopher-style repetition filters per document (operators/text.py
     repetition_metrics): top-bigram mass + duplicate-trigram fraction
@@ -4356,6 +4387,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "frequent_tokens": (q_frequent_tokens, None),
     "heavy_hitters_exact": (q_heavy_hitters_exact, SQL_HEAVY_HITTERS),
     "repetition_metrics": (q_repetition_metrics, _duck_repetition()),
+    "domain_caps": (q_domain_caps, _duck_domain_caps()),
     "top_decile_orders": (q_top_decile_orders, SQL_TOP_DECILE),
     "window_firstlast": (q_window_firstlast, SQL_FIRSTLAST),
     "session_overlap": (q_session_overlap, SQL_SESSION_OVERLAP),

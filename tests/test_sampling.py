@@ -73,3 +73,23 @@ def test_rate_sample_by_group_deterministic_and_monotone(spark):
     # default keeps unknown groups at the fallback rate
     with_default = rate_sample_by_group(df, "src", {"s0": 0.5}, "id", default_rate=1.0)
     assert with_default.filter("src != 's0'").count() == 200
+
+
+def test_cap_per_group_bounds_and_is_layout_independent(spark):
+    from lion_parcel_etl_spark.operators.sampling import cap_per_group
+
+    df = spark.range(200).selectExpr(
+        "id AS doc_id", "CAST(id % 3 AS STRING) AS grp"
+    )
+    capped = cap_per_group(df, "grp", "doc_id", 10)
+    sizes = {r.grp: r.n for r in capped.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 10 for n in sizes.values())
+    # identical survivors under a different partition layout
+    a = sorted(r.doc_id for r in capped.collect())
+    b = sorted(
+        r.doc_id for r in cap_per_group(df.repartition(13), "grp", "doc_id", 10).collect()
+    )
+    assert a == b
+    # groups smaller than the cap pass through whole
+    small = spark.range(4).selectExpr("id AS doc_id", "'g' AS grp")
+    assert cap_per_group(small, "grp", "doc_id", 10).count() == 4
