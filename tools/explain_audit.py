@@ -45,6 +45,7 @@ def audit(name: str, plan: str) -> list[str]:
         "pq_topk",
         "lm_surprisal",
         "ivf_topk_seeded",
+        "heavy_hitters_exact",
     ):
         # intentional BNLJs: cosine_topk broadcasts a tiny query set;
         # tfidf/bm25/histogram/dormant_customers cross-join a broadcast
@@ -52,11 +53,16 @@ def audit(name: str, plan: str) -> list[str]:
         # scalar fan-in, not a pair explosion; pq_topk cross-joins the
         # broadcast 16-row PQ codebook (encode + query lookup tables);
         # lm_surprisal cross-joins the broadcast ONE-ROW vocabulary size;
-        # ivf_topk_seeded cross-joins the broadcast 16-row seed table
+        # ivf_topk_seeded cross-joins the broadcast 16-row seed table;
+        # heavy_hitters_exact cross-joins the broadcast ONE-ROW total-N
         flags.append("BNLJ")
     if "BatchEvalPython" in plan:
         flags.append("PY_UDF_ROW_AT_A_TIME")
-    if "SortMergeJoin" in plan:
+    if "SortMergeJoin" in plan and name not in ("pagerank",):
+        # pagerank's per-iteration join is SMJ BY DESIGN: both sides
+        # are pinned hash-partitioned on the join key (exchange-free),
+        # and the rank vector is |nodes|-sized — NOT broadcastable at
+        # graph scale, so forcing BHJ would be the scale bug.
         flags.append("SMJ")
     return flags
 
