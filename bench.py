@@ -77,6 +77,7 @@ HEADLINE = [
     "cumulative_distinct",
     "top_decile_orders",
     "frequent_tokens",
+    "heavy_hitters_exact",
     "sessionize",
     "event_transitions",
     "cohort_retention",
@@ -98,6 +99,8 @@ HEADLINE = [
     "window_firstlast",
     "compression_ratio",
     "contamination_check",
+    "repetition_metrics",
+    "domain_caps",
     "tfidf_topk",
     "bm25_rank",
     "token_frequency",
