@@ -1,0 +1,69 @@
+"""Snapshot diff / CDC changelog generation.
+
+The inverse of the repo's appliers: ``merge_upsert``/``scd2_apply``
+consume change sets to maintain state; :func:`table_diff` PRODUCES the
+change set between two table versions — the row-level
+INSERT/UPDATE/DELETE changelog a downstream consumer (audit trail,
+cache invalidation, incremental replication) needs when all it has is
+periodic snapshots. The reference's dbt layer computes the same
+classes of change implicitly inside its SCD2 model (reference
+``models/scd/dim_transactions_scd.sql``); here it is a first-class
+relational operator.
+
+Scale shape: ONE full-outer join on the key columns — both snapshots
+shuffle by key once (or zero times if both are bucketed/partitioned by
+key, the recommended layout for snapshot tables); the null-safe
+column comparison is a per-row expression. No window, no sort, no
+driver state. NOCHANGE rows are dropped before anything else touches
+them, so the output is |changes|, not |table|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare: list[str] | None = None,
+) -> DataFrame:
+    """Changelog between two snapshots of the same keyed table.
+
+    Returns one row per changed key with ``change_type`` ∈
+    {INSERT, UPDATE, DELETE} plus, for every compared column ``c``,
+    ``old_c`` and ``new_c`` (NULL on the absent side). Comparison is
+    null-safe (NULL → NULL is no change); unchanged keys are omitted.
+    """
+    compare = (
+        compare
+        if compare is not None
+        else [c for c in new.columns if c in set(old.columns) and c not in keys]
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    cond = None
+    for k in keys:
+        eq = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, cond, "full_outer")
+
+    in_old = F.col(f"o.{keys[0]}").isNotNull()
+    in_new = F.col(f"n.{keys[0]}").isNotNull()
+    changed = F.lit(False)
+    for c in compare:
+        changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    change_type = (
+        F.when(~in_old, F.lit("INSERT"))
+        .when(~in_new, F.lit("DELETE"))
+        .when(changed, F.lit("UPDATE"))
+        .otherwise(F.lit(None))
+    )
+    out_cols = [F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys]
+    out_cols.append(change_type.alias("change_type"))
+    for c in compare:
+        out_cols.append(F.col(f"o.{c}").alias(f"old_{c}"))
+        out_cols.append(F.col(f"n.{c}").alias(f"new_{c}"))
+    return j.select(*out_cols).filter(F.col("change_type").isNotNull())

@@ -4185,6 +4185,66 @@ def q_frequent_tokens(spark, sf_dir):
     return frequent_items(toks, "token", k=VOCAB_TOPK)
 
 
+DIFF_CUT_OLD = "2024-01-16 00:00:00"
+DIFF_CUT_NEW = "2024-01-31 00:00:00"
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """CDC changelog between two snapshot versions (operators/diff.py
+    table_diff): per-(user, event_type) activity aggregates as of two
+    cutoffs, diffed into INSERT/UPDATE/DELETE rows with old/new values
+    side by side — the operator that turns periodic snapshots back
+    into a change stream for audit/replication consumers. ONE
+    full-outer join on the key; compared columns are exact counts so
+    change classification carries no float risk; NOCHANGE rows never
+    leave the join."""
+    from lion_parcel_etl_spark.operators.diff import table_diff
+
+    ev = _t(spark, sf_dir, "events")
+
+    def snap(cut: str):
+        return (
+            ev.filter(F.col("ts") < F.lit(cut).cast("timestamp"))
+            .groupBy("user_id", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.count_distinct(F.date_trunc("day", F.col("ts"))).alias("n_days"),
+            )
+        )
+
+    return table_diff(
+        snap(DIFF_CUT_OLD), snap(DIFF_CUT_NEW), ["user_id", "event_type"]
+    )
+
+
+SQL_SNAPSHOT_DIFF = f"""
+WITH o AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
+  FROM events WHERE ts < TIMESTAMP '{DIFF_CUT_OLD}'
+  GROUP BY user_id, event_type
+), n AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
+  FROM events WHERE ts < TIMESTAMP '{DIFF_CUT_NEW}'
+  GROUP BY user_id, event_type
+)
+SELECT * FROM (
+  SELECT COALESCE(n.user_id, o.user_id) AS user_id,
+         COALESCE(n.event_type, o.event_type) AS event_type,
+         CASE WHEN o.user_id IS NULL THEN 'INSERT'
+              WHEN n.user_id IS NULL THEN 'DELETE'
+              WHEN o.n_events IS DISTINCT FROM n.n_events
+                   OR o.n_days IS DISTINCT FROM n.n_days THEN 'UPDATE'
+         END AS change_type,
+         o.n_events AS old_n_events, n.n_events AS new_n_events,
+         o.n_days AS old_n_days, n.n_days AS new_n_days
+  FROM o FULL OUTER JOIN n
+    ON o.user_id = n.user_id AND o.event_type = n.event_type
+) WHERE change_type IS NOT NULL
+"""
+
+
 DOMAIN_CAP = 15
 
 
@@ -4388,6 +4448,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "heavy_hitters_exact": (q_heavy_hitters_exact, SQL_HEAVY_HITTERS),
     "repetition_metrics": (q_repetition_metrics, _duck_repetition()),
     "domain_caps": (q_domain_caps, _duck_domain_caps()),
+    "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "top_decile_orders": (q_top_decile_orders, SQL_TOP_DECILE),
     "window_firstlast": (q_window_firstlast, SQL_FIRSTLAST),
     "session_overlap": (q_session_overlap, SQL_SESSION_OVERLAP),
