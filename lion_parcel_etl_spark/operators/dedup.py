@@ -651,3 +651,48 @@ def contamination_flags(
             (F.coalesce("n_shared", F.lit(0)) >= min_shared).alias("contaminated"),
         )
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 16,
+) -> DataFrame:
+    """Span-level duplicate detection: every ``window``-token sliding
+    span (stride 1) that occurs in ≥ 2 documents, with occurrence and
+    document counts — the distributed approximation of suffix-array
+    substring dedup ("train-data dedup" à la Lee et al.'s exact
+    substring method): long enough windows make cross-document
+    collisions overwhelmingly true shared text, and runs of
+    consecutive duplicated spans delimit the shared passages.
+
+    Scale shape: spans are built per-row with the zipped-slice n-gram
+    construction (no lambda re-evaluation), hashed to 32-hex md5
+    BEFORE the exchange — the one shuffle carries (hash, doc) pairs,
+    never span text — and the group-by partially aggregates map-side.
+    Output is only colliding spans, ∝ duplicated bytes, not corpus
+    bytes. The doc list aggregates as a sorted string set (bounded by
+    docs-per-span; for adversarial boilerplate shared by millions of
+    docs, drop the list column and keep the counts)."""
+    from lion_parcel_etl_spark.operators.text import word_ngrams
+
+    spans = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_ngrams(tokens(F.col(text_col)), window)).alias("span"),
+    )
+    return (
+        spans.select("doc", F.md5("span").alias("span_hash"))
+        .groupBy("span_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.sort_array(F.collect_set(F.col("doc").cast("string"))).alias("ds"),
+        )
+        .filter(F.size("ds") >= 2)
+        .select(
+            "span_hash",
+            F.size("ds").cast("long").alias("n_docs"),
+            "n_occ",
+            F.array_join("ds", "; ").alias("doc_list"),
+        )
+    )

@@ -99,7 +99,7 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
-def _word_ngrams(toks: Column, n: int) -> Column:
+def word_ngrams(toks: Column, n: int) -> Column:
     """Word n-grams as space-joined strings via zipped slices — the
     same shingle construction MinHash uses; pure array exprs, no
     explode, no shuffle."""
@@ -155,8 +155,8 @@ def repetition_metrics(
     from lion_parcel_etl_spark.operators.dedup import tokens
 
     toks = tokens(t)
-    g2 = _word_ngrams(toks, 2)
-    g3 = _word_ngrams(toks, 3)
+    g2 = word_ngrams(toks, 2)
+    g3 = word_ngrams(toks, 3)
     top2 = _max_run(F.array_sort(g2))
     top2_mass = F.when(
         F.size(g2) > 0, F.round(top2 / F.size(g2), 6)

@@ -4185,6 +4185,39 @@ def q_frequent_tokens(spark, sf_dir):
     return frequent_items(toks, "token", k=VOCAB_TOPK)
 
 
+SPAN_W = 16
+
+
+def q_dup_spans(spark, sf_dir):
+    """Cross-document duplicated text spans (operators/dedup.py
+    duplicate_spans): 16-token sliding windows occurring in ≥ 2 docs —
+    the span-granular complement to doc-level MinHash/SimHash dedup
+    and the distributed stand-in for exact-substring training-data
+    dedup. Hashing happens before the one exchange, so the shuffle
+    carries (md5, doc) pairs, never window text."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.duplicate_spans(docs, "doc_id", "text", window=SPAN_W)
+
+
+SQL_DUP_SPANS = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+w AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk) - {SPAN_W} + 2),
+                i -> array_to_string(tk[i:i+{SPAN_W - 1}], ' '))) AS span
+  FROM t
+),
+g AS (
+  SELECT md5(span) AS span_hash, CAST(COUNT(*) AS BIGINT) AS n_occ,
+         list_sort(list(DISTINCT CAST(doc_id AS VARCHAR))) AS ds
+  FROM w GROUP BY 1
+)
+SELECT span_hash, CAST(len(ds) AS BIGINT) AS n_docs, n_occ,
+       array_to_string(ds, '; ') AS doc_list
+FROM g WHERE len(ds) >= 2
+"""
+
+
 DIFF_CUT_OLD = "2024-01-16 00:00:00"
 DIFF_CUT_NEW = "2024-01-31 00:00:00"
 
@@ -4449,6 +4482,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "repetition_metrics": (q_repetition_metrics, _duck_repetition()),
     "domain_caps": (q_domain_caps, _duck_domain_caps()),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "top_decile_orders": (q_top_decile_orders, SQL_TOP_DECILE),
     "window_firstlast": (q_window_firstlast, SQL_FIRSTLAST),
     "session_overlap": (q_session_overlap, SQL_SESSION_OVERLAP),

@@ -261,3 +261,27 @@ def test_contamination_flags_exact_overlap_semantics(spark):
     assert out[11] == (0, False)
     assert out[12] == (1, True)
     assert set(out) == {10, 11, 12}  # every corpus doc reported
+
+
+def test_duplicate_spans_finds_shared_passage_only(spark):
+    from lion_parcel_etl_spark.operators.dedup import duplicate_spans
+
+    shared = " ".join(f"w{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail1 x y"),
+            (2, "head2 " + shared),
+            (3, "completely different words " + " ".join(f"u{i}" for i in range(16))),
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicate_spans(docs, "doc_id", "text", window=16).collect()
+    # exactly one 16-token window is common to docs 1 and 2
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_docs == 2 and r.n_occ == 2 and r.doc_list == "1; 2"
+    # a repeated span WITHIN one doc does not qualify (needs >= 2 docs)
+    solo = spark.createDataFrame(
+        [(9, shared + " mid " + shared)], "doc_id long, text string"
+    )
+    assert duplicate_spans(solo, "doc_id", "text", window=16).count() == 0
