@@ -101,6 +101,8 @@ HEADLINE = [
     "contamination_check",
     "repetition_metrics",
     "domain_caps",
+    "dup_spans",
+    "snapshot_diff",
     "tfidf_topk",
     "bm25_rank",
     "token_frequency",
