@@ -491,3 +491,50 @@ def stream_interval_join(
         "then_ts",
         "then_value",
     )
+
+
+def stream_snapshot_diff(
+    df: DataFrame,
+    warehouse,
+    table: str,
+    keys: list[str],
+    checkpoint: str,
+    changelog_table: str | None = None,
+) -> None:
+    """Continuous CDC extraction from a snapshot stream: each
+    micro-batch carries a FULL new snapshot of a keyed table; the
+    batch is diffed against the stored current version
+    (operators/diff.table_diff), the INSERT/UPDATE/DELETE rows land in
+    ``<table>_changelog`` under the batch's own ``__batch_id``
+    partition, and the snapshot atomically replaces the current table.
+
+    Replay safety mirrors stream_rollup_into: a checkpoint-replayed
+    batch overwrites ITS OWN changelog partition instead of appending
+    a duplicate, and re-overwriting the current table with the same
+    snapshot is idempotent — so the changelog is exactly-once by
+    layout, with no locks. The diff is one full-outer join per batch
+    (both sides keyed); the changelog grows ∝ churn, never ∝ |table|.
+    """
+    from lion_parcel_etl_spark.operators.diff import table_diff
+
+    log = changelog_table or f"{table}_changelog"
+
+    def _batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        if warehouse.exists(table):
+            old = warehouse.read(spark, table).select(*batch.columns)
+            changes = table_diff(old, batch, keys)
+        else:
+            changes = table_diff(batch.limit(0), batch, keys)
+        warehouse.append_batch(changes, log, batch_id)
+        warehouse.overwrite(batch, table)
+
+    q = (
+        df.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -408,3 +408,49 @@ def test_stream_interval_join_matches_batch(spark, tmp_path, events_dir):
     cols = ["first_id", "then_id"]
     assert want.count() > 0
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_snapshot_diff_emits_changelog_and_replaces_current(spark, tmp_path):
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.streaming.jobs import stream_snapshot_diff
+
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, status string, amount long"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        stream_snapshot_diff(stream, wh, "accounts", ["id"], ckpt)
+
+    snap1 = spark.createDataFrame(
+        [(1, "open", 10), (2, "open", 20)], schema
+    )
+    snap1.coalesce(1).write.mode("append").parquet(landing)
+    run()
+    # bootstrap: everything is an INSERT, current == snapshot
+    log = wh.read(spark, "accounts_changelog")
+    assert {r.change_type for r in log.collect()} == {"INSERT"}
+    assert wh.read(spark, "accounts").count() == 2
+
+    snap2 = spark.createDataFrame(
+        [(1, "closed", 10), (3, "open", 30)], schema
+    )
+    snap2.coalesce(1).write.mode("append").parquet(landing)
+    run()  # same checkpoint: second snapshot only
+    cur = {r.id: r for r in wh.read(spark, "accounts").collect()}
+    assert set(cur) == {1, 3} and cur[1].status == "closed"
+    log = wh.read(spark, "accounts_changelog")
+    by_batch = {
+        (r.id, r.change_type)
+        for r in log.filter(F.col("__batch_id") == 1).collect()
+    }
+    assert by_batch == {(1, "UPDATE"), (2, "DELETE"), (3, "INSERT")}
+
+    # checkpoint-replay of batch 1 overwrites its own partition:
+    # no duplicate changelog rows
+    n_before = log.count()
+    from lion_parcel_etl_spark.operators.diff import table_diff
+
+    wh.append_batch(table_diff(snap1, snap2, ["id"]), "accounts_changelog", 1)
+    assert wh.read(spark, "accounts_changelog").count() == n_before
