@@ -103,6 +103,7 @@ HEADLINE = [
     "domain_caps",
     "dup_spans",
     "snapshot_diff",
+    "split_leakage",
     "tfidf_topk",
     "bm25_rank",
     "token_frequency",

@@ -4218,6 +4218,62 @@ FROM g WHERE len(ds) >= 2
 """
 
 
+def q_split_leakage(spark, sf_dir):
+    """Cross-split leakage audit — the composition every training
+    pipeline should run after splitting: hash_split assigns
+    train/eval, then any {SPAN_W}-token span present in BOTH a train
+    doc and an eval doc is reported (near-dup docs straddling the
+    split boundary leak exact text into evaluation). One shuffle of
+    (span-hash, doc, split) triples; the two conditional
+    count-distincts share a single Expand; output ∝ leaked spans."""
+    from lion_parcel_etl_spark.operators.sampling import hash_split
+    from lion_parcel_etl_spark.operators.text import word_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = hash_split(docs, "doc_id", {"train": 0.9, "eval": 0.1})
+    spans = labeled.select(
+        F.col("doc_id").alias("doc"),
+        "split",
+        F.explode(word_ngrams(DD.tokens(F.col("text")), SPAN_W)).alias("span"),
+    ).select("doc", "split", F.md5("span").alias("span_hash"))
+    tr = F.when(F.col("split") == "train", F.col("doc"))
+    ev = F.when(F.col("split") != "train", F.col("doc"))
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.count_distinct(tr).alias("n_train_docs"),
+            F.count_distinct(ev).alias("n_eval_docs"),
+        )
+        .filter((F.col("n_train_docs") > 0) & (F.col("n_eval_docs") > 0))
+    )
+
+
+def _duck_split_leakage() -> str:
+    from lion_parcel_etl_spark.operators.sampling import HASH_MOD, duck_id_hash
+
+    u = f"{duck_id_hash('doc_id')} / {float(HASH_MOD)!r}"
+    return f"""
+WITH s AS (
+  SELECT doc_id, CASE WHEN {u} < 0.9 THEN 'train' ELSE 'eval' END AS split,
+         {_DUCK_TOKS} AS tk
+  FROM documents
+),
+w AS (
+  SELECT doc_id, split,
+         unnest(list_transform(range(1, len(tk) - {SPAN_W} + 2),
+                i -> array_to_string(tk[i:i+{SPAN_W - 1}], ' '))) AS span
+  FROM s
+),
+g AS (
+  SELECT md5(span) AS span_hash,
+         CAST(COUNT(DISTINCT CASE WHEN split = 'train' THEN doc_id END) AS BIGINT) AS n_train_docs,
+         CAST(COUNT(DISTINCT CASE WHEN split <> 'train' THEN doc_id END) AS BIGINT) AS n_eval_docs
+  FROM w GROUP BY 1
+)
+SELECT * FROM g WHERE n_train_docs > 0 AND n_eval_docs > 0
+"""
+
+
 DIFF_CUT_OLD = "2024-01-16 00:00:00"
 DIFF_CUT_NEW = "2024-01-31 00:00:00"
 
@@ -4483,6 +4539,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "domain_caps": (q_domain_caps, _duck_domain_caps()),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
+    "split_leakage": (q_split_leakage, _duck_split_leakage()),
     "top_decile_orders": (q_top_decile_orders, SQL_TOP_DECILE),
     "window_firstlast": (q_window_firstlast, SQL_FIRSTLAST),
     "session_overlap": (q_session_overlap, SQL_SESSION_OVERLAP),

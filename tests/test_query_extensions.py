@@ -266,3 +266,17 @@ def test_pagerank_is_a_distribution(spark, sf_dir):
     # every node has out-degree >= 1 by construction)
     assert abs(total - 1.0) < 1e-6
     df.unpersist()
+
+
+def test_split_leakage_only_cross_split_spans(spark, sf_dir):
+    """Every reported span must involve both sides of the split, and
+    the query must agree with dup_spans restricted to cross-split
+    pairs at the same window size."""
+    from lion_parcel_etl_spark.plans.queries import QUERIES
+
+    leak = QUERIES["split_leakage"][0](spark, sf_dir)
+    rows = leak.collect()
+    assert all(r.n_train_docs > 0 and r.n_eval_docs > 0 for r in rows)
+    # subset of all duplicated spans
+    dup = {r.span_hash for r in QUERIES["dup_spans"][0](spark, sf_dir).collect()}
+    assert {r.span_hash for r in rows} <= dup
