@@ -170,6 +170,14 @@ def main() -> None:
     shuffle: dict[str, int] = {}
     for name in HEADLINE:
         fn, _ = QUERIES[name]
+        # Full GC between queries: ~160 query executions accumulate
+        # enough old-gen garbage (plans, codegen classes, UI metadata)
+        # that stop-the-world pauses land inside late queries and get
+        # billed to them — force the collection into the gap instead.
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         t0 = time.perf_counter()
         run(fn(spark, sf_dir))
         cold[name] = round(time.perf_counter() - t0, 3)
