@@ -67,3 +67,27 @@ def table_diff(
         out_cols.append(F.col(f"o.{c}").alias(f"old_{c}"))
         out_cols.append(F.col(f"n.{c}").alias(f"new_{c}"))
     return j.select(*out_cols).filter(F.col("change_type").isNotNull())
+
+
+def apply_changelog(
+    old: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Replay a :func:`table_diff` changelog onto the old snapshot,
+    reconstructing the new one: changed keys are removed from ``old``
+    (one anti-join), then INSERT/UPDATE rows re-enter with their
+    ``new_*`` values. ``apply_changelog(old, table_diff(old, new, k), k)``
+    equals ``new`` on the key + compared columns — the roundtrip
+    property tests/test_diff.py asserts, and the contract that lets a
+    replication consumer maintain a replica from the change stream
+    alone. Same scale shape as the diff: keyed joins only, output
+    built without ever scanning ``new``."""
+    compare = [c[len("new_"):] for c in changes.columns if c.startswith("new_")]
+    upserts = changes.filter(F.col("change_type") != "DELETE").select(
+        *keys, *[F.col(f"new_{c}").alias(c) for c in compare]
+    )
+    kept = old.select(*keys, *compare).join(
+        changes.select(*keys), on=keys, how="left_anti"
+    )
+    return kept.unionByName(upserts)

@@ -41,3 +41,40 @@ def test_table_diff_compare_subset_and_extra_columns(spark):
     assert set(d.columns) == {"id", "change_type", "old_s", "new_s"}
     assert d.collect()[0].change_type == "UPDATE"
     assert table_diff(old, new, ["id"], compare=[]).count() == 0
+
+
+def test_apply_changelog_roundtrip(spark):
+    """diff → apply reconstructs the new snapshot exactly."""
+    from lion_parcel_etl_spark.operators.diff import apply_changelog
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "id long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 11), (2, "b", 20), (4, "d", 40), (5, None, 50)],
+        "id long, s string, v long",
+    )
+    rebuilt = apply_changelog(old, table_diff(old, new, ["id"]), ["id"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_apply_changelog_roundtrip_property(spark):
+    """Randomized snapshots: the roundtrip holds for any overlap
+    pattern of keys and null/value churn."""
+    import random
+
+    from lion_parcel_etl_spark.operators.diff import apply_changelog
+
+    rng = random.Random(7)
+    for _ in range(5):
+        mk = lambda: [
+            (k, rng.choice(["x", "y", None]), rng.randint(0, 3))
+            for k in rng.sample(range(12), rng.randint(0, 10))
+        ]
+        old = spark.createDataFrame(mk(), "id long, s string, v long")
+        new = spark.createDataFrame(mk(), "id long, s string, v long")
+        rebuilt = apply_changelog(old, table_diff(old, new, ["id"]), ["id"])
+        assert sorted(map(tuple, rebuilt.collect())) == sorted(
+            map(tuple, new.collect())
+        )
