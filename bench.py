@@ -104,6 +104,7 @@ HEADLINE = [
     "dup_spans",
     "snapshot_diff",
     "split_leakage",
+    "pack_sequences",
     "tfidf_topk",
     "bm25_rank",
     "token_frequency",

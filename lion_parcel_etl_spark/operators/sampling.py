@@ -150,3 +150,44 @@ def cap_per_group(
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str,
+    len_col,
+    budget: int,
+    shards: int = 8,
+    salt: str = "",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packing bins — the
+    batch-construction step that concatenates documents into
+    budget-sized training sequences (concat-and-chunk / first-fit
+    streaming packing).
+
+    Documents spread across ``shards`` by id hash first: real
+    pipelines pack each shard independently because a single global
+    greedy pack would serialize the corpus through one task — the
+    window below partitions by shard, so packing parallelism = shards.
+    Within a shard, docs pack in id order by running token cumsum; a
+    doc opens a new bin when its START offset crosses a budget
+    boundary, so every bin is filled past the boundary by at most its
+    last document (the standard overflow-tolerant semantics; split
+    oversized docs upstream with doc_chunking). Assignment is a pure
+    function of (ids, lengths) — deterministic, layout-independent,
+    and SQL-replayable.
+
+    Returns (id, n_tokens=len_col, shard, bin) — ``bin`` is local to
+    its shard.
+    """
+    lc = F.col(len_col) if isinstance(len_col, str) else len_col
+    shard = F.pmod(id_hash(F.col(id_col), salt), F.lit(shards)).alias("shard")
+    base = docs.select(F.col(id_col), lc.cast("long").alias("n_tokens"), shard)
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        id_col,
+        "n_tokens",
+        "shard",
+        F.floor((cum - F.col("n_tokens")) / F.lit(budget)).alias("bin"),
+    )

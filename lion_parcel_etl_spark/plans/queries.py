@@ -4218,6 +4218,41 @@ FROM g WHERE len(ds) >= 2
 """
 
 
+PACK_BUDGET = 2048
+PACK_SHARDS = 8
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for training batches (operators/sampling.py
+    pack_sequences): docs spread over PACK_SHARDS by id hash, then
+    first-fit streaming packing into PACK_BUDGET-token bins via an
+    id-ordered running cumsum per shard. Parallelism = shards (never a
+    single global window); assignment is a pure function of (ids,
+    lengths), replayed exactly by the oracle's window."""
+    from lion_parcel_etl_spark.operators.sampling import pack_sequences
+    from lion_parcel_etl_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.select("doc_id", token_count(F.col("text")).alias("n_toks"))
+    return pack_sequences(docs, "doc_id", "n_toks", PACK_BUDGET, PACK_SHARDS)
+
+
+def _duck_pack() -> str:
+    from lion_parcel_etl_spark.operators.sampling import duck_id_hash
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+         {duck_id_hash("doc_id")} % {PACK_SHARDS} AS shard
+  FROM documents
+)
+SELECT doc_id, n_tokens, shard,
+       CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                   - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS bin
+FROM d
+"""
+
+
 def q_split_leakage(spark, sf_dir):
     """Cross-split leakage audit — the composition every training
     pipeline should run after splitting: hash_split assigns
@@ -4540,6 +4575,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "split_leakage": (q_split_leakage, _duck_split_leakage()),
+    "pack_sequences": (q_pack_sequences, _duck_pack()),
     "top_decile_orders": (q_top_decile_orders, SQL_TOP_DECILE),
     "window_firstlast": (q_window_firstlast, SQL_FIRSTLAST),
     "session_overlap": (q_session_overlap, SQL_SESSION_OVERLAP),

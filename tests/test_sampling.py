@@ -93,3 +93,27 @@ def test_cap_per_group_bounds_and_is_layout_independent(spark):
     # groups smaller than the cap pass through whole
     small = spark.range(4).selectExpr("id AS doc_id", "'g' AS grp")
     assert cap_per_group(small, "grp", "doc_id", 10).count() == 4
+
+
+def test_pack_sequences_bins_respect_streaming_budget(spark):
+    from lion_parcel_etl_spark.operators.sampling import pack_sequences
+
+    docs = spark.range(300).selectExpr(
+        "id AS doc_id", "CAST(20 + id % 50 AS LONG) AS n"
+    )
+    packed = pack_sequences(docs, "doc_id", "n", budget=100, shards=4)
+    rows = packed.collect()
+    # bins are contiguous in id order within a shard, and a bin's total
+    # excluding its last (overflow) doc stays under budget
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault((r.shard, r.bin), []).append((r.doc_id, r.n_tokens))
+    for (shard, b), docs_in in by_bin.items():
+        docs_in.sort()
+        total_wo_last = sum(n for _, n in docs_in[:-1])
+        assert total_wo_last < 100, (shard, b, docs_in)
+    # deterministic under repartition
+    again = pack_sequences(
+        docs.repartition(7), "doc_id", "n", budget=100, shards=4
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
