@@ -58,6 +58,22 @@ def main() -> None:
     noop(DD.exact_dedup(big, "doc_id", "text"))
     print(f"exact_dedup: {time.perf_counter() - t0:.2f}s")
 
+    t0 = time.perf_counter()
+    spans = DD.duplicate_spans(big, "doc_id", "text").count()
+    print(f"duplicate_spans: {spans} spans, {time.perf_counter() - t0:.2f}s")
+
+    from lion_parcel_etl_spark.operators.sketches import frequent_items_exact
+    from lion_parcel_etl_spark.operators.text import repetition_metrics
+
+    toks = big.select(F.explode(DD.tokens(F.col("text"))).alias("token"))
+    t0 = time.perf_counter()
+    hh = frequent_items_exact(toks, "token", phi=0.002).count()
+    print(f"heavy_hitters_exact: {hh} hitters, {time.perf_counter() - t0:.2f}s")
+
+    t0 = time.perf_counter()
+    noop(repetition_metrics(big))
+    print(f"repetition_metrics: {time.perf_counter() - t0:.2f}s")
+
 
 if __name__ == "__main__":
     main()
