@@ -33,12 +33,36 @@ def main(argv: list[str] | None = None) -> int:
     bonus = sub.add_parser("bonus", help="JSON corpus -> detail -> final -> prod")
     bonus.add_argument("--json-dir", required=True)
 
+    qp = sub.add_parser("query", help="run a registered query by name (or list them)")
+    qp.add_argument("name", nargs="?", default=None, help="query name; omit to list")
+    qp.add_argument("--sf-dir", default=None, help="table directory (parquet per table)")
+    qp.add_argument("--show", type=int, default=20, help="rows to display")
+    qp.add_argument("--master", default=None)
+
     for p in (retail, bonus):
         p.add_argument("--warehouse", required=True)
         p.add_argument("--tags", nargs="*", default=None)
         p.add_argument("--master", default=None)
 
     args = ap.parse_args(argv)
+    if args.cmd == "query":
+        from lion_parcel_etl_spark.plans.queries import QUERIES
+
+        if args.name is None:
+            for name in QUERIES:
+                print(name)
+            return 0
+        if args.name not in QUERIES:
+            print(f"unknown query {args.name!r} (run with no name to list)", file=sys.stderr)
+            return 2
+        if args.sf_dir is None:
+            print("--sf-dir is required to run a query", file=sys.stderr)
+            return 2
+        spark = get_spark(app_name=f"lpe-query-{args.name}", master=args.master)
+        df = QUERIES[args.name][0](spark, args.sf_dir)
+        df.show(args.show, truncate=40)
+        print(f"rows: {df.count()}")
+        return 0
     spark = get_spark(app_name=f"lpe-{args.cmd}", master=args.master)
     wh = Warehouse(args.warehouse)
     ctx = {"spark": spark, "warehouse": wh}
