@@ -59,9 +59,13 @@ def main(argv: list[str] | None = None) -> int:
             print("--sf-dir is required to run a query", file=sys.stderr)
             return 2
         spark = get_spark(app_name=f"lpe-query-{args.name}", master=args.master)
-        df = QUERIES[args.name][0](spark, args.sf_dir)
-        df.show(args.show, truncate=40)
-        print(f"rows: {df.count()}")
+        # persist so show() + count() execute the plan once, not twice
+        df = QUERIES[args.name][0](spark, args.sf_dir).persist()
+        try:
+            df.show(args.show, truncate=40)
+            print(f"rows: {df.count()}")
+        finally:
+            df.unpersist()
         return 0
     spark = get_spark(app_name=f"lpe-{args.cmd}", master=args.master)
     wh = Warehouse(args.warehouse)

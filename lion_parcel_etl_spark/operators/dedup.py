@@ -103,21 +103,16 @@ def tokens(text: Column) -> Column:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined).
+    """Distinct word n-gram shingles (space-joined) — text.word_ngrams
+    over the tokenization, deduped. The zipped-slice construction
+    lives in ONE place (operators/text.py) because it carries a subtle
+    load-bearing property: a lambda that captured the token-array
+    expression would re-evaluate it (and its regexp tokenization) once
+    per ELEMENT; the shifted slices keep every sub-expression
+    top-level, evaluated once per row."""
+    from lion_parcel_etl_spark.operators.text import word_ngrams
 
-    Built by zipping n shifted slices of the token array rather than
-    indexing into it from inside a transform lambda: a lambda that
-    captures the token-array expression re-evaluates it (and its
-    regexp tokenization) once per ELEMENT, turning a per-row regex into
-    ~3·|shingles| regex scans per row. The slices keep every
-    sub-expression top-level, evaluated once per row.
-    """
-    toks = tokens(text)
-    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    parts = F.arrays_zip(*[F.slice(toks, j + 1, m) for j in range(n)])
-    return F.array_distinct(
-        F.transform(parts, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]))
-    )
+    return F.array_distinct(word_ngrams(tokens(text), n))
 
 
 def shingle_hashes(text: Column, n: int = 3) -> Column:

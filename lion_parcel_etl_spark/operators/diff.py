@@ -36,22 +36,26 @@ def table_diff(
     {INSERT, UPDATE, DELETE} plus, for every compared column ``c``,
     ``old_c`` and ``new_c`` (NULL on the absent side). Comparison is
     null-safe (NULL → NULL is no change); unchanged keys are omitted.
+    The join itself is null-safe too, so a NULL key is a real key
+    value (a NULL-keyed row on both sides compares as the same row) —
+    which is why presence is detected with literal marker columns, not
+    ``key IS NOT NULL``.
     """
     compare = (
         compare
         if compare is not None
         else [c for c in new.columns if c in set(old.columns) and c not in keys]
     )
-    o = old.alias("o")
-    n = new.alias("n")
+    o = old.withColumn("__in_old", F.lit(True)).alias("o")
+    n = new.withColumn("__in_new", F.lit(True)).alias("n")
     cond = None
     for k in keys:
         eq = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
         cond = eq if cond is None else cond & eq
     j = o.join(n, cond, "full_outer")
 
-    in_old = F.col(f"o.{keys[0]}").isNotNull()
-    in_new = F.col(f"n.{keys[0]}").isNotNull()
+    in_old = F.coalesce(F.col("o.__in_old"), F.lit(False))
+    in_new = F.coalesce(F.col("n.__in_new"), F.lit(False))
     changed = F.lit(False)
     for c in compare:
         changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
@@ -87,7 +91,14 @@ def apply_changelog(
     upserts = changes.filter(F.col("change_type") != "DELETE").select(
         *keys, *[F.col(f"new_{c}").alias(c) for c in compare]
     )
-    kept = old.select(*keys, *compare).join(
-        changes.select(*keys), on=keys, how="left_anti"
-    )
+    # NULL-SAFE anti-join: table_diff treats a NULL key as a real key
+    # value, so the removal of changed keys must match it the same way
+    # (a plain `on=keys` anti-join would never match a NULL key and
+    # leave the old row behind next to its upserted replacement).
+    ch = changes.select(*keys).alias("c")
+    cond = None
+    for k in keys:
+        eq = F.col(f"t.{k}").eqNullSafe(F.col(f"c.{k}"))
+        cond = eq if cond is None else cond & eq
+    kept = old.select(*keys, *compare).alias("t").join(ch, cond, "left_anti")
     return kept.unionByName(upserts)

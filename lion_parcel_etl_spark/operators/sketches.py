@@ -99,7 +99,21 @@ def _mg_partials(df: DataFrame, col: str, partition_capacity: int) -> DataFrame:
     out_schema = f"{col} string, est long"
 
     def mg(batches):
+        # Textbook Misra-Gries with an O(1)-amortized decrement-all:
+        # a global ``offset`` stands in for "every live counter -1"
+        # (an entry's true estimate is stored - offset; it is dead once
+        # stored <= offset). Each overflow arrival raises the offset by
+        # EXACTLY one and sweeps dead entries — the sweep's O(capacity)
+        # cost amortizes against the >= capacity+1 mass each decrement
+        # event consumes, and the one-step decrement is what the
+        # N/(capacity+1) undercount bound (and therefore
+        # frequent_items_exact's superset guarantee) requires. A
+        # subtract-the-min "batch" decrement would remove min*capacity
+        # mass for a single arrival and break that bound: [a, a, b]
+        # at capacity 1 would evict a entirely, though true MG leaves
+        # it with estimate 1.
         counters: dict[str, int] = {}
+        offset = 0
         for pdf in batches:
             for v in pdf[col]:
                 if v is None:
@@ -107,16 +121,16 @@ def _mg_partials(df: DataFrame, col: str, partition_capacity: int) -> DataFrame:
                 if v in counters:
                     counters[v] += 1
                 elif len(counters) < partition_capacity:
-                    counters[v] = 1
+                    counters[v] = offset + 1
                 else:
-                    # decrement-all step (amortized via min subtraction)
-                    dec = min(counters.values())
-                    counters = {
-                        key: c - dec for key, c in counters.items() if c > dec
-                    }
+                    offset += 1
+                    counters = {k: c for k, c in counters.items() if c > offset}
         if counters:
             yield pd.DataFrame(
-                {col: list(counters.keys()), "est": list(counters.values())}
+                {
+                    col: list(counters.keys()),
+                    "est": [c - offset for c in counters.values()],
+                }
             )
 
     return df.select(F.col(col).cast("string").alias(col)).mapInPandas(

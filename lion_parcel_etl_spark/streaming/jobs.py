@@ -512,8 +512,22 @@ def stream_snapshot_diff(
     batch overwrites ITS OWN changelog partition instead of appending
     a duplicate, and re-overwriting the current table with the same
     snapshot is idempotent — so the changelog is exactly-once by
-    layout, with no locks. The diff is one full-outer join per batch
-    (both sides keyed); the changelog grows ∝ churn, never ∝ |table|.
+    layout, with no locks. The one replay subtlety: a batch replayed
+    AFTER it fully completed re-diffs against a current table that
+    already equals its snapshot, producing an EMPTY diff — which must
+    NOT clobber the batch's already-written changelog partition. An
+    empty diff therefore writes nothing (semantically equivalent: an
+    absent partition means "no changes in this batch"), making both
+    replay points — before and after the table swap — land on the same
+    final state. The diff is one full-outer join per batch (both sides
+    keyed); the changelog grows ∝ churn, never ∝ |table|.
+
+    An EMPTY micro-batch is treated as "no snapshot arrived", not as
+    "the table was truncated": with a file source, a restart or an
+    idle trigger can deliver zero rows, which is indistinguishable
+    from a genuinely empty snapshot — emitting table-wide DELETEs on
+    that signal would be catastrophic. Represent upstream truncation
+    explicitly (tombstone rows, or a batch-mode table_diff run).
     """
     from lion_parcel_etl_spark.operators.diff import table_diff
 
@@ -528,8 +542,13 @@ def stream_snapshot_diff(
             changes = table_diff(old, batch, keys)
         else:
             changes = table_diff(batch.limit(0), batch, keys)
-        warehouse.append_batch(changes, log, batch_id)
-        warehouse.overwrite(batch, table)
+        changes = changes.persist()
+        try:
+            if not changes.isEmpty():
+                warehouse.append_batch(changes, log, batch_id)
+            warehouse.overwrite(batch, table)
+        finally:
+            changes.unpersist()
 
     q = (
         df.writeStream.foreachBatch(_batch)

@@ -78,3 +78,20 @@ def test_apply_changelog_roundtrip_property(spark):
         assert sorted(map(tuple, rebuilt.collect())) == sorted(
             map(tuple, new.collect())
         )
+
+
+def test_table_diff_null_keys_are_real_keys(spark):
+    """A NULL key value matches null-safely across snapshots: same-key
+    rows with changed values are UPDATEs, and the roundtrip holds."""
+    from lion_parcel_etl_spark.operators.diff import apply_changelog
+
+    old = spark.createDataFrame([(None, "a"), (1, "x")], "id long, s string")
+    new = spark.createDataFrame([(None, "b"), (1, "x")], "id long, s string")
+    d = table_diff(old, new, ["id"]).collect()
+    assert len(d) == 1
+    assert d[0].id is None and d[0].change_type == "UPDATE"
+    assert d[0].old_s == "a" and d[0].new_s == "b"
+    rebuilt = apply_changelog(old, table_diff(old, new, ["id"]), ["id"])
+    assert sorted(map(tuple, rebuilt.collect()), key=str) == sorted(
+        map(tuple, new.collect()), key=str
+    )

@@ -138,3 +138,18 @@ def test_frequent_items_exact_rejects_undersized_capacity(spark):
     df = spark.range(10).selectExpr("CAST(id AS STRING) AS v")
     with _pytest.raises(ValueError, match="partition_capacity"):
         frequent_items_exact(df, "v", phi=0.001, partition_capacity=500)
+
+
+def test_mg_one_step_decrement_preserves_superset_guarantee(spark):
+    """Regression: a subtract-the-min batch decrement would evict 'a'
+    entirely on [a, a, b] at capacity 1 and the 'exact' heavy-hitter
+    answer would come back empty; textbook one-step MG leaves a with a
+    positive estimate, so the candidate superset holds at the guard's
+    boundary (capacity+1 = 2 > 1/phi)."""
+    from lion_parcel_etl_spark.operators.sketches import frequent_items_exact
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], "v string"
+    ).coalesce(1)
+    got = frequent_items_exact(df, "v", phi=0.6, partition_capacity=1).collect()
+    assert [(r.v, r.cnt) for r in got] == [("a", 2)]

@@ -447,10 +447,22 @@ def test_stream_snapshot_diff_emits_changelog_and_replaces_current(spark, tmp_pa
     }
     assert by_batch == {(1, "UPDATE"), (2, "DELETE"), (3, "INSERT")}
 
-    # checkpoint-replay of batch 1 overwrites its own partition:
-    # no duplicate changelog rows
+    # Replay point A — batch 1 replayed BEFORE its table swap landed:
+    # the diff recomputes identically and overwrites its own partition
+    # with the same rows (no duplicates).
     n_before = log.count()
     from lion_parcel_etl_spark.operators.diff import table_diff
 
     wh.append_batch(table_diff(snap1, snap2, ["id"]), "accounts_changelog", 1)
+    assert wh.read(spark, "accounts_changelog").count() == n_before
+
+    # Replay point B — batch 1 replayed AFTER it fully completed: the
+    # current table already equals the snapshot, the diff is EMPTY,
+    # and an empty diff must NOT clobber the already-written partition
+    # (this is what the foreachBatch body now guarantees by skipping
+    # the append for empty diffs).
+    replay_changes = table_diff(
+        wh.read(spark, "accounts").select("id", "status", "amount"), snap2, ["id"]
+    )
+    assert replay_changes.isEmpty()
     assert wh.read(spark, "accounts_changelog").count() == n_before
