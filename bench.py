@@ -105,6 +105,7 @@ HEADLINE = [
     "snapshot_diff",
     "split_leakage",
     "pack_sequences",
+    "column_profile",
     "tfidf_topk",
     "bm25_rank",
     "token_frequency",

@@ -82,3 +82,45 @@ def run_checks(named_checks: dict[str, DataFrame]) -> list[dict]:
         n = viol.count()
         out.append({"check": name, "violations": n, "passed": n == 0})
     return out
+
+
+def column_profile(df: DataFrame, cols: list[str], fmt=None) -> DataFrame:
+    """Per-column data profiling in ONE scan — the engine's structured
+    analog of the reference's ``df.info(memory_usage='deep')`` summary
+    (reference ``public/source_transaction_lion_parcel.py:79-83``):
+    one output row per profiled column with non-null / null / distinct
+    counts and min/max rendered to strings.
+
+    All statistics for all columns compute in a single aggregate over
+    one scan (the count-distincts share one Expand); the single result
+    row is then unpivoted driver-free with ``stack``. ``fmt`` maps a
+    column name to a Column->Column renderer for its min/max (default:
+    plain string cast) — heterogeneous types land in one string column
+    deterministically, e.g. doubles through a DECIMAL cast so the
+    render never switches to scientific notation.
+    """
+    from pyspark.sql import functions as F
+
+    fmt = fmt or {}
+
+    def _default(x):
+        return x.cast("string")
+
+    aggs = []
+    for c in cols:
+        render = fmt.get(c, _default)
+        aggs += [
+            F.count(F.col(c)).alias(f"__{c}_n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__{c}_nn"),
+            F.count_distinct(F.col(c)).alias(f"__{c}_nd"),
+            render(F.min(F.col(c))).alias(f"__{c}_mn"),
+            render(F.max(F.col(c))).alias(f"__{c}_mx"),
+        ]
+    row = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', __{c}_n, __{c}_nn, __{c}_nd, __{c}_mn, __{c}_mx" for c in cols
+    )
+    return row.selectExpr(
+        f"stack({len(cols)}, {parts}) AS "
+        "(col_name, n_nonnull, n_null, n_distinct, min_val, max_val)"
+    )

@@ -4218,6 +4218,63 @@ FROM g WHERE len(ds) >= 2
 """
 
 
+def q_column_profile(spark, sf_dir):
+    """Data profiling (operators/checks.py column_profile): one row
+    per lineitem column with null/distinct counts and min/max — all
+    statistics in ONE aggregate over one scan, unpivoted via stack.
+    Doubles render through DECIMAL(18,2) and timestamps through the
+    fixed micros format so the string forms match any engine."""
+    from lion_parcel_etl_spark.functions.columns import fmt_ts
+    from lion_parcel_etl_spark.operators.checks import column_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda x: x.cast("decimal(18,2)").cast("string")  # noqa: E731
+    return column_profile(
+        li,
+        ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"],
+        fmt={"l_quantity": dec, "l_extendedprice": dec, "l_shipdate": fmt_ts},
+    )
+
+
+def _duck_column_profile() -> str:
+    from lion_parcel_etl_spark.functions.columns import TS_FMT_DUCK
+
+    def block(c: str, mn: str, mx: str) -> str:
+        return f"""
+SELECT '{c}' AS col_name, CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {mn} AS min_val, {mx} AS max_val
+FROM lineitem"""
+
+    def plain(c):
+        return block(c, f"CAST(MIN({c}) AS VARCHAR)", f"CAST(MAX({c}) AS VARCHAR)")
+
+    def dec(c):
+        return block(
+            c,
+            f"CAST(CAST(MIN({c}) AS DECIMAL(18,2)) AS VARCHAR)",
+            f"CAST(CAST(MAX({c}) AS DECIMAL(18,2)) AS VARCHAR)",
+        )
+
+    def ts(c):
+        return block(
+            c,
+            f"strftime(MIN({c}), '{TS_FMT_DUCK}')",
+            f"strftime(MAX({c}), '{TS_FMT_DUCK}')",
+        )
+
+    return " UNION ALL ".join(
+        [
+            plain("l_orderkey"),
+            dec("l_quantity"),
+            dec("l_extendedprice"),
+            plain("l_returnflag"),
+            ts("l_shipdate"),
+        ]
+    )
+
+
 PACK_BUDGET = 2048
 PACK_SHARDS = 8
 
@@ -4576,6 +4633,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "split_leakage": (q_split_leakage, _duck_split_leakage()),
     "pack_sequences": (q_pack_sequences, _duck_pack()),
+    "column_profile": (q_column_profile, _duck_column_profile()),
     "top_decile_orders": (q_top_decile_orders, SQL_TOP_DECILE),
     "window_firstlast": (q_window_firstlast, SQL_FIRSTLAST),
     "session_overlap": (q_session_overlap, SQL_SESSION_OVERLAP),

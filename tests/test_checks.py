@@ -68,3 +68,24 @@ def test_run_checks_summary(spark):
         {"check": "unique_id", "violations": 1, "passed": False},
         {"check": "v_not_null", "violations": 0, "passed": True},
     ]
+
+
+def test_column_profile_counts_and_renderers(spark):
+    from lion_parcel_etl_spark.operators.checks import column_profile
+
+    df = spark.createDataFrame(
+        [(1, 2.5, None), (2, 1e7, "x"), (None, 2.5, "x")],
+        "a long, b double, c string",
+    )
+    prof = {
+        r.col_name: r
+        for r in column_profile(
+            df, ["a", "b", "c"],
+            fmt={"b": lambda x: x.cast("decimal(18,2)").cast("string")},
+        ).collect()
+    }
+    assert (prof["a"].n_nonnull, prof["a"].n_null, prof["a"].n_distinct) == (2, 1, 2)
+    assert (prof["a"].min_val, prof["a"].max_val) == ("1", "2")
+    # DECIMAL render: no scientific notation for the 1e7 max
+    assert prof["b"].max_val == "10000000.00" and prof["b"].min_val == "2.50"
+    assert (prof["c"].n_null, prof["c"].n_distinct) == (1, 1)
