@@ -398,3 +398,32 @@ def test_union_evolve_row_and_column_closure(spark, drops, splits):
             for c in survivors - {"id"}:
                 want = None if c == drops[bi] else row[col_idx[c]]
                 assert got[row[0]].get(c) == want
+
+
+@given(
+    stream=st.lists(st.sampled_from("abcdef"), max_size=60),
+    cap=st.integers(min_value=1, max_value=5),
+)
+@SLOW_OK
+def test_misra_gries_undercount_bound(spark, stream, cap):
+    """Textbook MG guarantees on a single partition, for ANY stream:
+    estimates never exceed true counts, undercount is at most
+    floor(N/(cap+1)) (one per decrement event), and every item whose
+    true count clears that band survives — the exact property
+    frequent_items_exact's candidate-superset argument relies on
+    (a batched subtract-the-min decrement violates all three)."""
+    from collections import Counter
+
+    from lion_parcel_etl_spark.operators.sketches import _mg_partials
+
+    df = spark.createDataFrame([(s,) for s in stream], "v string").coalesce(1)
+    partials = {r.v: r.est for r in _mg_partials(df, "v", cap).collect()}
+    true = Counter(stream)
+    n = len(stream)
+    band = n // (cap + 1)
+    for v, est in partials.items():
+        assert 0 < est <= true[v]
+        assert true[v] - est <= band
+    for v, c in true.items():
+        if c > band:
+            assert v in partials, (v, c, band, partials)
