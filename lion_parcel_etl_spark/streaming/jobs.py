@@ -557,3 +557,56 @@ def stream_snapshot_diff(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_heavy_hitters(
+    df: DataFrame,
+    warehouse,
+    table: str,
+    col: str,
+    checkpoint: str,
+    capacity: int = 2000,
+) -> None:
+    """Continuously-maintained heavy-hitter summary over a stream:
+    each micro-batch's Misra-Gries partial summaries land in the
+    batch's own ``__batch_id`` partition (replay overwrites itself —
+    the same exactly-once-by-layout contract as stream_rollup_into),
+    and :func:`read_heavy_hitters` merges the stored log at read time.
+
+    Why this works: MG summaries are MERGEABLE (Agarwal et al.,
+    "Mergeable Summaries", PODS 2012) — summing matching counters
+    across summaries keeps every estimate an undercount, and the total
+    undercount stays ≤ N/(capacity+1) summed over all batches and
+    partitions. Per-batch cost is O(|batch|); stored state is
+    O(batches × capacity) until compacted (sum-merge old partitions
+    into one during quiet hours, exactly like rollup compaction)."""
+    from lion_parcel_etl_spark.operators.sketches import _mg_partials
+
+    def _batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        warehouse.append_batch(
+            _mg_partials(batch.select(col), col, capacity), table, batch_id
+        )
+
+    q = (
+        df.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_heavy_hitters(
+    spark: SparkSession, warehouse, table: str, col: str, k: int = 100
+) -> DataFrame:
+    """Merge the stored per-batch MG summaries into global top-k
+    estimates (sum matching counters; order by estimate)."""
+    log = warehouse.read(spark, table)
+    return (
+        log.groupBy(col)
+        .agg(F.sum("est").alias("est"))
+        .orderBy(F.col("est").desc(), F.col(col).asc())
+        .limit(k)
+    )

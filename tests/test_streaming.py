@@ -466,3 +466,53 @@ def test_stream_snapshot_diff_emits_changelog_and_replaces_current(spark, tmp_pa
     )
     assert replay_changes.isEmpty()
     assert wh.read(spark, "accounts_changelog").count() == n_before
+
+
+def test_stream_heavy_hitters_merged_bound_and_replay(spark, tmp_path):
+    from collections import Counter
+
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.sketches import _mg_partials
+    from lion_parcel_etl_spark.streaming.jobs import (
+        read_heavy_hitters,
+        stream_heavy_hitters,
+    )
+
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    b1 = ["a"] * 30 + ["b"] * 10 + list("cdefg")
+    b2 = ["a"] * 5 + ["b"] * 25 + list("hijkl")
+    cap = 4
+
+    def run():
+        stream = spark.readStream.schema("v string").parquet(landing)
+        stream_heavy_hitters(stream, wh, "hh", "v", ckpt, capacity=cap)
+
+    for batch in (b1, b2):
+        spark.createDataFrame([(x,) for x in batch], "v string").coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        run()
+
+    merged = {r.v: r.est for r in read_heavy_hitters(spark, wh, "hh", "v").collect()}
+    true = Counter(b1 + b2)
+    n = len(b1) + len(b2)
+    band = n // (cap + 1)
+    for v, est in merged.items():
+        assert est <= true[v]
+        assert true[v] - est <= band
+    for v, c in true.items():
+        if c > band:
+            assert v in merged
+    # replayed batch overwrites its own partition: merged view unchanged
+    before = sorted(merged.items())
+    wh.append_batch(
+        _mg_partials(
+            spark.createDataFrame([(x,) for x in b2], "v string").coalesce(1), "v", cap
+        ),
+        "hh",
+        1,
+    )
+    after = {r.v: r.est for r in read_heavy_hitters(spark, wh, "hh", "v").collect()}
+    assert sorted(after.items()) == before
