@@ -2999,12 +2999,15 @@ def q_bigram_frequency(spark, sf_dir):
     one doc counts every occurrence), partial-agg absorbed skew,
     TakeOrderedAndProject top-k."""
     docs = _t(spark, sf_dir, "documents")
-    toks = DD.tokens(F.col("text"))
+    # tokens in their own projection: inlined, the regex would run
+    # twice per row inside the Generate (once per zipped slice)
+    toked = docs.select(DD.tokens(F.col("text")).alias("__toks"))
+    toks = F.col("__toks")
     m = F.greatest(F.size(toks) - 1, F.lit(0))
     pairs = F.arrays_zip(F.slice(toks, 1, m), F.slice(toks, 2, m))
     bigrams = F.transform(pairs, lambda s: F.concat_ws(" ", s["0"], s["1"]))
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        toked.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
@@ -3577,10 +3580,13 @@ def q_lm_surprisal(spark, sf_dir):
     broadcasts back into the bigram stream, and V arrives as a one-row
     broadcast scalar."""
     docs = _t(spark, sf_dir, "documents")
-    toks = DD.tokens(F.col("text"))
+    # tokens in their own projection (Generate-inlining hazard: the
+    # regex would otherwise run once per zipped slice per row)
+    toked = docs.select("doc_id", DD.tokens(F.col("text")).alias("__toks"))
+    toks = F.col("__toks")
     m = F.greatest(F.size(toks) - 1, F.lit(0))
     pairs = F.arrays_zip(F.slice(toks, 1, m), F.slice(toks, 2, m))
-    bg = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+    bg = toked.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2")
     )
     c12 = bg.groupBy(F.col("w1").alias("g1"), F.col("w2").alias("g2")).agg(
@@ -3588,7 +3594,7 @@ def q_lm_surprisal(spark, sf_dir):
     )
     c1 = bg.groupBy(F.col("w1").alias("h1")).agg(F.count(F.lit(1)).alias("c1"))
     v = (
-        docs.select(F.explode(toks).alias("token"))
+        toked.select(F.explode(toks).alias("token"))
         .agg(F.count_distinct("token").alias("vsize"))
     )
     surprisal = F.log2(F.col("c1") + F.col("vsize")) - F.log2(F.col("c12") + 1)
@@ -4323,10 +4329,15 @@ def q_split_leakage(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     labeled = hash_split(docs, "doc_id", {"train": 0.9, "eval": 0.1})
-    spans = labeled.select(
-        F.col("doc_id").alias("doc"),
+    # tokenize in its own projection (same Generate-inlining hazard as
+    # duplicate_spans: the regex would otherwise run SPAN_W× per row)
+    toked = labeled.select(
+        F.col("doc_id").alias("doc"), "split", DD.tokens(F.col("text")).alias("__toks")
+    )
+    spans = toked.select(
+        "doc",
         "split",
-        F.explode(word_ngrams(DD.tokens(F.col("text")), SPAN_W)).alias("span"),
+        F.explode(word_ngrams(F.col("__toks"), SPAN_W)).alias("span"),
     ).select("doc", "split", F.md5("span").alias("span_hash"))
     tr = F.when(F.col("split") == "train", F.col("doc"))
     ev = F.when(F.col("split") != "train", F.col("doc"))

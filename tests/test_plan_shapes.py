@@ -71,3 +71,55 @@ def test_pq_topk_single_code_join(plans):
     # (count tree lines, not the node-detail section repeats)
     assert plan.count("BroadcastHashJoin Inner") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_dup_spans_shuffles_hashes_not_text(spark, sf_dir):
+    """The one exchange must carry the 32-hex md5, never span text:
+    hashing happens below the aggregate's partial side."""
+    from lion_parcel_etl_spark.plans.queries import q_dup_spans
+
+    import re
+
+    plan = plan_string(q_dup_spans(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    # the exchange's input carries the 32-hex span_hash (plus partial
+    # aggregate buffers) and NOT the raw span strings
+    m = re.search(r"Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert m is not None, plan[:1500]
+    inputs = m.group(1)
+    assert "span_hash#" in inputs
+    assert re.search(r"\bspan#\d+", inputs) is None, inputs
+
+
+def test_pack_sequences_window_is_sharded(spark, sf_dir):
+    """The packing window must partition by shard — a global
+    (single-partition) window would serialize the corpus."""
+    from lion_parcel_etl_spark.plans.queries import q_pack_sequences
+
+    plan = plan_string(q_pack_sequences(spark, sf_dir))
+    assert "hashpartitioning(shard" in plan, plan[:2000]
+    assert "SinglePartition" not in plan
+
+
+def test_snapshot_diff_single_join_no_python(spark, sf_dir):
+    from lion_parcel_etl_spark.plans.queries import q_snapshot_diff
+
+    import re
+
+    plan = plan_string(q_snapshot_diff(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    # exactly ONE full-outer join node in the tree (tree header lines
+    # carry a node id; the detail section repeats the name without one)
+    assert len(re.findall(r"FullOuter \(\d+\)", plan)) == 1
+
+
+def test_column_profile_single_scan(spark, sf_dir):
+    """All per-column stats must come from ONE pass over lineitem."""
+    from lion_parcel_etl_spark.plans.queries import q_column_profile
+
+    import re
+
+    plan = plan_string(q_column_profile(spark, sf_dir))
+    # one scan NODE (each node appears once in the tree and once in the
+    # detail section, which is the one we count)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
