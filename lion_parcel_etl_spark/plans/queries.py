@@ -3037,12 +3037,17 @@ def q_doc_chunking(spark, sf_dir):
     its md5 digest so the correctness compare stays cheap; swap the
     digest for `concat_ws` to emit real samples."""
     docs = _t(spark, sf_dir, "documents")
-    toks = DD.tokens(F.col("text"))
-    c = docs.select(
+    # tokenize first: referencing the tokens expression both as a
+    # projected column AND inside the generator arg would run the regex
+    # twice per row (the Generate copy escapes codegen CSE)
+    toked = docs.select("doc_id", DD.tokens(F.col("text")).alias("toks"))
+    c = toked.select(
         "doc_id",
-        toks.alias("toks"),
+        "toks",
         F.explode(
-            F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(CHUNK_STRIDE))
+            F.sequence(
+                F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(CHUNK_STRIDE)
+            )
         ).alias("start"),
     )
     chunk = F.slice(F.col("toks"), F.col("start"), CHUNK_SIZE)
