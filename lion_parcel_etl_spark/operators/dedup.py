@@ -131,6 +131,16 @@ def minhash_signature(text: Column, n: int = 3, k: int = MINHASH_K) -> Column:
     every md5 k-fold; the single fold hashes each shingle exactly once.
     """
 
+    return minhash_from_shingles(word_shingles(text, n), k)
+
+
+def minhash_from_shingles(shingles: Column, k: int = MINHASH_K) -> Column:
+    """The signature fold over an ALREADY-COMPUTED shingle array —
+    lets callers that also store the shingles (minhash_signatures)
+    shingle each row exactly once: two independent expressions both
+    deriving from the text would each re-tokenize/re-shingle, because
+    higher-order functions are CodegenFallback and sit outside
+    codegen's subexpression elimination."""
     coeffs = minhash_coeffs(k)
 
     def step(acc: Column, h: Column) -> Column:
@@ -140,7 +150,7 @@ def minhash_signature(text: Column, n: int = 3, k: int = MINHASH_K) -> Column:
         return F.zip_with(acc, permuted, lambda x, y: F.least(x, y))
 
     init = F.array_repeat(F.lit(MINHASH_PRIME).cast("bigint"), k)
-    return F.aggregate(shingle_hashes(text, n), init, step)
+    return F.aggregate(F.transform(shingles, hash32), init, step)
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -208,10 +218,17 @@ def minhash_signatures(
     exact-Jaccard verification needs them; if storage is tighter than
     recompute, drop the column and verify by re-shingling from the
     corpus text instead."""
-    return spread_input(docs).select(
+    sh = spread_input(docs).select(
         F.col(id_col).alias("doc"),
-        minhash_signature(F.col(text_col), n, k).alias("sig"),
         word_shingles(F.col(text_col), n).alias("shingles"),
+    )
+    # shingles referenced twice below (fold + stored column) → the
+    # projection above survives CollapseProject and each row is
+    # tokenized/shingled exactly once
+    return sh.select(
+        "doc",
+        minhash_from_shingles(F.col("shingles"), k).alias("sig"),
+        "shingles",
     )
 
 
