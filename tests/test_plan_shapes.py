@@ -113,13 +113,18 @@ def test_snapshot_diff_single_join_no_python(spark, sf_dir):
     assert len(re.findall(r"FullOuter \(\d+\)", plan)) == 1
 
 
-def test_column_profile_single_scan(spark, sf_dir):
-    """All per-column stats must come from ONE pass over lineitem."""
+def test_column_profile_two_hash_passes(spark, sf_dir):
+    """Exactly two pruned scans (plain stats + distinct counts), and
+    NO SortAggregate: mixing the string min/max buffers into the
+    distinct pass would drag the whole Expand through a sort."""
     from lion_parcel_etl_spark.plans.queries import q_column_profile
 
     import re
 
     plan = plan_string(q_column_profile(spark, sf_dir))
-    # one scan NODE (each node appears once in the tree and once in the
-    # detail section, which is the one we count)
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    # no Sort NODE anywhere: the global-agg SortAggregates have empty
+    # grouping keys (nothing to sort); the regression this guards is a
+    # Sort of the Expand output, which only appears when the string
+    # min/max buffers land in the same aggregate as the distincts
+    assert re.search(r"\bSort \(\d+\)", plan) is None
