@@ -20,6 +20,25 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def swap_dir(tmp: str, dst: str) -> None:
+    """Install ``tmp`` at ``dst`` with the crash-recoverable rename
+    protocol every materializer shares (Warehouse.overwrite /
+    append_batch, scd2_apply_partitioned, merge_upsert_partitioned):
+    demote any existing ``dst`` to a ``.__old__<uuid8>`` sibling,
+    rename ``tmp`` in, drop the old copy. ONE source of truth — the
+    ``__tmp__``/``__old__`` suffix grammar is what
+    operators/maintenance.py's orphan recovery parses, so changing the
+    protocol here is the only place it can change. Same-filesystem
+    renames; a crash leaves either a ``__tmp__`` (unfinished, discard)
+    or ``__old__`` (already superseded) orphan for recovery."""
+    old = f"{dst}.__old__{uuid.uuid4().hex[:8]}"
+    if os.path.exists(dst):
+        os.rename(dst, old)
+    os.rename(tmp, dst)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 class Warehouse:
     """A directory of databases, each a directory of parquet tables.
 
@@ -79,12 +98,7 @@ class Warehouse:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)
-        old = f"{final}.__old__{uuid.uuid4().hex[:8]}"
-        if os.path.exists(final):
-            os.rename(final, old)
-        os.rename(tmp, final)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        swap_dir(tmp, final)
         if self.metrics is not None:
             self.metrics.record_write(name, final)
 
@@ -139,12 +153,7 @@ class Warehouse:
         os.makedirs(os.path.dirname(final), exist_ok=True)
         tmp = f"{final}.__tmp__{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(tmp)
-        old = f"{final}.__old__{uuid.uuid4().hex[:8]}"
-        if os.path.exists(final):
-            os.rename(final, old)
-        os.rename(tmp, final)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        swap_dir(tmp, final)
         if self.metrics is not None:
             self.metrics.record_write(name, final)
 

@@ -54,14 +54,24 @@ def merge_upsert(
 
     target=None → first run → updates as-is (dbt full-refresh branch).
     ``dedupe_updates`` keeps the last row per key ordered by
-    ``order_col`` when the updates batch itself has duplicates.
+    ``order_col`` when the updates batch itself has duplicates —
+    ``order_col`` is REQUIRED with it: the old fallback of ordering by
+    the key itself is constant within the window partition, so "last"
+    silently meant "whichever row the shuffle delivered first".
+
+    A NULL key value is treated as a real key (null-safe anti-join):
+    an update for the null key replaces the null-key target row rather
+    than accumulating next to it.
     """
     if dedupe_updates:
+        if order_col is None:
+            raise ValueError(
+                "dedupe_updates requires order_col: without an ordering "
+                "column, 'keep the last row per key' is nondeterministic"
+            )
         from pyspark.sql import Window
 
-        w = Window.partitionBy(*keys).orderBy(
-            F.col(order_col or keys[0]).desc_nulls_last()
-        )
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc_nulls_last())
         updates = (
             updates.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
@@ -73,7 +83,12 @@ def merge_upsert(
     update_keys = updates.select(*keys).distinct()
     if broadcast_updates:
         update_keys = F.broadcast(update_keys)
-    retained = target.join(update_keys, on=keys, how="left_anti")
+    uk = update_keys.alias("__u")
+    cond = None
+    for k in keys:
+        eq = target[k].eqNullSafe(F.col(f"__u.{k}"))
+        cond = eq if cond is None else cond & eq
+    retained = target.join(uk, cond, "left_anti")
     return retained.unionByName(updates)
 
 
@@ -107,6 +122,8 @@ def merge_upsert_partitioned(
     import shutil
     import uuid
 
+    from lion_parcel_etl_spark.catalog import swap_dir
+
     if not warehouse.exists(table):
         warehouse.overwrite(updates, table, partition_by=[partition_col])
         return [str(r[0]) for r in updates.select(partition_col).distinct().collect()]
@@ -119,6 +136,34 @@ def merge_upsert_partitioned(
     if len(vals) < len(raw_parts):  # batch contains a null partition value
         cond = cond | F.col(partition_col).isNull()
     target = warehouse.read(spark, table)
+    t_type = dict(target.dtypes).get(partition_col)
+    u_type = dict(updates.dtypes).get(partition_col)
+    if t_type != u_type and vals:
+        # Parquet infers partition-directory types on read: a STRING
+        # value like '01' writes day=01 but reads back as int 1, and
+        # sync_columns then re-keys the merged batch to day=1 while the
+        # stale day=01 directory survives the swap — silent duplicate
+        # keys. The mismatch is only dangerous when a value's string
+        # form does NOT survive the cast round-trip ('2024-01-01' ->
+        # date -> '2024-01-01' is fine; '01' -> 1 -> '1' is not), so
+        # check the actual batch values (a tiny driver list) and raise
+        # before corrupting the layout.
+        rt = (
+            spark.createDataFrame([(str(v),) for v in vals], "v string")
+            .select(F.col("v").cast(t_type).cast("string").alias("r"), "v")
+            .collect()
+        )
+        bad = [r.v for r in rt if r.r != r.v]
+        if bad:
+            raise ValueError(
+                f"partition column {partition_col!r} reads back as {t_type} "
+                f"but the update batch carries {u_type}, and value(s) "
+                f"{bad!r} do not round-trip through that cast: the merged "
+                "write would land in a re-keyed directory while the "
+                "original survives the swap. Use a partition representation "
+                "whose string form round-trips, or the unpartitioned merge "
+                "path."
+            )
     affected = target.filter(cond)
     merged = merge_upsert(affected, updates, keys)
 
@@ -135,13 +180,7 @@ def merge_upsert_partitioned(
         src = os.path.join(tmp, entry)
         if not (entry.startswith(prefix) and os.path.isdir(src)):
             continue
-        dst = os.path.join(table_dir, entry)
-        old = f"{dst}.__old__{uuid.uuid4().hex[:8]}"
-        if os.path.isdir(dst):
-            os.rename(dst, old)
-        os.rename(src, dst)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
+        swap_dir(src, os.path.join(table_dir, entry))
         swapped.append(entry[len(prefix):])
     shutil.rmtree(tmp, ignore_errors=True)
     if getattr(warehouse, "metrics", None) is not None and swapped:

@@ -52,7 +52,20 @@ def scd2_apply(
     ``tracked`` change-detection set) and ``snapshot_ts_col``.
     ``run_ts`` is the injected deterministic run timestamp replacing the
     reference's ``current_timestamp`` (SURVEY.md §7 hard part 6).
+
+    A NULL business-key value is treated as a real key (all key joins
+    are null-safe), so a null-key snapshot row updates/expires its
+    predecessor like any other instead of accumulating a new INSERT
+    every run. Snapshot columns may not collide with the SCD meta
+    columns — validated up front rather than failing later with an
+    ambiguous-reference or duplicate-parquet-column error.
     """
+    clash = [c for c in snapshot.columns if c in SCD_META_COLS]
+    if clash:
+        raise ValueError(
+            f"snapshot columns {clash!r} collide with SCD2 meta columns "
+            f"{SCD_META_COLS}; rename them before applying"
+        )
     attrs = list(snapshot.columns)
     run_ts_c = F.to_timestamp(F.lit(run_ts))
     sentinel_c = F.to_timestamp(F.lit(sentinel))
@@ -75,6 +88,14 @@ def scd2_apply(
     prev = target.filter(F.col("is_current"))
     hist = target.filter(~F.col("is_current"))
 
+    def key_cond(la: str, ra: str):
+        # null-safe: a NULL key value matches its stored predecessor
+        cond = None
+        for k in key:
+            eq = F.col(f"{la}.{k}").eqNullSafe(F.col(f"{ra}.{k}"))
+            cond = eq if cond is None else cond & eq
+        return cond
+
     s = snapshot.alias("s")
     if broadcast_snapshot:
         # Spark cannot broadcast the PRESERVED (left) side of a left-outer
@@ -87,20 +108,23 @@ def scd2_apply(
         # snapshot itself is. No distinct() on the key set: left-semi
         # semantics ignore build-side duplicates, and the distinct's
         # hash-aggregate would be the only shuffle in the whole plan.
-        key_set = F.broadcast(snapshot.select(*key))
-        p = F.broadcast(prev.join(key_set, on=key, how="left_semi")).alias("p")
+        key_set = F.broadcast(snapshot.select(*key).alias("k"))
+        pruned = prev.alias("pv").join(key_set, key_cond("pv", "k"), "left_semi")
+        p = F.broadcast(pruned.withColumn("__in_prev", F.lit(True))).alias("p")
     else:
-        p = prev.alias("p")
+        p = prev.withColumn("__in_prev", F.lit(True)).alias("p")
 
     changed = None
     for c in tracked:
         neq = ~F.col(f"s.{c}").eqNullSafe(F.col(f"p.{c}"))
         changed = neq if changed is None else (changed | neq)
 
-    chg = s.join(p, on=[F.col(f"s.{k}") == F.col(f"p.{k}") for k in key], how="left").select(
+    # presence via the literal marker, NOT `p.key IS NULL`: with
+    # null-safe matching a NULL key is a real, matchable key value
+    chg = s.join(p, key_cond("s", "p"), "left").select(
         *[F.col(f"s.{c}").alias(c) for c in attrs],
         F.col("p.dw_inserted_at").alias("__prev_inserted"),
-        F.when(F.col(f"p.{key[0]}").isNull(), F.lit("INSERT"))
+        F.when(F.col("p.__in_prev").isNull(), F.lit("INSERT"))
         .when(changed, F.lit("UPDATE"))
         .otherwise(F.lit("NOCHANGE"))
         .alias("change_type"),
@@ -111,15 +135,21 @@ def scd2_apply(
     )
     upd_b = F.broadcast(upd) if broadcast_snapshot else upd
 
-    expired = prev.join(upd_b, on=key, how="inner").select(
-        *attrs,
-        "valid_from",
-        F.col("__new_ts").alias("valid_to"),
-        F.lit(False).alias("is_current"),
-        "dw_inserted_at",
-        run_ts_c.alias("dw_updated_at"),
+    expired = (
+        prev.alias("pv")
+        .join(upd_b.alias("u"), key_cond("pv", "u"), "inner")
+        .select(
+            *[F.col(f"pv.{c}").alias(c) for c in attrs],
+            F.col("pv.valid_from").alias("valid_from"),
+            F.col("u.__new_ts").alias("valid_to"),
+            F.lit(False).alias("is_current"),
+            F.col("pv.dw_inserted_at").alias("dw_inserted_at"),
+            run_ts_c.alias("dw_updated_at"),
+        )
     )
-    unchanged = prev.join(upd_b.select(*key), on=key, how="left_anti")
+    unchanged = prev.alias("pv").join(
+        upd_b.select(*key).alias("u"), key_cond("pv", "u"), "left_anti"
+    )
     new_rows = as_version(
         chg.filter(F.col("change_type").isin("INSERT", "UPDATE")),
         F.coalesce(F.col("__prev_inserted"), run_ts_c),
@@ -159,8 +189,9 @@ def scd2_apply_partitioned(
     table format for transactional swaps.
     """
     import os
-    import shutil
     import uuid
+
+    from lion_parcel_etl_spark.catalog import swap_dir
 
     STATE = "state"
     state_col = F.when(F.col("is_current"), F.lit("current")).otherwise(F.lit("history"))
@@ -175,7 +206,10 @@ def scd2_apply_partitioned(
     # target = current rows only → the result's non-current rows are
     # exactly the versions expired by THIS run (history passes through
     # scd2_apply untouched and is absent here).
-    out = scd2_apply(cur, snapshot, key, tracked, snapshot_ts_col, run_ts)
+    # persist: the history append and the current swap are two separate
+    # actions — uncached, each would re-execute the full snapshot-join
+    # lineage (incl. re-reading the current partition)
+    out = scd2_apply(cur, snapshot, key, tracked, snapshot_ts_col, run_ts).persist()
     new_current = out.filter(F.col("is_current"))
     newly_expired = out.filter(~F.col("is_current"))
 
@@ -184,13 +218,9 @@ def scd2_apply_partitioned(
 
     tmp = f"{table_dir}.__tmp__{uuid.uuid4().hex[:8]}"
     new_current.write.parquet(tmp)
+    out.unpersist()
     dst = os.path.join(table_dir, f"{STATE}=current")
-    old = f"{dst}.__old__{uuid.uuid4().hex[:8]}"
-    if os.path.isdir(dst):
-        os.rename(dst, old)
-    os.rename(tmp, dst)
-    if os.path.isdir(old):
-        shutil.rmtree(old)
+    swap_dir(tmp, dst)
     if getattr(warehouse, "metrics", None) is not None:
         # this run's writes = the swapped current partition (the history
         # append's files are interleaved with prior runs' and aren't

@@ -106,6 +106,8 @@ def lsh_buckets_udf(dims: int, planes: int, tables: int):
 
     @F.pandas_udf("array<long>")
     def buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # np.vstack raises on an empty Arrow batch
+            return pd.Series([], dtype=object)
         X = np.vstack(vecs.to_numpy())[:, :dims].astype(np.float64)
         bits = (X @ M.T > 0).astype(np.int64)  # (n, tables*planes)
         b = bits.reshape(len(X), tables, planes) @ weights  # (n, tables)
@@ -159,6 +161,8 @@ def _assign_udf(centroids: np.ndarray, nprobe: int = 1):
 
         @F.pandas_udf("int")
         def assign1(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:  # np.vstack raises on an empty batch
+                return pd.Series([], dtype="int32")
             X = np.vstack(vecs.to_numpy()).astype(np.float64)
             Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
             return pd.Series(np.argmax(Xn @ Cn.T, axis=1).astype("int32"))
@@ -167,6 +171,8 @@ def _assign_udf(centroids: np.ndarray, nprobe: int = 1):
 
     @F.pandas_udf("array<int>")
     def assign_n(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # np.vstack raises on an empty batch
+            return pd.Series([], dtype=object)
         X = np.vstack(vecs.to_numpy()).astype(np.float64)
         Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
         order = np.argsort(-(Xn @ Cn.T), axis=1)[:, :nprobe].astype("int32")
@@ -613,8 +619,12 @@ def pq_topk(
     touches the corpus until that partial-aggregated group-by; the raw
     vectors are never re-read at query time, which is the whole point
     of PQ."""
+    # the n_codes LOWEST-id vectors — orderBy+limit, NOT filter(id <
+    # n_codes), which silently empties the codebook (and the whole
+    # result) for any id space that is not dense 0-based
     cb = (
-        corpus.filter(F.col(id_col) < n_codes)
+        corpus.orderBy(id_col)
+        .limit(n_codes)
         .select(F.col(id_col).alias("code"), F.col(vec_col).alias("cv"))
     )
     codes_long = _pq_codes_long(corpus, cb, m, dsub, id_col, vec_col)
@@ -672,7 +682,9 @@ def ivf_topk_seeded(
     corpus never shuffles by vector); probe lists and the query set
     broadcast; only candidates from probed lists are exactly
     re-ranked."""
-    seeds = corpus.filter(F.col(id_col) < n_centroids).select(
+    # lowest-id seed vectors via orderBy+limit (filter(id < n) would
+    # empty the quantizer on non-dense id spaces — see pq_topk)
+    seeds = corpus.orderBy(id_col).limit(n_centroids).select(
         F.col(id_col).alias("code"), F.col(vec_col).alias("sv")
     )
     c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ev"))

@@ -3438,7 +3438,7 @@ def _duck_pq_topk(n_codes: int = 16, m: int = 8, dsub: int = 8, k: int = 5) -> s
     )
     return f"""
 WITH cb AS MATERIALIZED (
-  SELECT vec_id AS code, embedding AS cv FROM embeddings WHERE vec_id < {n_codes}
+  SELECT vec_id AS code, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT {n_codes}
 ), pairs AS MATERIALIZED (
   SELECT e.vec_id, cb.code,
          {dist_cols}
@@ -3671,7 +3671,7 @@ def _duck_ivf_seeded(n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:
     cos_eq = _duck_cos("e.embedding", "q.embedding")
     return f"""
 WITH seeds AS MATERIALIZED (
-  SELECT vec_id AS code, embedding AS sv FROM embeddings WHERE vec_id < {n_centroids}
+  SELECT vec_id AS code, embedding AS sv FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
 ), asg AS MATERIALIZED (
   SELECT cid, code FROM (
     SELECT e.vec_id AS cid, s.code,

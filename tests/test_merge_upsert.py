@@ -188,3 +188,36 @@ def test_union_evolve_rejects_incompatible_drift(spark):
     b = spark.createDataFrame([("s",)], "x string")
     with _pytest.raises(TypeError):
         union_evolve([a, b])
+
+
+def test_dedupe_updates_requires_order_col(spark):
+    import pytest
+    upd = spark.createDataFrame([(1, "a")], "id long, v string")
+    with pytest.raises(ValueError, match="order_col"):
+        merge_upsert(None, upd, ["id"], dedupe_updates=True)
+
+
+def test_merge_null_key_replaces_not_duplicates(spark):
+    tgt = spark.createDataFrame([(None, "old"), (1, "x")], "id long, v string")
+    upd = spark.createDataFrame([(None, "new")], "id long, v string")
+    out = sorted(map(tuple, merge_upsert(tgt, upd, ["id"]).collect()), key=str)
+    assert out == sorted([(None, "new"), (1, "x")], key=str)
+
+
+def test_partitioned_merge_rejects_non_roundtripping_partition_values(  # noqa: E302
+    spark, tmp_path
+):
+    """'01' writes day=01 but reads back as int 1 — the merge must
+    refuse rather than strand the original directory."""
+    import pytest
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.merge_upsert import (
+        merge_upsert_partitioned,
+    )
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    first = spark.createDataFrame([(1, "a", "01")], "id long, v string, day string")
+    merge_upsert_partitioned(spark, wh, "m", first, ["id"], "day")
+    upd = spark.createDataFrame([(1, "b", "01")], "id long, v string, day string")
+    with pytest.raises(ValueError, match="round-trip"):
+        merge_upsert_partitioned(spark, wh, "m", upd, ["id"], "day")

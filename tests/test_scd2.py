@@ -235,3 +235,36 @@ def test_partitioned_scd2_appends_history_and_swaps_current(spark, tmp_path):
     assert canon(got) == canon(plain)
     # partition column complements the typed flag
     assert got.filter((F.col("state") == "current") != F.col("is_current")).count() == 0
+
+
+def test_scd2_null_key_updates_instead_of_accumulating(spark):
+    """A NULL business key is a real key: repeated runs must expire
+    and replace its version, never pile up open current rows."""
+    snap = lambda v, ts: spark.createDataFrame(
+        [(None, v, ts)], "user_id long, status string, snap_ts string"
+    ).withColumn("snap_ts", F.to_timestamp("snap_ts"))
+    t1 = scd2_apply(None, snap("A", "2024-01-01 00:00:00"), ["user_id"],
+                    ["status"], "snap_ts", "2024-01-01 01:00:00")
+    t2 = scd2_apply(t1, snap("B", "2024-01-02 00:00:00"), ["user_id"],
+                    ["status"], "snap_ts", "2024-01-02 01:00:00")
+    rows = t2.collect()
+    cur = [r for r in rows if r.is_current]
+    assert len(cur) == 1 and cur[0].status == "B"
+    hist = [r for r in rows if not r.is_current]
+    assert len(hist) == 1 and hist[0].status == "A"
+    # unchanged re-run: no new versions
+    t3 = scd2_apply(t2, snap("B", "2024-01-03 00:00:00"), ["user_id"],
+                    ["status"], "snap_ts", "2024-01-03 01:00:00")
+    assert t3.count() == 2
+
+
+def test_scd2_rejects_meta_column_collisions(spark):
+    import pytest
+
+    snap = spark.createDataFrame(
+        [(1, "x", "2024-01-01 00:00:00")],
+        "user_id long, valid_from string, snap_ts string",
+    )
+    with pytest.raises(ValueError, match="valid_from"):
+        scd2_apply(None, snap, ["user_id"], ["valid_from"], "snap_ts",
+                   "2024-01-01 01:00:00")

@@ -212,3 +212,24 @@ def test_ivf_seeded_partial_probe_recall(spark, emb):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"seeded-IVF recall too low: {recall}"
+
+
+@needs_td
+def test_codebooks_survive_non_dense_id_spaces(spark, emb):
+    """Regression: pq_topk/ivf_topk_seeded built their codebook/seed
+    set with filter(id < n), which silently EMPTIES the result for any
+    id space that is not dense 0-based. The lowest-n-by-order
+    semantics must give identical results under an id shift."""
+    import pyspark.sql.functions as F
+
+    from lion_parcel_etl_spark.operators.similarity import ivf_topk_seeded, pq_topk
+
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + 1000)
+    for fn in (pq_topk, ivf_topk_seeded):
+        base = fn(emb, emb.filter("vec_id < 5"))
+        moved = fn(shifted, shifted.filter("vec_id < 1005"))
+        got = sorted(
+            (r[0] - 1000, r[1] - 1000, *r[2:]) for r in map(tuple, moved.collect())
+        )
+        want = sorted(map(tuple, base.collect()))
+        assert got and got == want, fn.__name__
