@@ -293,7 +293,12 @@ def minhash_near_dup(
     # shingle arrays along (4 copies of every shingle set). Verification
     # fetches shingles afterwards by joining the (tiny) candidate pairs
     # back to the persisted signature table.
-    banded = _banded(sig, k, bands)
+    # docs with NO shingles (fewer than n tokens) all share the
+    # all-sentinel signature and would collide in every band — a
+    # quadratic candidate blow-up in the count of short docs that the
+    # Jaccard verify then discards anyway (empty ∩ empty = 0). Keep
+    # them out of the band join entirely; output is unchanged.
+    banded = _banded(sig.filter(F.size("shingles") > 0), k, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -345,8 +350,11 @@ def minhash_near_dup_incremental(
     all_sigs = old_sigs.select("doc", "sig", "shingles").unionByName(
         new_sigs.select("doc", "sig", "shingles")
     )
-    a = _banded(all_sigs, k, bands).alias("a")
-    b = F.broadcast(_banded(new_sigs, k, bands)).alias("b")
+    # empty-shingle docs sit out the band join (see minhash_near_dup)
+    a = _banded(all_sigs.filter(F.size("shingles") > 0), k, bands).alias("a")
+    b = F.broadcast(
+        _banded(new_sigs.filter(F.size("shingles") > 0), k, bands)
+    ).alias("b")
     cand = (
         a.join(
             b,
@@ -502,7 +510,14 @@ def simhash(text: Column, bits: int = 64) -> Column:
     weighted = F.zip_with(
         bit_sums, weights, lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long"))
     )
-    return F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
+    sig = F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
+    # Empty-token docs get NULL, not 0: every empty doc would share
+    # signature 0, quarter-match in all 4 quarters, and pass Hamming 0
+    # — making the candidate join AND the near-dup output quadratic in
+    # the count of empty docs while saying nothing about shared
+    # content. NULL quarters never equi-match, so they fall out of the
+    # pigeonhole join on both engines identically.
+    return F.when(F.size(tokens(text)) > 0, sig)
 
 
 def simhash_near_dup(
@@ -663,7 +678,7 @@ def contamination_flags(
         .agg(F.count_distinct("sh").alias("n_shared"))
     )
     return (
-        corpus.select(F.col(id_col).alias("doc_id"))
+        toked.select("doc_id")  # pruned id pass over the same lineage
         .join(counts, "doc_id", "left")
         .select(
             "doc_id",

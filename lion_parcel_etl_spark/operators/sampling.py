@@ -30,14 +30,21 @@ HASH_MOD = 1 << HASH_BITS
 
 def id_hash(col: Column, salt: str = "") -> Column:
     """Uniform deterministic 60-bit hash of an id (+ optional salt —
-    change the salt to draw an independent split)."""
-    key = F.concat(col.cast("string"), F.lit(salt))
+    change the salt to draw an independent split). A NULL id hashes
+    via a sentinel string rather than propagating NULL: otherwise
+    every split/sample comparison on the hash is NULL→false and all
+    NULL-id rows silently pile into the fallback branch (hash_split
+    assigned them ALL to the last split — deterministic contamination
+    of the smallest split)."""
+    key = F.concat(
+        F.coalesce(col.cast("string"), F.lit("__null__")), F.lit(salt)
+    )
     return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
 
 
 def duck_id_hash(expr: str, salt: str = "") -> str:
     """The DuckDB spelling of :func:`id_hash` for oracle SQL."""
-    key = f"CAST({expr} AS VARCHAR) || '{salt}'"
+    key = f"COALESCE(CAST({expr} AS VARCHAR), '__null__') || '{salt}'"
     return f"('0x' || substr(md5({key}), 1, 15))::BIGINT"
 
 
@@ -85,7 +92,10 @@ def stratified_sample(
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .withColumn("__n", F.count(F.lit(1)).over(wc))
-        .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(fraction)))
+        # round before ceil: the double product n*fraction can land one
+        # ulp ABOVE an exact integer (100*0.07 = 7.000000000000001), and
+        # a bare ceil would then take one extra row per affected stratum
+        .filter(F.col("__rn") <= F.ceil(F.round(F.col("__n") * F.lit(fraction), 9)))
         .drop("__rn", "__n")
     )
 

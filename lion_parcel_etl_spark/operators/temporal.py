@@ -54,17 +54,27 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    from pyspark.sql import types as T
+
     right_ts = right_ts or left_ts
     rpay = [c for c in right.columns if c not in by and c != right_ts]
     out_cols = [f"{c}{suffix}" for c in rpay] + [f"{right_ts}{suffix}"]
     rtypes = {f.name: f.dataType for f in right.schema.fields}
 
+    # The whole right payload rides as ONE struct, and ONE
+    # last(ignorenulls) carries it forward — per-column last() fills
+    # would stitch values from DIFFERENT right rows whenever the
+    # matched row has a legitimately NULL payload value (the older
+    # row's value would bleed through for just that column).
+    rrow_type = T.StructType(
+        [T.StructField(f"{c}{suffix}", rtypes[c]) for c in rpay]
+        + [T.StructField(f"{right_ts}{suffix}", rtypes[right_ts])]
+    )
     l2 = left.select(
         *left.columns,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(rtypes[c]).alias(f"{c}{suffix}") for c in rpay],
-        F.lit(None).cast(rtypes[right_ts]).alias(f"{right_ts}{suffix}"),
+        F.lit(None).cast(rrow_type).alias("__rrow"),
     )
     lfill = [c for c in left.columns if c not in by]
     ltypes = {f.name: f.dataType for f in left.schema.fields}
@@ -73,35 +83,32 @@ def asof_join(
         *by,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in rpay],
-        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+        F.struct(
+            *[F.col(c).alias(f"{c}{suffix}") for c in rpay],
+            F.col(right_ts).alias(f"{right_ts}{suffix}"),
+        ).alias("__rrow"),
     ).select(l2.columns)  # align column order for unionByName-free union
 
     merged = l2.unionByName(r2)
-    if direction == "backward":
-        # right rows (__side=0) sort before left at equal ts → inclusive
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        filled = merged.select(
+    # right rows (__side=0) sort before left at equal ts → inclusive
+    order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(order, F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        *left.columns,
+        "__side",
+        F.last("__rrow", ignorenulls=True).over(w).alias("__rrow"),
+    )
+    return (
+        filled.filter(F.col("__side") == 1)
+        .select(
             *left.columns,
-            "__side",
-            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_cols],
+            *[F.col(f"__rrow.{c}").alias(c) for c in out_cols],
         )
-    else:
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col("__ts").desc(), F.col("__side").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        filled = merged.select(
-            *left.columns,
-            "__side",
-            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_cols],
-        )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    )
 
 
 def range_join(
@@ -179,13 +186,17 @@ def interval_overlap_join(
             "__bin", F.explode(F.sequence(sb, eb))
         )
 
-    bl = binned(left, left_start, left_end, "l")
-    br = binned(right, right_start, right_end, "r")
+    # aliased so the residual filter resolves even when both frames use
+    # the same start/end column names (the natural self-join case);
+    # same-named PAYLOAD columns still come back duplicated — rename on
+    # one side if the caller needs to tell them apart
+    bl = binned(left, left_start, left_end, "l").alias("__la")
+    br = binned(right, right_start, right_end, "r").alias("__ra")
     return (
         bl.join(br, [*by, "__bin"])
         .filter(
-            (F.col(left_start) < F.col(right_end))
-            & (F.col(right_start) < F.col(left_end))
+            (F.col(f"__la.{left_start}") < F.col(f"__ra.{right_end}"))
+            & (F.col(f"__ra.{right_start}") < F.col(f"__la.{left_end}"))
             & (F.col("__bin") == F.greatest("__sb_l", "__sb_r"))
         )
         .drop("__bin", "__sb_l", "__sb_r")

@@ -40,9 +40,22 @@ def token_count(text: Column) -> Column:
 
 
 def stopword_hits(text: Column, words: list[str]) -> Column:
-    """Total occurrences of any profile word (word-boundary matches)."""
-    pat = r"\b(" + "|".join(words) + r")\b"
+    """Total occurrences of any profile word — word-boundary matches
+    for ASCII profiles, plain occurrences for non-ASCII ones: ``\b``
+    is ASCII-only in both Java regex and RE2, so a boundary-wrapped
+    CJK word can NEVER match (space and the character are both
+    non-word under ASCII ``\w``) and the zh profile would be dead
+    code. The oracle SQL applies the identical rule."""
+    pat = stopword_pattern(words)
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0)).cast("long")
+
+
+def stopword_pattern(words: list[str]) -> str:
+    """Shared Spark/DuckDB regex for a stopword profile."""
+    body = "(" + "|".join(words) + ")"
+    if all(w.isascii() for w in words):
+        return r"\b" + body + r"\b"
+    return body
 
 
 def lang_id(text: Column) -> Column:
@@ -86,9 +99,13 @@ def quality_score(text: Column) -> Column:
     len_score = F.least(toks / F.lit(100.0), F.lit(1.0))
     stop_score = F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
     punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * F.lit(10.0))
-    return (
+    score = (
         F.lit(0.4) * len_score + F.lit(0.3) * stop_score + F.lit(0.3) * punct_score
     )
+    # NULL text must not score 0.7 (F.least skips the NULL token count,
+    # leaving len/punct scores at their 1.0 maxima) — an empty record
+    # would outrank most genuine short documents in a quality filter
+    return F.when(text.isNotNull(), score).otherwise(F.lit(0.0))
 
 
 def fingerprint(text: Column) -> Column:

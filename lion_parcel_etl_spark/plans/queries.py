@@ -1229,7 +1229,7 @@ SELECT doc_id, lang FROM (
          row_number() OVER (PARTITION BY lang ORDER BY {h} ASC, doc_id ASC) AS rn,
          COUNT(*) OVER (PARTITION BY lang) AS n
   FROM documents
-) WHERE rn <= CAST(ceil(n * 0.2) AS BIGINT)
+) WHERE rn <= CAST(ceil(round(n * 0.2, 9)) AS BIGINT)
 """
 
 
@@ -1463,8 +1463,8 @@ def _duck_simhash() -> str:
         )
         for b in range(64)
     )
-    return f"""SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM (
-  SELECT doc_id,
+    return f"""SELECT doc_id, CAST(CASE WHEN len(tk) > 0 THEN {terms} END AS BIGINT) AS simhash FROM (
+  SELECT doc_id, {_DUCK_TOKS} AS tk,
          list_transform({_DUCK_TOKS}, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hlo,
          list_transform({_DUCK_TOKS}, t -> ('0x' || substr(md5(t), 9, 8))::BIGINT) AS hhi
   FROM documents) ORDER BY doc_id"""
@@ -1744,7 +1744,7 @@ def q_text_analysis(spark, sf_dir):
 
 def _duck_text_analysis() -> str:
     def hits(words):
-        pat = r"\b(" + "|".join(words) + r")\b"
+        pat = TX.stopword_pattern(words)  # ASCII-only \b rule shared
         return f"len(regexp_extract_all(lower(text), '{pat}'))"
 
     langs = list(TX.LANG_PROFILES)
@@ -1763,9 +1763,10 @@ def _duck_text_analysis() -> str:
         "ELSE 0.0 END"
     )
     quality = (
+        "CASE WHEN text IS NULL THEN 0.0 ELSE "
         f"0.4 * least(CAST({ntok} AS DOUBLE) / 100.0, 1.0) "
         f"+ 0.3 * least((CASE WHEN {ntok} > 0 THEN CAST({stop} AS DOUBLE) / {ntok} ELSE 0.0 END) * 5.0, 1.0) "
-        f"+ 0.3 * greatest(0.0, 1.0 - ({punct}) * 10.0)"
+        f"+ 0.3 * greatest(0.0, 1.0 - ({punct}) * 10.0) END"
     )
     fp = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
     return f"""

@@ -285,3 +285,24 @@ def test_duplicate_spans_finds_shared_passage_only(spark):
         [(9, shared + " mid " + shared)], "doc_id long, text string"
     )
     assert duplicate_spans(solo, "doc_id", "text", window=16).count() == 0
+
+
+def test_empty_docs_do_not_explode_candidates(spark):
+    """Empty/short docs share degenerate signatures (all-sentinel
+    MinHash, SimHash 0) — they must not pair with each other through
+    the band/quarter joins."""
+    from lion_parcel_etl_spark.operators.dedup import (
+        minhash_near_dup,
+        simhash,
+        simhash_near_dup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "   "), (4, "real text with many words here ok")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.sh for r in docs.select(
+        "doc_id", simhash(F.col("text")).alias("sh")).collect()}
+    assert sigs[1] is None and sigs[3] is None and sigs[4] is not None
+    assert simhash_near_dup(docs, "doc_id", "text").count() == 0
+    assert minhash_near_dup(docs, "doc_id", "text").count() == 0

@@ -117,3 +117,31 @@ def test_pack_sequences_bins_respect_streaming_budget(spark):
         docs.repartition(7), "doc_id", "n", budget=100, shards=4
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_hash_split_null_ids_distribute_not_contaminate(spark):
+    """NULL ids hash via a sentinel: they get a deterministic split
+    like any id instead of all landing in the last (smallest) split."""
+    from lion_parcel_etl_spark.operators.sampling import hash_split, id_hash
+
+    df = spark.createDataFrame([(None,), (1,), (2,)], "doc_id long")
+    out = {
+        (r.doc_id, r.split)
+        for r in hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    }
+    null_split = next(s for d, s in out if d is None)
+    # the sentinel hash is deterministic, not the fallback branch
+    h = df.filter("doc_id IS NULL").select(id_hash(F.col("doc_id")).alias("h")).collect()
+    assert h[0].h is not None
+    u = h[0].h / float(1 << 60)
+    want = "train" if u < 0.8 else ("val" if u < 0.9 else "test")
+    assert null_split == want
+
+
+def test_stratified_sample_exact_ceil_no_float_ulp(spark):
+    """100 rows at fraction 0.07 must yield exactly ceil(7)=7, not 8
+    (100*0.07 is one ulp above 7.0 in IEEE doubles)."""
+    from lion_parcel_etl_spark.operators.sampling import stratified_sample
+
+    df = spark.range(100).selectExpr("id AS doc_id", "'g' AS grp")
+    assert stratified_sample(df, ["grp"], 0.07, "doc_id").count() == 7

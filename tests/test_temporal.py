@@ -172,3 +172,35 @@ def test_interval_overlap_half_open_boundary(spark):
         "rid", "to_timestamp(1700000010) AS rstart", "to_timestamp(1700000020) AS rend"
     )
     assert interval_overlap_join(L, R, "lstart", "lend", "rstart", "rend").count() == 0
+
+
+def test_asof_join_null_payload_in_matched_row_stays_null(spark):
+    """Regression: per-column last() fills stitched values from
+    DIFFERENT right rows when the matched row had a NULL payload —
+    the payload must travel as one struct."""
+    from lion_parcel_etl_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 3)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 1, 5), (1, 2, None)], "k long, ts long, val long"
+    )
+    out = asof_join(left, right, ["k"], "ts").collect()
+    assert len(out) == 1
+    r = out[0]
+    # matched row is ts=2 whose val is legitimately NULL
+    assert r.ts_r == 2 and r.val_r is None
+
+
+def test_interval_overlap_join_same_column_names(spark):
+    from lion_parcel_etl_spark.operators.temporal import interval_overlap_join
+
+    import datetime as dt
+
+    mk = lambda rows: spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, h1), dt.datetime(2024, 1, 1, h2)) for i, h1, h2 in rows],
+        "id long, s timestamp, e timestamp",
+    )
+    a = mk([(1, 0, 2)])
+    b = mk([(10, 1, 3), (11, 5, 6)]).withColumnRenamed("id", "rid")
+    out = interval_overlap_join(a, b, "s", "e", "s", "e")
+    assert [(r.id, r.rid) for r in out.collect()] == [(1, 10)]

@@ -214,3 +214,23 @@ def test_repetition_metrics_hand_computed(spark):
     assert rows[2].top2_mass == round(1 / 11, 6) and rows[2].dup3_frac == 0.0
     assert not rows[2].flagged
     assert rows[3].top2_mass == 0.0 and rows[3].dup3_frac == 0.0 and not rows[3].flagged
+
+
+def test_zh_lang_id_actually_matches(spark):
+    from lion_parcel_etl_spark.operators.text import lang_id
+
+    df = spark.createDataFrame(
+        [("我 是 的 在",), ("the cat is on the mat and happy",), (None,)],
+        "text string",
+    )
+    got = [r.g for r in df.select(lang_id(F.col("text")).alias("g")).collect()]
+    assert got[0] == "zh" and got[1] == "en"
+
+
+def test_quality_score_null_text_is_zero(spark):
+    from lion_parcel_etl_spark.operators.text import quality_score
+
+    df = spark.createDataFrame([(None,), ("",)], "text string")
+    got = [r.q for r in df.select(quality_score(F.col("text")).alias("q")).collect()]
+    assert got[0] == 0.0
+    assert got[1] is not None and got[1] <= 0.4  # empty string: punct score only
