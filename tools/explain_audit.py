@@ -46,6 +46,7 @@ def audit(name: str, plan: str) -> list[str]:
         "lm_surprisal",
         "ivf_topk_seeded",
         "heavy_hitters_exact",
+        "column_profile",
     ):
         # intentional BNLJs: cosine_topk broadcasts a tiny query set;
         # tfidf/bm25/histogram/dormant_customers cross-join a broadcast
@@ -54,15 +55,19 @@ def audit(name: str, plan: str) -> list[str]:
         # broadcast 16-row PQ codebook (encode + query lookup tables);
         # lm_surprisal cross-joins the broadcast ONE-ROW vocabulary size;
         # ivf_topk_seeded cross-joins the broadcast 16-row seed table;
-        # heavy_hitters_exact cross-joins the broadcast ONE-ROW total-N
+        # heavy_hitters_exact cross-joins the broadcast ONE-ROW total-N;
+        # column_profile crosses its two ONE-ROW stat aggregates
         flags.append("BNLJ")
     if "BatchEvalPython" in plan:
         flags.append("PY_UDF_ROW_AT_A_TIME")
-    if "SortMergeJoin" in plan and name not in ("pagerank",):
+    if "SortMergeJoin" in plan and name not in ("pagerank", "snapshot_diff"):
         # pagerank's per-iteration join is SMJ BY DESIGN: both sides
         # are pinned hash-partitioned on the join key (exchange-free),
         # and the rank vector is |nodes|-sized — NOT broadcastable at
         # graph scale, so forcing BHJ would be the scale bug.
+        # snapshot_diff (like full_outer_join, still flagged as the
+        # known-justified sentinel) is a FULL-outer join: neither side
+        # can be the build side, so SMJ is the only correct strategy.
         flags.append("SMJ")
     return flags
 
