@@ -8,7 +8,10 @@ refinement — validated by recall/equality against the exact baseline
 in tests/test_similarity.py), ``approx_stats`` (sketch estimates,
 tolerance-checked in tests/test_sketches.py) and ``compression_ratio``
 (zlib is not expressible in SQL; pinned on known inputs in
-tests/test_text.py). The rest of the approximate family (``lsh_topk``,
+tests/test_text.py). ``frequent_tokens`` graduated to a full oracle:
+it now runs the deterministic two-pass Misra-Gries
+sketch-then-recount (exact top-k, partition-independent, with an
+in-plan provability guard). The rest of the approximate family (``lsh_topk``,
 ``pq_topk``, ``ivf_topk_seeded``, ``dedup_embedding_lsh``) is fully
 deterministic (md5-derived hyperplanes / sampled codebooks / seeded
 quantizers) and oracle-checked.

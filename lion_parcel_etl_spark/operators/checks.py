@@ -85,7 +85,7 @@ def run_checks(named_checks: dict[str, DataFrame]) -> list[dict]:
 
 
 def column_profile(df: DataFrame, cols: list[str], fmt=None) -> DataFrame:
-    """Per-column data profiling in ONE scan — the engine's structured
+    """Per-column data profiling in two pruned scans — the engine's structured
     analog of the reference's ``df.info(memory_usage='deep')`` summary
     (reference ``public/source_transaction_lion_parcel.py:79-83``):
     one output row per profiled column with non-null / null / distinct

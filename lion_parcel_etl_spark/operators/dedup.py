@@ -481,7 +481,12 @@ def simhash(text: Column, bits: int = 64) -> Column:
     bit-pattern operations that don't care about sign.
 
     One fold carrying all ``bits`` running bit-sums (vs. ``bits``
-    independent folds, which would recompute every token md5 64×)."""
+    independent folds, which would recompute every token md5 64×).
+    The accumulator carries one extra slot — the token count — so the
+    empty-doc guard below reads it from the fold's own state instead
+    of re-evaluating ``tokens(text)`` (higher-order functions are
+    CodegenFallback, so a second reference would be a second full
+    regexp tokenization per row, not a CSE'd one)."""
 
     def word(h: Column, b: int) -> Column:
         return h["lo"] if b < 32 else h["hi"]
@@ -490,7 +495,12 @@ def simhash(text: Column, bits: int = 64) -> Column:
         signs = F.array(
             *[((F.shiftright(word(h, b), b % 32) % 2) * 2 - 1).cast("long") for b in range(bits)]
         )
-        return F.zip_with(acc, signs, lambda x, y: x + y)
+        # acc is a bound lambda variable: slicing/indexing it is a
+        # cheap reference, not a re-computation of the token array.
+        return F.concat(
+            F.zip_with(F.slice(acc, 1, bits), signs, lambda x, y: x + y),
+            F.array(F.element_at(acc, bits + 1) + F.lit(1).cast("long")),
+        )
 
     hexes = F.transform(tokens(text), F.md5)
     harr = F.transform(
@@ -500,24 +510,34 @@ def simhash(text: Column, bits: int = 64) -> Column:
             F.conv(F.substring(x, 9, 8), 16, 10).cast("bigint").alias("hi"),
         ),
     )
-    bit_sums = F.aggregate(harr, F.array_repeat(F.lit(0).cast("long"), bits), step)
     weights = F.array(
         *[
             F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
             for b in range(bits)
         ]
     )
-    weighted = F.zip_with(
-        bit_sums, weights, lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long"))
+
+    def finish(acc: Column) -> Column:
+        sig = F.aggregate(
+            F.zip_with(
+                F.slice(acc, 1, bits),
+                weights,
+                lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        # Empty-token docs get NULL, not 0: every empty doc would share
+        # signature 0, quarter-match in all 4 quarters, and pass
+        # Hamming 0 — making the candidate join AND the near-dup output
+        # quadratic in the count of empty docs while saying nothing
+        # about shared content. NULL quarters never equi-match, so they
+        # fall out of the pigeonhole join on both engines identically.
+        return F.when(F.element_at(acc, bits + 1) > 0, sig)
+
+    return F.aggregate(
+        harr, F.array_repeat(F.lit(0).cast("long"), bits + 1), step, finish
     )
-    sig = F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
-    # Empty-token docs get NULL, not 0: every empty doc would share
-    # signature 0, quarter-match in all 4 quarters, and pass Hamming 0
-    # — making the candidate join AND the near-dup output quadratic in
-    # the count of empty docs while saying nothing about shared
-    # content. NULL quarters never equi-match, so they fall out of the
-    # pigeonhole join on both engines identically.
-    return F.when(F.size(tokens(text)) > 0, sig)
 
 
 def simhash_near_dup(

@@ -172,8 +172,9 @@ def pack_sequences(
 ) -> DataFrame:
     """Assign documents to fixed-token-budget packing bins — the
     batch-construction step that concatenates documents into
-    budget-sized training sequences (concat-and-chunk / first-fit
-    streaming packing).
+    budget-sized training sequences (concat-and-chunk / next-fit
+    streaming packing: a bin closes the moment a doc starts past its
+    boundary; earlier bins are never revisited).
 
     Documents spread across ``shards`` by id hash first: real
     pipelines pack each shard independently because a single global

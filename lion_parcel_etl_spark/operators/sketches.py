@@ -138,6 +138,72 @@ def _mg_partials(df: DataFrame, col: str, partition_capacity: int) -> DataFrame:
     )
 
 
+def frequent_items_topk_exact(
+    df: DataFrame,
+    col: str,
+    k: int = 100,
+    partition_capacity: int = 2000,
+) -> DataFrame:
+    """EXACT, deterministic top-``k`` most frequent values via the same
+    two-pass sketch-then-recount pattern as :func:`frequent_items_exact`
+    — the partition-independent twin of :func:`frequent_items`.
+
+    Pass 1 collects Misra-Gries candidates (any value absent from the
+    merged summary has true count ≤ N/(capacity+1), the total
+    undercount bound). Pass 2 broadcasts the candidates, recounts them
+    exactly with a left-semi-pruned aggregate, and keeps the top ``k``
+    by (count desc, value asc).
+
+    The result is PROVABLY the exact global top-``k`` whenever the
+    k-th recounted candidate count exceeds N/(capacity+1): no
+    non-candidate can beat it. That precondition is data-dependent, so
+    it is CHECKED at plan level — the k-th count and the bound travel
+    in the plan as a scalar guard, and a violation surfaces as an
+    assert_true failure rather than a silently-partition-dependent
+    answer. Memory is O(capacity) per task, never O(vocabulary).
+    """
+    vals = df.select(F.col(col).cast("string").alias(col)).where(
+        F.col(col).isNotNull()
+    )
+    cand = (
+        _mg_partials(vals, col, partition_capacity)
+        .select(col)
+        .dropDuplicates([col])
+    )
+    total = vals.agg(F.count(F.lit(1)).alias("n_total"))
+    topk = (
+        vals.join(F.broadcast(cand), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col(col).asc())
+        .limit(k)
+    )
+    # The undercount bound is per-partition-additive: with P input
+    # partitions it is at most sum_p N_p/(capacity+1) = N/(capacity+1).
+    # assert_true is a codegen'd scalar predicate on the (tiny) top-k
+    # rows — it costs nothing and turns "silently wrong under adverse
+    # partitioning" into a loud failure.
+    # The guard lives in a FILTER (assert_true yields NULL on success,
+    # so the predicate keeps every row) — a projected-then-dropped
+    # guard column would be erased by Catalyst's column pruning.
+    bound = F.col("n_total") / F.lit(partition_capacity + 1)
+    return (
+        topk.crossJoin(F.broadcast(total))
+        .filter(
+            F.assert_true(
+                F.col("cnt") > bound,
+                F.lit(
+                    f"top-{k} not provable: k-th candidate count within the "
+                    f"MG undercount bound N/{partition_capacity + 1}; raise "
+                    "partition_capacity"
+                ),
+            ).isNull()
+        )
+        .select(col, "cnt")
+        .orderBy(F.col("cnt").desc(), F.col(col).asc())
+    )
+
+
 def frequent_items_exact(
     df: DataFrame,
     col: str,
@@ -161,13 +227,20 @@ def frequent_items_exact(
     — an exact relational answer at sketch memory cost: O(capacity)
     per task, an aggregate over candidate values only (never the full
     vocabulary), and two scans of the input instead of one.
+
+    NULL rows are excluded up front, so N (and therefore the
+    ⌈φ·N⌉ threshold) is the count of the NON-NULL item multiset —
+    the usual heavy-hitter definition, and consistent with the MG
+    pass, which never admits NULL as a candidate.
     """
     if partition_capacity + 1 <= 1.0 / phi:
         raise ValueError(
             f"partition_capacity={partition_capacity} too small for phi={phi}: "
             f"need capacity+1 > 1/phi so no true heavy hitter can be evicted"
         )
-    vals = df.select(F.col(col).cast("string").alias(col))
+    vals = df.select(F.col(col).cast("string").alias(col)).where(
+        F.col(col).isNotNull()
+    )
     cand = (
         _mg_partials(vals, col, partition_capacity)
         .select(col)

@@ -140,6 +140,72 @@ def test_frequent_items_exact_rejects_undersized_capacity(spark):
         frequent_items_exact(df, "v", phi=0.001, partition_capacity=500)
 
 
+def test_frequent_items_topk_exact_partition_independent(spark):
+    """The recounted top-k must equal the plain exact top-k and be
+    byte-identical across adversarial partition layouts — the property
+    that earns frequent_tokens its DuckDB oracle."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lion_parcel_etl_spark.operators.dedup import tokens
+    from lion_parcel_etl_spark.operators.sketches import frequent_items_topk_exact
+    from lion_parcel_etl_spark.plans.queries import _t
+
+    sf = os.path.join(
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001"
+    )
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    k = 20
+    expected = [
+        (r.token, r.n)
+        for r in toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+        .collect()
+    ]
+    for layout in (toks, toks.repartition(16), toks.repartition(1)):
+        got = [
+            (r.token, r.cnt)
+            for r in frequent_items_topk_exact(
+                layout, "token", k=k, partition_capacity=600
+            ).collect()
+        ]
+        assert got == expected
+
+
+def test_frequent_items_topk_exact_guard_trips_when_unprovable(spark):
+    """With capacity so small the k-th count sits inside the undercount
+    bound, the in-plan assert_true must fail loudly instead of
+    returning a partition-dependent answer."""
+    from pyspark.errors import SparkRuntimeException
+
+    from lion_parcel_etl_spark.operators.sketches import frequent_items_topk_exact
+
+    # 200 distinct values once each over many partitions: capacity 1
+    # per partition → bound N/2 = 100 ≥ every count (1).
+    df = spark.range(200).selectExpr("CAST(id AS STRING) AS v").repartition(8)
+    with pytest.raises(SparkRuntimeException, match="not provable"):
+        frequent_items_topk_exact(df, "v", k=5, partition_capacity=1).collect()
+
+
+def test_frequent_items_exact_total_excludes_nulls(spark):
+    """N (the φ threshold base) counts the NON-NULL multiset: with
+    nulls inflating N, 'b' (2 of 4 non-null = phi 0.5) would miss a
+    φ=0.5 cut computed over 8 total rows (threshold 4)."""
+    from lion_parcel_etl_spark.operators.sketches import frequent_items_exact
+
+    rows = [("a",), ("a",), ("b",), ("b",)] + [(None,)] * 4
+    df = spark.createDataFrame(rows, "v string").coalesce(1)
+    got = sorted(
+        (r.v, r.cnt)
+        for r in frequent_items_exact(df, "v", phi=0.5, partition_capacity=10).collect()
+    )
+    assert got == [("a", 2), ("b", 2)]
+
+
 def test_mg_one_step_decrement_preserves_superset_guarantee(spark):
     """Regression: a subtract-the-min batch decrement would evict 'a'
     entirely on [a, a, b] at capacity 1 and the 'exact' heavy-hitter
