@@ -1,0 +1,76 @@
+"""Mechanical physical-plan anti-pattern audit, shared by the
+``tools/explain_audit.py`` CLI and the ``tests/test_plan_audit.py``
+regression gate (so a plan regression breaks ``pytest`` instead of
+waiting for a per-round judge re-run).
+
+Flags the shapes that kill 100 TB jobs:
+
+- ``CARTESIAN`` — CartesianProduct nodes (always accidental here),
+- ``BNLJ`` — BroadcastNestedLoopJoin outside the documented allowlist
+  of scalar/tiny-table fan-ins,
+- ``PY_UDF_ROW_AT_A_TIME`` — BatchEvalPython (row-at-a-time Python in
+  the hot path; every sanctioned Python crossing is Arrow-batched),
+- ``SMJ`` — SortMergeJoin outside the two provably-necessary cases.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import DataFrame
+
+# Intentional BNLJs: cosine_topk broadcasts a tiny query set;
+# tfidf/bm25/histogram/dormant_customers cross-join a broadcast
+# ONE-ROW stats aggregate (N, avgdl, min/max, avg balance) — a scalar
+# fan-in, not a pair explosion; pq_topk cross-joins the broadcast
+# 16-row PQ codebook (encode + query lookup tables); lm_surprisal
+# cross-joins the broadcast ONE-ROW vocabulary size; ivf_topk_seeded
+# cross-joins the broadcast 16-row seed table; heavy_hitters_exact and
+# frequent_tokens cross-join the broadcast ONE-ROW total-N (threshold /
+# provability guard); column_profile crosses its two ONE-ROW stat
+# aggregates.
+BNLJ_ALLOWED = frozenset(
+    {
+        "cosine_topk",
+        "tfidf_topk",
+        "bm25_rank",
+        "histogram",
+        "dormant_customers",
+        "pq_topk",
+        "lm_surprisal",
+        "ivf_topk_seeded",
+        "heavy_hitters_exact",
+        "frequent_tokens",
+        "column_profile",
+    }
+)
+
+# pagerank's per-iteration join is SMJ BY DESIGN: both sides are pinned
+# hash-partitioned on the join key (exchange-free iterations), and the
+# rank vector is |nodes|-sized — NOT broadcastable at graph scale, so
+# forcing BHJ would be the scale bug. snapshot_diff (like
+# full_outer_join, kept flagged as the known-justified sentinel) is a
+# FULL-outer join: neither side can be the build side, so SMJ is the
+# only correct strategy.
+SMJ_ALLOWED = frozenset({"pagerank", "snapshot_diff"})
+
+
+def formatted_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def audit(name: str, plan: str) -> list[str]:
+    flags = []
+    if "CartesianProduct" in plan:
+        flags.append("CARTESIAN")
+    if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+        flags.append("BNLJ")
+    if "BatchEvalPython" in plan:
+        flags.append("PY_UDF_ROW_AT_A_TIME")
+    if "SortMergeJoin" in plan and name not in SMJ_ALLOWED:
+        flags.append("SMJ")
+    return flags

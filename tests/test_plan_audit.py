@@ -1,0 +1,34 @@
+"""Full-registry plan-shape gate: every registered query's physical
+plan at sf0.001 must be free of the mechanical scale anti-patterns
+(CartesianProduct, unjustified BroadcastNestedLoopJoin, row-at-a-time
+BatchEvalPython, unjustified SortMergeJoin) — the same audit
+tools/explain_audit.py runs by hand, now failing ``pytest`` on any
+regression instead of waiting for a judge re-run.
+
+Plan building is cheap for most queries; the handful whose builders
+materialize a pinned signature table (minhash/simhash families) run a
+small sf0.001 action during construction, which is why this is one
+session-scoped sweep rather than per-test sessions.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lion_parcel_etl_spark.plans.audit import audit, formatted_plan
+from lion_parcel_etl_spark.plans.queries import QUERIES
+
+
+# full_outer_join's SMJ is provably necessary (a FULL-outer join has
+# no build side, so broadcast is impossible) — the CLI audit keeps it
+# flagged on purpose as the sentinel proving the audit still fires;
+# the pytest gate accepts exactly this one (name, flag) pair.
+JUSTIFIED = {("full_outer_join", "SMJ")}
+
+
+@pytest.mark.parametrize("name", list(QUERIES))
+def test_plan_has_no_scale_antipatterns(spark, sf_dir, name):
+    fn, _ = QUERIES[name]
+    plan = formatted_plan(fn(spark, sf_dir))
+    flags = [f for f in audit(name, plan) if (name, f) not in JUSTIFIED]
+    assert not flags, f"{name}: {flags}\n{plan[:2000]}"

@@ -1,5 +1,7 @@
-"""Plan audit: dump the formatted physical plan of every registered
-query and flag scale anti-patterns mechanically:
+"""Plan audit CLI: dump the formatted physical plan of every registered
+query and flag scale anti-patterns mechanically (shared logic lives in
+lion_parcel_etl_spark/plans/audit.py and also runs in pytest via
+tests/test_plan_audit.py):
 
 - parquet scans with no ReadSchema pruning (reading all columns),
 - filters that did NOT reach the scan (missing PushedFilters),
@@ -14,62 +16,14 @@ per query.
 
 from __future__ import annotations
 
-import io
 import os
 import sys
-from contextlib import redirect_stdout
 
 sys.path.insert(0, ".")
 
+from lion_parcel_etl_spark.plans.audit import audit, formatted_plan
 from lion_parcel_etl_spark.plans.queries import QUERIES
 from lion_parcel_etl_spark.session import get_spark
-
-
-def formatted_plan(df) -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
-
-
-def audit(name: str, plan: str) -> list[str]:
-    flags = []
-    if "CartesianProduct" in plan:
-        flags.append("CARTESIAN")
-    if "BroadcastNestedLoopJoin" in plan and name not in (
-        "cosine_topk",
-        "tfidf_topk",
-        "bm25_rank",
-        "histogram",
-        "dormant_customers",
-        "pq_topk",
-        "lm_surprisal",
-        "ivf_topk_seeded",
-        "heavy_hitters_exact",
-        "column_profile",
-    ):
-        # intentional BNLJs: cosine_topk broadcasts a tiny query set;
-        # tfidf/bm25/histogram/dormant_customers cross-join a broadcast
-        # ONE-ROW stats aggregate (N, avgdl, min/max, avg balance) — a
-        # scalar fan-in, not a pair explosion; pq_topk cross-joins the
-        # broadcast 16-row PQ codebook (encode + query lookup tables);
-        # lm_surprisal cross-joins the broadcast ONE-ROW vocabulary size;
-        # ivf_topk_seeded cross-joins the broadcast 16-row seed table;
-        # heavy_hitters_exact cross-joins the broadcast ONE-ROW total-N;
-        # column_profile crosses its two ONE-ROW stat aggregates
-        flags.append("BNLJ")
-    if "BatchEvalPython" in plan:
-        flags.append("PY_UDF_ROW_AT_A_TIME")
-    if "SortMergeJoin" in plan and name not in ("pagerank", "snapshot_diff"):
-        # pagerank's per-iteration join is SMJ BY DESIGN: both sides
-        # are pinned hash-partitioned on the join key (exchange-free),
-        # and the rank vector is |nodes|-sized — NOT broadcastable at
-        # graph scale, so forcing BHJ would be the scale bug.
-        # snapshot_diff (like full_outer_join, still flagged as the
-        # known-justified sentinel) is a FULL-outer join: neither side
-        # can be the build side, so SMJ is the only correct strategy.
-        flags.append("SMJ")
-    return flags
 
 
 def main() -> None:
