@@ -183,11 +183,22 @@ def scd2_apply_partitioned(
     ``state`` is a partition-only derivative of ``is_current`` (kept
     because boolean partition values read back as strings under
     partition-type inference; the real flag stays a typed data column).
-    Same non-transactional caveat as Warehouse.overwrite: a crash
-    between the history append and the current swap can leave an
-    expired version alongside its still-open predecessor — back with a
-    table format for transactional swaps.
+
+    Crash story (chaos-tested in tests/test_maintenance.py): the two
+    mutations are BOTH swap_dir renames — the history append lands in
+    a per-run subdirectory ``state=history/run-<digest(run_ts)>``
+    (plain nested dir, not hive ``k=v``, so partition discovery still
+    reads it as history) via its own tmp+swap. A crash at any point
+    leaves the table readable with at worst a ``__tmp__`` orphan (for
+    operators/maintenance.vacuum) plus, in the window between the two
+    renames, this run's expired versions in history alongside their
+    still-open predecessors in current. Re-running the SAME run (same
+    run_ts — what an Airflow-style retry does) REPLACES that run
+    subdirectory instead of appending a duplicate, then completes the
+    current swap: convergence, not accumulation. True multi-directory
+    atomicity still needs a transactional table format.
     """
+    import hashlib
     import os
     import uuid
 
@@ -214,7 +225,20 @@ def scd2_apply_partitioned(
     newly_expired = out.filter(~F.col("is_current"))
 
     table_dir = warehouse.table_path(table)
-    newly_expired.write.mode("append").parquet(os.path.join(table_dir, f"{STATE}=history"))
+    # Idempotent history append: write this run's expired versions to a
+    # tmp dir, then swap into a run_ts-keyed subdirectory of the
+    # history partition. The digest (not the raw timestamp) names the
+    # dir so ':' and other chars never meet filesystem escaping.
+    run_dir = os.path.join(
+        table_dir,
+        f"{STATE}=history",
+        f"run-{hashlib.md5(run_ts.encode()).hexdigest()[:12]}",
+    )
+    hist_tmp = f"{table_dir}.__tmp__{uuid.uuid4().hex[:8]}"
+    newly_expired.write.parquet(hist_tmp)
+    # an all-current initial load creates no history partition dir
+    os.makedirs(os.path.dirname(run_dir), exist_ok=True)
+    swap_dir(hist_tmp, run_dir)
 
     tmp = f"{table_dir}.__tmp__{uuid.uuid4().hex[:8]}"
     new_current.write.parquet(tmp)
@@ -222,7 +246,6 @@ def scd2_apply_partitioned(
     dst = os.path.join(table_dir, f"{STATE}=current")
     swap_dir(tmp, dst)
     if getattr(warehouse, "metrics", None) is not None:
-        # this run's writes = the swapped current partition (the history
-        # append's files are interleaved with prior runs' and aren't
-        # isolated here)
-        warehouse.metrics.record_dirs(table, [dst])
+        # this run's writes = the swapped current partition plus its
+        # run-keyed history subdirectory (isolated per run by design)
+        warehouse.metrics.record_dirs(table, [dst, run_dir])

@@ -148,3 +148,231 @@ def test_vacuum_restore_waits_for_staleness(spark, tmp_path):
     shutil.move(tdir, old)  # mid-swap state, mtimes are current
     vacuum(wh, min_age_seconds=3600)
     assert os.path.isdir(old) and not os.path.exists(tdir)
+
+
+# ---------------------------------------------------------------------------
+# Chaos tests: the two non-transactional multi-action materializers.
+# Inject a crash into swap_dir at each window and prove the documented
+# recovery story — table stays readable, at worst a __tmp__ orphan for
+# vacuum, and re-running the SAME run converges with no data loss and
+# no duplicates.
+# ---------------------------------------------------------------------------
+
+import pyspark.sql.functions as _F
+import pytest
+
+
+def _crash_swap_on(monkeypatch, substr: str):
+    """Patch catalog.swap_dir to raise when the destination path
+    contains ``substr`` (operators resolve swap_dir at call time, so
+    patching the catalog module is enough). Returns a dict; set
+    d['armed']=False to disarm for the recovery re-run."""
+    import lion_parcel_etl_spark.catalog as cat
+
+    real = cat.swap_dir
+    state = {"armed": True}
+
+    def chaotic(tmp, dst):
+        if state["armed"] and substr in dst:
+            raise RuntimeError(f"injected crash before swap of {dst}")
+        real(tmp, dst)
+
+    monkeypatch.setattr(cat, "swap_dir", chaotic)
+    return state
+
+
+def _scd_snap(spark, rows, ts):
+    df = spark.createDataFrame(rows, "id long, status string")
+    return df.withColumn("snap_ts", _F.to_timestamp(_F.lit(ts)))
+
+
+def _scd_canon(df):
+    cols = ["id", "status", "valid_from", "valid_to", "is_current"]
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+def _orphans(wh):
+    import os
+
+    return [
+        os.path.join(dp, d)
+        for dp, dns, _f in os.walk(wh.root)
+        for d in dns
+        if "__tmp__" in d or "__old__" in d
+    ]
+
+
+@pytest.mark.parametrize("window", ["state=history", "state=current"])
+def test_scd2_partitioned_crash_windows_recover_on_rerun(
+    spark, tmp_path, monkeypatch, window
+):
+    """Crash before the history swap (table untouched) and between the
+    history swap and the current swap (the documented anomaly window:
+    expired version in history alongside its still-open predecessor in
+    current). Both must leave the table readable and converge to the
+    clean-run result when the SAME run retries — the run_ts-keyed
+    history subdirectory replaces instead of duplicating."""
+    import os
+
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.maintenance import vacuum
+    from lion_parcel_etl_spark.operators.scd2 import scd2_apply, scd2_apply_partitioned
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    snap1 = _scd_snap(spark, [(1, "A"), (2, "A")], "2024-01-01 00:00:00")
+    snap2 = _scd_snap(spark, [(1, "B"), (2, "A")], "2024-01-02 00:00:00")
+    rts1, rts2 = "2024-01-01 01:00:00", "2024-01-02 01:00:00"
+    scd2_apply_partitioned(spark, wh, "dim", snap1, ["id"], ["status"], "snap_ts", rts1)
+    pre_current = _scd_canon(
+        wh.read(spark, "dim").filter(_F.col("is_current")).drop("state")
+    )
+
+    state = _crash_swap_on(monkeypatch, window)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        scd2_apply_partitioned(
+            spark, wh, "dim", snap2, ["id"], ["status"], "snap_ts", rts2
+        )
+
+    # Crashed state: table still readable, current partition untouched
+    # (the current swap never completed in either window).
+    got = wh.read(spark, "dim")
+    assert (
+        _scd_canon(got.filter(_F.col("is_current")).drop("state")) == pre_current
+    )
+    if window == "state=history":
+        # history swap itself crashed → no run dir was installed
+        hist_root = os.path.join(wh.table_path("dim"), "state=history")
+        assert not os.path.isdir(hist_root) or not any(
+            d.startswith("run-") for d in os.listdir(hist_root)
+        )
+    # debris is confined to __tmp__ orphans, which vacuum removes
+    assert all("__tmp__" in p for p in _orphans(wh))
+    removed = vacuum(wh, min_age_seconds=0)
+    assert removed and not _orphans(wh)
+
+    # Recovery: retry the SAME run (same run_ts, same snapshot).
+    state["armed"] = False
+    scd2_apply_partitioned(spark, wh, "dim", snap2, ["id"], ["status"], "snap_ts", rts2)
+
+    twin = scd2_apply(
+        scd2_apply(None, snap1, ["id"], ["status"], "snap_ts", rts1),
+        snap2,
+        ["id"],
+        ["status"],
+        "snap_ts",
+        rts2,
+    )
+    assert _scd_canon(wh.read(spark, "dim").drop("state")) == _scd_canon(twin)
+
+
+def test_scd2_partitioned_same_run_retry_does_not_duplicate_history(
+    spark, tmp_path, monkeypatch
+):
+    """The regression the run-keyed subdirectory exists to prevent: a
+    blind mode=append history write would land id 1's expired version
+    TWICE when the crashed run retries."""
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.scd2 import scd2_apply_partitioned
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    snap1 = _scd_snap(spark, [(1, "A")], "2024-01-01 00:00:00")
+    snap2 = _scd_snap(spark, [(1, "B")], "2024-01-02 00:00:00")
+    rts2 = "2024-01-02 01:00:00"
+    scd2_apply_partitioned(
+        spark, wh, "dim", snap1, ["id"], ["status"], "snap_ts", "2024-01-01 01:00:00"
+    )
+    state = _crash_swap_on(monkeypatch, "state=current")
+    with pytest.raises(RuntimeError):
+        scd2_apply_partitioned(
+            spark, wh, "dim", snap2, ["id"], ["status"], "snap_ts", rts2
+        )
+    # history already holds the expired version from the crashed run …
+    assert wh.read(spark, "dim").filter(~_F.col("is_current")).count() == 1
+    state["armed"] = False
+    scd2_apply_partitioned(spark, wh, "dim", snap2, ["id"], ["status"], "snap_ts", rts2)
+    # … and the retry REPLACED it, not appended a second copy
+    hist = wh.read(spark, "dim").filter(~_F.col("is_current"))
+    assert hist.count() == 1
+
+
+def test_merge_partitioned_crash_mid_swap_loop_recovers(spark, tmp_path, monkeypatch):
+    """Crash after swapping the first of two touched partitions: each
+    partition is individually consistent (one merged, one stale), the
+    leftover tmp dir vacuums away, and retrying the same batch
+    converges because the merge is idempotent per key."""
+    import os
+
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.maintenance import vacuum
+    from lion_parcel_etl_spark.operators.merge_upsert import merge_upsert_partitioned
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(1, "old", "d1"), (2, "old", "d1"), (3, "old", "d2"), (4, "old", "d3")],
+        "id long, v string, day string",
+    )
+    merge_upsert_partitioned(spark, wh, "mart", base, ["id"], "day")
+    updates = spark.createDataFrame(
+        [(1, "new", "d1"), (3, "new", "d2"), (5, "new", "d2")],
+        "id long, v string, day string",
+    )
+
+    # swap loop iterates sorted(day=d1, day=d2): crash on the second
+    state = _crash_swap_on(monkeypatch, "day=d2")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        merge_upsert_partitioned(spark, wh, "mart", updates, ["id"], "day")
+
+    got = {(r.id, r.v, r.day) for r in wh.read(spark, "mart").collect()}
+    # d1 merged, d2 untouched, d3 never read or rewritten — no data loss
+    assert got == {
+        (1, "new", "d1"),
+        (2, "old", "d1"),
+        (3, "old", "d2"),
+        (4, "old", "d3"),
+    }
+    orphans = _orphans(wh)
+    assert orphans and all("__tmp__" in p for p in orphans)
+    removed = vacuum(wh, min_age_seconds=0)
+    assert removed and not _orphans(wh)
+
+    # retry the same batch → exact clean-run result
+    state["armed"] = False
+    swapped = merge_upsert_partitioned(spark, wh, "mart", updates, ["id"], "day")
+    assert set(swapped) == {"d1", "d2"}
+    got = {(r.id, r.v, r.day) for r in wh.read(spark, "mart").collect()}
+    assert got == {
+        (1, "new", "d1"),
+        (2, "old", "d1"),
+        (3, "new", "d2"),
+        (5, "new", "d2"),
+        (4, "old", "d3"),
+    }
+
+
+def test_merge_partitioned_crash_before_any_swap_leaves_table_untouched(
+    spark, tmp_path, monkeypatch
+):
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.maintenance import vacuum
+    from lion_parcel_etl_spark.operators.merge_upsert import merge_upsert_partitioned
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(1, "old", "d1"), (3, "old", "d2")], "id long, v string, day string"
+    )
+    merge_upsert_partitioned(spark, wh, "mart", base, ["id"], "day")
+    before = {(r.id, r.v, r.day) for r in wh.read(spark, "mart").collect()}
+
+    updates = spark.createDataFrame([(1, "new", "d1")], "id long, v string, day string")
+    state = _crash_swap_on(monkeypatch, "day=d1")
+    with pytest.raises(RuntimeError):
+        merge_upsert_partitioned(spark, wh, "mart", updates, ["id"], "day")
+    assert {(r.id, r.v, r.day) for r in wh.read(spark, "mart").collect()} == before
+    vacuum(wh, min_age_seconds=0)
+    assert not _orphans(wh)
+    state["armed"] = False
+    merge_upsert_partitioned(spark, wh, "mart", updates, ["id"], "day")
+    assert {(r.id, r.v, r.day) for r in wh.read(spark, "mart").collect()} == {
+        (1, "new", "d1"),
+        (3, "old", "d2"),
+    }

@@ -208,11 +208,18 @@ def test_partitioned_scd2_appends_history_and_swaps_current(spark, tmp_path):
         plain.count()
 
     hist_dir = os.path.join(wh.table_path("scd"), "state=history")
-    before = {
-        (f, os.path.getmtime(os.path.join(hist_dir, f)))
-        for f in os.listdir(hist_dir)
-        if f.endswith(".parquet")
-    }
+
+    def hist_files():
+        # history files live in per-run subdirectories (the idempotent
+        # append protocol) — walk the whole partition tree
+        return {
+            (os.path.relpath(os.path.join(dp, f), hist_dir), os.path.getmtime(os.path.join(dp, f)))
+            for dp, _dns, fns in os.walk(hist_dir)
+            for f in fns
+            if f.endswith(".parquet")
+        }
+
+    before = hist_files()
     assert before  # run 2 expired id 1's first version
 
     rows, rts = runs[2]
@@ -221,11 +228,7 @@ def test_partitioned_scd2_appends_history_and_swaps_current(spark, tmp_path):
     plain = scd2_apply(plain, snap, KEY, TRACKED, "updated_at", rts).cache()
 
     # run-2 history files untouched byte-for-byte; run 3 only appended
-    after = {
-        (f, os.path.getmtime(os.path.join(hist_dir, f)))
-        for f in os.listdir(hist_dir)
-        if f.endswith(".parquet")
-    }
+    after = hist_files()
     assert before <= after and len(after) > len(before)
 
     got = wh.read(spark, "scd")
