@@ -237,6 +237,62 @@ def _widen(a, b):
     raise TypeError(f"union_evolve: cannot reconcile {an} and {bn}")
 
 
+def merge_upsert_evolve(
+    target: DataFrame | None,
+    updates: DataFrame,
+    keys: list[str],
+    mode: str = "sync_all_columns",
+    **merge_kwargs,
+) -> DataFrame:
+    """Incremental merge whose TARGET schema evolves with the batch —
+    dbt ``on_schema_change='sync_all_columns'`` (reference K9,
+    ``retail_transactions.sql:6``) as a composition: reconcile the two
+    schemas, conform BOTH sides, then the ordinary key merge.
+
+    ``mode='sync_all_columns'`` (dbt-faithful): the mart's column set
+    follows the updates batch — gained columns appear (existing rows
+    null), departed columns are REMOVED. Shared columns widen through
+    the same lossless lattice as :func:`union_evolve` (int ∪ bigint →
+    bigint; lossy or incompatible drift raises — stricter than dbt,
+    which hands the problem to the warehouse). Every merge key must
+    survive the evolution, checked up front.
+
+    ``mode='union'`` (retentive): the column set is the UNION —
+    departed columns stay, nulled for rows the batch rewrites. Use
+    when a staging regression must not destroy mart history.
+    """
+    if mode not in ("sync_all_columns", "union"):
+        raise ValueError(f"merge_upsert_evolve: unknown mode {mode!r}")
+    if target is None:
+        return updates
+    if mode == "union":
+        template = union_evolve([target.limit(0), updates.limit(0)])
+    else:
+        ttypes = {f.name.lower(): f.dataType for f in target.schema.fields}
+        cols = []
+        for f in updates.schema.fields:
+            t = (
+                _widen(ttypes[f.name.lower()], f.dataType)
+                if f.name.lower() in ttypes
+                else f.dataType
+            )
+            cols.append(F.col(f.name).cast(t).alias(f.name))
+        template = updates.limit(0).select(*cols)
+    tcols = {c.lower() for c in template.columns}
+    missing = [k for k in keys if k.lower() not in tcols]
+    if missing:
+        raise ValueError(
+            f"merge_upsert_evolve: merge key(s) {missing!r} absent from the "
+            "evolved schema — a batch may not drop its own merge key"
+        )
+    return merge_upsert(
+        sync_columns(target, template),
+        sync_columns(updates, template),
+        keys,
+        **merge_kwargs,
+    )
+
+
 def union_evolve(dfs: list[DataFrame]) -> DataFrame:
     """Union DataFrames whose schemas DRIFTED across batches: the
     united schema is the union of all column names (first-seen order,

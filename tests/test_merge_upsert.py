@@ -221,3 +221,83 @@ def test_partitioned_merge_rejects_non_roundtripping_partition_values(  # noqa: 
     upd = spark.createDataFrame([(1, "b", "01")], "id long, v string, day string")
     with pytest.raises(ValueError, match="round-trip"):
         merge_upsert_partitioned(spark, wh, "m", upd, ["id"], "day")
+
+
+def test_schema_drift_replay_mart_continuity(spark, tmp_path):
+    """Multi-run replay of the reference's on_schema_change=
+    'sync_all_columns' contract (retail_transactions.sql:6): the
+    staging schema gains a column, widens a column, then loses one
+    mid-sequence; the mart must evolve in lockstep with no crash, no
+    lost rows, and correct values for every surviving cell."""
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.merge_upsert import merge_upsert_evolve
+
+    wh = Warehouse(str(tmp_path / "wh"))
+
+    def replay(batch):
+        target = wh.read(spark, "mart") if wh.exists("mart") else None
+        wh.overwrite(merge_upsert_evolve(target, batch, ["id"]), "mart")
+        return wh.read(spark, "mart")
+
+    # run 1: baseline (id int, v string, amount int)
+    got = replay(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id int, v string, amount int"
+        )
+    )
+    assert dict(got.dtypes) == {"id": "int", "v": "string", "amount": "int"}
+
+    # run 2: GAINS extra, WIDENS amount int -> bigint
+    got = replay(
+        spark.createDataFrame(
+            [(2, "b2", 2**40, "x2"), (3, "c", 30, "x3")],
+            "id int, v string, amount bigint, extra string",
+        )
+    )
+    assert dict(got.dtypes) == {
+        "id": "int", "v": "string", "amount": "bigint", "extra": "string",
+    }
+    rows = {r.id: r for r in got.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].extra is None and rows[1].amount == 10  # old row kept, nulled gain
+    assert rows[2].amount == 2**40 and rows[2].extra == "x2"
+
+    # run 3: LOSES v (sync_all_columns removes departed columns)
+    got = replay(
+        spark.createDataFrame(
+            [(3, 33, "x3b"), (4, 40, "x4")], "id int, amount bigint, extra string"
+        )
+    )
+    assert dict(got.dtypes) == {"id": "int", "amount": "bigint", "extra": "string"}
+    rows = {r.id: r for r in got.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[3].amount == 33 and rows[3].extra == "x3b"
+    assert rows[1].amount == 10  # survivor intact through both evolutions
+
+
+def test_schema_drift_replay_union_mode_retains_departed(spark):
+    from lion_parcel_etl_spark.operators.merge_upsert import merge_upsert_evolve
+
+    t = spark.createDataFrame([(1, "a", 10)], "id int, v string, amount int")
+    u = spark.createDataFrame([(1, 11), (2, 20)], "id int, amount int")
+    got = merge_upsert_evolve(t, u, ["id"], mode="union")
+    assert dict(got.dtypes) == {"id": "int", "v": "string", "amount": "int"}
+    rows = {r.id: r for r in got.collect()}
+    # the batch rewrote id 1, so its departed column is nulled; the
+    # COLUMN survives for history
+    assert rows[1].v is None and rows[1].amount == 11
+    assert rows[2].v is None
+
+
+def test_merge_upsert_evolve_refuses_dropped_key_and_lossy_widen(spark):
+    import pytest
+
+    from lion_parcel_etl_spark.operators.merge_upsert import merge_upsert_evolve
+
+    t = spark.createDataFrame([(1, 10)], "id int, amount bigint")
+    no_key = spark.createDataFrame([(5,)], "amount int")
+    with pytest.raises(ValueError, match="merge key"):
+        merge_upsert_evolve(t, no_key, ["id"])
+    lossy = spark.createDataFrame([(1, 1.5)], "id int, amount double")
+    with pytest.raises(TypeError, match="lossy"):
+        merge_upsert_evolve(t, lossy, ["id"])  # bigint ∪ double: > 2^53
