@@ -306,3 +306,72 @@ def test_empty_docs_do_not_explode_candidates(spark):
     assert sigs[1] is None and sigs[3] is None and sigs[4] is not None
     assert simhash_near_dup(docs, "doc_id", "text").count() == 0
     assert minhash_near_dup(docs, "doc_id", "text").count() == 0
+
+
+def test_giant_exact_cluster_exact_first_bounds_lsh_pairs(spark):
+    """The documented minhash_near_dup hotspot (one giant cluster of
+    byte-identical docs collides in EVERY band → quadratic candidate
+    pairs): composing exact_dedup FIRST and running LSH only on the
+    per-digest representatives keeps the band join's pair volume
+    bounded by distinct TEXTS, and the full duplicate relation is
+    recoverable exactly — within-digest pairs are jaccard 1.0 by
+    construction, cross-group pairs inherit their representatives'.
+    """
+    from itertools import combinations
+
+    from lion_parcel_etl_spark.operators.dedup import exact_dedup, minhash_near_dup
+
+    giant = "the same boilerplate sentence repeated across the corpus " + " ".join(
+        f"g{i}" for i in range(12)
+    )
+    near = giant + " trailing variation"
+    distinct = [
+        f"document number {i} " + " ".join(f"d{i}w{j}" for j in range(14))
+        for i in range(8)
+    ]
+    CLUSTER = 60
+    rows = [(i, giant) for i in range(CLUSTER)]
+    rows += [(1000, near)]
+    rows += [(2000 + i, t) for i, t in enumerate(distinct)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # naive: the identical cluster alone yields C(60,2) verified pairs
+    raw = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_near_dup(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert len(raw) >= CLUSTER * (CLUSTER - 1) // 2
+
+    # exact-first: one representative per digest enters the band join
+    groups = exact_dedup(docs, "doc_id", "text")
+    reps = docs.join(
+        groups.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    n_texts = len({giant, near, *distinct})
+    assert reps.count() == n_texts
+    rep_pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_near_dup(reps, "doc_id", "text", threshold=0.5).collect()
+    }
+    # pair volume bounded by distinct texts, not corpus size
+    assert len(rep_pairs) <= n_texts * (n_texts - 1) // 2
+    assert len(rep_pairs) < len(raw) / 100
+
+    # reconstruct the full relation from (groups, rep_pairs)
+    digest_rows = (
+        docs.select(F.md5("text").alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.collect_list("doc_id").alias("ids"), F.min("doc_id").alias("rep"))
+        .collect()
+    )
+    members = {r.rep: sorted(r.ids) for r in digest_rows}
+    rebuilt = {}
+    for ids in members.values():  # within-digest: all jaccard 1.0
+        for a, b in combinations(ids, 2):
+            rebuilt[(a, b)] = 1.0
+    for (ra, rb), j in rep_pairs.items():  # cross-group: inherit rep score
+        for a in members[ra]:
+            for b in members[rb]:
+                lo, hi = min(a, b), max(a, b)
+                rebuilt[(lo, hi)] = j
+    assert rebuilt == raw

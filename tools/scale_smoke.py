@@ -5,6 +5,14 @@ per-row costs are flat — i.e. the plan would survive another 100× on a
 real cluster where partition counts, not constants, change.
 
 Usage: python tools/scale_smoke.py [multiplier]
+       python tools/scale_smoke.py --skew [cluster_size]
+
+``--skew`` measures the documented minhash_near_dup hotspot (a giant
+cluster of byte-identical docs quadratic in the band join) and its
+mitigation: naive LSH over the skewed corpus vs exact_dedup-first LSH
+over per-digest representatives, with wall time, emitted pairs, and
+shuffle-write bytes (Spark UI REST) for both. Evidence for the
+SCALE.md ledger row.
 """
 
 from __future__ import annotations
@@ -21,7 +29,67 @@ from lion_parcel_etl_spark.operators.text import analyze_documents
 from lion_parcel_etl_spark.session import get_spark
 
 
+def _shuffle_bytes(spark) -> int:
+    import json
+    import urllib.request
+
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages?status=COMPLETE", timeout=5
+        ) as r:
+            return sum(s.get("shuffleWriteBytes", 0) for s in json.load(r))
+    except Exception:
+        return -1
+
+
+def skew_main() -> None:
+    cluster = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    spark = get_spark(
+        app_name="skew-smoke",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.retainedStages": "100000"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_base = base.count()
+    one = base.orderBy("doc_id").limit(1)
+    giant = one.withColumn(
+        "copy", F.explode(F.sequence(F.lit(1), F.lit(cluster)))
+    ).select((F.col("doc_id") + F.col("copy") * (n_base * 10)).alias("doc_id"), "text")
+    corpus = base.unionByName(giant).repartition(32).persist()
+    n = corpus.count()
+    print(f"skew corpus: {n} docs ({n_base} base + {cluster}-copy identical cluster)")
+
+    t0 = time.perf_counter()
+    sb0 = _shuffle_bytes(spark)
+    naive = DD.minhash_near_dup(corpus, "doc_id", "text", threshold=0.5).count()
+    print(
+        f"naive LSH:       {naive} pairs, {time.perf_counter() - t0:.2f}s, "
+        f"shuffle {(_shuffle_bytes(spark) - sb0) / 1e6:.1f} MB"
+    )
+
+    t0 = time.perf_counter()
+    sb0 = _shuffle_bytes(spark)
+    groups = DD.exact_dedup(corpus, "doc_id", "text")
+    reps = corpus.join(
+        groups.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    rep_pairs = DD.minhash_near_dup(reps, "doc_id", "text", threshold=0.5).count()
+    n_groups = groups.filter(F.col("n_docs") > 1).count()
+    print(
+        f"exact-first LSH: {rep_pairs} rep pairs + {n_groups} exact group(s), "
+        f"{time.perf_counter() - t0:.2f}s, "
+        f"shuffle {(_shuffle_bytes(spark) - sb0) / 1e6:.1f} MB"
+    )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        skew_main()
+        return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     spark = get_spark(app_name="scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
