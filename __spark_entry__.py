@@ -3,15 +3,16 @@
 ``entry(spark)`` smoke-runs the flagship query; ``queries()`` exposes
 every implemented operator from SURVEY.md §2 (plus the training-data
 operators); ``oracle_sql()`` gives the DuckDB-equivalent SQL for each.
-The only entries without oracles are ``ivf_topk`` (iterative k-means
-refinement — validated by recall/equality against the exact baseline
-in tests/test_similarity.py), ``approx_stats`` (sketch estimates,
-tolerance-checked in tests/test_sketches.py) and ``compression_ratio``
-(zlib is not expressible in SQL; pinned on known inputs in
-tests/test_text.py). ``frequent_tokens`` graduated to a full oracle:
-it now runs the deterministic two-pass Misra-Gries
-sketch-then-recount (exact top-k, partition-independent, with an
-in-plan provability guard). The rest of the approximate family (``lsh_topk``,
+The only entries without oracles are ``approx_stats`` (sketch
+estimates, tolerance-checked in tests/test_sketches.py) and
+``compression_ratio`` (zlib is not expressible in SQL; pinned on
+known inputs in tests/test_text.py). Two entries graduated to full
+oracles in round 3: ``frequent_tokens`` (deterministic two-pass
+Misra-Gries sketch-then-recount — exact top-k,
+partition-independent, with an in-plan provability guard) and
+``ivf_topk`` (declarative k-means-refined IVF whose entire index
+build + probe replays in SQL; the numpy multi-iteration quantizer
+stays recall-tested in tests/test_similarity.py). The rest of the approximate family (``lsh_topk``,
 ``pq_topk``, ``ivf_topk_seeded``, ``dedup_embedding_lsh``) is fully
 deterministic (md5-derived hyperplanes / sampled codebooks / seeded
 quantizers) and oracle-checked.

@@ -659,6 +659,126 @@ def pq_topk(
     )
 
 
+def ivf_refined_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ONE declarative k-means refinement over the deterministic seeds
+    — (code, rv) with rv the per-cluster mean vector, every step a JVM
+    column expression so the build is SQL-replayable bit-for-bit:
+
+    - assignment: argmax of ``round(cosine, 6)`` against the broadcast
+      seed table with a min-code tie-break (the rounding absorbs any
+      engine's accumulation-order noise BEFORE the comparison, so both
+      engines pick identical clusters);
+    - new centroid: per-dimension ``round(avg, 6)`` (the same
+      determinism argument as the oracle-green embedding_centroids
+      query — rounding sits ~8 orders above double sum-order noise),
+      reassembled into an array ordered by dimension;
+    - a seed whose cluster came out empty keeps its own vector.
+
+    Scale shape: the corpus crosses only the n_centroids-row broadcast
+    seed table; the per-dimension aggregate is partial-agged to
+    ≤ centroids×dims rows before its exchange; nothing ever collects.
+    More refinement iterations → :func:`ivf_centroids` (numpy path).
+    """
+    seeds = corpus.orderBy(id_col).limit(n_centroids).select(
+        F.col(id_col).alias("code"), F.col(vec_col).alias("sv")
+    )
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ev"))
+    sim_cs = F.round(cosine(F.col("ev"), F.col("sv")), 6)
+    asg = (
+        c.join(F.broadcast(seeds), how="cross")
+        .select(
+            "cid",
+            "ev",
+            F.struct(sim_cs.alias("s"), (-F.col("code")).alias("nc")).alias("sc"),
+        )
+        .groupBy("cid")
+        .agg(F.max("sc").alias("m"), F.first("ev").alias("ev"))
+        .select("cid", (-F.col("m.nc")).cast("long").alias("code"), "ev")
+    )
+    means = (
+        asg.select("code", F.posexplode("ev").alias("pos", "x"))
+        .groupBy("code", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+    )
+    cvec = (
+        means.groupBy("code")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("code", F.transform("pm", lambda s: s["m"]).alias("rv"))
+    )
+    return seeds.join(cvec, "code", "left").select(
+        "code",
+        F.coalesce(
+            F.col("rv"), F.transform("sv", lambda x: x.cast("double"))
+        ).alias("rv"),
+    )
+
+
+def ivf_topk_refined(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with a k-means-REFINED coarse quantizer, fully
+    declarative: :func:`ivf_refined_centroids` builds the index (one
+    rounded refinement pass over the deterministic seeds), then the
+    same probe pipeline as :func:`ivf_topk_seeded` — corpus assignment
+    argmax, nprobe probe lists per query, exact re-rank — all JVM
+    expressions, so the ENTIRE refined index build + probe replays in
+    SQL (plans/queries _duck_ivf_refined). :func:`ivf_topk` remains
+    the numpy multi-iteration production variant (recall-tested)."""
+    cent = F.broadcast(ivf_refined_centroids(corpus, n_centroids, id_col, vec_col))
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ev"))
+    sim_cr = F.round(cosine(F.col("ev"), F.col("rv")), 6)
+    asg = (
+        c.join(cent, how="cross")
+        .select(
+            "cid",
+            F.struct(sim_cr.alias("s"), (-F.col("code")).alias("nc")).alias("sc"),
+        )
+        .groupBy("cid")
+        .agg(F.max("sc").alias("m"))
+        .select("cid", (-F.col("m.nc")).cast("long").alias("code"))
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    sim_qr = F.round(cosine(F.col("qv"), F.col("rv")), 6)
+    wp = Window.partitionBy("query_id").orderBy(F.col("ps").desc(), F.col("code").asc())
+    probes = (
+        q.join(cent, how="cross")
+        .select("query_id", "code", sim_qr.alias("ps"))
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= nprobe)
+        .select(F.col("query_id").alias("pq"), F.col("code"))
+    )
+    cand = (
+        asg.join(F.broadcast(probes), "code")
+        .select(F.col("pq").alias("query_id"), F.col("cid").alias("neighbor_id"))
+        .join(c.withColumnRenamed("cid", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("ev")), 6).alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_topk_seeded(
     corpus: DataFrame,
     queries: DataFrame,

@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame
 # cross-joins the broadcast 16-row seed table; heavy_hitters_exact and
 # frequent_tokens cross-join the broadcast ONE-ROW total-N (threshold /
 # provability guard); column_profile crosses its two ONE-ROW stat
-# aggregates.
+# aggregates; ivf_topk (refined) cross-joins the broadcast 16-row
+# seed/refined-centroid tables exactly like its seeded twin.
 BNLJ_ALLOWED = frozenset(
     {
         "cosine_topk",
@@ -40,6 +41,7 @@ BNLJ_ALLOWED = frozenset(
         "pq_topk",
         "lm_surprisal",
         "ivf_topk_seeded",
+        "ivf_topk",
         "heavy_hitters_exact",
         "frequent_tokens",
         "column_profile",

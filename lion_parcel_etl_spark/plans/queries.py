@@ -2007,26 +2007,22 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
     return SIM.embedding_near_dup_lsh(emb, threshold=0.35, dims=64)
 
 
-_IVF_CENTROIDS: dict[str, object] = {}
-
-
 def q_ivf_topk(spark, sf_dir):
-    """Approximate ANN, IVF variant (inverted lists over a k-means
-    coarse quantizer). No SQL oracle — nprobe=all is proven equal to
-    cosine_topk in tests; driver records rows-only.
-
-    The coarse quantizer is built once per corpus and reused across
-    calls (deterministic: lowest-id seeds + fixed refine passes) — the
-    query-path cost is probing, exactly as a deployed IVF index whose
-    centroid table is persisted at build time."""
+    """Approximate ANN, IVF variant with a k-means-REFINED coarse
+    quantizer (similarity.ivf_topk_refined): deterministic lowest-id
+    seeds, ONE declarative refinement pass (assignment argmax over
+    rounded cosines; per-dimension rounded means — the same
+    noise-absorption argument as the oracle-green embedding_centroids
+    query), then inverted-list probing and exact re-rank. Every step a
+    JVM column expression, so the oracle (_duck_ivf_refined) replays
+    the ENTIRE refined index build + probe in SQL — this entry
+    graduated from rows-only in round 3. The numpy multi-iteration
+    quantizer (similarity.ivf_centroids / ivf_topk) remains the
+    production path for deeper refinement, recall-tested in
+    tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    if sf_dir not in _IVF_CENTROIDS:
-        _IVF_CENTROIDS[sf_dir] = SIM.ivf_centroids(emb, 16)
-    return SIM.ivf_topk(
-        emb, queries, k=5, n_centroids=16, nprobe=4,
-        centroids=_IVF_CENTROIDS[sf_dir],
-    )
+    return SIM.ivf_topk_refined(emb, queries, n_centroids=16, nprobe=4, k=5)
 
 
 def q_lsh_topk(spark, sf_dir):
@@ -3704,6 +3700,72 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM (
 """
 
 
+def _duck_ivf_refined(n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    """Replays similarity.ivf_topk_refined end to end: seeds → rounded
+    argmax assignment → per-dimension rounded means (NULL-dim spine
+    rows dropped, mirroring posexplode; empty clusters keep their
+    seed) → corpus reassignment + query probes against the refined
+    centroids → exact re-rank. All comparisons happen on round(·, 6)
+    values, so engine accumulation-order noise can't flip an argmax."""
+    cos_es = _duck_cos("e.embedding", "s.sv")
+    cos_er = _duck_cos("e.embedding", "r.rv")
+    cos_qr = _duck_cos("q.embedding", "r.rv")
+    cos_eq = _duck_cos("e.embedding", "q.embedding")
+    return f"""
+WITH seeds AS MATERIALIZED (
+  SELECT vec_id AS code, embedding AS sv FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+), asg0 AS MATERIALIZED (
+  SELECT cid, code FROM (
+    SELECT e.vec_id AS cid, s.code,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({cos_es}, 6) DESC, s.code ASC) AS rn
+    FROM embeddings e CROSS JOIN seeds s
+  ) WHERE rn = 1
+), means AS (
+  SELECT a.code, d.dim, round(avg(CAST(e.embedding[d.dim] AS DOUBLE)), 6) AS m
+  FROM asg0 a
+  JOIN embeddings e ON e.vec_id = a.cid,
+       (SELECT unnest(generate_series(1,
+          (SELECT MAX(len(embedding)) FROM embeddings))) AS dim) d
+  GROUP BY a.code, d.dim
+  HAVING COUNT(e.embedding[d.dim]) > 0
+), cvec AS (
+  SELECT code, list(m ORDER BY dim) AS rv FROM means GROUP BY code
+), refined AS MATERIALIZED (
+  SELECT s.code,
+         COALESCE(c.rv, list_transform(s.sv, x -> CAST(x AS DOUBLE))) AS rv
+  FROM seeds s LEFT JOIN cvec c USING (code)
+), asg AS MATERIALIZED (
+  SELECT cid, code FROM (
+    SELECT e.vec_id AS cid, r.code,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({cos_er}, 6) DESC, r.code ASC) AS rn
+    FROM embeddings e CROSS JOIN refined r
+  ) WHERE rn = 1
+), probes AS MATERIALIZED (
+  SELECT query_id, code FROM (
+    SELECT q.vec_id AS query_id, r.code,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round({cos_qr}, 6) DESC, r.code ASC) AS pr
+    FROM embeddings q CROSS JOIN refined r WHERE q.vec_id < 5
+  ) WHERE pr <= {nprobe}
+), scored AS (
+  SELECT p.query_id, a.cid AS neighbor_id,
+         round({cos_eq}, 6) AS cosine_sim
+  FROM asg a
+  JOIN probes p ON p.code = a.code
+  JOIN embeddings e ON e.vec_id = a.cid
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE a.cid <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov transition matrix over the event stream:
     per-user event sequences (ordered by ts with event_id tie-break —
@@ -4646,7 +4708,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lsh_topk": (q_lsh_topk, _duck_lsh_topk()),
     "pq_topk": (q_pq_topk, _duck_pq_topk()),
     "ivf_topk_seeded": (q_ivf_topk_seeded, _duck_ivf_seeded()),
-    "ivf_topk": (q_ivf_topk, None),
+    "ivf_topk": (q_ivf_topk, _duck_ivf_refined()),
     "scd2_timetravel": (q_scd2_timetravel, SQL_SCD2_TT),
     "scd2_version_count": (q_scd2_version_count, SQL_SCD2_VC),
     "interval_arith": (q_interval_arith, SQL_INTERVAL),

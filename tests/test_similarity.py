@@ -233,3 +233,63 @@ def test_codebooks_survive_non_dense_id_spaces(spark, emb):
         )
         want = sorted(map(tuple, base.collect()))
         assert got and got == want, fn.__name__
+
+
+@needs_td
+def test_ivf_refined_centroids_match_numpy_one_iteration(spark, emb):
+    """The declarative (SQL-replayable) refinement must compute the
+    same clusters-and-means as the numpy production path's single
+    iteration — same seeds, same argmax, means equal to 1e-6 (the
+    declarative side rounds there by design)."""
+    import numpy as np
+
+    from lion_parcel_etl_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_refined_centroids,
+    )
+
+    C = ivf_centroids(emb, 16, refine_iters=1)
+    got = {
+        r.code: np.array(r.rv)
+        for r in ivf_refined_centroids(emb, 16).collect()
+    }
+    # codes are the 16 lowest vec_ids, in id order = numpy row order
+    codes = sorted(got)
+    assert len(codes) == 16
+    for row, code in enumerate(codes):
+        assert np.allclose(got[code], C[row], atol=1.5e-6), (code, row)
+
+
+@needs_td
+def test_ivf_refined_full_probe_equals_brute_force(spark, emb):
+    from lion_parcel_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_refined,
+    )
+
+    queries = emb.filter("vec_id < 5")
+    exact = sorted(map(tuple, cosine_topk(emb, queries, k=5).collect()))
+    full = sorted(
+        map(
+            tuple,
+            ivf_topk_refined(emb, queries, n_centroids=16, nprobe=16, k=5).collect(),
+        )
+    )
+    assert full == exact
+
+
+@needs_td
+def test_ivf_refined_partial_probe_recall(spark, emb):
+    from lion_parcel_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_refined,
+    )
+
+    queries = emb.filter("vec_id < 10")
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk_refined(emb, queries, n_centroids=16, nprobe=4, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"refined-IVF recall too low: {recall}"
