@@ -41,6 +41,20 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
+def cosine_prenormed(a: Column, b: Column, an: Column, bn: Column) -> Column:
+    """cosine with CALLER-precomputed norms. The fold expressions here
+    are CodegenFallback (no CSE), so inline ``cosine`` re-evaluates
+    each side's norm fold once per pair — against a 16-row broadcast
+    centroid table that is 16 redundant 64-element folds per corpus
+    vector. Precomputing the norm in the projection before the join
+    makes it one fold per VECTOR instead of one per PAIR, with
+    bit-identical results (same sequential fold, same value, just
+    evaluated once) — so SQL oracles that inline the norm still match.
+    """
+    d = an * bn
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -685,10 +699,18 @@ def ivf_refined_centroids(
     More refinement iterations → :func:`ivf_centroids` (numpy path).
     """
     seeds = corpus.orderBy(id_col).limit(n_centroids).select(
-        F.col(id_col).alias("code"), F.col(vec_col).alias("sv")
+        F.col(id_col).alias("code"),
+        F.col(vec_col).alias("sv"),
+        norm(F.col(vec_col)).alias("svn"),
     )
-    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ev"))
-    sim_cs = F.round(cosine(F.col("ev"), F.col("sv")), 6)
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("ev"),
+        norm(F.col(vec_col)).alias("evn"),
+    )
+    sim_cs = F.round(
+        cosine_prenormed(F.col("ev"), F.col("sv"), F.col("evn"), F.col("svn")), 6
+    )
     asg = (
         c.join(F.broadcast(seeds), how="cross")
         .select(
@@ -715,7 +737,7 @@ def ivf_refined_centroids(
         F.coalesce(
             F.col("rv"), F.transform("sv", lambda x: x.cast("double"))
         ).alias("rv"),
-    )
+    ).select("code", "rv", norm(F.col("rv")).alias("rvn"))
 
 
 def ivf_topk_refined(
@@ -735,9 +757,21 @@ def ivf_topk_refined(
     expressions, so the ENTIRE refined index build + probe replays in
     SQL (plans/queries _duck_ivf_refined). :func:`ivf_topk` remains
     the numpy multi-iteration production variant (recall-tested)."""
+    # The centroid table is consumed by both the corpus assignment and
+    # the query probes; it recomputes per consumer here (16 rows, two
+    # cheap corpus scans — measured FASTER than persist+count, whose
+    # extra eager job costs more than the recompute at any tested SF).
+    # At real scale you'd write it to storage at index-build time,
+    # exactly like a deployed IVF index.
     cent = F.broadcast(ivf_refined_centroids(corpus, n_centroids, id_col, vec_col))
-    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ev"))
-    sim_cr = F.round(cosine(F.col("ev"), F.col("rv")), 6)
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("ev"),
+        norm(F.col(vec_col)).alias("evn"),
+    )
+    sim_cr = F.round(
+        cosine_prenormed(F.col("ev"), F.col("rv"), F.col("evn"), F.col("rvn")), 6
+    )
     asg = (
         c.join(cent, how="cross")
         .select(
@@ -748,8 +782,14 @@ def ivf_topk_refined(
         .agg(F.max("sc").alias("m"))
         .select("cid", (-F.col("m.nc")).cast("long").alias("code"))
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    sim_qr = F.round(cosine(F.col("qv"), F.col("rv")), 6)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qvn"),
+    )
+    sim_qr = F.round(
+        cosine_prenormed(F.col("qv"), F.col("rv"), F.col("qvn"), F.col("rvn")), 6
+    )
     wp = Window.partitionBy("query_id").orderBy(F.col("ps").desc(), F.col("code").asc())
     probes = (
         q.join(cent, how="cross")
@@ -772,7 +812,10 @@ def ivf_topk_refined(
         cand.select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("ev")), 6).alias("cosine_sim"),
+            F.round(
+                cosine_prenormed(F.col("qv"), F.col("ev"), F.col("qvn"), F.col("evn")),
+                6,
+            ).alias("cosine_sim"),
         )
         .withColumn("rank", F.row_number().over(wk).cast("long"))
         .filter(F.col("rank") <= k)
