@@ -93,6 +93,7 @@ HEADLINE = [
     "dedup_exact",
     "minhash_near_dup",
     "minhash_incremental",
+    "simhash_incremental",
     "simhash_near_dup",
     "text_analysis",
     "ewma",

@@ -540,6 +540,47 @@ def simhash(text: Column, bits: int = 64) -> Column:
     )
 
 
+def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, sh) — the SimHash signature store. Persist this (a parquet
+    table via Warehouse) and :func:`simhash_near_dup_incremental` never
+    recomputes the historical corpus; empty-token docs carry NULL sh
+    (see :func:`simhash`)."""
+    return spread_input(docs).select(
+        F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("sh")
+    )
+
+
+def _quarters(sig: DataFrame) -> DataFrame:
+    """(doc, sh, q, qv) pigeonhole quarter rows of a (doc, sh) table.
+
+    qv masks with & 0xFFFF (not %): sh is SIGNED 64-bit; the mask
+    discards whatever the arithmetic shift sign-extends in. NULL
+    signatures (empty docs) are dropped before the expansion — their
+    quarters could never equi-match, so the rows are pure join-probe
+    overhead."""
+    return (
+        sig.filter(F.col("sh").isNotNull())
+        .select(
+            "doc",
+            "sh",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(q).alias("q"),
+                            F.shiftright(F.col("sh"), q * 16)
+                            .bitwiseAND(F.lit(65535))
+                            .alias("qv"),
+                        )
+                        for q in range(4)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("doc", "sh", "p.q", "p.qv")
+    )
+
+
 def simhash_near_dup(
     docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
@@ -550,28 +591,10 @@ def simhash_near_dup(
     shares at least one exact quarter — four equi-joins instead of a
     cross join.
     """
-    sig = pin(
-        spread_input(docs).select(F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("sh"))
-    )
+    sig = pin(simhash_signatures(docs, id_col, text_col))
     # same pin rationale as minhash_near_dup: one signature pass,
     # reused by all 4 quarter expansions and both self-join sides.
-    # qv masks with & 0xFFFF (not %): sh is SIGNED 64-bit; the mask
-    # discards whatever the arithmetic shift sign-extends in.
-    parts = sig.select(
-        "doc",
-        "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(q).alias("q"),
-                        F.shiftright(F.col("sh"), q * 16).bitwiseAND(F.lit(65535)).alias("qv"),
-                    )
-                    for q in range(4)
-                ]
-            )
-        ).alias("p"),
-    ).select("doc", "sh", "p.q", "p.qv")
+    parts = _quarters(sig)
     a, b = parts.alias("a"), parts.alias("b")
     hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     # Hamming-filter BEFORE the dedup exchange: quarter collisions
@@ -590,6 +613,52 @@ def simhash_near_dup(
         .select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash_near_dup_incremental(
+    old_sigs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs INVOLVING AT LEAST ONE NEW DOC — the
+    continuous-ingest twin of :func:`minhash_near_dup_incremental`,
+    completing the incremental path for both signature families.
+    ``old_sigs`` is the persisted store (:func:`simhash_signatures`
+    written to a table); only the batch's signatures are computed, and
+    the batch's quarter rows are BROADCAST against the store's — the
+    store streams through one scan, is never shuffled, and old×old
+    pairs (known from prior runs) are never recomputed. Per-batch cost
+    is O(|store| scan + |batch| everything-else) instead of the
+    full-corpus quarter self-join.
+
+    Doc ids must be disjoint between store and batch (pairs normalize
+    with least/greatest, so overlap would self-pair). Output matches
+    the full-run :func:`simhash_near_dup` restricted to pairs touching
+    a new doc (asserted in tests/test_dedup.py)."""
+    new_sigs = pin(simhash_signatures(new_docs, id_col, text_col))
+    all_sigs = old_sigs.select("doc", "sh").unionByName(new_sigs.select("doc", "sh"))
+    a = _quarters(all_sigs).alias("a")
+    b = F.broadcast(_quarters(new_sigs)).alias("b")
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    # Hamming-filter before the dedup exchange, as in simhash_near_dup:
+    # the dropDuplicates shuffle carries true matches only.
+    return (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.qv") == F.col("b.qv"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .filter(hamming <= max_hamming)
+        .select(
+            F.least(F.col("a.doc"), F.col("b.doc")).alias("id_a"),
+            F.greatest(F.col("a.doc"), F.col("b.doc")).alias("id_b"),
             hamming.alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])

@@ -1499,6 +1499,31 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
+def q_simhash_incremental(spark, sf_dir):
+    """Incremental SimHash dedup against a persisted signature store
+    (continuous-ingest shape, completing the incremental path for both
+    signature families next to minhash_incremental): docs with
+    doc_id % 4 == 0 arrive as the 'new batch', the rest are the store;
+    pairs touching a new doc must match the full quarter-join run
+    restricted to those pairs. The batch's quarter rows are broadcast
+    — the store is scanned once, never shuffled."""
+    docs = _t(spark, sf_dir, "documents")
+    store = DD.simhash_signatures(docs.filter("doc_id % 4 != 0"), "doc_id", "text")
+    batch = docs.filter("doc_id % 4 = 0")
+    return DD.simhash_near_dup_incremental(
+        store, batch, "doc_id", "text", max_hamming=SIMHASH_MAX_HAMMING
+    )
+
+
+def _duck_simhash_incremental() -> str:
+    # ground truth: the full-run pair set restricted to pairs touching
+    # a batch (doc_id % 4 == 0) document
+    return f"""
+SELECT id_a, id_b, hamming FROM ({_duck_simhash_pairs()})
+WHERE id_a % 4 = 0 OR id_b % 4 = 0
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal binary-column plumbing (north-star §multimodal): build
     an opaque-payload media table from document bytes, run the
@@ -4723,6 +4748,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "token_frequency": (q_token_frequency, SQL_TOKEN_FREQ),
     "doc_chunking": (q_doc_chunking, SQL_CHUNKING),
     "embedding_centroids": (q_embedding_centroids, SQL_CENTROIDS),
+    "simhash_incremental": (q_simhash_incremental, _duck_simhash_incremental()),
     "frequent_tokens": (q_frequent_tokens, SQL_FREQUENT_TOKENS),
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "stage_load": (q_stage_load, SQL_STAGE),

@@ -375,3 +375,52 @@ def test_giant_exact_cluster_exact_first_bounds_lsh_pairs(spark):
                 lo, hi = min(a, b), max(a, b)
                 rebuilt[(lo, hi)] = j
     assert rebuilt == raw
+
+
+def test_simhash_incremental_matches_full_run(spark):
+    """The SimHash continuous-ingest path: incremental pairs against a
+    persisted signature store must equal the full quarter-join run
+    restricted to pairs touching a new doc."""
+    from lion_parcel_etl_spark.operators.dedup import (
+        simhash_near_dup,
+        simhash_near_dup_incremental,
+        simhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    h = 6  # loose threshold so the sf0.001 corpus yields cross pairs
+
+    full = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup(docs, "doc_id", "text", max_hamming=h).collect()
+    }
+    expected = {p: d for p, d in full.items() if p[0] % 4 == 0 or p[1] % 4 == 0}
+    assert expected, "split must produce cross pairs for the test to bite"
+
+    store = simhash_signatures(docs.filter("doc_id % 4 != 0"), "doc_id", "text")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_incremental(
+            store, docs.filter("doc_id % 4 = 0"), "doc_id", "text", max_hamming=h
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_simhash_incremental_batch_broadcasts(spark):
+    from lion_parcel_etl_spark.operators.bucketing import plan_string
+    from lion_parcel_etl_spark.operators.dedup import (
+        simhash_near_dup_incremental,
+        simhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common text tokens here for quarters today ok") for i in range(8)],
+        "doc_id long, text string",
+    )
+    store = simhash_signatures(docs.filter("doc_id < 6"), "doc_id", "text")
+    out = simhash_near_dup_incremental(
+        store, docs.filter("doc_id >= 6"), "doc_id", "text"
+    )
+    plan = plan_string(out)
+    assert "BroadcastHashJoin" in plan
