@@ -123,6 +123,7 @@ HEADLINE = [
     "ivf_topk",
     "dedup_embedding",
     "dedup_embedding_lsh",
+    "embedding_lsh_incremental",
 ]
 
 

@@ -465,6 +465,75 @@ def embedding_near_dup_lsh(
     # sorts rows itself)
 
 
+def embedding_near_dup_lsh_incremental(
+    store: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.35,
+    dims: int = 64,
+    planes: int = 6,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding near-dup pairs INVOLVING AT LEAST ONE NEW VECTOR —
+    the continuous-ingest twin of :func:`embedding_near_dup_lsh`,
+    completing the incremental path for all three dedup families
+    (MinHash, SimHash, embeddings).
+
+    The batch's (table, bucket) keys — a tiny set — broadcast-semi
+    prune the store's exploded rows, so only buckets a new vector
+    actually lands in are grouped and verified: the store streams
+    through one scan, per-batch verify cost is O(Σ hit-bucket sizes)
+    instead of O(Σ all-bucket²), and old×old pairs (known from prior
+    runs) are skipped inside the matmul by the new-side flag. Output
+    matches the full run restricted to pairs touching a new vector
+    exactly (same buckets, same verify — asserted in
+    tests/test_similarity.py). Vector ids must be disjoint between
+    store and batch."""
+    buckets = lsh_buckets_udf(dims, planes, tables)
+
+    def exploded(df: DataFrame, new: bool) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.lit(new).alias("new"),
+            F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bkt"),
+        )
+
+    ex_batch = exploded(batch, True)
+    batch_keys = F.broadcast(ex_batch.select("tbl", "bkt").distinct())
+    pruned_store = exploded(store, False).join(batch_keys, ["tbl", "bkt"], "left_semi")
+    rows = pruned_store.unionByName(ex_batch.select(*pruned_store.columns))
+    slack = threshold - 1e-6  # same margin rationale as the full run
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        new = pdf["new"].to_numpy()
+        if len(pdf) < 2 or not new.any():
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+        A = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        ids = pdf["id"].to_numpy()
+        C = _seq_cosine_block(A, A)
+        keep = (
+            (ids[:, None] < ids[None, :])
+            & (C >= slack)
+            & (new[:, None] | new[None, :])
+        )
+        ii, jj = np.nonzero(keep)
+        return pd.DataFrame(
+            {"id_a": ids[ii], "id_b": ids[jj], "cosine_sim": C[ii, jj]}
+        )
+
+    scored = rows.groupBy("tbl", "bkt").applyInPandas(
+        verify, "id_a long, id_b long, cosine_sim double"
+    )
+    return (
+        scored.withColumn("cosine_sim", F.round("cosine_sim", round_digits))
+        .filter(F.col("cosine_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

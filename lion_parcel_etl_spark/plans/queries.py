@@ -2032,6 +2032,31 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
     return SIM.embedding_near_dup_lsh(emb, threshold=0.35, dims=64)
 
 
+def q_embedding_lsh_incremental(spark, sf_dir):
+    """Incremental embedding dedup against a persisted vector store
+    (continuous-ingest shape, completing the incremental path for all
+    three dedup families): vectors with vec_id % 4 == 0 arrive as the
+    'new batch'; pairs touching a new vector must match the full LSH
+    run restricted to those pairs. The batch's (table, bucket) keys
+    broadcast-semi prune the store, which streams once and is never
+    shuffled against itself; old×old pairs skip inside the verify."""
+    emb = _t(spark, sf_dir, "embeddings")
+    store = emb.filter("vec_id % 4 != 0")
+    batch = emb.filter("vec_id % 4 = 0")
+    return SIM.embedding_near_dup_lsh_incremental(
+        store, batch, threshold=0.35, dims=64
+    )
+
+
+def _duck_embedding_lsh_incremental() -> str:
+    # ground truth: the full-run LSH pair set restricted to pairs
+    # touching a batch (vec_id % 4 == 0) vector
+    return f"""
+SELECT id_a, id_b, cosine_sim FROM ({_duck_embedding_near_dup_lsh()})
+WHERE id_a % 4 = 0 OR id_b % 4 = 0
+"""
+
+
 def q_ivf_topk(spark, sf_dir):
     """Approximate ANN, IVF variant with a k-means-REFINED coarse
     quantizer (similarity.ivf_topk_refined): deterministic lowest-id
@@ -4749,6 +4774,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_chunking": (q_doc_chunking, SQL_CHUNKING),
     "embedding_centroids": (q_embedding_centroids, SQL_CENTROIDS),
     "simhash_incremental": (q_simhash_incremental, _duck_simhash_incremental()),
+    "embedding_lsh_incremental": (
+        q_embedding_lsh_incremental,
+        _duck_embedding_lsh_incremental(),
+    ),
     "frequent_tokens": (q_frequent_tokens, SQL_FREQUENT_TOKENS),
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "stage_load": (q_stage_load, SQL_STAGE),

@@ -293,3 +293,31 @@ def test_ivf_refined_partial_probe_recall(spark, emb):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"refined-IVF recall too low: {recall}"
+
+
+@needs_td
+def test_embedding_lsh_incremental_matches_full_run(spark, emb):
+    """The embedding continuous-ingest path: incremental pairs against
+    a vector store must equal the full LSH run restricted to pairs
+    touching a new vector — same buckets, same verify."""
+    from lion_parcel_etl_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_lsh_incremental,
+    )
+
+    full = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_near_dup_lsh(emb, threshold=0.35, dims=64).collect()
+    }
+    expected = {p: s for p, s in full.items() if p[0] % 4 == 0 or p[1] % 4 == 0}
+    assert expected, "split must produce cross pairs for the test to bite"
+    got = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_near_dup_lsh_incremental(
+            emb.filter("vec_id % 4 != 0"),
+            emb.filter("vec_id % 4 = 0"),
+            threshold=0.35,
+            dims=64,
+        ).collect()
+    }
+    assert got == expected
