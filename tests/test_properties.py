@@ -427,3 +427,51 @@ def test_misra_gries_undercount_bound(spark, stream, cap):
     for v, c in true.items():
         if c > band:
             assert v in partials, (v, c, band, partials)
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(
+    batches=st.lists(
+        st.tuples(
+            st.lists(st.tuples(KEYS, st.integers(0, 99)), min_size=1, max_size=6).map(
+                lambda rows: list({k: (k, v) for k, v in rows}.values())
+            ),
+            st.booleans(),  # gains 'extra'?
+            st.booleans(),  # widens 'amount' to bigint?
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_merge_upsert_evolve_replay_invariants(spark, batches):
+    """merge_upsert_evolve over ANY drift sequence (each batch may gain
+    a column and/or widen a column): last-writer-wins per key, no key
+    ever lost, the mart schema always equals the latest batch's
+    evolved shape, and surviving values are intact."""
+    from lion_parcel_etl_spark.operators.merge_upsert import merge_upsert_evolve
+
+    target = None
+    want: dict[int, dict] = {}
+    last_cols: list[str] = []
+    for rows, gains, widens in batches:
+        cols = ["id", "amount"] + (["extra"] if gains else [])
+        typ = "bigint" if widens else "int"
+        data = [
+            (k, v * (2**34 if widens else 1)) + ((f"x{k}",) if gains else ())
+            for k, v in rows
+        ]
+        batch = spark.createDataFrame(
+            data, f"id int, amount {typ}" + (", extra string" if gains else "")
+        )
+        target = merge_upsert_evolve(target, batch, ["id"])
+        for row, (k, _v) in zip(data, rows):
+            want[k] = dict(zip(cols, row))
+        # sync_all_columns: departed columns vanish for EVERYONE
+        for k in want:
+            want[k] = {c: want[k].get(c) for c in cols}
+        last_cols = cols
+    got = {r["id"]: r.asDict() for r in target.collect()}
+    assert set(got) == set(want)
+    assert set(target.columns) == set(last_cols)
+    for k, row in want.items():
+        assert got[k] == row, (k, got[k], row)
