@@ -168,12 +168,23 @@ def repetition_metrics(
     the sf0.1 corpus); per-row cost is bounded by document length, not
     corpus size — for megabyte-scale documents chunk first
     (doc_chunking)."""
-    t = F.col(text_col)
     from lion_parcel_etl_spark.operators.dedup import tokens
 
-    toks = tokens(t)
-    g2 = word_ngrams(toks, 2)
-    g3 = word_ngrams(toks, 3)
+    # Staged projections, not one inline tree: higher-order functions
+    # are CodegenFallback with NO runtime subexpression sharing, so an
+    # inline tree re-tokenizes per gram slice and re-builds each gram
+    # array per consumer (size guard, ratio, sort — measured 3.2 s vs
+    # ~1 s at sf0.1). Each alias below is expensive and referenced
+    # more than once downstream, which is exactly the condition under
+    # which CollapseProject keeps the projection boundary — the same
+    # mechanism minhash_signatures and bigram_frequency rely on.
+    staged = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    staged = staged.select(
+        id_col,
+        word_ngrams(F.col("__toks"), 2).alias("__g2"),
+        word_ngrams(F.col("__toks"), 3).alias("__g3"),
+    )
+    g2, g3 = F.col("__g2"), F.col("__g3")
     top2 = _max_run(F.array_sort(g2))
     top2_mass = F.when(
         F.size(g2) > 0, F.round(top2 / F.size(g2), 6)
@@ -184,7 +195,7 @@ def repetition_metrics(
             F.lit(1.0) - F.size(F.array_distinct(g3)) / F.size(g3).cast("double"), 6
         ),
     ).otherwise(F.lit(0.0))
-    out = docs.select(
+    out = staged.select(
         F.col(id_col),
         top2_mass.alias("top2_mass"),
         dup3.alias("dup3_frac"),
