@@ -40,7 +40,7 @@ def token_count(text: Column) -> Column:
 
 
 def stopword_hits(text: Column, words: list[str]) -> Column:
-    """Total occurrences of any profile word — word-boundary matches
+    r"""Total occurrences of any profile word — word-boundary matches
     for ASCII profiles, plain occurrences for non-ASCII ones: ``\b``
     is ASCII-only in both Java regex and RE2, so a boundary-wrapped
     CJK word can NEVER match (space and the character are both
