@@ -106,6 +106,7 @@ HEADLINE = [
     "snapshot_diff",
     "split_leakage",
     "pack_sequences",
+    "epoch_shuffle",
     "column_profile",
     "tfidf_topk",
     "bm25_rank",

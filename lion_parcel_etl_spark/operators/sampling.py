@@ -162,6 +162,65 @@ def cap_per_group(
     )
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int = 0,
+    buckets: int = 256,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: assign every row a
+    dense position ``pos`` in 0..n-1, pseudo-randomly permuted by
+    ``md5(id || epoch)`` — the epoch-reshuffle step of a training
+    pipeline (each epoch draws an independent order; re-running an
+    epoch reproduces it exactly, regardless of partitioning or
+    cluster size).
+
+    The scale-correct part is HOW the dense rank is computed. The
+    naive ``row_number().over(Window.orderBy(hash))`` collapses the
+    whole corpus into ONE task — the classic global-window scale bug.
+    Instead the 60-bit hash space is cut into ``buckets`` CONTIGUOUS
+    ranges (top bits of the hash), so global hash order ==
+    (bucket, within-bucket) order, and the dense position decomposes
+    into a parallel within-bucket ``row_number`` (window partitioned
+    by bucket) plus a bucket offset from an exclusive prefix sum over
+    the ``buckets``-row count table — the only unpartitioned window
+    runs over that tiny table, never the corpus. Cost: one window
+    shuffle on ``bucket`` + one tiny aggregate; both scale-free knobs
+    (``buckets`` ≈ cluster cores keeps every task busy and every
+    bucket ~n/buckets rows; uniform md5 makes skew impossible).
+
+    ``buckets`` must be a power of two (the bucket is the top
+    ``log2(buckets)`` bits via shiftright — exact, no division
+    rounding). Ids must be unique (duplicate ids tie on the full sort
+    key and their relative order would be nondeterministic).
+
+    The oracle replays it as one global
+    ``row_number() OVER (ORDER BY hash, id)`` — verifying that the
+    bucketed decomposition equals the true global rank.
+    """
+    k = buckets.bit_length() - 1
+    if buckets != 1 << k:
+        raise ValueError(f"buckets must be a power of two, got {buckets}")
+    h = id_hash(F.col(id_col), salt=f"|epoch={epoch}").alias("__h")
+    base = df.select(F.col(id_col), h).select(
+        id_col, "__h", F.shiftright(F.col("__h"), HASH_BITS - k).alias("__b")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("__b").orderBy("__h", id_col)
+    )
+    local = base.select(id_col, "__b", (rn - 1).alias("__rn"))
+    counts = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    off_w = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__b", F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias("__off")
+    )
+    return local.join(F.broadcast(offsets), "__b").select(
+        id_col, (F.col("__off") + F.col("__rn")).alias("pos")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     id_col: str,

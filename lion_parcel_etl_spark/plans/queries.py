@@ -1263,6 +1263,33 @@ WHERE {u} < (CASE {whens} ELSE {float(SOURCE_MIX_DEFAULT)!r} END)
 """
 
 
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch reshuffle (operators/sampling.py
+    epoch_shuffle): every document gets a dense global position
+    0..n-1, pseudo-randomly permuted by md5(id||epoch), computed with
+    a bucket-parallel rank — contiguous hash-range buckets, a window
+    partitioned by bucket, and an exclusive prefix sum over the tiny
+    bucket-count table — never the single-task global window. The
+    oracle IS that single global window (fine at oracle scale),
+    verifying the parallel decomposition equals the true global
+    rank."""
+    from lion_parcel_etl_spark.operators.sampling import epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, "doc_id", epoch=1, buckets=64)
+
+
+def _duck_epoch_shuffle() -> str:
+    from lion_parcel_etl_spark.operators.sampling import duck_id_hash
+
+    h = duck_id_hash("doc_id", salt="|epoch=1")
+    return f"""
+SELECT doc_id,
+       row_number() OVER (ORDER BY {h} ASC, doc_id ASC) - 1 AS pos
+FROM documents
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return DD.exact_dedup(docs, "doc_id", "text")  # unsorted: compare sorts rows
@@ -4747,6 +4774,7 @@ FROM debuts
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "asof_join_forward": (q_asof_join_forward, SQL_ASOF_FWD),
     "source_mix": (q_source_mix, _duck_source_mix()),
+    "epoch_shuffle": (q_epoch_shuffle, _duck_epoch_shuffle()),
     "pii_redact": (q_pii_redact, _duck_pii_redact()),
     "resize_images": (q_resize_images, SQL_RESIZE),
     "frame_sample": (q_frame_sample, SQL_FRAMES),

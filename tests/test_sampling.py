@@ -145,3 +145,44 @@ def test_stratified_sample_exact_ceil_no_float_ulp(spark):
 
     df = spark.range(100).selectExpr("id AS doc_id", "'g' AS grp")
     assert stratified_sample(df, ["grp"], 0.07, "doc_id").count() == 7
+
+
+def test_epoch_shuffle_is_dense_permutation(docs):
+    from lion_parcel_etl_spark.operators.sampling import epoch_shuffle
+
+    n = docs.count()
+    out = epoch_shuffle(docs, "doc_id", epoch=0, buckets=16)
+    stats = out.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("pos").alias("d"),
+        F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+    ).collect()[0]
+    # dense permutation 0..n-1: n rows, n distinct positions, exact bounds
+    assert (stats["n"], stats["d"], stats["lo"], stats["hi"]) == (n, n, 0, n - 1)
+
+
+def test_epoch_shuffle_deterministic_and_epoch_independent(docs):
+    from lion_parcel_etl_spark.operators.sampling import epoch_shuffle
+
+    a = {(r["doc_id"], r["pos"]) for r in epoch_shuffle(docs, "doc_id", epoch=0).collect()}
+    b = {
+        (r["doc_id"], r["pos"])
+        for r in epoch_shuffle(docs.repartition(7), "doc_id", epoch=0).collect()
+    }
+    assert a == b  # layout never changes the order
+    c = {(r["doc_id"], r["pos"]) for r in epoch_shuffle(docs, "doc_id", epoch=1).collect()}
+    assert a != c  # each epoch draws an independent permutation
+    # bucket count is a parallelism knob, not a semantics knob
+    d = {
+        (r["doc_id"], r["pos"])
+        for r in epoch_shuffle(docs, "doc_id", epoch=0, buckets=8).collect()
+    }
+    assert a == d
+
+
+def test_epoch_shuffle_rejects_non_power_of_two_buckets(docs):
+    from lion_parcel_etl_spark.operators.sampling import epoch_shuffle
+
+    with pytest.raises(ValueError, match="power of two"):
+        epoch_shuffle(docs, "doc_id", buckets=48)
