@@ -107,6 +107,7 @@ HEADLINE = [
     "split_leakage",
     "pack_sequences",
     "epoch_shuffle",
+    "interleave_sources",
     "column_profile",
     "tfidf_topk",
     "bm25_rank",

@@ -162,6 +162,64 @@ def cap_per_group(
     )
 
 
+def _bucketed_rank(
+    df: DataFrame,
+    id_col: str,
+    by: list[str],
+    salt: str,
+    buckets: int,
+) -> DataFrame:
+    """Dense 1-based rank of every row within its ``by`` group, in
+    ``md5(id || salt)`` order, computed WITHOUT a per-group
+    single-task window. The naive
+    ``row_number().over(Window.partitionBy(*by).orderBy(hash))``
+    funnels each whole group through one task — with no ``by`` that
+    is the global-window scale bug; with a low-cardinality ``by``
+    (e.g. a handful of sources) each giant group is still one task.
+
+    Instead the 60-bit hash space is cut into ``buckets`` CONTIGUOUS
+    ranges (top bits, so within-group hash order == (bucket, local)
+    order), the window partitions by (group, bucket) — parallelism =
+    groups × buckets regardless of group skew — and the bucket
+    offsets come from an exclusive prefix sum over the tiny
+    groups × buckets count table, joined back by broadcast. Cost: one
+    window exchange on (group, bucket) + one tiny aggregate; uniform
+    md5 rules out bucket skew inside a group.
+
+    ``buckets`` must be a power of two (bucket = top ``log2(buckets)``
+    bits via shiftright — exact, no division rounding). Ids must be
+    unique (duplicate ids tie on the full sort key and their relative
+    order would be nondeterministic).
+
+    Returns (*by, id, __r) with ``__r`` the 1-based within-group rank.
+    """
+    k = buckets.bit_length() - 1
+    if buckets != 1 << k:
+        raise ValueError(f"buckets must be a power of two, got {buckets}")
+    h = id_hash(F.col(id_col), salt=salt).alias("__h")
+    base = df.select(*by, F.col(id_col), h).withColumn(
+        "__b", F.shiftright(F.col("__h"), HASH_BITS - k)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(*by, "__b").orderBy("__h", id_col)
+    )
+    local = base.select(*by, id_col, "__b", rn.alias("__rn"))
+    counts = base.groupBy(*by, "__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    off_w = (
+        Window.partitionBy(*by)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *by,
+        "__b",
+        F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias("__off"),
+    )
+    return local.join(F.broadcast(offsets), [*by, "__b"]).select(
+        *by, id_col, (F.col("__off") + F.col("__rn")).alias("__r")
+    )
+
+
 def epoch_shuffle(
     df: DataFrame,
     id_col: str,
@@ -173,51 +231,54 @@ def epoch_shuffle(
     ``md5(id || epoch)`` — the epoch-reshuffle step of a training
     pipeline (each epoch draws an independent order; re-running an
     epoch reproduces it exactly, regardless of partitioning or
-    cluster size).
-
-    The scale-correct part is HOW the dense rank is computed. The
-    naive ``row_number().over(Window.orderBy(hash))`` collapses the
-    whole corpus into ONE task — the classic global-window scale bug.
-    Instead the 60-bit hash space is cut into ``buckets`` CONTIGUOUS
-    ranges (top bits of the hash), so global hash order ==
-    (bucket, within-bucket) order, and the dense position decomposes
-    into a parallel within-bucket ``row_number`` (window partitioned
-    by bucket) plus a bucket offset from an exclusive prefix sum over
-    the ``buckets``-row count table — the only unpartitioned window
-    runs over that tiny table, never the corpus. Cost: one window
-    shuffle on ``bucket`` + one tiny aggregate; both scale-free knobs
-    (``buckets`` ≈ cluster cores keeps every task busy and every
-    bucket ~n/buckets rows; uniform md5 makes skew impossible).
-
-    ``buckets`` must be a power of two (the bucket is the top
-    ``log2(buckets)`` bits via shiftright — exact, no division
-    rounding). Ids must be unique (duplicate ids tie on the full sort
-    key and their relative order would be nondeterministic).
+    cluster size). The dense rank comes from :func:`_bucketed_rank`
+    with no grouping — parallel in ``buckets`` (≈ cluster cores),
+    never the single-task global window.
 
     The oracle replays it as one global
     ``row_number() OVER (ORDER BY hash, id)`` — verifying that the
     bucketed decomposition equals the true global rank.
     """
-    k = buckets.bit_length() - 1
-    if buckets != 1 << k:
-        raise ValueError(f"buckets must be a power of two, got {buckets}")
-    h = id_hash(F.col(id_col), salt=f"|epoch={epoch}").alias("__h")
-    base = df.select(F.col(id_col), h).select(
-        id_col, "__h", F.shiftright(F.col("__h"), HASH_BITS - k).alias("__b")
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("__b").orderBy("__h", id_col)
-    )
-    local = base.select(id_col, "__b", (rn - 1).alias("__rn"))
-    counts = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__cnt"))
-    off_w = Window.orderBy("__b").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.select(
-        "__b", F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias("__off")
-    )
-    return local.join(F.broadcast(offsets), "__b").select(
-        id_col, (F.col("__off") + F.col("__rn")).alias("pos")
+    ranked = _bucketed_rank(df, id_col, [], f"|epoch={epoch}", buckets)
+    return ranked.select(id_col, (F.col("__r") - 1).alias("pos"))
+
+
+def interleave_by_weight(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    epoch: int = 0,
+    buckets: int = 256,
+) -> DataFrame:
+    """Stride-scheduled source interleaving — the training-order twin
+    of rate-based mixing: instead of DROPPING rows to hit a source
+    mix, emit EVERY row but schedule group ``g`` at frequency ∝
+    ``weights[g]`` (the temperature-sampling order used for
+    multilingual / multi-source corpora). Each row gets a virtual
+    time ``vtime = (r - 0.5) / w`` where ``r`` is its within-group
+    shuffled rank and ``w`` its group weight; consuming rows in
+    ``vtime`` order yields the interleave (a weight-2 source appears
+    twice as often per unit of schedule as a weight-1 source, each
+    group's own rows in epoch-shuffled order). Deterministic per
+    (id, epoch): stable across re-runs, layouts, and cluster sizes.
+
+    The within-group rank is :func:`_bucketed_rank` — parallel in
+    groups × buckets, immune to source skew (one giant source never
+    serializes into one task). Consuming "in vtime order" at scale is
+    a range-partitioned sort (Spark's ``orderBy``), not a single-task
+    window; this function returns the schedule key rather than
+    forcing that sort.
+    """
+    ranked = _bucketed_rank(df, id_col, [group_col], f"|epoch={epoch}", buckets)
+    w = F.lit(default_weight)
+    for g, wt in weights.items():
+        w = F.when(F.col(group_col) == g, F.lit(float(wt))).otherwise(w)
+    return ranked.select(
+        id_col,
+        group_col,
+        F.round((F.col("__r") - 0.5) / w, 6).alias("vtime"),
     )
 
 

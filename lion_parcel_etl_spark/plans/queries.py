@@ -1290,6 +1290,46 @@ FROM documents
 """
 
 
+INTERLEAVE_WEIGHTS = {"src0": 4.0, "src1": 2.0, "src2": 1.0}
+INTERLEAVE_DEFAULT = 0.5
+
+
+def q_interleave_sources(spark, sf_dir):
+    """Stride-scheduled source interleaving (operators/sampling.py
+    interleave_by_weight): every document keeps a virtual time
+    ``(rank - 0.5) / weight`` — consuming in vtime order plays source
+    src0 4× as often as src2 without dropping rows. Within-group
+    ranks come from the bucket-parallel ranker (no per-source
+    single-task window). Power-of-two weights make the division
+    exact in binary, so Spark and DuckDB agree bit-for-bit."""
+    from lion_parcel_etl_spark.operators.sampling import interleave_by_weight
+
+    docs = _t(spark, sf_dir, "documents")
+    return interleave_by_weight(
+        docs,
+        "doc_id",
+        "source",
+        INTERLEAVE_WEIGHTS,
+        default_weight=INTERLEAVE_DEFAULT,
+        epoch=1,
+    )
+
+
+def _duck_interleave_sources() -> str:
+    from lion_parcel_etl_spark.operators.sampling import duck_id_hash
+
+    h = duck_id_hash("doc_id", salt="|epoch=1")
+    whens = " ".join(
+        f"WHEN '{g}' THEN {float(w)!r}" for g, w in INTERLEAVE_WEIGHTS.items()
+    )
+    return f"""
+SELECT doc_id, source,
+       round((row_number() OVER (PARTITION BY source ORDER BY {h} ASC, doc_id ASC) - 0.5)
+             / (CASE source {whens} ELSE {float(INTERLEAVE_DEFAULT)!r} END), 6) AS vtime
+FROM documents
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return DD.exact_dedup(docs, "doc_id", "text")  # unsorted: compare sorts rows
@@ -4775,6 +4815,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "asof_join_forward": (q_asof_join_forward, SQL_ASOF_FWD),
     "source_mix": (q_source_mix, _duck_source_mix()),
     "epoch_shuffle": (q_epoch_shuffle, _duck_epoch_shuffle()),
+    "interleave_sources": (q_interleave_sources, _duck_interleave_sources()),
     "pii_redact": (q_pii_redact, _duck_pii_redact()),
     "resize_images": (q_resize_images, SQL_RESIZE),
     "frame_sample": (q_frame_sample, SQL_FRAMES),

@@ -186,3 +186,40 @@ def test_epoch_shuffle_rejects_non_power_of_two_buckets(docs):
 
     with pytest.raises(ValueError, match="power of two"):
         epoch_shuffle(docs, "doc_id", buckets=48)
+
+
+def test_interleave_by_weight_schedule_frequencies(docs):
+    """In any vtime prefix, each group's row count tracks its weight:
+    group g has consumed floor/ceil of (t * w_g) rows by virtual time
+    t (stride scheduling's lag bound), and within a group rows play
+    in their epoch-shuffled rank order."""
+    from lion_parcel_etl_spark.operators.sampling import interleave_by_weight
+
+    weights = {"src0": 4.0, "src1": 2.0, "src2": 1.0}
+    out = interleave_by_weight(
+        docs, "doc_id", "source", weights, default_weight=0.5, epoch=0
+    )
+    rows = sorted(out.collect(), key=lambda r: (r["vtime"], r["doc_id"]))
+    sizes = {r["source"]: r["n"] for r in
+             docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # take a prefix well inside every group's schedule
+    t = min(n / weights.get(s, 0.5) for s, n in sizes.items()) / 2.0
+    prefix = [r for r in rows if r["vtime"] <= t]
+    from collections import Counter
+
+    got = Counter(r["source"] for r in prefix)
+    for s in sizes:
+        w = weights.get(s, 0.5)
+        # rank r plays at (r - 0.5)/w <= t  =>  r <= t*w + 0.5
+        assert got[s] == int(t * w + 0.5), (s, got[s], t * w)
+
+
+def test_interleave_by_weight_deterministic_and_layout_free(docs):
+    from lion_parcel_etl_spark.operators.sampling import interleave_by_weight
+
+    weights = {"src0": 2.0}
+    a = {(r["doc_id"], r["vtime"]) for r in
+         interleave_by_weight(docs, "doc_id", "source", weights).collect()}
+    b = {(r["doc_id"], r["vtime"]) for r in
+         interleave_by_weight(docs.repartition(9), "doc_id", "source", weights).collect()}
+    assert a == b
