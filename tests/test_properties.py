@@ -475,3 +475,40 @@ def test_merge_upsert_evolve_replay_invariants(spark, batches):
     assert set(target.columns) == set(last_cols)
     for k, row in want.items():
         assert got[k] == row, (k, got[k], row)
+
+
+IDS = st.lists(
+    st.text(alphabet="abcdef0123456789_", min_size=0, max_size=12),
+    max_size=40,
+    unique=True,
+)
+BUCKET_POW = st.sampled_from([1, 2, 8, 64])
+
+
+@given(ids=IDS, buckets=BUCKET_POW, epoch=st.integers(min_value=0, max_value=3))
+@SLOW_OK
+def test_bucketed_rank_equals_global_sort_rank(spark, ids, buckets, epoch):
+    """The bucket-parallel dense rank must equal the naive single-task
+    global rank for ANY id set, bucket count, and epoch: contiguous
+    hash-range buckets + per-bucket row_number + prefix-sum offsets
+    is exactly ORDER BY (hash, id)."""
+    from lion_parcel_etl_spark.operators.sampling import epoch_shuffle, id_hash
+
+    df = spark.createDataFrame(
+        [(i,) for i in ids] or [(None,)], "id string"
+    ).filter(F.col("id").isNotNull())
+    got = {
+        r["id"]: r["pos"]
+        for r in epoch_shuffle(df, "id", epoch=epoch, buckets=buckets).collect()
+    }
+    hashes = {
+        r["id"]: r["h"]
+        for r in df.select(
+            "id", id_hash(F.col("id"), salt=f"|epoch={epoch}").alias("h")
+        ).collect()
+    }
+    want = {
+        i: pos
+        for pos, i in enumerate(sorted(ids, key=lambda i: (hashes[i], i)))
+    }
+    assert got == want
