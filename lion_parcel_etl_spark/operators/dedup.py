@@ -555,25 +555,34 @@ def _quarters(sig: DataFrame) -> DataFrame:
 
     qv masks with & 0xFFFF (not %): sh is SIGNED 64-bit; the mask
     discards whatever the arithmetic shift sign-extends in. NULL
-    signatures (empty docs) are dropped before the expansion — their
-    quarters could never equi-match, so the rows are pure join-probe
-    overhead."""
+    signatures (empty docs) are dropped by the expansion itself —
+    their quarters could never equi-match, so the rows are pure
+    join-probe overhead. The drop is a WHEN inside the explode (NULL
+    array → zero rows) rather than a ``filter(sh.isNotNull())``:
+    when ``sig`` is an unmaterialized projection (the incremental
+    path's store side), predicate pushdown would rewrite that filter
+    through the projection into ``isnotnull(<entire simhash fold>)``
+    and run the interpreted fold TWICE per row (measured 2.4× wall on
+    simhash_incremental); the Generate references ``sh`` as a plain
+    attribute, which no rule inlines."""
     return (
-        sig.filter(F.col("sh").isNotNull())
-        .select(
+        sig.select(
             "doc",
             "sh",
             F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(q).alias("q"),
-                            F.shiftright(F.col("sh"), q * 16)
-                            .bitwiseAND(F.lit(65535))
-                            .alias("qv"),
-                        )
-                        for q in range(4)
-                    ]
+                F.when(
+                    F.col("sh").isNotNull(),
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(q).alias("q"),
+                                F.shiftright(F.col("sh"), q * 16)
+                                .bitwiseAND(F.lit(65535))
+                                .alias("qv"),
+                            )
+                            for q in range(4)
+                        ]
+                    ),
                 )
             ).alias("p"),
         )

@@ -1451,7 +1451,13 @@ def q_minhash_incremental(spark, sf_dir):
     the full run restricted to those pairs. The batch's band rows are
     broadcast — the store is scanned once, never shuffled."""
     docs = _t(spark, sf_dir, "documents")
-    store = DD.minhash_signatures(docs.filter("doc_id % 4 != 0"), "doc_id", "text")
+    # pin = the query's stand-in for the store being a PERSISTED table
+    # (its real form): without materialization, null-filters inferred
+    # from the band join push through the store projection and re-run
+    # the signature expressions per row
+    store = DD.pin(
+        DD.minhash_signatures(docs.filter("doc_id % 4 != 0"), "doc_id", "text")
+    )
     batch = docs.filter("doc_id % 4 = 0")
     return DD.minhash_near_dup_incremental(
         store, batch, "doc_id", "text", threshold=JACCARD_THRESHOLD
@@ -1575,7 +1581,15 @@ def q_simhash_incremental(spark, sf_dir):
     restricted to those pairs. The batch's quarter rows are broadcast
     — the store is scanned once, never shuffled."""
     docs = _t(spark, sf_dir, "documents")
-    store = DD.simhash_signatures(docs.filter("doc_id % 4 != 0"), "doc_id", "text")
+    # pin = the query's stand-in for the store being a PERSISTED table
+    # (its real form): without materialization, the isnotnull(sh)
+    # inferred from the quarter join pushes through the store
+    # projection rewritten as isnotnull(<entire simhash fold>) and
+    # runs the interpreted fold twice per store row (measured 2.4×
+    # wall at sf0.1)
+    store = DD.pin(
+        DD.simhash_signatures(docs.filter("doc_id % 4 != 0"), "doc_id", "text")
+    )
     batch = docs.filter("doc_id % 4 = 0")
     return DD.simhash_near_dup_incremental(
         store, batch, "doc_id", "text", max_hamming=SIMHASH_MAX_HAMMING
