@@ -75,4 +75,23 @@ def audit(name: str, plan: str) -> list[str]:
         flags.append("PY_UDF_ROW_AT_A_TIME")
     if "SortMergeJoin" in plan and name not in SMJ_ALLOWED:
         flags.append("SMJ")
+    if _fold_reeval_in_filter(plan):
+        flags.append("FOLD_IN_FILTER")
     return flags
+
+
+def _fold_reeval_in_filter(plan: str) -> bool:
+    """Detect a higher-order-function fold re-evaluated inside a
+    Filter condition — the signature of a null-filter (usually
+    INFERRED from a null-intolerant join) pushed through an
+    unmaterialized projection and rewritten from ``isnotnull(col)``
+    into ``isnotnull(<entire computed expression>)``. HOFs are
+    CodegenFallback, so the filter re-runs the interpreted fold once
+    per row on top of the projection's own evaluation (measured 2.4×
+    wall on simhash_incremental before its store was pinned). The fix
+    at the query layer is a materialization barrier (pin / persisted
+    table) or folding the null-drop into the consumer (see
+    dedup._quarters)."""
+    import re
+
+    return bool(re.search(r"isnotnull\((?:aggregate|transform|zip_with|filter)\(", plan))
