@@ -558,13 +558,16 @@ def _quarters(sig: DataFrame) -> DataFrame:
     signatures (empty docs) are dropped by the expansion itself —
     their quarters could never equi-match, so the rows are pure
     join-probe overhead. The drop is a WHEN inside the explode (NULL
-    array → zero rows) rather than a ``filter(sh.isNotNull())``:
-    when ``sig`` is an unmaterialized projection (the incremental
-    path's store side), predicate pushdown would rewrite that filter
-    through the projection into ``isnotnull(<entire simhash fold>)``
-    and run the interpreted fold TWICE per row (measured 2.4× wall on
-    simhash_incremental); the Generate references ``sh`` as a plain
-    attribute, which no rule inlines."""
+    array → zero rows) rather than a ``filter(sh.isNotNull())`` so
+    that THIS function adds no pushable predicate of its own — but
+    that alone does NOT make an unmaterialized ``sig`` safe: the
+    downstream quarter join is null-intolerant, so Catalyst still
+    INFERS ``isnotnull(sh)`` and pushes it through an unmaterialized
+    projection rewritten as ``isnotnull(<entire simhash fold>)``,
+    re-running the interpreted fold per row (measured 2.4× wall on
+    simhash_incremental). Callers must therefore hand in a
+    MATERIALIZED sig table (persisted store or :func:`pin`); the
+    plan-audit FOLD_IN_FILTER flag catches violations."""
     return (
         sig.select(
             "doc",
@@ -639,7 +642,10 @@ def simhash_near_dup_incremental(
     continuous-ingest twin of :func:`minhash_near_dup_incremental`,
     completing the incremental path for both signature families.
     ``old_sigs`` is the persisted store (:func:`simhash_signatures`
-    written to a table); only the batch's signatures are computed, and
+    written to a table) and must be MATERIALIZED — a table scan or a
+    :func:`pin`'d frame, not a live projection, or the quarter join's
+    inferred null-filter re-runs the signature fold per store row
+    (see :func:`_quarters`); only the batch's signatures are computed, and
     the batch's quarter rows are BROADCAST against the store's — the
     store streams through one scan, is never shuffled, and old×old
     pairs (known from prior runs) are never recomputed. Per-batch cost

@@ -48,6 +48,25 @@ def duck_id_hash(expr: str, salt: str = "") -> str:
     return f"('0x' || substr(md5({key}), 1, 15))::BIGINT"
 
 
+def group_case(group_col: str, mapping: dict[str, float], default: float) -> Column:
+    """group value → float CASE column — the one spelling of the
+    per-group constant lookup shared by the mixing (rates) and
+    interleaving (weights) operators, so the two can't drift."""
+    out = None
+    for name, v in mapping.items():
+        cond = F.col(group_col) == F.lit(name)
+        out = F.when(cond, F.lit(float(v))) if out is None else out.when(cond, F.lit(float(v)))
+    return F.lit(float(default)) if out is None else out.otherwise(F.lit(float(default)))
+
+
+def duck_group_case(group_col: str, mapping: dict[str, float], default: float) -> str:
+    """The DuckDB spelling of :func:`group_case` for oracle SQL."""
+    if not mapping:
+        return repr(float(default))
+    whens = " ".join(f"WHEN '{g}' THEN {float(v)!r}" for g, v in mapping.items())
+    return f"(CASE {group_col} {whens} ELSE {float(default)!r} END)"
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,
@@ -122,12 +141,7 @@ def rate_sample_by_group(
     rows. Independent mixes come from different ``salt`` values.
     """
     u = id_hash(F.col(id_col), salt) / F.lit(float(HASH_MOD))
-    rate = None
-    for name, r in rates.items():
-        cond = F.col(group_col) == F.lit(name)
-        rate = F.when(cond, F.lit(float(r))) if rate is None else rate.when(cond, F.lit(float(r)))
-    rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(F.lit(float(default_rate)))
-    return df.filter(u < rate)
+    return df.filter(u < group_case(group_col, rates, default_rate))
 
 
 def cap_per_group(
@@ -197,14 +211,26 @@ def _bucketed_rank(
     if buckets != 1 << k:
         raise ValueError(f"buckets must be a power of two, got {buckets}")
     h = id_hash(F.col(id_col), salt=salt).alias("__h")
+    # the coalesce is a NULLABILITY cast, not a value change: conv()
+    # reports nullable=true even over non-null input, so the offsets
+    # join would infer isnotnull(__b) and push a per-row re-run of the
+    # whole md5/conv hash into ONE branch's scan filter — making the
+    # two branches' exchanges non-identical and defeating the
+    # ReusedExchange that keeps this a single-scan plan
     base = df.select(*by, F.col(id_col), h).withColumn(
-        "__b", F.shiftright(F.col("__h"), HASH_BITS - k)
+        "__b",
+        F.coalesce(F.shiftright(F.col("__h"), HASH_BITS - k), F.lit(-1)),
     )
     rn = F.row_number().over(
         Window.partitionBy(*by, "__b").orderBy("__h", id_col)
     )
     local = base.select(*by, id_col, "__b", rn.alias("__rn"))
-    counts = base.groupBy(*by, "__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    # bucket sizes = max local rank, aggregated from the WINDOWED side
+    # rather than re-counting from base: both consumers then share one
+    # exchange on (by, bucket) (ReusedExchange in the plan), so the
+    # input is scanned and hashed ONCE — counting from base would plan
+    # a second full scan + md5 pass
+    counts = local.groupBy(*by, "__b").agg(F.max("__rn").alias("__cnt"))
     off_w = (
         Window.partitionBy(*by)
         .orderBy("__b")
@@ -270,11 +296,20 @@ def interleave_by_weight(
     a range-partitioned sort (Spark's ``orderBy``), not a single-task
     window; this function returns the schedule key rather than
     forcing that sort.
+
+    Weights must be strictly positive: the contract is every-row-kept
+    at weight-proportional frequency, so "exclude this source" is not
+    expressible here (w=0 would send a whole group to vtime=∞, not
+    drop it) — pre-filter with :func:`rate_sample_by_group` instead.
     """
+    for g, wt in {**weights, "<default>": default_weight}.items():
+        if not wt > 0:
+            raise ValueError(
+                f"weight for {g!r} must be > 0, got {wt!r}; to exclude a "
+                "group, drop it with rate_sample_by_group first"
+            )
     ranked = _bucketed_rank(df, id_col, [group_col], f"|epoch={epoch}", buckets)
-    w = F.lit(default_weight)
-    for g, wt in weights.items():
-        w = F.when(F.col(group_col) == g, F.lit(float(wt))).otherwise(w)
+    w = group_case(group_col, weights, default_weight)
     return ranked.select(
         id_col,
         group_col,

@@ -80,6 +80,22 @@ def audit(name: str, plan: str) -> list[str]:
     return flags
 
 
+_HOF_NAMES = "aggregate|transform|zip_with|filter|reduce|exists|forall|array_sort"
+# isnotnull over a HOF anywhere in its argument (covers the raw fold
+# and CASE/coalesce-wrapped rewrites), but ONLY on a line that prints
+# a condition: formatted physical plans put Filter predicates on
+# "Condition :" detail lines, and tree-form plans print them as
+# "+- Filter (...)" / "+- *(n) Filter (...)" nodes. A HOF under
+# isnotnull inside a Project is NOT flagged — projecting
+# when(fold.isNotNull(), ...) evaluates the fold once and is fine.
+_COND_LINE = __import__("re").compile(
+    r"^\s*(?:Condition\s*:|[:+\-\s|]*(?:\*\(\d+\)\s*)?Filter\b)"
+)
+_HOF_UNDER_ISNOTNULL = __import__("re").compile(
+    rf"isnotnull\([^\n]*?(?:{_HOF_NAMES})\("
+)
+
+
 def _fold_reeval_in_filter(plan: str) -> bool:
     """Detect a higher-order-function fold re-evaluated inside a
     Filter condition — the signature of a null-filter (usually
@@ -92,6 +108,7 @@ def _fold_reeval_in_filter(plan: str) -> bool:
     at the query layer is a materialization barrier (pin / persisted
     table) or folding the null-drop into the consumer (see
     dedup._quarters)."""
-    import re
-
-    return bool(re.search(r"isnotnull\((?:aggregate|transform|zip_with|filter)\(", plan))
+    return any(
+        _COND_LINE.match(line) and _HOF_UNDER_ISNOTNULL.search(line)
+        for line in plan.split("\n")
+    )

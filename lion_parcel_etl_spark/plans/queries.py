@@ -1251,15 +1251,17 @@ def q_source_mix(spark, sf_dir):
 
 
 def _duck_source_mix() -> str:
-    from lion_parcel_etl_spark.operators.sampling import HASH_MOD, duck_id_hash
+    from lion_parcel_etl_spark.operators.sampling import (
+        HASH_MOD,
+        duck_group_case,
+        duck_id_hash,
+    )
 
     u = f"{duck_id_hash('doc_id')} / {float(HASH_MOD)!r}"
-    whens = " ".join(
-        f"WHEN source = '{s}' THEN {float(r)!r}" for s, r in SOURCE_MIX_RATES.items()
-    )
+    case = duck_group_case("source", SOURCE_MIX_RATES, SOURCE_MIX_DEFAULT)
     return f"""
 SELECT doc_id, source FROM documents
-WHERE {u} < (CASE {whens} ELSE {float(SOURCE_MIX_DEFAULT)!r} END)
+WHERE {u} < {case}
 """
 
 
@@ -1316,16 +1318,14 @@ def q_interleave_sources(spark, sf_dir):
 
 
 def _duck_interleave_sources() -> str:
-    from lion_parcel_etl_spark.operators.sampling import duck_id_hash
+    from lion_parcel_etl_spark.operators.sampling import duck_group_case, duck_id_hash
 
     h = duck_id_hash("doc_id", salt="|epoch=1")
-    whens = " ".join(
-        f"WHEN '{g}' THEN {float(w)!r}" for g, w in INTERLEAVE_WEIGHTS.items()
-    )
+    case = duck_group_case("source", INTERLEAVE_WEIGHTS, INTERLEAVE_DEFAULT)
     return f"""
 SELECT doc_id, source,
        round((row_number() OVER (PARTITION BY source ORDER BY {h} ASC, doc_id ASC) - 0.5)
-             / (CASE source {whens} ELSE {float(INTERLEAVE_DEFAULT)!r} END), 6) AS vtime
+             / {case}, 6) AS vtime
 FROM documents
 """
 

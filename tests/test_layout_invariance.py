@@ -19,11 +19,15 @@ tests/test_sketches.py instead.
 
 from __future__ import annotations
 
-import math
+import os
+import sys
 
 import pytest
 
 from lion_parcel_etl_spark.plans.queries import QUERIES
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from check_oracles import canon  # noqa: E402  (the oracle gate's canonicalizer)
 
 EXCLUDED = {
     "approx_stats": "GK percentile summaries are accuracy-bounded, not "
@@ -31,18 +35,10 @@ EXCLUDED = {
 }
 
 
-def _canon_value(v):
-    if isinstance(v, float):
-        return "NaN" if math.isnan(v) else repr(v)
-    if isinstance(v, list):
-        return tuple(_canon_value(x) for x in v)
-    return str(v)
-
-
 def _canon(df):
     cols = sorted(df.columns)
     return sorted(
-        tuple(_canon_value(r[c]) for c in cols) for r in df.collect()
+        tuple(canon(r[c]) for c in cols) for r in df.collect()
     )
 
 
@@ -53,8 +49,16 @@ def test_result_is_partition_layout_invariant(spark, sf_dir, name):
     try:
         spark.conf.set("spark.sql.shuffle.partitions", base)
         a = _canon(fn(spark, sf_dir))
+        # Drop every cached table between the runs: queries that pin an
+        # intermediate (the incremental dedup stores) would otherwise
+        # serve run B from run A's cache by analyzed-plan equality, and
+        # the pinned subtree would never re-execute under the alternate
+        # layout. Nothing else relies on cross-test caching (each query
+        # call re-pins its own intermediates).
+        spark.catalog.clearCache()
         spark.conf.set("spark.sql.shuffle.partitions", "13")
         b = _canon(fn(spark, sf_dir))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", base)
+        spark.catalog.clearCache()
     assert a == b, f"{name}: result depends on shuffle partition count"
