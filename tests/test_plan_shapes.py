@@ -128,3 +128,22 @@ def test_column_profile_two_hash_passes(spark, sf_dir):
     # Sort of the Expand output, which only appears when the string
     # min/max buffers land in the same aggregate as the distincts
     assert re.search(r"\bSort \(\d+\)", plan) is None
+
+
+def test_bucketed_rank_is_single_scan(spark, sf_dir):
+    """epoch_shuffle's two consumers (rank window + bucket counts)
+    must share ONE exchange — the executed plan reuses the shuffle
+    instead of scanning and md5-hashing the corpus twice. Guards the
+    non-nullable bucket column (a nullable bucket lets the offsets
+    join infer a null-filter into one branch's scan, breaking
+    exchange identity) and the counts-from-windowed-side derivation."""
+    import os
+
+    from lion_parcel_etl_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = epoch_shuffle(docs, "doc_id", epoch=1, buckets=16)
+    df.collect()  # reuse is an AQE runtime decision: inspect the FINAL plan
+    final = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, "bucket-count branch no longer reuses the rank exchange"
+    assert final.count("FileScan parquet") == 1, "input scanned more than once"
