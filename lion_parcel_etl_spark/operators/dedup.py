@@ -186,10 +186,21 @@ def ngram_jaccard_pairs(
     shingle hash — quadratic only within identical-shingle groups, with
     a groupBy-count pre-aggregation so each pair is scored once. Use
     minhash_near_dup for the scale path.
+
+    The shingle table is pinned: it feeds BOTH self-join sides, and
+    InferFiltersFromGenerate's ``size(shingles) > 0`` guard would
+    otherwise push through the live projection and re-run the whole
+    shingle pipeline (regex + transform) once more per row inside a
+    Filter (the FOLD_IN_FILTER audit class). Materializing once is
+    exactly the right trade for this operator's documented
+    small-corpus, ground-truth role.
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("shingles")
-    ).withColumn("n_sh", F.size("shingles"))
+    sh = pin(
+        docs.select(
+            F.col(id_col).alias("doc"),
+            word_shingles(F.col(text_col), n).alias("shingles"),
+        ).withColumn("n_sh", F.size("shingles"))
+    )
     ex = sh.select("doc", "n_sh", F.explode("shingles").alias("s"))
     a = ex.alias("a")
     b = ex.alias("b")
