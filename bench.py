@@ -108,6 +108,7 @@ HEADLINE = [
     "pack_sequences",
     "epoch_shuffle",
     "interleave_sources",
+    "embedding_quantize",
     "column_profile",
     "tfidf_topk",
     "bm25_rank",

@@ -41,6 +41,43 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
+def quantize_embeddings(
+    df: "DataFrame",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> "DataFrame":
+    """Symmetric per-vector scalar quantization — the storage layer
+    for a 100 TB embedding table (int8 is 4× smaller than float32 and
+    what serving stacks ingest; the ANN-side compression twin is
+    :func:`pq_codes`). Each vector carries its own ``scale`` =
+    max(|x|), and ``qvec[i] = round(x[i] / scale * (2^(bits-1)-1))``;
+    dequantization is ``qvec * scale / qmax`` with per-element error
+    ≤ scale/(2·qmax). Zero-vector and empty inputs get NULL qvec (no
+    meaningful scale; NULL never joins, mirroring the NULL-signature
+    convention of the dedup family).
+
+    Pure per-row higher-order expressions: zero shuffle,
+    embarrassingly parallel, stable under any layout. The maxabs fold
+    is projected in a prior select so downstream consumers reference
+    ``scale`` as an attribute (never re-evaluate the fold)."""
+    qmax = (1 << (bits - 1)) - 1
+    vec = F.col(vec_col)
+    maxabs = F.aggregate(
+        vec, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    staged = df.select(F.col(id_col), vec, maxabs.alias("scale"))
+    qvec = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") / F.col("scale") * F.lit(float(qmax))).cast("int"),
+    )
+    return staged.select(
+        id_col,
+        "scale",
+        F.when(F.col("scale") > 0, qvec).alias("qvec"),
+    )
+
+
 def cosine_prenormed(a: Column, b: Column, an: Column, bn: Column) -> Column:
     """cosine with CALLER-precomputed norms. The fold expressions here
     are CodegenFallback (no CSE), so inline ``cosine`` re-evaluates

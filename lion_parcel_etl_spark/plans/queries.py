@@ -3237,6 +3237,32 @@ HAVING COUNT(*) FILTER (WHERE d.dim <= len(e.embedding)) > 0
 """
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Per-vector symmetric int8 quantization (similarity.py
+    quantize_embeddings): the embedding STORAGE layer at corpus scale
+    — int8 is 4× smaller than float32; the ANN-side compression twin
+    is pq_topk. Zero-shuffle per-row folds; scale = max|x| carried
+    per vector; the oracle replays the identical round(x/scale*127)
+    arithmetic (double ops in the same order on both engines)."""
+    from lion_parcel_etl_spark.operators.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb, "vec_id", "embedding", bits=8)
+
+
+SQL_EMB_QUANT = """
+SELECT vec_id, scale,
+       CASE WHEN scale > 0 THEN
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale * 127.0) AS INTEGER))
+       END AS qvec
+FROM (
+  SELECT vec_id, embedding,
+         COALESCE(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 0.0) AS scale
+  FROM embeddings
+)
+"""
+
+
 def q_min_cost_supplier(spark, sf_dir):
     """Correlated-MIN subquery (TPC-H Q2 shape; no partsupp table in
     the testdata, so the part↔supplier cost link is lineitem): for each
@@ -4830,6 +4856,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "source_mix": (q_source_mix, _duck_source_mix()),
     "epoch_shuffle": (q_epoch_shuffle, _duck_epoch_shuffle()),
     "interleave_sources": (q_interleave_sources, _duck_interleave_sources()),
+    "embedding_quantize": (q_embedding_quantize, SQL_EMB_QUANT),
     "pii_redact": (q_pii_redact, _duck_pii_redact()),
     "resize_images": (q_resize_images, SQL_RESIZE),
     "frame_sample": (q_frame_sample, SQL_FRAMES),

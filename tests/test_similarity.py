@@ -321,3 +321,32 @@ def test_embedding_lsh_incremental_matches_full_run(spark, emb):
         ).collect()
     }
     assert got == expected
+
+
+def test_quantize_embeddings_error_bound_and_guards(spark):
+    """Dequantized values are within scale/(2*qmax) of the original
+    per element; zero/empty vectors carry NULL qvec; the scale is the
+    exact per-vector max|x|."""
+    from lion_parcel_etl_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.003, 0.001, -0.002]),
+        (3, [0.0, 0.0]),   # zero vector -> NULL qvec
+        (4, []),           # empty -> NULL qvec
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert out[3]["qvec"] is None and out[4]["qvec"] is None
+    assert out[3]["scale"] == 0.0 and out[4]["scale"] == 0.0
+    import numpy as np
+
+    for vid, vec in [(1, rows[0][1]), (2, rows[1][1])]:
+        # the stored column is float32: compare against the values as
+        # the engine actually holds them, not the Python doubles
+        vec32 = [float(np.float32(x)) for x in vec]
+        scale, qvec = out[vid]["scale"], out[vid]["qvec"]
+        assert scale == max(abs(x) for x in vec32)
+        assert all(-127 <= q <= 127 for q in qvec)
+        for x, q in zip(vec32, qvec):
+            assert abs(q * scale / 127.0 - x) <= scale / (2 * 127.0) + 1e-12
