@@ -350,3 +350,35 @@ def test_quantize_embeddings_error_bound_and_guards(spark):
         assert all(-127 <= q <= 127 for q in qvec)
         for x, q in zip(vec32, qvec):
             assert abs(q * scale / 127.0 - x) <= scale / (2 * 127.0) + 1e-12
+
+
+def test_quantized_vectors_preserve_topk_recall(spark, sf_dir):
+    """Search quality survives int8 storage: exact cosine top-5 over
+    DEQUANTIZED vectors recalls >= 90% of the top-5 over the original
+    float32 vectors (8-bit symmetric quantization keeps relative
+    angles; this is the guarantee that makes the storage layer safe
+    to search directly)."""
+    import os
+
+    from lion_parcel_etl_spark.operators.similarity import (
+        cosine_topk,
+        quantize_embeddings,
+    )
+
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.filter("vec_id < 5")
+    deq = (
+        quantize_embeddings(emb)
+        .select(
+            "vec_id",
+            F.transform(
+                "qvec", lambda x: (x * F.col("scale") / F.lit(127.0)).cast("float")
+            ).alias("embedding"),
+        )
+        .filter(F.col("embedding").isNotNull())
+    )
+    a = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=5).collect()}
+    b = {(r.query_id, r.neighbor_id) for r in cosine_topk(deq, q, k=5).collect()}
+    assert len(a & b) / len(a) >= 0.9
