@@ -3243,18 +3243,30 @@ def q_embedding_quantize(spark, sf_dir):
     — int8 is 4× smaller than float32; the ANN-side compression twin
     is pq_topk. Zero-shuffle per-row folds; scale = max|x| carried
     per vector; the oracle replays the identical round(x/scale*127)
-    arithmetic (double ops in the same order on both engines)."""
+    arithmetic (double ops in the same order on both engines). The
+    code array serializes as a comma-joined string — the registry's
+    array convention (see q_minhash_signature): the driver's pandas
+    compare stringifies DuckDB lists as numpy arrays and Spark lists
+    as Python lists, so raw array columns hash-mismatch on formatting
+    alone."""
     from lion_parcel_etl_spark.operators.similarity import quantize_embeddings
 
     emb = _t(spark, sf_dir, "embeddings")
-    return quantize_embeddings(emb, "vec_id", "embedding", bits=8)
+    q = quantize_embeddings(emb, "vec_id", "embedding", bits=8)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(
+            ",", F.transform("qvec", lambda v: v.cast("string"))
+        ).alias("qvec"),
+    )
 
 
 SQL_EMB_QUANT = """
 SELECT vec_id, scale,
        CASE WHEN scale > 0 THEN
-         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale * 127.0) AS INTEGER))
-       END AS qvec
+         array_to_string(list_transform(embedding, x -> CAST(CAST(round(CAST(x AS DOUBLE) / scale * 127.0) AS INTEGER) AS VARCHAR)), ',')
+       ELSE '' END AS qvec
 FROM (
   SELECT vec_id, embedding,
          COALESCE(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 0.0) AS scale
