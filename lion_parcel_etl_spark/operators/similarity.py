@@ -63,8 +63,14 @@ def quantize_embeddings(
     ``scale`` as an attribute (never re-evaluate the fold)."""
     qmax = (1 << (bits - 1)) - 1
     vec = F.col(vec_col)
-    maxabs = F.aggregate(
-        vec, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    # coalesce: a NULL vector gets scale 0.0 (hence NULL qvec), the
+    # same degenerate-input convention as zero and empty vectors —
+    # and what the registry oracle's COALESCE computes
+    maxabs = F.coalesce(
+        F.aggregate(
+            vec, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+        ),
+        F.lit(0.0),
     )
     staged = df.select(F.col(id_col), vec, maxabs.alias("scale"))
     qvec = F.transform(

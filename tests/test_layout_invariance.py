@@ -47,7 +47,7 @@ def test_result_is_partition_layout_invariant(spark, sf_dir, name):
     fn, _ = QUERIES[name]
     base = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", base)
+        # run A uses the session's existing layout (base) as-is
         a = _canon(fn(spark, sf_dir))
         # Drop every cached table between the runs: queries that pin an
         # intermediate (the incremental dedup stores) would otherwise
