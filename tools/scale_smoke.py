@@ -6,6 +6,14 @@ real cluster where partition counts, not constants, change.
 
 Usage: python tools/scale_smoke.py [multiplier]
        python tools/scale_smoke.py --skew [cluster_size]
+       python tools/scale_smoke.py --incremental
+
+``--incremental`` measures the continuous-ingest claim: a FIXED new
+batch deduped against a PERSISTED parquet signature store at growing
+store sizes, vs recomputing the full corpus each time. Evidence that
+per-batch cost is O(store scan + batch) — the store is read, never
+re-signed and never self-joined — while the full run pays signature
+recompute + self-join on everything.
 
 ``--skew`` measures the documented minhash_near_dup hotspot (a giant
 cluster of byte-identical docs quadratic in the band join) and its
@@ -86,9 +94,72 @@ def skew_main() -> None:
     )
 
 
+def incremental_main() -> None:
+    import shutil
+    import tempfile
+
+    spark = get_spark(app_name="incremental-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_base = base.count()
+    # fixed batch: ~2% of the base corpus, ids shifted into a range no
+    # store replica can reach
+    batch = base.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    n_batch = batch.count()
+    print(f"batch: {n_batch} docs (fixed across store sizes)")
+    tmp = tempfile.mkdtemp(prefix="incr_smoke_")
+    try:
+        for mult in (1, 4, 16):
+            store_docs = (
+                base.withColumn(
+                    "copy", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+                )
+                .select(
+                    (F.col("doc_id") + F.col("copy") * (n_base * 10)).alias("doc_id"),
+                    F.when(F.col("copy") == 0, F.col("text"))
+                    .otherwise(F.concat(F.col("text"), F.lit(" v"), F.col("copy")))
+                    .alias("text"),
+                )
+                .repartition(32)
+                .persist()
+            )
+            n_store = store_docs.count()
+            path = f"{tmp}/sigs_{mult}"
+            # the store's REAL form: a parquet signature table, written
+            # once at ingest time — reading it back costs a scan, not a
+            # signature recompute
+            DD.simhash_signatures(store_docs, "doc_id", "text").write.parquet(path)
+            store_sigs = spark.read.parquet(path)
+            t0 = time.perf_counter()
+            inc = DD.simhash_near_dup_incremental(
+                store_sigs, batch, "doc_id", "text"
+            ).count()
+            t_inc = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            full = DD.simhash_near_dup(
+                store_docs.unionByName(batch), "doc_id", "text"
+            ).count()
+            t_full = time.perf_counter() - t0
+            print(
+                f"store {n_store:>7} docs ({mult:>2}x): incremental "
+                f"{t_inc:6.2f}s / {inc} pairs   full-recompute "
+                f"{t_full:6.2f}s / {full} pairs   speedup {t_full / t_inc:4.1f}x"
+            )
+            store_docs.unpersist()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--incremental":
+        incremental_main()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     spark = get_spark(app_name="scale-smoke")
