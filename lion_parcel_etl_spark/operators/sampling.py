@@ -241,7 +241,14 @@ def _bucketed_rank(
         "__b",
         F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias("__off"),
     )
-    return local.join(F.broadcast(offsets), [*by, "__b"]).select(
+    # no broadcast hint: with no/low-cardinality `by` the offsets side
+    # is ≤ groups×buckets rows and AQE broadcasts it anyway, but at
+    # HIGH group cardinality (per-domain interleaving over millions of
+    # domains) a forced broadcast would be the scale bug — and the
+    # fallback shuffled join costs nothing extra on the big side,
+    # whose (by, bucket) partitioning from the window is exactly the
+    # join key
+    return local.join(offsets, [*by, "__b"]).select(
         *by, id_col, (F.col("__off") + F.col("__rn")).alias("__r")
     )
 
