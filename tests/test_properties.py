@@ -512,3 +512,42 @@ def test_bucketed_rank_equals_global_sort_rank(spark, ids, buckets, epoch):
         for pos, i in enumerate(sorted(ids, key=lambda i: (hashes[i], i)))
     }
     assert got == want
+
+
+VECS = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-10.0, max_value=10.0, allow_nan=False, width=32
+        ),
+        max_size=6,
+    ),
+    max_size=10,
+)
+
+
+@given(vecs=VECS)
+@SLOW_OK
+def test_quantize_matches_numpy_reference(spark, vecs):
+    """For ANY float32 vectors: scale equals numpy's max|x| exactly,
+    codes equal round-half-away-from-zero of x/scale*127 computed in
+    float64, and degenerate vectors (empty/all-zero) yield NULL codes
+    with scale 0."""
+    import numpy as np
+
+    from lion_parcel_etl_spark.operators.similarity import quantize_embeddings
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows or [(0, None)], "vec_id long, embedding array<float>"
+    ).filter(F.col("vec_id") < len(rows))
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    for i, v in rows:
+        v32 = np.array(v, dtype=np.float32).astype(np.float64)
+        scale = float(np.max(np.abs(v32))) if len(v32) else 0.0
+        assert got[i]["scale"] == scale
+        if scale == 0.0:
+            assert got[i]["qvec"] is None
+        else:
+            x = v32 / scale * 127.0
+            want = [int(np.floor(abs(t) + 0.5) * np.sign(t)) for t in x]
+            assert got[i]["qvec"] == want, (v, got[i]["qvec"], want)
