@@ -3752,7 +3752,14 @@ def q_lm_surprisal(spark, sf_dir):
     broadcast scalar."""
     docs = _t(spark, sf_dir, "documents")
     # tokens in their own projection (Generate-inlining hazard: the
-    # regex would otherwise run once per zipped slice per row)
+    # regex would otherwise run once per zipped slice per row). Four
+    # consumers re-tokenize (bigram stream, both count subtrees, the
+    # vocabulary scalar) plus InferFiltersFromGenerate's size guard —
+    # MEASURED cheaper than materializing at bench scale (pin costs
+    # 1.5 s vs 0.8 s recompute at sf0.1: the cache write dominates a
+    # 0.2 s regex pass). At corpus scale that flips: write the token
+    # table once (pin / persisted intermediate) and feed all four
+    # consumers from it.
     toked = docs.select("doc_id", DD.tokens(F.col("text")).alias("__toks"))
     toks = F.col("__toks")
     m = F.greatest(F.size(toks) - 1, F.lit(0))
