@@ -213,6 +213,46 @@ def stream_merge_into(
     q.awaitTermination()
 
 
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_sample_mix(
+    spark: SparkSession,
+    docs_path: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    split_weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Streaming corpus mixing + split assignment — the ingest-time
+    form of the curation sampler: every arriving document gets its
+    per-source keep/drop coin and its train/val/test label from the
+    SAME md5(id) expressions the batch operators use
+    (operators/sampling.py), so the stream needs NO state, any
+    trigger/sink works, and a checkpoint replay or a later batch
+    backfill over the same files reproduces byte-identical decisions
+    — the property a per-microbatch ``randomSplit`` can never give
+    (its coin differs per run, so replays disagree with history).
+    Stateless projections also mean this composes with any watermark
+    or downstream stateful stage."""
+    from lion_parcel_etl_spark.operators.sampling import hash_split, rate_sample_by_group
+
+    docs = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_path)
+    kept = rate_sample_by_group(
+        docs, "source", rates, "doc_id", default_rate=default_rate
+    )
+    return hash_split(
+        kept, "doc_id", split_weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "source", "split")
+
+
 def run_available_now(
     df: DataFrame,
     checkpoint: str,

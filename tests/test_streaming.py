@@ -516,3 +516,46 @@ def test_stream_heavy_hitters_merged_bound_and_replay(spark, tmp_path):
     )
     after = {r.v: r.est for r in read_heavy_hitters(spark, wh, "hh", "v").collect()}
     assert sorted(after.items()) == before
+
+
+def test_stream_sample_mix_matches_batch_decisions(spark, tmp_path):
+    """The streaming sampler's keep/drop and split decisions must be
+    byte-identical to the batch operators over the same files — the
+    replay-stability property that makes hash sampling safe at
+    ingest time (a batch backfill later agrees with the stream)."""
+    from lion_parcel_etl_spark.operators.sampling import (
+        hash_split,
+        rate_sample_by_group,
+    )
+    from lion_parcel_etl_spark.streaming.jobs import (
+        run_available_now,
+        stream_sample_mix,
+    )
+
+    rates = {"src0": 1.0, "src1": 0.5}
+    src = str(tmp_path / "docs_in")  # file streams need a DIRECTORY source
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(
+        3
+    ).write.parquet(src)
+    stream = stream_sample_mix(spark, src, rates, default_rate=0.25)
+    assert stream.isStreaming
+    run_available_now(
+        stream, str(tmp_path / "ckpt_mix"), out_path=str(tmp_path / "out_mix")
+    )
+    got = {
+        (r["doc_id"], r["source"], r["split"])
+        for r in spark.read.parquet(str(tmp_path / "out_mix")).collect()
+    }
+    batch = hash_split(
+        rate_sample_by_group(
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+            "source",
+            rates,
+            "doc_id",
+            default_rate=0.25,
+        ),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).select("doc_id", "source", "split")
+    want = {(r["doc_id"], r["source"], r["split"]) for r in batch.collect()}
+    assert got == want and len(got) > 0
