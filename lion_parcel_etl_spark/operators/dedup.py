@@ -387,8 +387,51 @@ def minhash_near_dup_incremental(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def _driver_union_find(spark, sym: DataFrame) -> DataFrame:
+    """Union-find with min-label semantics over a COLLECTED edge list
+    — the small-graph fast path of :func:`connected_components`. Only
+    called under the caller's row-count gate, so the collect is
+    bounded the same way the IVF centroid table is."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = sym.collect()
+    for r in rows:
+        a, b = r["a"], r["b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    from pyspark.sql import types as T
+
+    id_type = sym.schema["a"].dataType
+    schema = T.StructType(
+        [T.StructField("node", id_type), T.StructField("component", id_type)]
+    )
+    data = [(n, comp_min[find(n)]) for n in parent]
+    return spark.createDataFrame(data or [], schema)
+
+
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components of an undirected pair graph → (node,
     component) with component = min node id in the component — the
@@ -411,6 +454,16 @@ def connected_components(
     carries (node, comp) pairs only — never edge payloads; the
     convergence probe is one cheap count per round. On a real cluster
     use `checkpoint(reliable)` against the warehouse dir instead.
+
+    Small graphs take a driver-side union-find fast path: when the
+    deduped symmetric edge list (already materialized by its
+    checkpoint) holds ≤ ``small_graph_threshold`` rows, a bounded
+    collect + union-find replaces O(log D) distributed rounds of pure
+    scheduler overhead — the same size-gated-collect judgment as the
+    IVF centroid table, with identical min-label output (asserted
+    against the distributed path in tests). Near-dup pair graphs are
+    usually tiny relative to their corpus; a genuinely huge pair set
+    exceeds the gate and runs the distributed rounds.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -418,6 +471,8 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    if sym.count() <= small_graph_threshold:
+        return _driver_union_find(edges.sparkSession, sym)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

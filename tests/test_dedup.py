@@ -151,9 +151,18 @@ def test_connected_components_long_chain_pointer_doubling(spark):
 
     n = 400
     edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["src", "dst"])
-    got = {r.node: r.component for r in connected_components(edges).collect()}
+    # threshold 0 forces the DISTRIBUTED rounds — the small-graph gate
+    # would otherwise route this fixture through driver union-find and
+    # leave the pointer-doubling loop untested
+    got = {
+        r.node: r.component
+        for r in connected_components(edges, small_graph_threshold=0).collect()
+    }
     assert len(got) == n + 1
     assert set(got.values()) == {0}
+    # and the fast path agrees on the same graph
+    fast = {r.node: r.component for r in connected_components(edges).collect()}
+    assert fast == got
 
 
 @pytest.mark.skipif(not os.path.isdir("/root/testdata/sf0.001"), reason="testdata missing")

@@ -357,7 +357,14 @@ def test_connected_components_matches_union_find(spark, edges):
     want = {n: min(m) for _, m in comp_min.items() for n in m}
 
     df = spark.createDataFrame(edges, "src int, dst int")
-    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    # threshold 0 keeps this property exercising the DISTRIBUTED
+    # pointer-doubling rounds (the default gate would route every
+    # hypothesis-sized graph through the driver-side fast path, which
+    # is itself union-find — a vacuous comparison)
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, small_graph_threshold=0).collect()
+    }
     assert got == want
 
 
