@@ -85,6 +85,9 @@ HEADLINE = [
     "asof_join",
     "range_join",
     "stratified_sample",
+    "reservoir_sample",
+    "weighted_sample",
+    "bloom_prefilter",
     "pivot",
     "salted_agg",
     "string_set_agg",

@@ -176,6 +176,62 @@ def cap_per_group(
     )
 
 
+def reservoir_sample(df: DataFrame, id_col: str, k: int, salt: str = "") -> DataFrame:
+    """Exact-``k`` uniform sample without replacement: the ``k`` rows
+    with the smallest id hashes. Equivalent in distribution to a
+    classic reservoir sample (every k-subset equally likely under the
+    hash's uniformity) but deterministic — the same corpus always
+    yields the same sample, a different ``salt`` draws an independent
+    one, and appending rows evicts only the boundary rows (bottom-k by
+    a fixed key is stable), none of which holds for ``rdd.takeSample``.
+
+    Plan: ORDER BY hash LIMIT k compiles to TakeOrderedAndProject —
+    each task keeps a k-element heap and only num_partitions * k rows
+    reach the final merge, never a full sort. The sample itself must be
+    driver-feasible (k rows), which is what "sample" means; for
+    per-stratum budgets at scale use :func:`stratified_sample` /
+    :func:`cap_per_group`, which rank inside the exchange instead.
+    """
+    h = id_hash(F.col(id_col), salt)
+    return df.orderBy(h.asc(), F.col(id_col).asc()).limit(k)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exact-``k`` weighted sample without replacement by *sequential
+    Poisson sampling* (Ohlsson 1998): each row draws the deterministic
+    uniform ``u = (hash+1) / 2^60`` and is ranked by priority
+    ``u / weight``; the ``k`` smallest priorities win. Inclusion
+    probability is approximately proportional to weight (the standard
+    PPS-WOR approximation; exact PPS requires the rejective designs
+    that don't stream). Rows with NULL or non-positive weight are
+    excluded — they have no meaningful inclusion probability.
+
+    Cross-engine determinism: both ``u`` and the priority use only
+    int→double casts and a double division, which IEEE 754 requires to
+    be correctly rounded — Spark (JVM) and the DuckDB oracle produce
+    bit-identical priorities, so the selected k-set replays exactly
+    (no transcendental functions: the textbook exponential-key variant
+    ``log(u)/w`` would be libm-dependent).
+
+    Same TakeOrderedAndProject plan as :func:`reservoir_sample`.
+    """
+    w = F.col(weight_col).cast("double")
+    u = (id_hash(F.col(id_col), salt) + F.lit(1)).cast("double") / F.lit(float(HASH_MOD))
+    pri = u / w
+    return (
+        df.filter(w > F.lit(0.0))
+        .withColumn("priority", pri)
+        .orderBy(F.col("priority").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def _bucketed_rank(
     df: DataFrame,
     id_col: str,

@@ -258,3 +258,91 @@ def frequent_items_exact(
         .select(col, "cnt")
         .orderBy(F.col("cnt").desc(), F.col(col).asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: broadcastable membership for semi-join pruning
+# ---------------------------------------------------------------------------
+#
+# The pattern Spark's runtime bloom-filter join applies automatically
+# (spark.sql.optimizer.runtime.bloomFilter.*), exposed as an explicit,
+# deterministic operator: when the filtering side of a semi-join is too
+# big to broadcast as a hash relation but its MEMBERSHIP fits in a few
+# MB of bits (10M keys ~ 17 MB at 1% fp), ship the bits and prune the
+# 100 TB side with a pure projection — zero shuffle, no join — then
+# verify the survivors exactly. False-positive rate for m bits, h
+# hashes, n keys is (1 - e^(-hn/m))^h; no false negatives ever.
+#
+# Words carry 63 bits each (bit index 0..62), never touching the sign
+# bit, so membership needs no shift operators at all — only
+# pow(2, bit) (exact in a double up to 2^62), bitwise AND, and integer
+# division, every one of which DuckDB evaluates identically, making
+# the whole build + probe SQL-replayable for the oracle.
+
+BLOOM_WORD_BITS = 63
+
+
+def bloom_positions(key: Column, m_bits: int, num_hashes: int, salt: str = "bloom"):
+    """The ``num_hashes`` deterministic bit positions of a key — the
+    single spelling shared by the build side and the probe side (and
+    mirrored by :func:`duck_bloom_positions`), so they cannot drift."""
+    from lion_parcel_etl_spark.operators.sampling import id_hash
+
+    return [F.pmod(id_hash(key, f"{salt}{j}"), F.lit(m_bits)) for j in range(num_hashes)]
+
+
+def duck_bloom_positions(expr: str, m_bits: int, num_hashes: int, salt: str = "bloom"):
+    """DuckDB spelling of :func:`bloom_positions` for oracle SQL."""
+    from lion_parcel_etl_spark.operators.sampling import duck_id_hash
+
+    return [f"({duck_id_hash(expr, f'{salt}{j}')} % {m_bits})" for j in range(num_hashes)]
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int,
+    num_hashes: int = 3,
+    salt: str = "bloom",
+) -> list[int]:
+    """Aggregate the key set into a zero-filled list of
+    ``ceil(m_bits/63)`` words. One small groupBy over the key side;
+    the driver receives only the words (the IVF-centroid pattern —
+    a 1%-fp filter over 10M keys is ~280k longs), which callers embed
+    as a literal array so the probe is join-free."""
+    if m_bits % BLOOM_WORD_BITS:
+        raise ValueError(f"m_bits must be a multiple of {BLOOM_WORD_BITS}")
+    n_words = m_bits // BLOOM_WORD_BITS
+    pos = df.select(
+        F.explode(F.array(*bloom_positions(F.col(key_col), m_bits, num_hashes, salt))).alias("p")
+    )
+    rows = (
+        pos.select(
+            (F.col("p") / F.lit(BLOOM_WORD_BITS)).cast("bigint").alias("w"),
+            F.pow(F.lit(2.0), F.pmod(F.col("p"), F.lit(BLOOM_WORD_BITS))).cast("bigint").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in rows:
+        words[r["w"]] = r["bits"]
+    return words
+
+
+def bloom_probe(
+    key: Column, words: list[int], num_hashes: int = 3, salt: str = "bloom"
+) -> Column:
+    """Membership test as a pure projection over a literal word array:
+    true iff every hash position's bit is set. Whole-stage codegen'd,
+    zero shuffle, no join touches the probed side."""
+    m_bits = len(words) * BLOOM_WORD_BITS
+    arr = F.array(*[F.lit(w) for w in words])
+    cond = None
+    for p in bloom_positions(key, m_bits, num_hashes, salt):
+        word = F.element_at(arr, ((p / F.lit(BLOOM_WORD_BITS)).cast("bigint") + 1).cast("int"))
+        bit = F.pow(F.lit(2.0), F.pmod(p, F.lit(BLOOM_WORD_BITS))).cast("bigint")
+        hit = word.bitwiseAND(bit) != F.lit(0)
+        cond = hit if cond is None else cond & hit
+    return cond

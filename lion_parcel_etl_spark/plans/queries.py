@@ -1233,6 +1233,148 @@ SELECT doc_id, lang FROM (
 """
 
 
+RESERVOIR_K = 200
+
+
+def q_reservoir_sample(spark, sf_dir):
+    """Exact-k uniform corpus sample (operators/sampling.py
+    reservoir_sample): the k smallest id-hashes, deterministic and
+    append-stable. Plan is TakeOrderedAndProject — per-task k-heaps,
+    no global sort, only partitions*k rows reach the merge."""
+    from lion_parcel_etl_spark.operators.sampling import reservoir_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return reservoir_sample(docs, "doc_id", RESERVOIR_K).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _duck_reservoir_sample() -> str:
+    from lion_parcel_etl_spark.operators.sampling import duck_id_hash
+
+    return f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+ORDER BY {duck_id_hash('doc_id')} ASC, doc_id ASC
+LIMIT {RESERVOIR_K}
+"""
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Length-weighted exact-k sample (operators/sampling.py
+    weighted_sample): sequential Poisson sampling ranked by
+    u/weight with a deterministic hash uniform — inclusion odds
+    ~proportional to n_chars, bit-identically replayable in SQL
+    (only correctly-rounded casts and division, no libm). Same
+    TakeOrderedAndProject plan as reservoir_sample."""
+    from lion_parcel_etl_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", RESERVOIR_K).select(
+        "doc_id", "lang", "source", "n_chars", F.round("priority", 12).alias("priority")
+    )
+
+
+def _duck_weighted_sample() -> str:
+    from lion_parcel_etl_spark.operators.sampling import HASH_MOD, duck_id_hash
+
+    u = f"(CAST({duck_id_hash('doc_id')} + 1 AS DOUBLE) / {float(HASH_MOD)!r})"
+    pri = f"({u} / CAST(n_chars AS DOUBLE))"
+    return f"""
+SELECT doc_id, lang, source, n_chars, round({pri}, 12) AS priority
+FROM documents
+WHERE CAST(n_chars AS DOUBLE) > 0.0
+ORDER BY {pri} ASC, doc_id ASC
+LIMIT {RESERVOIR_K}
+"""
+
+
+BLOOM_M_BITS = 630  # 10 words of 63 bits; ~0.5% fp at 40 keys, h=3
+BLOOM_HASHES = 3
+
+
+def q_bloom_prefilter(spark, sf_dir):
+    """Bloom-prefiltered semi-join (operators/sketches.py): the key
+    set (parts with p_size=50) is folded into a 630-bit filter whose
+    words are embedded as a literal array, so pruning the big fact
+    side is a pure zero-shuffle projection — the explicit form of
+    Spark's runtime bloom join, for key sets too big to broadcast as
+    a hash relation but whose membership fits in bits. Survivors are
+    then verified exactly with a broadcast join (bloom guarantees no
+    false negatives), and the per-flag counts expose the measured
+    false-positive cost next to the exact answer."""
+    from lion_parcel_etl_spark.operators.sketches import bloom_build, bloom_probe
+
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    keys = part.filter(F.col("p_size") == 50).select("p_partkey")
+    words = bloom_build(keys, "p_partkey", BLOOM_M_BITS, BLOOM_HASHES)
+    cand = li.filter(bloom_probe(F.col("l_partkey"), words, BLOOM_HASHES))
+    marked = cand.join(
+        F.broadcast(keys.withColumnRenamed("p_partkey", "__k")),
+        cand["l_partkey"] == F.col("__k"),
+        "left",
+    )
+    hit = F.col("__k").isNotNull()
+    cents = F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100).cast(
+        "bigint"
+    )
+    return (
+        marked.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.when(hit, 1).otherwise(0)).alias("n_exact"),
+            F.sum(F.when(~hit, 1).otherwise(0)).alias("n_false_pos"),
+            (F.sum(F.when(hit, cents).otherwise(0)) / F.lit(100.0)).alias("exact_revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _duck_bloom_prefilter() -> str:
+    from lion_parcel_etl_spark.operators.sketches import (
+        BLOOM_WORD_BITS,
+        duck_bloom_positions,
+    )
+
+    n_words = BLOOM_M_BITS // BLOOM_WORD_BITS
+    build_pos = duck_bloom_positions("p_partkey", BLOOM_M_BITS, BLOOM_HASHES)
+    probe_pos = duck_bloom_positions("l_partkey", BLOOM_M_BITS, BLOOM_HASHES)
+    member = " AND ".join(
+        f"(arr[1 + ({p} // {BLOOM_WORD_BITS})] & "
+        f"CAST(pow(2, {p} % {BLOOM_WORD_BITS}) AS BIGINT)) <> 0"
+        for p in probe_pos
+    )
+    return f"""
+WITH keys AS (SELECT p_partkey FROM part WHERE p_size = 50),
+pos AS (SELECT unnest([{", ".join(build_pos)}]) AS p FROM keys),
+words AS (
+  SELECT p // {BLOOM_WORD_BITS} AS w,
+         bit_or(CAST(pow(2, p % {BLOOM_WORD_BITS}) AS BIGINT)) AS bits
+  FROM pos GROUP BY 1
+),
+warr AS (
+  SELECT list(COALESCE(words.bits, 0) ORDER BY r.range) AS arr
+  FROM range(0, {n_words}) r LEFT JOIN words ON words.w = r.range
+),
+cand AS (SELECT l.* FROM lineitem l, warr WHERE {member}),
+marked AS (
+  SELECT cand.*, keys.p_partkey IS NOT NULL AS hit
+  FROM cand LEFT JOIN keys ON cand.l_partkey = keys.p_partkey
+)
+SELECT l_returnflag,
+       COUNT(*) AS n_candidates,
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS n_false_pos,
+       SUM(CASE WHEN hit
+             THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+             ELSE 0 END) / 100.0 AS exact_revenue
+FROM marked
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 SOURCE_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 SOURCE_MIX_DEFAULT = 0.05
 
@@ -4871,6 +5013,9 @@ FROM debuts
 # ones) lead, so a sampled scoreboard covers them first; the rest
 # follow in their original order. Lookup semantics are unaffected.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "reservoir_sample": (q_reservoir_sample, _duck_reservoir_sample()),
+    "weighted_sample": (q_weighted_sample, _duck_weighted_sample()),
+    "bloom_prefilter": (q_bloom_prefilter, _duck_bloom_prefilter()),
     "asof_join_forward": (q_asof_join_forward, SQL_ASOF_FWD),
     "source_mix": (q_source_mix, _duck_source_mix()),
     "epoch_shuffle": (q_epoch_shuffle, _duck_epoch_shuffle()),

@@ -223,3 +223,85 @@ def test_interleave_by_weight_deterministic_and_layout_free(docs):
     b = {(r["doc_id"], r["vtime"]) for r in
          interleave_by_weight(docs.repartition(9), "doc_id", "source", weights).collect()}
     assert a == b
+
+
+def test_reservoir_sample_exact_k_and_layout_independent(docs):
+    from lion_parcel_etl_spark.operators.sampling import reservoir_sample
+
+    a = {r["doc_id"] for r in reservoir_sample(docs, "doc_id", 50).collect()}
+    b = {r["doc_id"] for r in reservoir_sample(docs.repartition(7), "doc_id", 50).collect()}
+    assert len(a) == 50 and a == b
+    c = {r["doc_id"] for r in reservoir_sample(docs, "doc_id", 50, salt="s2").collect()}
+    assert a != c  # a different salt draws an independent sample
+
+
+def test_reservoir_sample_append_stable(docs):
+    """Appending rows only evicts boundary rows: the new sample is a
+    subset of old-sample ∪ new-rows — no unrelated resampling, the
+    property randomSplit/takeSample lack."""
+    from lion_parcel_etl_spark.operators.sampling import reservoir_sample
+
+    old = docs.filter(F.col("n_chars") % 2 == 0)
+    before = {r["doc_id"] for r in reservoir_sample(old, "doc_id", 50).collect()}
+    after = {r["doc_id"] for r in reservoir_sample(docs, "doc_id", 50).collect()}
+    appended = {r["doc_id"] for r in docs.filter(F.col("n_chars") % 2 != 0).select("doc_id").collect()}
+    assert after <= before | appended
+
+
+def test_reservoir_sample_matches_brute_force_min_k(docs):
+    from lion_parcel_etl_spark.operators.sampling import id_hash, reservoir_sample
+
+    hashes = docs.select("doc_id", id_hash(F.col("doc_id")).alias("h")).collect()
+    want = {r["doc_id"] for r in sorted(hashes, key=lambda r: (r["h"], r["doc_id"]))[:25]}
+    got = {r["doc_id"] for r in reservoir_sample(docs, "doc_id", 25).collect()}
+    assert got == want
+
+
+def test_weighted_sample_matches_reference_priorities(docs):
+    """The k selected rows are exactly the k smallest u/weight
+    priorities recomputed row-by-row in Python."""
+    from lion_parcel_etl_spark.operators.sampling import (
+        HASH_MOD,
+        id_hash,
+        weighted_sample,
+    )
+
+    rows = docs.select("doc_id", "n_chars", id_hash(F.col("doc_id")).alias("h")).collect()
+    pri = sorted(
+        ((float(r["h"] + 1) / float(HASH_MOD)) / float(r["n_chars"]), r["doc_id"])
+        for r in rows
+        if r["n_chars"] > 0
+    )
+    want = {d for _, d in pri[:40]}
+    got = {r["doc_id"] for r in weighted_sample(docs, "doc_id", "n_chars", 40).collect()}
+    assert got == want
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """A row with 100x the weight of its peers should be sampled in
+    nearly every independent draw (inclusion ~ proportional to
+    weight); a featherweight row almost never."""
+    from lion_parcel_etl_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [("heavy", 10000.0)] + [(f"d{i}", 100.0) for i in range(100)] + [("light", 1.0)],
+        ["id", "w"],
+    )
+    heavy_hits = light_hits = 0
+    for s in range(12):
+        picked = {r["id"] for r in weighted_sample(df, "id", "w", 20, salt=f"t{s}").collect()}
+        heavy_hits += "heavy" in picked
+        light_hits += "light" in picked
+    assert heavy_hits >= 11
+    assert light_hits <= 2
+
+
+def test_weighted_sample_excludes_nonpositive_and_null_weights(spark):
+    from lion_parcel_etl_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("b", 0.0), ("c", -1.0), ("d", None), ("e", 2.0)],
+        ["id", "w"],
+    )
+    picked = {r["id"] for r in weighted_sample(df, "id", "w", 10).collect()}
+    assert picked == {"a", "e"}
