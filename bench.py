@@ -129,6 +129,7 @@ HEADLINE = [
     "ivf_topk",
     "dedup_embedding",
     "dedup_embedding_lsh",
+    "semantic_dedup",
     "embedding_lsh_incremental",
 ]
 

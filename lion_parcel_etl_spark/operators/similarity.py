@@ -1003,3 +1003,67 @@ def ivf_topk_seeded(
         .withColumn("rank", F.row_number().over(wk).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embedding space, then WITHIN
+    each cluster drop every vector whose cosine similarity to a
+    lower-id cluster-mate reaches ``threshold`` — the paper's exact
+    keep rule (pairwise sim matrix per cluster, remove anything that
+    matches an earlier point), which is declarative, order-free, and
+    needs no iteration. Returns (vec_id, cluster_id, kept) for the
+    whole corpus, so the caller can filter kept or audit removal rates
+    per cluster.
+
+    The quantizer is fixed at the deterministic lowest-id seeds (the
+    ivf_topk_seeded convention) and every similarity comparison
+    happens on round(cosine, 6), so the ENTIRE pipeline — assignment
+    argmax, within-cluster pair test — replays in the SQL oracle.
+
+    Scale shape: assignment is a broadcast cross join folded into an
+    argmax (corpus never shuffles by vector); the pair test shuffles
+    by cluster code and costs sum(|cluster|^2) — the SemDeDup design
+    point. n_centroids is the knob: grow it with the corpus so
+    per-cluster sizes stay bounded (the paper runs k=11k at 100M
+    vectors); a skew-degenerate giant cluster calls for re-seeding or
+    a within-cluster LSH pre-filter, the same escalation path as
+    embedding_near_dup_lsh."""
+    seeds = corpus.orderBy(id_col).limit(n_centroids).select(
+        F.col(id_col).alias("code"), F.col(vec_col).alias("sv")
+    )
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ev"))
+    sim_cs = F.round(cosine(F.col("ev"), F.col("sv")), 6)
+    asg = (
+        c.join(F.broadcast(seeds), how="cross")
+        .select(
+            "cid",
+            F.struct(sim_cs.alias("s"), (-F.col("code")).alias("nc")).alias("sc"),
+        )
+        .groupBy("cid")
+        .agg(F.max("sc").alias("m"))
+        .select("cid", (-F.col("m.nc")).cast("long").alias("code"))
+    )
+    withv = asg.join(c, "cid")
+    right = withv.select(
+        F.col("cid").alias("cid_b"), F.col("code").alias("code_b"), F.col("ev").alias("vb")
+    )
+    sim_ab = F.round(cosine(F.col("ev"), F.col("vb")), 6)
+    dups = (
+        withv.join(right, F.col("code") == F.col("code_b"))
+        .filter((F.col("cid_b") < F.col("cid")) & (sim_ab >= F.lit(threshold)))
+        .select("cid")
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return withv.join(dups, "cid", "left").select(
+        F.col("cid").alias(id_col),
+        F.col("code").alias("cluster_id"),
+        F.col("__dup").isNull().alias("kept"),
+    )

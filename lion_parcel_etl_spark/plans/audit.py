@@ -30,7 +30,9 @@ from pyspark.sql import DataFrame
 # frequent_tokens cross-join the broadcast ONE-ROW total-N (threshold /
 # provability guard); column_profile crosses its two ONE-ROW stat
 # aggregates; ivf_topk (refined) cross-joins the broadcast 16-row
-# seed/refined-centroid tables exactly like its seeded twin.
+# seed/refined-centroid tables exactly like its seeded twin;
+# semantic_dedup cross-joins the same broadcast 16-row seed table for
+# its assignment argmax.
 BNLJ_ALLOWED = frozenset(
     {
         "cosine_topk",
@@ -45,6 +47,7 @@ BNLJ_ALLOWED = frozenset(
         "heavy_hitters_exact",
         "frequent_tokens",
         "column_profile",
+        "semantic_dedup",
     }
 )
 
@@ -54,8 +57,12 @@ BNLJ_ALLOWED = frozenset(
 # forcing BHJ would be the scale bug. snapshot_diff (like
 # full_outer_join, kept flagged as the known-justified sentinel) is a
 # FULL-outer join: neither side can be the build side, so SMJ is the
-# only correct strategy.
-SMJ_ALLOWED = frozenset({"pagerank", "snapshot_diff"})
+# only correct strategy. semantic_dedup's kept-flag join (corpus LEFT
+# JOIN its own duplicate-id set on vec_id) is corpus-sized on BOTH
+# sides — the duplicate set grows with the corpus, so broadcasting it
+# would be the scale bug; a shuffle join on the id key is the honest
+# plan (AQE downgrades it to broadcast at small scale on its own).
+SMJ_ALLOWED = frozenset({"pagerank", "snapshot_diff", "semantic_dedup"})
 
 
 def formatted_plan(df: DataFrame) -> str:

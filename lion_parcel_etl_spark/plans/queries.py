@@ -2136,6 +2136,48 @@ FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
 """
 
 
+SEMANTIC_DEDUP_THRESHOLD = 0.35
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic dedup (similarity.semantic_dedup): coarse
+    seeded clustering of the embedding space, then within-cluster
+    removal of any vector cosine-matching a lower-id cluster-mate —
+    the embedding-space analogue of the MinHash near-dup → cluster →
+    representative text pipeline, with the pairwise test confined to
+    clusters (sum |cluster|^2, the paper's design point) instead of
+    the corpus. Fully declarative on rounded cosines, so assignment
+    AND the keep rule replay in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(emb, SEMANTIC_DEDUP_THRESHOLD, n_centroids=16)
+
+
+def _duck_semantic_dedup(n_centroids: int = 16) -> str:
+    cos_es = _duck_cos("e.embedding", "s.sv")
+    cos_ab = _duck_cos("a.ev", "b.ev")
+    return f"""
+WITH seeds AS MATERIALIZED (
+  SELECT vec_id AS code, embedding AS sv FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+), asg AS MATERIALIZED (
+  SELECT cid, code FROM (
+    SELECT e.vec_id AS cid, s.code,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({cos_es}, 6) DESC, s.code ASC) AS rn
+    FROM embeddings e CROSS JOIN seeds s
+  ) WHERE rn = 1
+), withv AS MATERIALIZED (
+  SELECT a.cid, a.code, e.embedding AS ev
+  FROM asg a JOIN embeddings e ON e.vec_id = a.cid
+), dup AS (
+  SELECT DISTINCT a.cid AS did
+  FROM withv a JOIN withv b ON a.code = b.code AND b.cid < a.cid
+  WHERE round({cos_ab}, 6) >= {SEMANTIC_DEDUP_THRESHOLD}
+)
+SELECT w.cid AS vec_id, w.code AS cluster_id, d.did IS NULL AS kept
+FROM withv w LEFT JOIN dup d ON d.did = w.cid
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force exact ANN baseline: top-5 cosine neighbors for the
     first 5 vectors."""
@@ -5013,6 +5055,7 @@ FROM debuts
 # ones) lead, so a sampled scoreboard covers them first; the rest
 # follow in their original order. Lookup semantics are unaffected.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "semantic_dedup": (q_semantic_dedup, _duck_semantic_dedup()),
     "reservoir_sample": (q_reservoir_sample, _duck_reservoir_sample()),
     "weighted_sample": (q_weighted_sample, _duck_weighted_sample()),
     "bloom_prefilter": (q_bloom_prefilter, _duck_bloom_prefilter()),

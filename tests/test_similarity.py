@@ -382,3 +382,67 @@ def test_quantized_vectors_preserve_topk_recall(spark, sf_dir):
     a = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=5).collect()}
     b = {(r.query_id, r.neighbor_id) for r in cosine_topk(deq, q, k=5).collect()}
     assert len(a & b) / len(a) >= 0.9
+
+
+@needs_td
+def test_semantic_dedup_matches_numpy_reference(spark, emb):
+    """Assignment + within-cluster keep rule replayed row-by-row in
+    numpy (same rounded cosines, same tie-breaks)."""
+    import numpy as np
+
+    from lion_parcel_etl_spark.operators.similarity import semantic_dedup
+
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    V = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+
+    def cos(a, b):
+        na, nb = np.sqrt(a @ a), np.sqrt(b @ b)
+        return round(float(a @ b) / (na * nb), 6) if na * nb > 0 else 0.0
+
+    seeds = [r.vec_id for r in rows[:8]]
+    assign = {}
+    for vid, v in V.items():
+        best = max(seeds, key=lambda s: (cos(v, V[s]), -s))
+        assign[vid] = best
+    dropped = set()
+    for vid, v in V.items():
+        for other, w in V.items():
+            if other < vid and assign[other] == assign[vid] and cos(v, w) >= 0.35:
+                dropped.add(vid)
+                break
+
+    out = semantic_dedup(emb, 0.35, n_centroids=8).collect()
+    got_assign = {r.vec_id: r.cluster_id for r in out}
+    got_dropped = {r.vec_id for r in out if not r.kept}
+    assert got_assign == assign
+    assert got_dropped == dropped
+
+
+@needs_td
+def test_semantic_dedup_total_and_layout_independent(spark, emb):
+    from lion_parcel_etl_spark.operators.similarity import semantic_dedup
+
+    a = {(r.vec_id, r.cluster_id, r.kept) for r in semantic_dedup(emb, 0.35).collect()}
+    b = {
+        (r.vec_id, r.cluster_id, r.kept)
+        for r in semantic_dedup(emb.repartition(7), 0.35).collect()
+    }
+    assert a == b
+    assert len(a) == emb.count()  # verdict for every vector, none lost
+    # the lowest-id member of every cluster has no earlier cluster-mate
+    lowest = {}
+    for vid, cl, _ in sorted(a):
+        lowest.setdefault(cl, vid)
+    kept = {vid for vid, _, k in a if k}
+    assert set(lowest.values()) <= kept
+
+
+@needs_td
+def test_semantic_dedup_threshold_monotone(spark, emb):
+    """Raising the threshold can only keep MORE vectors (fewer pairs
+    qualify as duplicates)."""
+    from lion_parcel_etl_spark.operators.similarity import semantic_dedup
+
+    loose = {r.vec_id for r in semantic_dedup(emb, 0.30).collect() if r.kept}
+    tight = {r.vec_id for r in semantic_dedup(emb, 0.60).collect() if r.kept}
+    assert loose <= tight
