@@ -268,10 +268,20 @@ def frequent_items_exact(
 # (spark.sql.optimizer.runtime.bloomFilter.*), exposed as an explicit,
 # deterministic operator: when the filtering side of a semi-join is too
 # big to broadcast as a hash relation but its MEMBERSHIP fits in a few
-# MB of bits (10M keys ~ 17 MB at 1% fp), ship the bits and prune the
-# 100 TB side with a pure projection — zero shuffle, no join — then
+# MB of bits (10M keys ~ 20 MB at ~0.9% fp), ship the bits and prune
+# the 100 TB side with a pure projection — zero shuffle, no join — then
 # verify the survivors exactly. False-positive rate for m bits, h
 # hashes, n keys is (1 - e^(-hn/m))^h; no false negatives ever.
+#
+# The filter is sized FROM THE KEY COUNT (13 bits/key at h=3 → ~0.9%
+# fp) with integer-only arithmetic, so the oracle recomputes the same
+# m from COUNT(*) — a fixed m silently saturates as the key set grows
+# (measured: 630 bits over the 10x key set pushed fp from 0.5% to 5.6%
+# and quintupled the verify-side work). Probe-side hash cost rides the
+# AND short-circuit: on a correctly-sized filter the first bit test
+# rejects ~80% of non-members, so the 2nd/3rd md5 evaluations are paid
+# by members and false positives only (~1.2 hashes/row amortized;
+# measured, since filter codegen does NOT subexpression-eliminate).
 #
 # Words carry 63 bits each (bit index 0..62), never touching the sign
 # bit, so membership needs no shift operators at all — only
@@ -280,6 +290,22 @@ def frequent_items_exact(
 # the whole build + probe SQL-replayable for the oracle.
 
 BLOOM_WORD_BITS = 63
+BLOOM_BITS_PER_KEY = 13
+
+
+def bloom_n_words(n_keys: int) -> int:
+    """Words for ``n_keys`` at 13 bits/key — integer-only (float
+    sizing could differ by one ulp between engines), min 1 word so an
+    empty key set yields an all-zero filter, not a modulo-by-zero."""
+    return max(1, (BLOOM_BITS_PER_KEY * n_keys + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS)
+
+
+def duck_bloom_n_words(count_expr: str) -> str:
+    """DuckDB spelling of :func:`bloom_n_words` for oracle SQL."""
+    return (
+        f"greatest(1, ({BLOOM_BITS_PER_KEY} * {count_expr} + {BLOOM_WORD_BITS - 1})"
+        f" // {BLOOM_WORD_BITS})"
+    )
 
 
 def bloom_positions(key: Column, m_bits: int, num_hashes: int, salt: str = "bloom"):
@@ -291,28 +317,29 @@ def bloom_positions(key: Column, m_bits: int, num_hashes: int, salt: str = "bloo
     return [F.pmod(id_hash(key, f"{salt}{j}"), F.lit(m_bits)) for j in range(num_hashes)]
 
 
-def duck_bloom_positions(expr: str, m_bits: int, num_hashes: int, salt: str = "bloom"):
-    """DuckDB spelling of :func:`bloom_positions` for oracle SQL."""
+def duck_bloom_positions(expr: str, m_expr: str, num_hashes: int, salt: str = "bloom"):
+    """DuckDB spelling of :func:`bloom_positions` for oracle SQL;
+    ``m_expr`` is an SQL expression (the oracle derives m from the
+    key count, mirroring :func:`bloom_n_words`)."""
     from lion_parcel_etl_spark.operators.sampling import duck_id_hash
 
-    return [f"({duck_id_hash(expr, f'{salt}{j}')} % {m_bits})" for j in range(num_hashes)]
+    return [f"({duck_id_hash(expr, f'{salt}{j}')} % ({m_expr}))" for j in range(num_hashes)]
 
 
 def bloom_build(
     df: DataFrame,
     key_col: str,
-    m_bits: int,
     num_hashes: int = 3,
     salt: str = "bloom",
 ) -> list[int]:
     """Aggregate the key set into a zero-filled list of
-    ``ceil(m_bits/63)`` words. One small groupBy over the key side;
-    the driver receives only the words (the IVF-centroid pattern —
-    a 1%-fp filter over 10M keys is ~280k longs), which callers embed
-    as a literal array so the probe is join-free."""
-    if m_bits % BLOOM_WORD_BITS:
-        raise ValueError(f"m_bits must be a multiple of {BLOOM_WORD_BITS}")
-    n_words = m_bits // BLOOM_WORD_BITS
+    ``bloom_n_words(count)`` words. A count plus one small groupBy
+    over the key side; the driver receives only the words (the
+    IVF-centroid pattern — a ~0.9%-fp filter over 10M keys is ~320k
+    longs), which callers embed as a literal array so the probe is
+    join-free."""
+    n_words = bloom_n_words(df.count())
+    m_bits = n_words * BLOOM_WORD_BITS
     pos = df.select(
         F.explode(F.array(*bloom_positions(F.col(key_col), m_bits, num_hashes, salt))).alias("p")
     )
@@ -336,9 +363,17 @@ def bloom_probe(
 ) -> Column:
     """Membership test as a pure projection over a literal word array:
     true iff every hash position's bit is set. Whole-stage codegen'd,
-    zero shuffle, no join touches the probed side."""
+    zero shuffle, no join touches the probed side.
+
+    The words MUST be one true array Literal (``F.lit(list)``), not
+    ``F.array(lit, lit, ...)``: CreateArray is rebuilt per row per
+    conjunct (measured 1.7x slower at 83 words over 6M rows), a cost
+    that would scale with filter size — exactly wrong for the big-key-
+    set regime this operator exists for. Conjunct order rides codegen
+    short-circuiting: on a correctly sized filter the first bit test
+    rejects most non-members, so later md5 evaluations are rare."""
     m_bits = len(words) * BLOOM_WORD_BITS
-    arr = F.array(*[F.lit(w) for w in words])
+    arr = F.lit(words)
     cond = None
     for p in bloom_positions(key, m_bits, num_hashes, salt):
         word = F.element_at(arr, ((p / F.lit(BLOOM_WORD_BITS)).cast("bigint") + 1).cast("int"))

@@ -1289,26 +1289,26 @@ LIMIT {RESERVOIR_K}
 """
 
 
-BLOOM_M_BITS = 630  # 10 words of 63 bits; ~0.5% fp at 40 keys, h=3
 BLOOM_HASHES = 3
 
 
 def q_bloom_prefilter(spark, sf_dir):
     """Bloom-prefiltered semi-join (operators/sketches.py): the key
-    set (parts with p_size=50) is folded into a 630-bit filter whose
-    words are embedded as a literal array, so pruning the big fact
-    side is a pure zero-shuffle projection — the explicit form of
-    Spark's runtime bloom join, for key sets too big to broadcast as
-    a hash relation but whose membership fits in bits. Survivors are
-    then verified exactly with a broadcast join (bloom guarantees no
-    false negatives), and the per-flag counts expose the measured
+    set (parts with p_size=50) is folded into a count-sized bloom
+    filter (13 bits/key, ~0.9% fp) whose words are embedded as a
+    literal array, so pruning the big fact side is a pure
+    zero-shuffle projection — the explicit form of Spark's runtime
+    bloom join, for key sets too big to broadcast as a hash relation
+    but whose membership fits in bits. Survivors are then verified
+    exactly with a broadcast join (bloom guarantees no false
+    negatives), and the per-flag counts expose the measured
     false-positive cost next to the exact answer."""
     from lion_parcel_etl_spark.operators.sketches import bloom_build, bloom_probe
 
     part = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
     keys = part.filter(F.col("p_size") == 50).select("p_partkey")
-    words = bloom_build(keys, "p_partkey", BLOOM_M_BITS, BLOOM_HASHES)
+    words = bloom_build(keys, "p_partkey", BLOOM_HASHES)
     cand = li.filter(bloom_probe(F.col("l_partkey"), words, BLOOM_HASHES))
     marked = cand.join(
         F.broadcast(keys.withColumnRenamed("p_partkey", "__k")),
@@ -1334,12 +1334,13 @@ def q_bloom_prefilter(spark, sf_dir):
 def _duck_bloom_prefilter() -> str:
     from lion_parcel_etl_spark.operators.sketches import (
         BLOOM_WORD_BITS,
+        duck_bloom_n_words,
         duck_bloom_positions,
     )
 
-    n_words = BLOOM_M_BITS // BLOOM_WORD_BITS
-    build_pos = duck_bloom_positions("p_partkey", BLOOM_M_BITS, BLOOM_HASHES)
-    probe_pos = duck_bloom_positions("l_partkey", BLOOM_M_BITS, BLOOM_HASHES)
+    m_expr = "mc.m"
+    build_pos = duck_bloom_positions("p_partkey", m_expr, BLOOM_HASHES)
+    probe_pos = duck_bloom_positions("l_partkey", m_expr, BLOOM_HASHES)
     member = " AND ".join(
         f"(arr[1 + ({p} // {BLOOM_WORD_BITS})] & "
         f"CAST(pow(2, {p} % {BLOOM_WORD_BITS}) AS BIGINT)) <> 0"
@@ -1347,17 +1348,23 @@ def _duck_bloom_prefilter() -> str:
     )
     return f"""
 WITH keys AS (SELECT p_partkey FROM part WHERE p_size = 50),
-pos AS (SELECT unnest([{", ".join(build_pos)}]) AS p FROM keys),
+mc AS (
+  SELECT nw * {BLOOM_WORD_BITS} AS m, nw FROM (
+    SELECT {duck_bloom_n_words("COUNT(*)")} AS nw FROM keys
+  )
+),
+pos AS (SELECT unnest([{", ".join(build_pos)}]) AS p FROM keys CROSS JOIN mc),
 words AS (
   SELECT p // {BLOOM_WORD_BITS} AS w,
          bit_or(CAST(pow(2, p % {BLOOM_WORD_BITS}) AS BIGINT)) AS bits
   FROM pos GROUP BY 1
 ),
 warr AS (
-  SELECT list(COALESCE(words.bits, 0) ORDER BY r.range) AS arr
-  FROM range(0, {n_words}) r LEFT JOIN words ON words.w = r.range
+  SELECT list(COALESCE(words.bits, 0) ORDER BY g.i) AS arr
+  FROM (SELECT unnest(generate_series(0, (SELECT nw FROM mc) - 1)) AS i) g
+  LEFT JOIN words ON words.w = g.i
 ),
-cand AS (SELECT l.* FROM lineitem l, warr WHERE {member}),
+cand AS (SELECT l.* FROM lineitem l, warr, mc WHERE {member}),
 marked AS (
   SELECT cand.*, keys.p_partkey IS NOT NULL AS hit
   FROM cand LEFT JOIN keys ON cand.l_partkey = keys.p_partkey

@@ -225,28 +225,35 @@ def test_bloom_no_false_negatives_and_bounded_fp(spark):
     from lion_parcel_etl_spark.operators.sketches import bloom_build, bloom_probe
 
     keys = spark.range(0, 60).select(F.col("id").alias("k"))
-    words = bloom_build(keys, "k", m_bits=630, num_hashes=3)
+    words = bloom_build(keys, "k", num_hashes=3)
     probe = spark.range(0, 20000).select(F.col("id").alias("k"))
     flagged = probe.filter(bloom_probe(F.col("k"), words, 3))
     got = {r["k"] for r in flagged.collect()}
     assert set(range(60)) <= got  # bloom never drops a real member
-    # fp rate (1 - e^(-hn/m))^h ~ 2.0% here; allow 3x headroom
+    # count-sized filter targets (1 - e^(-hn/m))^h ~ 0.9%; 3x headroom
     fp = len(got - set(range(60))) / (20000 - 60)
-    assert fp < 0.06
+    assert fp < 0.03
 
 
 def test_bloom_build_matches_python_reference(spark):
     """The collected words equal a row-by-row Python rebuild of the
-    same md5 positions — the structure the oracle SQL re-derives."""
+    same md5 positions and count-derived sizing — the structure the
+    oracle SQL re-derives."""
     import hashlib
 
-    from lion_parcel_etl_spark.operators.sketches import BLOOM_WORD_BITS, bloom_build
+    from lion_parcel_etl_spark.operators.sketches import (
+        BLOOM_WORD_BITS,
+        bloom_build,
+        bloom_n_words,
+    )
 
     keys = [f"key{i}" for i in range(37)]
     df = spark.createDataFrame([(k,) for k in keys], ["k"])
-    m, h = 630, 3
-    words = bloom_build(df, "k", m_bits=m, num_hashes=h)
-    want = [0] * (m // BLOOM_WORD_BITS)
+    h = 3
+    words = bloom_build(df, "k", num_hashes=h)
+    n_words = bloom_n_words(len(keys))
+    m = n_words * BLOOM_WORD_BITS
+    want = [0] * n_words
     for k in keys:
         for j in range(h):
             p = int(hashlib.md5(f"{k}bloom{j}".encode()).hexdigest()[:15], 16) % m
@@ -260,7 +267,7 @@ def test_bloom_probe_is_projection_only(spark):
     from lion_parcel_etl_spark.operators.sketches import bloom_build, bloom_probe
 
     keys = spark.range(0, 40).select(F.col("id").alias("k"))
-    words = bloom_build(keys, "k", m_bits=630, num_hashes=3)
+    words = bloom_build(keys, "k", num_hashes=3)
     plan = (
         spark.range(0, 1000)
         .select(F.col("id").alias("k"))
@@ -272,11 +279,11 @@ def test_bloom_probe_is_projection_only(spark):
     assert "Join" not in plan and "Exchange" not in plan
 
 
-def test_bloom_build_rejects_bad_width(spark):
-    import pytest as _pytest
+def test_bloom_empty_key_set_matches_nothing(spark):
+    from lion_parcel_etl_spark.operators.sketches import bloom_build, bloom_probe
 
-    from lion_parcel_etl_spark.operators.sketches import bloom_build
-
-    keys = spark.range(0, 5).select(F.col("id").alias("k"))
-    with _pytest.raises(ValueError):
-        bloom_build(keys, "k", m_bits=100, num_hashes=3)
+    keys = spark.range(0, 0).select(F.col("id").alias("k"))
+    words = bloom_build(keys, "k", num_hashes=3)
+    assert words == [0]
+    probe = spark.range(0, 500).select(F.col("id").alias("k"))
+    assert probe.filter(bloom_probe(F.col("k"), words, 3)).count() == 0
