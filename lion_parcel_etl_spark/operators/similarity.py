@@ -1035,11 +1035,24 @@ def semantic_dedup(
     vectors); a skew-degenerate giant cluster calls for re-seeding or
     a within-cluster LSH pre-filter, the same escalation path as
     embedding_near_dup_lsh."""
+    # norms staged once per VECTOR (cosine_prenormed): the fold
+    # expressions are CodegenFallback with no CSE, so inline cosine
+    # would re-run both norm folds per (vector, seed) in assignment
+    # and per PAIR in the quadratic stage — 3x the fold count where
+    # it hurts most (measured 1.7x end-to-end at sf0.1)
     seeds = corpus.orderBy(id_col).limit(n_centroids).select(
-        F.col(id_col).alias("code"), F.col(vec_col).alias("sv")
+        F.col(id_col).alias("code"),
+        F.col(vec_col).alias("sv"),
+        norm(F.col(vec_col)).alias("ns"),
     )
-    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ev"))
-    sim_cs = F.round(cosine(F.col("ev"), F.col("sv")), 6)
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("ev"),
+        norm(F.col(vec_col)).alias("nv"),
+    )
+    sim_cs = F.round(
+        cosine_prenormed(F.col("ev"), F.col("sv"), F.col("nv"), F.col("ns")), 6
+    )
     asg = (
         c.join(F.broadcast(seeds), how="cross")
         .select(
@@ -1052,9 +1065,14 @@ def semantic_dedup(
     )
     withv = asg.join(c, "cid")
     right = withv.select(
-        F.col("cid").alias("cid_b"), F.col("code").alias("code_b"), F.col("ev").alias("vb")
+        F.col("cid").alias("cid_b"),
+        F.col("code").alias("code_b"),
+        F.col("ev").alias("vb"),
+        F.col("nv").alias("nb"),
     )
-    sim_ab = F.round(cosine(F.col("ev"), F.col("vb")), 6)
+    sim_ab = F.round(
+        cosine_prenormed(F.col("ev"), F.col("vb"), F.col("nv"), F.col("nb")), 6
+    )
     dups = (
         withv.join(right, F.col("code") == F.col("code_b"))
         .filter((F.col("cid_b") < F.col("cid")) & (sim_ab >= F.lit(threshold)))
