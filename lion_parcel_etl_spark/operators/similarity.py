@@ -958,16 +958,25 @@ def ivf_topk_seeded(
     broadcast; only candidates from probed lists are exactly
     re-ranked."""
     # lowest-id seed vectors via orderBy+limit (filter(id < n) would
-    # empty the quantizer on non-dense id spaces — see pq_topk)
+    # empty the quantizer on non-dense id spaces — see pq_topk).
+    # norms staged once per vector/seed (cosine_prenormed): inline
+    # cosine would re-run the corpus-side norm fold once per SEED per
+    # row in the assignment cross join — n_centroids redundant
+    # 64-element CodegenFallback folds per corpus vector
     seeds = corpus.orderBy(id_col).limit(n_centroids).select(
-        F.col(id_col).alias("code"), F.col(vec_col).alias("sv")
+        F.col(id_col).alias("code"),
+        F.col(vec_col).alias("sv"),
+        norm(F.col(vec_col)).alias("ns"),
     )
     c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ev"))
-    sim_cs = F.round(cosine(F.col("ev"), F.col("sv")), 6)
+    cn = c.select("cid", "ev", norm(F.col("ev")).alias("nv"))
+    sim_cs = F.round(
+        cosine_prenormed(F.col("ev"), F.col("sv"), F.col("nv"), F.col("ns")), 6
+    )
     # argmax with min-code tie-break: max of (sim, -code), negate back
     asg = (
-        c.join(F.broadcast(seeds), how="cross")
-        .select("cid", "ev", F.struct(sim_cs.alias("s"), (-F.col("code")).alias("nc")).alias("sc"))
+        cn.join(F.broadcast(seeds), how="cross")
+        .select("cid", F.struct(sim_cs.alias("s"), (-F.col("code")).alias("nc")).alias("sc"))
         .groupBy("cid")
         .agg(F.max("sc").alias("m"))
         .select("cid", (-F.col("m.nc")).cast("long").alias("code"))
