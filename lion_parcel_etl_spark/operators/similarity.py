@@ -111,16 +111,28 @@ def cosine_topk(
     Self-matches (same id) are excluded. Ties broken by neighbor id so
     results are total-ordered and reproducible.
     """
+    # norms staged once per side (cosine_prenormed, bit-identical):
+    # inline cosine would re-run the corpus vector's norm fold once
+    # per QUERY in the broadcast pair join
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("nq"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("nc"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cosine_sim"),
+            F.round(
+                cosine_prenormed(F.col("qv"), F.col("cv"), F.col("nq"), F.col("nc")),
+                round_digits,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
