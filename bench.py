@@ -116,6 +116,7 @@ HEADLINE = [
     "tfidf_topk",
     "bm25_rank",
     "token_frequency",
+    "pmi_collocations",
     "lm_surprisal",
     "doc_chunking",
     "embedding_centroids",

@@ -32,7 +32,8 @@ from pyspark.sql import DataFrame
 # aggregates; ivf_topk (refined) cross-joins the broadcast 16-row
 # seed/refined-centroid tables exactly like its seeded twin;
 # semantic_dedup cross-joins the same broadcast 16-row seed table for
-# its assignment argmax.
+# its assignment argmax; pmi_collocations crosses its two broadcast
+# ONE-ROW token/bigram totals (the lm_surprisal pattern).
 BNLJ_ALLOWED = frozenset(
     {
         "cosine_topk",
@@ -48,6 +49,7 @@ BNLJ_ALLOWED = frozenset(
         "frequent_tokens",
         "column_profile",
         "semantic_dedup",
+        "pmi_collocations",
     }
 )
 

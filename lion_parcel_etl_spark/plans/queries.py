@@ -3348,6 +3348,87 @@ LIMIT {VOCAB_TOPK}
 """
 
 
+PMI_MIN_COUNT = 5
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Collocation mining by pointwise mutual information — the
+    classic phrase-discovery statistic for tokenizer/vocab curation
+    (merge "new york"-like pairs before BPE training): PMI(w1,w2) =
+    log2(p(w1,w2) / (p(w1)p(w2))) with bigram probability from the
+    bigram table and unigram probabilities from the token table,
+    min-count {PMI_MIN_COUNT} to suppress noise. Ranking happens on
+    round(pmi, 6) with a lexical tiebreak so a last-ulp libm
+    difference between engines cannot reorder the top-k.
+
+    Scale shape: two partial-agg shuffles (bigram + unigram counts),
+    two vocabulary-sized joins that AQE broadcasts when small (the
+    tfidf df-table pattern), scalar totals as broadcast one-row
+    aggregates, TakeOrderedAndProject top-k."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(DD.tokens(F.col("text")).alias("__toks"))
+    toks = F.col("__toks")
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.arrays_zip(F.slice(toks, 1, m), F.slice(toks, 2, m))
+    bg = (
+        toked.select(F.explode(pairs).alias("p"))
+        .select(F.col("p")["0"].alias("w1"), F.col("p")["1"].alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= PMI_MIN_COUNT)
+    )
+    uni = (
+        toked.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n1 = toked.select(F.sum(F.size(toks)).alias("n1"))
+    n2 = toked.select(F.sum(F.greatest(F.size(toks) - 1, F.lit(0))).alias("n2"))
+    pmi = F.round(
+        F.log2(
+            (F.col("c12").cast("double") / F.col("n2").cast("double"))
+            / (
+                (F.col("c1").cast("double") / F.col("n1").cast("double"))
+                * (F.col("c2").cast("double") / F.col("n1").cast("double"))
+            )
+        ),
+        6,
+    )
+    return (
+        bg.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(100)
+    )
+
+
+SQL_PMI = f"""
+WITH toked AS MATERIALIZED (SELECT {_DUCK_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM (
+    SELECT toks[CAST(i AS INTEGER)] AS w1, toks[CAST(i + 1 AS INTEGER)] AS w2
+    FROM toked, LATERAL unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS t(i)
+  ) GROUP BY w1, w2 HAVING COUNT(*) >= {PMI_MIN_COUNT}
+),
+uni AS (SELECT w, COUNT(*) AS c FROM (SELECT unnest(toks) AS w FROM toked) GROUP BY w),
+n1 AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS n1 FROM toked),
+n2 AS (SELECT CAST(SUM(greatest(len(toks) - 1, 0)) AS BIGINT) AS n2 FROM toked)
+SELECT w1, w2, c12,
+       round(log2((CAST(c12 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             / ((CAST(u1.c AS DOUBLE) / CAST(n1 AS DOUBLE))
+                * (CAST(u2.c AS DOUBLE) / CAST(n1 AS DOUBLE)))), 6) AS pmi
+FROM bg
+JOIN uni u1 ON bg.w1 = u1.w
+JOIN uni u2 ON bg.w2 = u2.w
+CROSS JOIN n1 CROSS JOIN n2
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT 100
+"""
+
+
 def q_doc_chunking(spark, sf_dir):
     """Fixed-size token chunking with overlap (training-sample maker):
     windows of {CHUNK_SIZE} tokens every {CHUNK_STRIDE} — pure per-row
@@ -5063,6 +5144,7 @@ FROM debuts
 # follow in their original order. Lookup semantics are unaffected.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "semantic_dedup": (q_semantic_dedup, _duck_semantic_dedup()),
+    "pmi_collocations": (q_pmi_collocations, SQL_PMI),
     "reservoir_sample": (q_reservoir_sample, _duck_reservoir_sample()),
     "weighted_sample": (q_weighted_sample, _duck_weighted_sample()),
     "bloom_prefilter": (q_bloom_prefilter, _duck_bloom_prefilter()),
