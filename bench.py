@@ -117,6 +117,7 @@ HEADLINE = [
     "bm25_rank",
     "token_frequency",
     "pmi_collocations",
+    "bpe_merges",
     "lm_surprisal",
     "doc_chunking",
     "embedding_centroids",

@@ -401,3 +401,83 @@ def compression_ratio(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
         F.col(id_col),
         F.round(_ratio(F.col(text_col)), 6).alias("compression_ratio"),
     )
+
+
+def _bpe_merge_step(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right replacement of the adjacent symbol pair
+    (left, right) with their concatenation — one learned BPE merge
+    applied to a symbol sequence, as a pure array fold (no UDF). The
+    fold consumes the merged token (no re-matching against its own
+    output), the standard non-overlapping greedy application: 'xxxx'
+    under (x,x) becomes [xx, xx], 'aaa' under (a,a) becomes [aa, a]."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(left + right))),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    k_merges: int = 3,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Learn the first ``k_merges`` byte-pair-encoding merges over the
+    corpus (Sennrich et al. 2016, arXiv:1508.07909) — the tokenizer-
+    training step of a pretraining pipeline, distributed the way real
+    BPE trainers scale: ONE corpus-sized aggregation builds the
+    word-frequency vocabulary, and every iteration after that runs on
+    the VOCABULARY table (distinct words x their symbol sequences,
+    weighted by count) — per-merge cost is independent of corpus size.
+
+    Each iteration counts adjacent symbol pairs (overlapping, weighted
+    by word frequency — the get_stats convention), picks the argmax
+    with a lexical tie-break, and applies it greedily left-to-right
+    via :func:`_bpe_merge_step`. Only the single argmax row reaches
+    the driver per iteration (the IVF-centroid pattern: the learned
+    merge IS driver-sized, and the next plan embeds it as literals);
+    the vocabulary is localCheckpointed per round like the
+    connected-components loop, so lineage stays flat across merges.
+
+    Returns the learned merge table (step, lhs, rhs, pair_count) —
+    k_merges rows, the artifact a tokenizer trainer persists. Rounds
+    stop early if no adjacent pair remains.
+    """
+    from lion_parcel_etl_spark.operators.dedup import tokens
+
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    seqs = words.select(F.split("w", "").alias("syms"), "cnt").localCheckpoint()
+    learned: list[tuple[int, str, str, int]] = []
+    for step in range(1, k_merges + 1):
+        n = F.greatest(F.size("syms") - 1, F.lit(0))
+        zipped = F.arrays_zip(F.slice("syms", 1, n), F.slice("syms", 2, n))
+        best = (
+            seqs.select(F.explode(zipped).alias("p"), "cnt")
+            .select(F.col("p")["0"].alias("s1"), F.col("p")["1"].alias("s2"), "cnt")
+            .groupBy("s1", "s2")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), F.col("s1").asc(), F.col("s2").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        r = best[0]
+        learned.append((step, r["s1"], r["s2"], r["pair_count"]))
+        seqs = seqs.select(
+            _bpe_merge_step(F.col("syms"), r["s1"], r["s2"]).alias("syms"), "cnt"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        learned, "step int, lhs string, rhs string, pair_count long"
+    )

@@ -3348,6 +3348,59 @@ LIMIT {VOCAB_TOPK}
 """
 
 
+BPE_K_MERGES = 3
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training, first {BPE_K_MERGES}
+    merges (operators/text.py bpe_merges): one corpus-sized token
+    aggregation builds the word-frequency vocabulary, then every
+    merge round runs on the vocabulary table only — per-merge cost
+    independent of corpus size, the way real BPE trainers scale. The
+    merge argmax (one row) is the only thing the driver sees per
+    round; the greedy pair replacement is a pure array fold the
+    DuckDB oracle replays with list_reduce."""
+    from lion_parcel_etl_spark.operators.text import bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_merges(docs, "text", k_merges=BPE_K_MERGES)
+
+
+def _duck_bpe_merges(k: int = BPE_K_MERGES) -> str:
+    merge_fold = (
+        "list_reduce(list_transform(syms, c -> [c]), "
+        "(acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = b.s1 AND x[1] = b.s2 "
+        "THEN list_concat(acc[1:len(acc)-1], [b.s1 || b.s2]) "
+        "ELSE list_concat(acc, x) END)"
+    )
+    ctes = [
+        "words AS MATERIALIZED (SELECT w, COUNT(*) AS cnt FROM "
+        f"(SELECT unnest({_DUCK_TOKS}) AS w FROM documents) GROUP BY w)",
+        "seq0 AS MATERIALIZED (SELECT string_split(w, '') AS syms, cnt FROM words)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"best{i} AS MATERIALIZED (\n"
+            f"  SELECT s1, s2, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (\n"
+            f"    SELECT syms[CAST(i AS INTEGER)] AS s1,\n"
+            f"           syms[CAST(i + 1 AS INTEGER)] AS s2, cnt\n"
+            f"    FROM seq{i - 1}, LATERAL unnest(range(1, len(syms))) AS t(i)\n"
+            f"  ) GROUP BY s1, s2\n"
+            f"  ORDER BY pair_count DESC, s1 ASC, s2 ASC LIMIT 1\n"
+            f")"
+        )
+        if i < k:
+            ctes.append(
+                f"seq{i} AS MATERIALIZED (SELECT {merge_fold} AS syms, cnt "
+                f"FROM seq{i - 1} CROSS JOIN best{i} b)"
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, s1 AS lhs, s2 AS rhs, pair_count FROM best{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
 PMI_MIN_COUNT = 5
 
 
@@ -5145,6 +5198,7 @@ FROM debuts
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "semantic_dedup": (q_semantic_dedup, _duck_semantic_dedup()),
     "pmi_collocations": (q_pmi_collocations, SQL_PMI),
+    "bpe_merges": (q_bpe_merges, _duck_bpe_merges()),
     "reservoir_sample": (q_reservoir_sample, _duck_reservoir_sample()),
     "weighted_sample": (q_weighted_sample, _duck_weighted_sample()),
     "bloom_prefilter": (q_bloom_prefilter, _duck_bloom_prefilter()),

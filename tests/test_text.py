@@ -234,3 +234,67 @@ def test_quality_score_null_text_is_zero(spark):
     got = [r.q for r in df.select(quality_score(F.col("text")).alias("q")).collect()]
     assert got[0] == 0.0
     assert got[1] is not None and got[1] <= 0.4  # empty string: punct score only
+
+
+def test_bpe_merge_step_greedy_nonoverlap(spark):
+    from pyspark.sql import functions as F
+
+    from lion_parcel_etl_spark.operators.text import _bpe_merge_step
+
+    df = spark.createDataFrame([("aabab",), ("abab",), ("aaa",), ("b",)], ["w"])
+    out = df.select(_bpe_merge_step(F.split("w", ""), "a", "b").alias("m")).collect()
+    assert [r["m"] for r in out] == [["a", "ab", "ab"], ["ab", "ab"], ["a", "a", "a"], ["b"]]
+    out2 = df.select(_bpe_merge_step(F.split("w", ""), "a", "a").alias("m")).collect()
+    assert out2[2]["m"] == ["aa", "a"]  # merged token never re-matches its own output
+
+
+def test_bpe_merges_matches_python_reference(spark):
+    """The learned merge sequence equals a sequential Python BPE
+    trainer (overlapping pair counts weighted by word frequency,
+    lexical tie-break, greedy non-overlapping application)."""
+    from lion_parcel_etl_spark.operators.text import bpe_merges
+
+    corpus = ["low low lower lowest", "newer newer new", "low newer"]
+    df = spark.createDataFrame([(t,) for t in corpus], ["text"])
+
+    words: dict[str, int] = {}
+    for t in corpus:
+        for w in t.lower().split():
+            words[w] = words.get(w, 0) + 1
+    seqs = {w: list(w) for w in words}
+
+    def learn_one():
+        counts: dict[tuple, int] = {}
+        for w, syms in seqs.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + words[w]
+        if not counts:
+            return None
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        for w, syms in seqs.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            seqs[w] = out
+        return (a, b, c)
+
+    want = []
+    for step in range(1, 5):
+        m = learn_one()
+        want.append((step, m[0], m[1], m[2]))
+
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_merges(df, "text", k_merges=4).orderBy("step").collect()
+    ]
+    assert got == want
+
+
+def test_bpe_merges_early_stop_on_exhausted_pairs(spark):
+    from lion_parcel_etl_spark.operators.text import bpe_merges
+
+    df = spark.createDataFrame([("a b c",)], ["text"])  # 1-char words: no pairs
+    assert bpe_merges(df, "text", k_merges=3).count() == 0
