@@ -558,3 +558,59 @@ def test_quantize_matches_numpy_reference(spark, vecs):
             x = v32 / scale * 127.0
             want = [int(np.floor(abs(t) + 0.5) * np.sign(t)) for t in x]
             assert got[i]["qvec"] == want, (v, got[i]["qvec"], want)
+
+
+WORDS = st.lists(
+    st.text(alphabet="abcx", min_size=1, max_size=6), min_size=1, max_size=20
+)
+
+
+@given(words=WORDS)
+@SLOW_OK
+def test_bpe_merge_step_equals_python_fold(spark, words):
+    """_bpe_merge_step == the sequential greedy left-to-right merge on
+    arbitrary symbol strings, including self-pairs and overlap runs."""
+    from lion_parcel_etl_spark.operators.text import _bpe_merge_step
+
+    pairs = [("a", "b"), ("a", "a"), ("x", "a")]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    for a, b in pairs:
+        got = {
+            r["w"]: r["m"]
+            for r in df.select("w", _bpe_merge_step(F.split("w", ""), a, b).alias("m")).collect()
+        }
+        for w in set(words):
+            out: list[str] = []
+            for s in list(w):
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            assert got[w] == out, (w, a, b)
+
+
+WEIGHTED_ROWS = st.lists(
+    st.tuples(st.integers(0, 50), st.floats(0.1, 100.0, allow_nan=False)),
+    min_size=1,
+    max_size=30,
+).map(lambda rows: list({k: (k, w) for k, w in rows}.values()))
+
+
+@given(rows=WEIGHTED_ROWS, k=st.sampled_from([1, 3, 7]))
+@SLOW_OK
+def test_weighted_sample_is_bottom_k_by_priority(spark, rows, k):
+    """The selected set always equals the k smallest u/weight
+    priorities recomputed independently — for any weights and k."""
+    import hashlib
+
+    from lion_parcel_etl_spark.operators.sampling import HASH_MOD, weighted_sample
+
+    df = spark.createDataFrame(rows, "id int, w double")
+    got = {r["id"] for r in weighted_sample(df, "id", "w", k).collect()}
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    pri = sorted(((h(i) + 1) / float(HASH_MOD) / w, i) for i, w in rows if w > 0)
+    want = {i for _, i in pri[:k]}
+    assert got == want
