@@ -6,6 +6,7 @@ real cluster where partition counts, not constants, change.
 
 Usage: python tools/scale_smoke.py [multiplier]
        python tools/scale_smoke.py --skew [cluster_size]
+       python tools/scale_smoke.py --semdedup [cluster_size]
        python tools/scale_smoke.py --incremental
 
 ``--incremental`` measures the continuous-ingest claim: a FIXED new
@@ -14,6 +15,13 @@ store sizes, vs recomputing the full corpus each time. Evidence that
 per-batch cost is O(store scan + batch) — the store is read, never
 re-signed and never self-joined — while the full run pays signature
 recompute + self-join on everything.
+
+``--semdedup`` measures the semantic_dedup giant-cluster hotspot (a
+block of identical vectors concentrates the within-cluster pairwise
+stage quadratically — raising n_centroids cannot split identical
+vectors) and its mitigation, the same exact-first composition the text
+family uses: group identical embeddings first, run SemDeDup on the
+representatives. Wall time + pair-stage volume + shuffle bytes.
 
 ``--skew`` measures the documented minhash_near_dup hotspot (a giant
 cluster of byte-identical docs quadratic in the band join) and its
@@ -94,6 +102,54 @@ def skew_main() -> None:
     )
 
 
+def semdedup_main() -> None:
+    cluster = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    from lion_parcel_etl_spark.operators.similarity import semantic_dedup
+
+    spark = get_spark(
+        app_name="semdedup-smoke",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.retainedStages": "100000"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n_base = base.count()
+    one = base.orderBy("vec_id").limit(1)
+    giant = one.withColumn(
+        "copy", F.explode(F.sequence(F.lit(1), F.lit(cluster)))
+    ).select((F.col("vec_id") + F.col("copy") * (n_base * 10)).alias("vec_id"), "embedding")
+    corpus = base.unionByName(giant).repartition(32).persist()
+    n = corpus.count()
+    print(f"semdedup corpus: {n} vectors ({n_base} base + {cluster}-copy identical block)")
+
+    t0 = time.perf_counter()
+    sb0 = _shuffle_bytes(spark)
+    naive = semantic_dedup(corpus, 0.35).filter(~F.col("kept")).count()
+    print(
+        f"naive SemDeDup:       {naive} dropped, {time.perf_counter() - t0:.2f}s, "
+        f"shuffle {(_shuffle_bytes(spark) - sb0) / 1e6:.1f} MB"
+    )
+
+    t0 = time.perf_counter()
+    sb0 = _shuffle_bytes(spark)
+    reps = (
+        corpus.groupBy("embedding")
+        .agg(F.min("vec_id").alias("vec_id"), F.count(F.lit(1)).alias("n_copies"))
+    ).persist()
+    exact_dropped = reps.agg(F.sum(F.col("n_copies") - 1)).collect()[0][0]
+    sem_dropped = (
+        semantic_dedup(reps.select("vec_id", "embedding"), 0.35)
+        .filter(~F.col("kept"))
+        .count()
+    )
+    print(
+        f"exact-first SemDeDup: {exact_dropped} exact + {sem_dropped} semantic dropped, "
+        f"{time.perf_counter() - t0:.2f}s, "
+        f"shuffle {(_shuffle_bytes(spark) - sb0) / 1e6:.1f} MB"
+    )
+
+
 def incremental_main() -> None:
     import shutil
     import tempfile
@@ -157,6 +213,9 @@ def incremental_main() -> None:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--semdedup":
+        semdedup_main()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--incremental":
         incremental_main()
