@@ -448,6 +448,13 @@ def bpe_merges(
     Returns the learned merge table (step, lhs, rhs, pair_count) —
     k_merges rows, the artifact a tokenizer trainer persists. Rounds
     stop early if no adjacent pair remains.
+
+    Initial symbols come from ``split(word, '')``, which on the JVM
+    splits by UTF-16 code unit — identical to per-code-point splitting
+    for all BMP text (this corpus is ASCII) but it would halve astral
+    characters into surrogates where a code-point engine (DuckDB's
+    string_split) would not; real multilingual corpora should start
+    from bytes (the GPT-2 convention) rather than code units anyway.
     """
     from lion_parcel_etl_spark.operators.dedup import tokens
 
