@@ -488,3 +488,89 @@ def bpe_merges(
     return spark.createDataFrame(
         learned, "step int, lhs string, rhs string, pair_count long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule battery
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 25
+GOPHER_MAX_WORDS = 90
+GOPHER_MIN_MEAN_WORD_LEN = 3.9
+GOPHER_MAX_MEAN_WORD_LEN = 5.1
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_MAX_DUP2_FRAC = 0.06
+
+
+def gopher_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher/MassiveText-style quality rule battery (Rae et al. 2021,
+    arXiv:2112.11446 §A.1.1): the standard pre-training document
+    filter, emitted as per-rule booleans plus the conjunction, so a
+    pipeline can both FILTER (keep) and AUDIT (which rule fired, at
+    what rate per source — the reporting loop every curation run
+    needs). Rules, with thresholds pinned as module constants:
+
+    - ``r_word_count``: word count within [min, max];
+    - ``r_word_len``: mean word length within [min, max] (screens
+      encoding garbage / symbol soup);
+    - ``r_stopwords``: at least N stopword occurrences (the "is it
+      natural language at all" test);
+    - ``r_repetition``: duplicate word-2-gram fraction at or below
+      the cap (looping/boilerplate text).
+
+    Shape: ONE zero-shuffle projection of per-row array expressions —
+    the same staged-projection discipline as repetition_metrics
+    (tokens once, grams once; higher-order folds are CodegenFallback
+    with no subexpression reuse, so each expensive array is built in
+    its own select and referenced by name). Ratios are rounded at 1e-6
+    BEFORE threshold comparison, and the oracle compares the same
+    rounded values — a last-ulp division difference between engines
+    cannot flip a rule verdict."""
+    from lion_parcel_etl_spark.operators.dedup import tokens
+
+    staged = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    staged = staged.select(
+        id_col,
+        F.col("__toks"),
+        word_ngrams(F.col("__toks"), 2).alias("__g2"),
+    )
+    toks, g2 = F.col("__toks"), F.col("__g2")
+    n_words = F.size(toks).cast("long")
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_len = F.when(
+        n_words > 0, F.round(total_chars.cast("double") / n_words, 6)
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.filter(toks, lambda w: w.isin(*EN_STOPWORDS))
+    ).cast("long")
+    dup2 = F.when(
+        F.size(g2) > 0,
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(g2)) / F.size(g2).cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    out = staged.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        stop_hits.alias("stopword_hits"),
+        dup2.alias("dup2_frac"),
+    )
+    out = out.select(
+        "*",
+        ((F.col("n_words") >= GOPHER_MIN_WORDS)
+         & (F.col("n_words") <= GOPHER_MAX_WORDS)).alias("r_word_count"),
+        ((F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
+         & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN)).alias("r_word_len"),
+        (F.col("stopword_hits") >= GOPHER_MIN_STOPWORD_HITS).alias("r_stopwords"),
+        (F.col("dup2_frac") <= GOPHER_MAX_DUP2_FRAC).alias("r_repetition"),
+    )
+    return out.withColumn(
+        "keep",
+        F.col("r_word_count") & F.col("r_word_len")
+        & F.col("r_stopwords") & F.col("r_repetition"),
+    )

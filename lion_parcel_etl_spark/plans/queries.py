@@ -5191,11 +5191,62 @@ FROM debuts
 """
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher/MassiveText quality rule battery (operators/text.py
+    gopher_rules; Rae et al. 2021 §A.1.1): word-count bounds, mean
+    word length bounds, stopword floor, duplicate-2-gram cap — each
+    rule a boolean column plus the conjunctive keep verdict, so the
+    same result serves filtering and per-rule audit reporting. One
+    zero-shuffle projection; ratios rounded at 1e-6 before the
+    threshold compare on BOTH engines so a last-ulp division cannot
+    flip a verdict."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.gopher_rules(docs)
+
+
+def _duck_gopher_rules() -> str:
+    sw = ", ".join(f"'{w}'" for w in TX.EN_STOPWORDS)
+    return f"""
+WITH d AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+g AS (
+  SELECT doc_id, t,
+    list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS g2
+  FROM d
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(t) AS BIGINT) AS n_words,
+    CASE WHEN len(t) > 0 THEN round(
+      CAST(list_sum(list_transform(t, w -> len(w))) AS DOUBLE) / len(t), 6)
+    ELSE 0.0 END AS mean_word_len,
+    CAST(len(list_filter(t, w -> w IN ({sw}))) AS BIGINT) AS stopword_hits,
+    CASE WHEN len(g2) > 0 THEN round(
+      1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+    ELSE 0.0 END AS dup2_frac
+  FROM g
+)
+SELECT doc_id, n_words, mean_word_len, stopword_hits, dup2_frac,
+  (n_words >= {TX.GOPHER_MIN_WORDS} AND n_words <= {TX.GOPHER_MAX_WORDS})
+    AS r_word_count,
+  (mean_word_len >= {TX.GOPHER_MIN_MEAN_WORD_LEN}
+    AND mean_word_len <= {TX.GOPHER_MAX_MEAN_WORD_LEN}) AS r_word_len,
+  stopword_hits >= {TX.GOPHER_MIN_STOPWORD_HITS} AS r_stopwords,
+  dup2_frac <= {TX.GOPHER_MAX_DUP2_FRAC} AS r_repetition,
+  ((n_words >= {TX.GOPHER_MIN_WORDS} AND n_words <= {TX.GOPHER_MAX_WORDS})
+   AND (mean_word_len >= {TX.GOPHER_MIN_MEAN_WORD_LEN}
+        AND mean_word_len <= {TX.GOPHER_MAX_MEAN_WORD_LEN})
+   AND stopword_hits >= {TX.GOPHER_MIN_STOPWORD_HITS}
+   AND dup2_frac <= {TX.GOPHER_MAX_DUP2_FRAC}) AS keep
+FROM m
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
 # follow in their original order. Lookup semantics are unaffected.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "gopher_rules": (q_gopher_rules, _duck_gopher_rules()),
     "semantic_dedup": (q_semantic_dedup, _duck_semantic_dedup()),
     "pmi_collocations": (q_pmi_collocations, SQL_PMI),
     "bpe_merges": (q_bpe_merges, _duck_bpe_merges()),

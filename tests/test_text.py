@@ -298,3 +298,31 @@ def test_bpe_merges_early_stop_on_exhausted_pairs(spark):
 
     df = spark.createDataFrame([("a b c",)], ["text"])  # 1-char words: no pairs
     assert bpe_merges(df, "text", k_merges=3).count() == 0
+
+
+def test_gopher_rules_battery(spark):
+    from lion_parcel_etl_spark.operators.text import gopher_rules
+
+    good = " ".join(f"tok{i:02d}" for i in range(40)) + " the is a"  # 43 words
+    short = "the tiny doc is here"  # 5 words -> word_count fails
+    longdoc = "the word count here runs long " + "token " * 95  # >90 words
+    symbols = " ".join(["zz"] * 30) + " the is"  # mean len ~2 -> word_len fails
+    nostop = " ".join(f"w{i:04d}xx" for i in range(40))  # no stopwords
+    looped = "the cat sat " * 20 + "on a mat and it is fine"  # dup2 high
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([good, short, longdoc, symbols, nostop, looped])],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+    assert rows[0]["keep"] is True
+    assert rows[1]["r_word_count"] is False and rows[1]["keep"] is False
+    assert rows[2]["r_word_count"] is False
+    assert rows[3]["r_word_len"] is False
+    assert rows[4]["r_stopwords"] is False
+    assert rows[5]["r_repetition"] is False and rows[5]["keep"] is False
+    # verdict is the conjunction of the rule columns, row by row
+    for r in rows.values():
+        assert r["keep"] == (
+            r["r_word_count"] and r["r_word_len"]
+            and r["r_stopwords"] and r["r_repetition"]
+        )
