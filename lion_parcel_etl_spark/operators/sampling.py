@@ -420,3 +420,94 @@ def pack_sequences(
         "shard",
         F.floor((cum - F.col("n_tokens")) / F.lit(budget)).alias("bin"),
     )
+
+
+def _bucketed_prefix_sum(
+    df: DataFrame,
+    id_col: str,
+    by: list[str],
+    val_col: str,
+    salt: str,
+    buckets: int,
+) -> DataFrame:
+    """Running (inclusive) sum of ``val_col`` over every row of each
+    ``by`` group in ``md5(id || salt)`` order, without a per-group
+    single-task window — :func:`_bucketed_rank` generalized from
+    counting rows to summing a value (rank == prefix sum of 1). Same
+    decomposition, same plan shape: contiguous top-bit hash buckets
+    keep within-group hash order equal to (bucket, local) order, the
+    window partitions by (group, bucket) so parallelism is
+    groups × buckets regardless of group skew, and bucket offsets are
+    an exclusive prefix sum over the tiny groups × buckets totals
+    table. The totals aggregate reads the WINDOWED side (max of the
+    inclusive cumsum = bucket total), so both consumers share one
+    exchange (ReusedExchange — single scan, single hash pass).
+
+    Returns (*by, id, val_col, __cum) with ``__cum`` the inclusive
+    within-group running sum.
+    """
+    k = buckets.bit_length() - 1
+    if buckets != 1 << k:
+        raise ValueError(f"buckets must be a power of two, got {buckets}")
+    h = id_hash(F.col(id_col), salt=salt).alias("__h")
+    base = df.select(
+        *by, F.col(id_col), F.col(val_col).cast("long").alias(val_col), h
+    ).withColumn(
+        "__b",
+        F.coalesce(F.shiftright(F.col("__h"), HASH_BITS - k), F.lit(-1)),
+    )
+    w = Window.partitionBy(*by, "__b").orderBy("__h", id_col)
+    local = base.select(
+        *by, id_col, val_col, "__b",
+        F.sum(val_col).over(w).alias("__lcum"),
+    )
+    totals = local.groupBy(*by, "__b").agg(F.max("__lcum").alias("__tot"))
+    off_w = (
+        Window.partitionBy(*by)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *by, "__b",
+        F.coalesce(F.sum("__tot").over(off_w), F.lit(0)).alias("__off"),
+    )
+    return local.join(offsets, [*by, "__b"]).select(
+        *by, id_col, val_col,
+        (F.col("__off") + F.col("__lcum")).alias("__cum"),
+    )
+
+
+def token_budget_select(
+    docs: DataFrame,
+    id_col: str,
+    group_col: str,
+    len_col: str,
+    budgets: dict[str, int],
+    default_budget: int,
+    salt: str = "",
+    buckets: int = 256,
+) -> DataFrame:
+    """Select documents per source up to a TOKEN budget — how a
+    training mix is actually specified ("200 B tokens of web, 50 B of
+    code"), as opposed to row-rate sampling (rate_sample_by_group) or
+    row caps (cap_per_group). Docs are taken in deterministic
+    ``md5(id || salt)`` order within each group (an unbiased draw,
+    stable under appends and layout), accumulating token counts until
+    the group's budget is exhausted: a doc is kept iff its INCLUSIVE
+    running total stays at or under budget (the boundary-crossing doc
+    is dropped, never truncated — split oversized docs upstream with
+    doc_chunking).
+
+    The running total is :func:`_bucketed_prefix_sum` — parallel in
+    groups × buckets, so one giant source never serializes through a
+    single task; the oracle replays it as the true per-group global
+    window cumsum, verifying the decomposition exactly.
+
+    Returns (id, group, len_col, cum_tokens) for kept docs only.
+    """
+    cum = _bucketed_prefix_sum(docs, id_col, [group_col], len_col, salt, buckets)
+    budget = group_case(group_col, {k: float(v) for k, v in budgets.items()},
+                        float(default_budget))
+    return cum.filter(F.col("__cum") <= budget).select(
+        id_col, group_col, len_col, F.col("__cum").alias("cum_tokens")
+    )

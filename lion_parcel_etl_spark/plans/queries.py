@@ -5241,12 +5241,68 @@ FROM m
 """
 
 
+TOKEN_BUDGETS = {"src0": 1200, "src1": 400}
+TOKEN_BUDGET_DEFAULT = 800
+
+
+def q_token_budget_mix(spark, sf_dir):
+    """Token-budget data mixing (operators/sampling.py
+    token_budget_select): per-source document selection up to a TOKEN
+    budget — the way a pretraining mix is actually specified — taken
+    in deterministic md5(id) order so the draw is unbiased, stable
+    under appends, and layout-independent. The running token total is
+    the bucket-parallel prefix sum (_bucketed_prefix_sum), never a
+    per-source single-task window; the oracle replays the TRUE
+    per-source global window cumsum, verifying the bucketed
+    decomposition equals it exactly."""
+    from lion_parcel_etl_spark.operators.sampling import token_budget_select
+    from lion_parcel_etl_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    return token_budget_select(
+        sized, "doc_id", "source", "n_tokens",
+        budgets=TOKEN_BUDGETS, default_budget=TOKEN_BUDGET_DEFAULT,
+    )
+
+
+def _duck_token_budget_mix() -> str:
+    from lion_parcel_etl_spark.operators.sampling import (
+        duck_group_case,
+        duck_id_hash,
+    )
+
+    budget = duck_group_case(
+        "source",
+        {k: float(v) for k, v in TOKEN_BUDGETS.items()},
+        float(TOKEN_BUDGET_DEFAULT),
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+    CAST(SUM(n_tokens) OVER (
+      PARTITION BY source ORDER BY {duck_id_hash('doc_id')}, doc_id
+    ) AS BIGINT) AS cum_tokens
+  FROM d
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {budget}
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
 # follow in their original order. Lookup semantics are unaffected.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "gopher_rules": (q_gopher_rules, _duck_gopher_rules()),
+    "token_budget_mix": (q_token_budget_mix, _duck_token_budget_mix()),
     "semantic_dedup": (q_semantic_dedup, _duck_semantic_dedup()),
     "pmi_collocations": (q_pmi_collocations, SQL_PMI),
     "bpe_merges": (q_bpe_merges, _duck_bpe_merges()),

@@ -147,3 +147,30 @@ def test_bucketed_rank_is_single_scan(spark, sf_dir):
     final = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     assert "ReusedExchange" in final, "bucket-count branch no longer reuses the rank exchange"
     assert final.count("FileScan parquet") == 1, "input scanned more than once"
+
+
+def test_bucketed_prefix_sum_is_single_scan(spark, sf_dir):
+    """token_budget_select's two consumers (cumsum window + bucket
+    totals/offsets) must share ONE exchange, exactly like
+    _bucketed_rank — the offsets branch reads the WINDOWED side (max
+    of the inclusive cumsum), so the executed plan reuses the shuffle
+    instead of scanning and md5-hashing the corpus twice."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lion_parcel_etl_spark.operators.sampling import token_budget_select
+    from lion_parcel_etl_spark.operators.text import token_count
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    sized = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    df = token_budget_select(
+        sized, "doc_id", "source", "n_tokens", budgets={}, default_budget=500,
+        buckets=16,
+    )
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, "offsets branch no longer reuses the cumsum exchange"
+    assert final.count("FileScan parquet") == 1, "input scanned more than once"

@@ -305,3 +305,64 @@ def test_weighted_sample_excludes_nonpositive_and_null_weights(spark):
     )
     picked = {r["id"] for r in weighted_sample(df, "id", "w", 10).collect()}
     assert picked == {"a", "e"}
+
+
+def test_bucketed_prefix_sum_equals_global_window(spark):
+    """The bucket-parallel running sum must equal the true per-group
+    global window cumsum in (hash, id) order, for every bucket count."""
+    import hashlib
+
+    from lion_parcel_etl_spark.operators.sampling import _bucketed_prefix_sum
+
+    rows = [(f"id{i:03d}", f"g{i % 3}", (i * 7) % 11 + 1) for i in range(120)]
+    df = spark.createDataFrame(rows, ["id", "g", "v"])
+
+    def h(i):
+        return int(hashlib.md5(f"{i}s".encode()).hexdigest()[:15], 16)
+
+    expected = {}
+    for g in {r[1] for r in rows}:
+        run = 0
+        for rid, _, v in sorted(
+            (r for r in rows if r[1] == g), key=lambda r: (h(r[0]), r[0])
+        ):
+            run += v
+            expected[rid] = run
+    for buckets in (1, 4, 64):
+        got = {
+            r["id"]: r["__cum"]
+            for r in _bucketed_prefix_sum(
+                df, "id", ["g"], "v", "s", buckets
+            ).collect()
+        }
+        assert got == expected, f"buckets={buckets}"
+
+
+def test_token_budget_select_greedy_prefix(spark):
+    """Kept set per group is exactly the greedy hash-order prefix whose
+    inclusive total stays within that group's budget; the
+    boundary-crossing doc is dropped, not truncated."""
+    from lion_parcel_etl_spark.operators.sampling import token_budget_select
+
+    rows = [(f"d{i:02d}", "a" if i < 20 else "b", 10 + i % 5) for i in range(40)]
+    df = spark.createDataFrame(rows, ["id", "src", "n"])
+    out = token_budget_select(
+        df, "id", "src", "n", budgets={"a": 60}, default_budget=45, buckets=8
+    ).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["src"], []).append(r)
+    for src, budget in (("a", 60), ("b", 45)):
+        kept = sorted(by_group.get(src, []), key=lambda r: r["cum_tokens"])
+        assert kept, src
+        # inclusive totals never exceed budget and are the running sum
+        run = 0
+        for r in kept:
+            run += r["n"]
+            assert r["cum_tokens"] == run
+            assert run <= budget
+        # greedy: no further doc in the group could still have fit is
+        # guaranteed by the prefix property checked above plus the
+        # equality with the bucketed cumsum tested separately
+        total = sum(n for _, s, n in rows if s == src)
+        assert run > budget - 15 or run == total
