@@ -5296,6 +5296,164 @@ FROM c WHERE cum_tokens <= {budget}
 """
 
 
+# log2(0.4): the stupid-backoff discount in log space, pinned as one
+# decimal literal fed to BOTH engines — F.log2(lit(0.4)) and DuckDB's
+# log2(0.4) could disagree in the last ulp, and the constant appears
+# once per backed-off trigram.
+LM_ALPHA_LOG2 = -1.3219280948873622
+
+
+def q_lm_backoff(spark, sf_dir):
+    """Trigram language-model scoring with stupid backoff (Brants et
+    al. 2007, "Large Language Models in Machine Translation") — the
+    CCNet-style perplexity filter: train counts on the held-in half
+    of the corpus (doc_id % 2 = 0, a deterministic split), score EVERY
+    document, so held-out docs genuinely exercise the backoff chain:
+    S(w3|w1w2) = c123/c12 if the trigram was seen, else 0.4·c23/c2,
+    else 0.4²·(c3+1)/(N+V) (add-one unigram floor — unseen words get
+    a finite surprisal instead of log 0). Per-doc output: trigram
+    count, how many resolved at each tier (the audit columns — a doc
+    scoring entirely at tier 3 is out-of-domain), and mean surprisal
+    in bits, rounded at 1e-6.
+
+    Every surprisal is log2 of exact integers plus k·log2(0.4) with
+    the constant pinned as a shared literal, so both engines feed
+    identical doubles to the average. Plan shape: one tokenization per
+    row staged ahead of the explodes, count tables are vocabulary-
+    sized partial aggregates AQE broadcasts into the scoring stream,
+    N and V are one-row broadcast scalars. At corpus scale the n-gram
+    tables outgrow broadcast and the five joins become shuffles
+    hash-partitioned on their gram keys — the honest cost of n-gram
+    LM scoring, linear in tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", DD.tokens(F.col("text")).alias("__toks"))
+    toks = F.col("__toks")
+    m3 = F.greatest(F.size(toks) - 2, F.lit(0))
+    tri = F.arrays_zip(F.slice(toks, 1, m3), F.slice(toks, 2, m3), F.slice(toks, 3, m3))
+    tg = toked.select("doc_id", F.explode(tri).alias("p")).select(
+        "doc_id",
+        F.col("p.0").alias("w1"), F.col("p.1").alias("w2"), F.col("p.2").alias("w3"),
+    )
+    train = toked.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    m2 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bi = F.arrays_zip(F.slice(toks, 1, m2), F.slice(toks, 2, m2))
+    c123 = (
+        tg.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+        .groupBy(F.col("w1").alias("t1"), F.col("w2").alias("t2"), F.col("w3").alias("t3"))
+        .agg(F.count(F.lit(1)).alias("c123"))
+    )
+    cbi = (
+        train.select(F.explode(bi).alias("p"))
+        .select(F.col("p.0").alias("b1"), F.col("p.1").alias("b2"))
+        .groupBy("b1", "b2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    cuni = (
+        train.select(F.explode(toks).alias("u"))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    scal = train.select(F.explode(toks).alias("u")).agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.count_distinct("u").alias("vsize"),
+    )
+    c12 = cbi.select(F.col("b1").alias("p1"), F.col("b2").alias("p2"), F.col("cb").alias("c12"))
+    c23 = cbi.select(F.col("b1").alias("q2"), F.col("b2").alias("q3"), F.col("cb").alias("c23"))
+    u2 = cuni.select(F.col("u").alias("uw2"), F.col("cu").alias("cu2"))
+    u3 = cuni.select(F.col("u").alias("uw3"), F.col("cu").alias("cu3"))
+    j = (
+        tg.join(c123, (tg.w1 == c123.t1) & (tg.w2 == c123.t2) & (tg.w3 == c123.t3), "left")
+        .join(c12, (tg.w1 == F.col("p1")) & (tg.w2 == F.col("p2")), "left")
+        .join(c23, (tg.w2 == F.col("q2")) & (tg.w3 == F.col("q3")), "left")
+        .join(u2, tg.w2 == F.col("uw2"), "left")
+        .join(u3, tg.w3 == F.col("uw3"), "left")
+        .join(F.broadcast(scal), how="cross")
+    )
+    alpha = F.lit(LM_ALPHA_LOG2)
+    tier = (
+        F.when(F.col("c123").isNotNull(), F.lit(1))
+        .when(F.col("c23").isNotNull(), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    surprisal = (
+        F.when(tier == 1, F.log2(F.col("c12")) - F.log2(F.col("c123")))
+        .when(tier == 2, -alpha + F.log2(F.col("cu2")) - F.log2(F.col("c23")))
+        .otherwise(
+            -F.lit(2.0) * alpha
+            + F.log2(F.col("n_train") + F.col("vsize"))
+            - F.log2(F.coalesce(F.col("cu3"), F.lit(0)) + 1)
+        )
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum((tier == 1).cast("long")).alias("n_tier1"),
+            F.sum((tier == 2).cast("long")).alias("n_tier2"),
+            F.sum((tier == 3).cast("long")).alias("n_tier3"),
+            F.round(F.avg(surprisal), 6).alias("avg_surprisal"),
+        )
+    )
+
+
+SQL_LM_BACKOFF = f"""
+WITH toked AS MATERIALIZED (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+tg AS MATERIALIZED (
+  SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1,
+         toks[CAST(i + 1 AS INTEGER)] AS w2,
+         toks[CAST(i + 2 AS INTEGER)] AS w3
+  FROM toked, LATERAL unnest(range(1, len(toks) - 1)) AS t(i)
+),
+c123 AS MATERIALIZED (
+  SELECT w1 AS t1, w2 AS t2, w3 AS t3, COUNT(*) AS c123
+  FROM tg WHERE doc_id % 2 = 0 GROUP BY w1, w2, w3
+),
+cbi AS MATERIALIZED (
+  SELECT b1, b2, COUNT(*) AS cb FROM (
+    SELECT toks[CAST(i AS INTEGER)] AS b1, toks[CAST(i + 1 AS INTEGER)] AS b2
+    FROM toked, LATERAL unnest(range(1, len(toks))) AS t(i)
+    WHERE doc_id % 2 = 0
+  ) GROUP BY b1, b2
+),
+cuni AS MATERIALIZED (
+  SELECT u, COUNT(*) AS cu FROM (
+    SELECT unnest(toks) AS u FROM toked WHERE doc_id % 2 = 0
+  ) GROUP BY u
+),
+scal AS (
+  SELECT COUNT(*) AS n_train, COUNT(DISTINCT u) AS vsize FROM (
+    SELECT unnest(toks) AS u FROM toked WHERE doc_id % 2 = 0
+  )
+),
+scored AS (
+  SELECT tg.doc_id,
+    CASE WHEN c123.c123 IS NOT NULL THEN 1
+         WHEN c23.cb IS NOT NULL THEN 2 ELSE 3 END AS tier,
+    CASE WHEN c123.c123 IS NOT NULL THEN log2(c12.cb) - log2(c123.c123)
+         WHEN c23.cb IS NOT NULL THEN
+           -({LM_ALPHA_LOG2}) + log2(u2.cu) - log2(c23.cb)
+         ELSE -2.0 * ({LM_ALPHA_LOG2})
+              + log2(n_train + vsize) - log2(COALESCE(u3.cu, 0) + 1)
+    END AS surprisal
+  FROM tg
+  LEFT JOIN c123 ON tg.w1 = c123.t1 AND tg.w2 = c123.t2 AND tg.w3 = c123.t3
+  LEFT JOIN cbi c12 ON tg.w1 = c12.b1 AND tg.w2 = c12.b2
+  LEFT JOIN cbi c23 ON tg.w2 = c23.b1 AND tg.w3 = c23.b2
+  LEFT JOIN cuni u2 ON tg.w2 = u2.u
+  LEFT JOIN cuni u3 ON tg.w3 = u3.u
+  CROSS JOIN scal
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+  CAST(SUM(CASE WHEN tier = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tier1,
+  CAST(SUM(CASE WHEN tier = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_tier2,
+  CAST(SUM(CASE WHEN tier = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tier3,
+  round(AVG(surprisal), 6) AS avg_surprisal
+FROM scored
+GROUP BY doc_id
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
@@ -5303,6 +5461,7 @@ FROM c WHERE cum_tokens <= {budget}
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "gopher_rules": (q_gopher_rules, _duck_gopher_rules()),
     "token_budget_mix": (q_token_budget_mix, _duck_token_budget_mix()),
+    "lm_backoff": (q_lm_backoff, SQL_LM_BACKOFF),
     "semantic_dedup": (q_semantic_dedup, _duck_semantic_dedup()),
     "pmi_collocations": (q_pmi_collocations, SQL_PMI),
     "bpe_merges": (q_bpe_merges, _duck_bpe_merges()),

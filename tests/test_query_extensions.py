@@ -280,3 +280,38 @@ def test_split_leakage_only_cross_split_spans(spark, sf_dir):
     # subset of all duplicated spans
     dup = {r.span_hash for r in QUERIES["dup_spans"][0](spark, sf_dir).collect()}
     assert {r.span_hash for r in rows} <= dup
+
+
+def test_lm_backoff_tiers_and_values(spark, tmp_path):
+    """Hand-checkable stupid-backoff: train = doc 0 only; doc 1 hits
+    each tier. Train text 'a b c a b d' gives trigrams {abc, bca,
+    cab, abd}, bigrams {ab:2, bc, ca, bd}, unigrams {a:2, b:2, c, d},
+    N=6, V=4."""
+    import math
+
+    import pandas as pd
+
+    from lion_parcel_etl_spark.plans.queries import LM_ALPHA_LOG2, q_lm_backoff
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["a b c a b d", "a b c x d"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [11, 9],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = {r["doc_id"]: r.asDict() for r in q_lm_backoff(spark, str(tmp_path)).collect()}
+    # doc 1 trigrams: (a,b,c) seen -> tier1 surprisal log2(c12=2)-log2(1)=1
+    #                 (b,c,x) unseen, (c,x) unseen, x unseen -> tier3
+    #                 (c,x,d) unseen, (x,d) unseen, d seen c=1 -> tier3
+    r1 = out[1]
+    assert (r1["n_tier1"], r1["n_tier2"], r1["n_tier3"]) == (1, 0, 2)
+    s1 = 1.0
+    s2 = -2 * LM_ALPHA_LOG2 + math.log2(6 + 4) - math.log2(0 + 1)
+    s3 = -2 * LM_ALPHA_LOG2 + math.log2(6 + 4) - math.log2(1 + 1)
+    assert r1["avg_surprisal"] == round((s1 + s2 + s3) / 3, 6)
+    # doc 0 scores fully in-domain: every trigram tier 1
+    assert out[0]["n_tier3"] == 0
