@@ -574,3 +574,44 @@ def gopher_rules(
         F.col("r_word_count") & F.col("r_word_len")
         & F.col("r_stopwords") & F.col("r_repetition"),
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned BPE merge table to tokenize text — the
+    inference half of the tokenizer loop whose training half is
+    :func:`bpe_merges`. Each word splits to characters and the merges
+    apply in RANK order (merge 1 everywhere, then merge 2, ... — the
+    Sennrich/GPT-2 convention), each as the same greedy left-to-right
+    :func:`_bpe_merge_step` array fold used during training, nested
+    per word inside one ``transform`` over the token array. The merge
+    table is driver-sized by construction (it IS the tokenizer
+    artifact), so the merges arrive as plan literals: the encode is a
+    ZERO-SHUFFLE projection, embarrassingly parallel at corpus scale.
+
+    Returns (id, n_pieces, pieces) with ``pieces`` the space-joined
+    symbol sequence — deterministic, layout-independent, and
+    SQL-replayable by unrolling the same folds."""
+    from lion_parcel_etl_spark.operators.dedup import tokens
+
+    def encode_word(w: Column) -> Column:
+        syms = F.split(w, "")
+        for left, right in merges:
+            syms = _bpe_merge_step(syms, left, right)
+        return syms
+
+    staged = docs.select(
+        F.col(id_col),
+        F.flatten(
+            F.transform(tokens(F.col(text_col)), encode_word)
+        ).alias("__pieces"),
+    )
+    return staged.select(
+        id_col,
+        F.size("__pieces").cast("long").alias("n_pieces"),
+        F.array_join("__pieces", " ").alias("pieces"),
+    )

@@ -5454,6 +5454,76 @@ GROUP BY doc_id
 """
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Tokenizer train → apply round trip: learn the first
+    {BPE_K_MERGES} merges with bpe_merges (vocabulary-table
+    iterations; only the per-round argmax reaches the driver), then
+    encode the WHOLE corpus with operators/text.py bpe_encode — the
+    merge table embeds as plan literals, so the encode itself is a
+    zero-shuffle projection. The oracle replays learning AND encoding
+    declaratively: the same greedy merge fold, unrolled per learned
+    rank over every word of every document."""
+    from lion_parcel_etl_spark.operators.text import bpe_encode, bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    learned = bpe_merges(docs, "text", k_merges=BPE_K_MERGES).collect()
+    merges = [(r["lhs"], r["rhs"]) for r in sorted(learned, key=lambda r: r["step"])]
+    return bpe_encode(docs, merges)
+
+
+def _duck_bpe_encode(k: int = BPE_K_MERGES) -> str:
+    def fold(inner: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform({inner}, c -> [c]), "
+            f"(acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = {b}.s1 "
+            f"AND x[1] = {b}.s2 "
+            f"THEN list_concat(acc[1:len(acc)-1], [{b}.s1 || {b}.s2]) "
+            f"ELSE list_concat(acc, x) END)"
+        )
+
+    merge_fold = (
+        "list_reduce(list_transform(syms, c -> [c]), "
+        "(acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = b.s1 AND x[1] = b.s2 "
+        "THEN list_concat(acc[1:len(acc)-1], [b.s1 || b.s2]) "
+        "ELSE list_concat(acc, x) END)"
+    )
+    ctes = [
+        "words AS MATERIALIZED (SELECT w, COUNT(*) AS cnt FROM "
+        f"(SELECT unnest({_DUCK_TOKS}) AS w FROM documents) GROUP BY w)",
+        "seq0 AS MATERIALIZED (SELECT string_split(w, '') AS syms, cnt FROM words)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"best{i} AS MATERIALIZED (\n"
+            f"  SELECT s1, s2 FROM (\n"
+            f"    SELECT syms[CAST(i AS INTEGER)] AS s1,\n"
+            f"           syms[CAST(i + 1 AS INTEGER)] AS s2, cnt\n"
+            f"    FROM seq{i - 1}, LATERAL unnest(range(1, len(syms))) AS t(i)\n"
+            f"  ) GROUP BY s1, s2\n"
+            f"  ORDER BY SUM(cnt) DESC, s1 ASC, s2 ASC LIMIT 1\n"
+            f")"
+        )
+        if i < k:
+            ctes.append(
+                f"seq{i} AS MATERIALIZED (SELECT {merge_fold} AS syms, cnt "
+                f"FROM seq{i - 1} CROSS JOIN best{i} b)"
+            )
+    word_expr = "string_split(w, '')"
+    for i in range(1, k + 1):
+        word_expr = fold(word_expr, f"b{i}")
+    crosses = " ".join(f"CROSS JOIN best{i} b{i}" for i in range(1, k + 1))
+    ctes.append(
+        "enc AS (SELECT doc_id, "
+        f"flatten(list_transform({_DUCK_TOKS}, w -> {word_expr})) AS pieces "
+        f"FROM documents {crosses})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_pieces, "
+        "array_to_string(pieces, ' ') AS pieces FROM enc"
+    )
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
@@ -5462,6 +5532,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "gopher_rules": (q_gopher_rules, _duck_gopher_rules()),
     "token_budget_mix": (q_token_budget_mix, _duck_token_budget_mix()),
     "lm_backoff": (q_lm_backoff, SQL_LM_BACKOFF),
+    "bpe_encode": (q_bpe_encode, _duck_bpe_encode()),
     "semantic_dedup": (q_semantic_dedup, _duck_semantic_dedup()),
     "pmi_collocations": (q_pmi_collocations, SQL_PMI),
     "bpe_merges": (q_bpe_merges, _duck_bpe_merges()),

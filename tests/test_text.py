@@ -326,3 +326,23 @@ def test_gopher_rules_battery(spark):
             r["r_word_count"] and r["r_word_len"]
             and r["r_stopwords"] and r["r_repetition"]
         )
+
+
+def test_bpe_encode_applies_merges_in_rank_order(spark):
+    from lion_parcel_etl_spark.operators.text import bpe_encode
+
+    df = spark.createDataFrame(
+        [(0, "xxxx abab ba x"), (1, "")],
+        "doc_id long, text string",
+    )
+    # rank order matters: (x,x) first makes xx from xxxx; then (a,b)
+    # pairs abab into [ab, ab]; (ab,ab) merges those into one piece
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in bpe_encode(
+            df, [("x", "x"), ("a", "b"), ("ab", "ab")]
+        ).collect()
+    }
+    assert out[0]["pieces"] == "xx xx abab b a x"
+    assert out[0]["n_pieces"] == 6
+    assert out[1]["n_pieces"] == 0 and out[1]["pieces"] == ""
