@@ -118,7 +118,11 @@ HEADLINE = [
     "token_frequency",
     "pmi_collocations",
     "bpe_merges",
+    "bpe_encode",
     "lm_surprisal",
+    "lm_backoff",
+    "gopher_rules",
+    "token_budget_mix",
     "doc_chunking",
     "embedding_centroids",
     "dedup_clusters",
