@@ -650,3 +650,96 @@ def read_heavy_hitters(
         .orderBy(F.col("est").desc(), F.col(col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming token-budget admission
+# ---------------------------------------------------------------------------
+
+_BUDGET_STATE = T.StructType([T.StructField("cum_tokens", T.LongType())])
+_BUDGET_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("cum_tokens", T.LongType()),
+    ]
+)
+
+
+def _budget_admit(budgets: dict[str, int], default_budget: int, salt: str):
+    import hashlib
+
+    def admit(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        budget = budgets.get(key[0], default_budget)
+        (cum,) = state.get if state.exists else (0,)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # within a micro-batch, admit in the SAME (md5(id), id) order
+        # the batch operator uses, so a single-batch stream reproduces
+        # token_budget_select exactly; across batches arrival order
+        # governs (the honest streaming semantics — replaying the same
+        # file sequence through the same checkpoint reproduces it)
+        batch["__h"] = batch["doc_id"].map(
+            lambda i: int(
+                hashlib.md5(f"{i}{salt}".encode()).hexdigest()[:15], 16
+            )
+        )
+        batch = batch.sort_values(["__h", "doc_id"], kind="mergesort")
+        out = []
+        # strict-prefix semantics, matching token_budget_select: the
+        # running total accumulates EVERY doc seen (admitted or not),
+        # and a doc is admitted iff its inclusive total fits — once
+        # one doc overflows, the budget is spent (no first-fit
+        # backfilling with later smaller docs, which would diverge
+        # from the batch operator's greedy prefix)
+        for _, row in batch.iterrows():
+            n = int(row["n_tokens"])
+            cum += n
+            if cum <= budget:
+                out.append((int(row["doc_id"]), key[0], n, cum))
+        state.update((cum,))
+        yield pd.DataFrame(
+            out, columns=["doc_id", "source", "n_tokens", "cum_tokens"]
+        )
+
+    return admit
+
+
+def stream_token_budget(
+    spark: SparkSession,
+    docs_path: str,
+    budgets: dict[str, int],
+    default_budget: int,
+    salt: str = "",
+) -> DataFrame:
+    """Streaming token-budget admission — the ingest-time twin of
+    ``operators/sampling.token_budget_select``: per-source running
+    token totals live in the state store (one long per source, O(1)
+    per group), and an arriving document is admitted iff its
+    INCLUSIVE total stays within the source budget (the
+    boundary-crossing doc is dropped, never truncated).
+
+    Token counts are computed JVM-side before grouping (the pandas
+    hop carries (doc_id, source, n_tokens) only — never text). Within
+    a micro-batch, documents admit in the same deterministic
+    (md5(id), id) order the batch operator uses, so a stream that
+    sees all input in ONE batch equals ``token_budget_select``
+    row-for-row — tested — and a checkpointed replay of the same file
+    sequence reproduces admissions exactly. Across batches, arrival
+    order governs: budget remaining when a doc arrives decides, which
+    is the semantics continuous ingest actually has."""
+    from lion_parcel_etl_spark.operators.text import token_count
+
+    docs = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_path)
+    sized = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    return sized.groupBy("source").applyInPandasWithState(
+        _budget_admit(budgets, default_budget, salt),
+        outputStructType=_BUDGET_OUT,
+        stateStructType=_BUDGET_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -559,3 +559,66 @@ def test_stream_sample_mix_matches_batch_decisions(spark, tmp_path):
     ).select("doc_id", "source", "split")
     want = {(r["doc_id"], r["source"], r["split"]) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_token_budget_single_batch_matches_batch_operator(spark, tmp_path):
+    """A stream that sees all input in one micro-batch must reproduce
+    token_budget_select row-for-row (same hash-order greedy prefix)."""
+    from lion_parcel_etl_spark.operators.sampling import token_budget_select
+    from lion_parcel_etl_spark.operators.text import token_count
+    from lion_parcel_etl_spark.streaming.jobs import (
+        run_available_now,
+        stream_token_budget,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs_dir = str(tmp_path / "docs")
+    docs.write.parquet(docs_dir)
+    budgets = {"src0": 300}
+    stream = stream_token_budget(spark, docs_dir, budgets, 200)
+    run_available_now(stream, str(tmp_path / "ck1"), table_name="budget_out")
+    got = {
+        (r["doc_id"], r["source"], r["n_tokens"], r["cum_tokens"])
+        for r in spark.table("budget_out").collect()
+    }
+    sized = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    want = {
+        (r["doc_id"], r["source"], r["n_tokens"], r["cum_tokens"])
+        for r in token_budget_select(
+            sized, "doc_id", "source", "n_tokens", budgets, 200
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_stream_token_budget_carries_state_across_batches(spark, tmp_path):
+    """Budget remaining carries across micro-batches: a second batch
+    admits only what still fits, and inclusive totals never exceed
+    the budget across the whole run."""
+    from lion_parcel_etl_spark.streaming.jobs import (
+        run_available_now,
+        stream_token_budget,
+    )
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    rows1 = [(i, "w " * 40, "en", "s", 80) for i in range(5)]       # 40 tokens each
+    rows2 = [(i, "w " * 40, "en", "s", 80) for i in range(5, 10)]
+    cols = "doc_id long, text string, lang string, source string, n_chars long"
+    out_dir = str(tmp_path / "admitted")
+    spark.createDataFrame(rows1, cols).write.parquet(str(docs_dir / "b1"))
+    stream = stream_token_budget(spark, str(docs_dir) + "/*", {}, 130)
+    run_available_now(stream, str(tmp_path / "ck"), out_path=out_dir)
+    first = spark.read.parquet(out_dir).collect()
+    assert sum(r["n_tokens"] for r in first) <= 130
+    assert len(first) == 3  # 3 docs of 40 tokens fit in 130
+    assert max(r["cum_tokens"] for r in first) == 120
+    spark.createDataFrame(rows2, cols).write.parquet(str(docs_dir / "b2"))
+    stream = stream_token_budget(spark, str(docs_dir) + "/*", {}, 130)
+    run_available_now(stream, str(tmp_path / "ck"), out_path=out_dir)
+    both = spark.read.parquet(out_dir).collect()
+    # across both batches exactly 0 more docs fit (the 4th doc of
+    # batch 1 already overflowed: 160 > 130, prefix semantics)
+    assert len(both) == len(first)
