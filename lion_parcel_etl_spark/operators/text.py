@@ -503,7 +503,10 @@ GOPHER_MAX_DUP2_FRAC = 0.06
 
 
 def gopher_rules(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Gopher/MassiveText-style quality rule battery (Rae et al. 2021,
     arXiv:2112.11446 §A.1.1): the standard pre-training document
@@ -520,6 +523,9 @@ def gopher_rules(
     - ``r_repetition``: duplicate word-2-gram fraction at or below
       the cap (looping/boilerplate text).
 
+    ``carry_cols`` pass through untouched (e.g. ``source`` for the
+    per-source audit rollup) — still one projection, no join-back.
+
     Shape: ONE zero-shuffle projection of per-row array expressions —
     the same staged-projection discipline as repetition_metrics
     (tokens once, grams once; higher-order folds are CodegenFallback
@@ -530,9 +536,13 @@ def gopher_rules(
     cannot flip a rule verdict."""
     from lion_parcel_etl_spark.operators.dedup import tokens
 
-    staged = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    carry = list(carry_cols or [])
+    staged = docs.select(
+        F.col(id_col), *carry, tokens(F.col(text_col)).alias("__toks")
+    )
     staged = staged.select(
         id_col,
+        *carry,
         F.col("__toks"),
         word_ngrams(F.col("__toks"), 2).alias("__g2"),
     )
@@ -555,6 +565,7 @@ def gopher_rules(
     ).otherwise(F.lit(0.0))
     out = staged.select(
         F.col(id_col),
+        *carry,
         n_words.alias("n_words"),
         mean_len.alias("mean_word_len"),
         stop_hits.alias("stopword_hits"),

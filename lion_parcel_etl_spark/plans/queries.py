@@ -5524,12 +5524,154 @@ def _duck_bpe_encode(k: int = BPE_K_MERGES) -> str:
     )
 
 
+def q_gopher_audit(spark, sf_dir):
+    """Per-source quality audit — the reporting loop every curation
+    run needs: for each source, document count, keep rate, and the
+    failure rate of EACH Gopher rule (rounded at 1e-6), so a drifting
+    crawler or a boilerplate-heavy source shows up as ITS rule moving.
+    One zero-shuffle rule projection (gopher_rules with the source
+    carried through) plus one partial-agg rollup over ~|sources|
+    groups; at corpus scale this is the cheapest possible audit — a
+    scan and a tiny aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    rules = TX.gopher_rules(docs, carry_cols=["source"])
+
+    def fail_rate(c):
+        return F.round(
+            F.sum((~F.col(c)).cast("long")) / F.count(F.lit(1)).cast("double"), 6
+        )
+
+    return (
+        rules.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("keep").cast("long")) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("keep_rate"),
+            fail_rate("r_word_count").alias("fail_word_count"),
+            fail_rate("r_word_len").alias("fail_word_len"),
+            fail_rate("r_stopwords").alias("fail_stopwords"),
+            fail_rate("r_repetition").alias("fail_repetition"),
+        )
+        .orderBy("source")
+    )
+
+
+def _duck_gopher_audit() -> str:
+    rules = _duck_gopher_rules()
+    return f"""
+WITH rules AS MATERIALIZED (
+  SELECT r.*, d.source
+  FROM ({rules}) r JOIN documents d USING (doc_id)
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  round(SUM(CASE WHEN keep THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS keep_rate,
+  round(SUM(CASE WHEN r_word_count THEN 0 ELSE 1 END) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS fail_word_count,
+  round(SUM(CASE WHEN r_word_len THEN 0 ELSE 1 END) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS fail_word_len,
+  round(SUM(CASE WHEN r_stopwords THEN 0 ELSE 1 END) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS fail_stopwords,
+  round(SUM(CASE WHEN r_repetition THEN 0 ELSE 1 END) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS fail_repetition
+FROM rules
+GROUP BY source
+ORDER BY source
+"""
+
+
+EMB_OUTLIER_TAU = 0.0
+
+
+def q_embedding_outliers(spark, sf_dir):
+    """Label-conditional embedding outlier pruning — the "does this
+    point belong to its own class" filter that drops mislabeled /
+    out-of-distribution examples before training: per-label centroid
+    (the k-means update step), then each vector's cosine to ITS
+    label's centroid, flagged when below τ={EMB_OUTLIER_TAU}. Both the
+    centroid and the final cosine round at 1e-6 (the registry's fold
+    tolerance), and the flag compares the ROUNDED value on both
+    engines, so a last-ulp sum cannot flip a verdict.
+
+    Shape: one posexplode to long form; the centroid aggregate
+    collapses map-side to ≤ labels×dims rows before its exchange; the
+    join back is on (label, dim) — the exploded side's exchange is
+    byte-identical to the centroid subtree's child, so AQE reuses it
+    (single scan) — and the per-vector re-aggregate collapses map-side
+    too (a vector's dims never cross task boundaries). Nothing in the
+    plan is ever vectors×vectors; cost is linear in vectors×dims."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    cent = ex.groupBy("label", "dim").agg(F.round(F.avg("v"), 6).alias("c"))
+    per = (
+        ex.join(cent, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("v") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv"),
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"),
+        )
+    )
+    cos = F.round(
+        F.when(
+            F.col("nv") * F.col("nc") > 0,
+            F.col("dot") / (F.col("nv") * F.col("nc")),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return per.select(
+        "vec_id",
+        "label",
+        cos.alias("centroid_cos"),
+        (cos < F.lit(EMB_OUTLIER_TAU)).alias("is_outlier"),
+    )
+
+
+SQL_EMB_OUTLIERS = f"""
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, label, d.dim, CAST(embedding[d.dim] AS DOUBLE) AS v
+  FROM embeddings e,
+       (SELECT unnest(generate_series(1,
+          (SELECT MAX(len(embedding)) FROM embeddings))) AS dim) d
+  WHERE d.dim <= len(e.embedding)
+),
+cent AS MATERIALIZED (
+  SELECT label, dim, round(avg(v), 6) AS c FROM ex GROUP BY label, dim
+),
+per AS (
+  SELECT vec_id, ex.label,
+         SUM(v * c) AS dot,
+         sqrt(SUM(v * v)) AS nv,
+         sqrt(SUM(c * c)) AS nc
+  FROM ex JOIN cent USING (label, dim)
+  GROUP BY vec_id, ex.label
+)
+SELECT vec_id, label,
+  round(CASE WHEN nv * nc > 0 THEN dot / (nv * nc) ELSE 0.0 END, 6)
+    AS centroid_cos,
+  round(CASE WHEN nv * nc > 0 THEN dot / (nv * nc) ELSE 0.0 END, 6)
+    < {EMB_OUTLIER_TAU} AS is_outlier
+FROM per
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
 # follow in their original order. Lookup semantics are unaffected.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "gopher_rules": (q_gopher_rules, _duck_gopher_rules()),
+    "gopher_audit": (q_gopher_audit, _duck_gopher_audit()),
+    "embedding_outliers": (q_embedding_outliers, SQL_EMB_OUTLIERS),
     "token_budget_mix": (q_token_budget_mix, _duck_token_budget_mix()),
     "lm_backoff": (q_lm_backoff, SQL_LM_BACKOFF),
     "bpe_encode": (q_bpe_encode, _duck_bpe_encode()),

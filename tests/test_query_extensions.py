@@ -315,3 +315,31 @@ def test_lm_backoff_tiers_and_values(spark, tmp_path):
     assert r1["avg_surprisal"] == round((s1 + s2 + s3) / 3, 6)
     # doc 0 scores fully in-domain: every trigram tier 1
     assert out[0]["n_tier3"] == 0
+
+
+def test_gopher_audit_rates_consistent(spark):
+    from lion_parcel_etl_spark.plans.queries import q_gopher_audit
+
+    rows = q_gopher_audit(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(0.0 <= r["keep_rate"] <= 1.0 for r in rows)
+    # a doc failing any rule can't be kept: keep_rate <= 1 - max(fail)
+    for r in rows:
+        worst = max(
+            r["fail_word_count"], r["fail_word_len"],
+            r["fail_stopwords"], r["fail_repetition"],
+        )
+        assert r["keep_rate"] <= 1.0 - worst + 1e-9
+
+
+def test_embedding_outliers_flags_low_cosine(spark):
+    from lion_parcel_etl_spark.plans.queries import (
+        EMB_OUTLIER_TAU,
+        q_embedding_outliers,
+    )
+
+    rows = q_embedding_outliers(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["is_outlier"] == (r["centroid_cos"] < EMB_OUTLIER_TAU)
+    flagged = sum(r["is_outlier"] for r in rows) / len(rows)
+    assert 0.0 < flagged < 0.5  # the threshold separates, not degenerate
