@@ -5664,6 +5664,49 @@ FROM per
 """
 
 
+def q_dedup_source_matrix(spark, sf_dir):
+    """Cross-source duplication audit — the contamination question a
+    corpus owner actually asks ("is source X scraping source Y?"):
+    verified MinHash near-dup pairs mapped to their sources and
+    rolled up per unordered source pair with pair count and mean
+    Jaccard. The pair set is the LSH-banded join (never all-pairs);
+    the source map is a two-column projection of the corpus that AQE
+    broadcasts into the pair stream; the rollup is ≤ |sources|² rows.
+    At 100 TB this is the same cost as minhash_near_dup itself plus
+    two broadcast joins of bare (id, source) pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_near_dup(docs, "doc_id", "text", threshold=JACCARD_THRESHOLD)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    return (
+        j.groupBy(
+            F.least("src_a", "src_b").alias("src_lo"),
+            F.greatest("src_a", "src_b").alias("src_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+        .orderBy("src_lo", "src_hi")
+    )
+
+
+def _duck_dedup_source_matrix() -> str:
+    return f"""
+SELECT least(a.source, b.source) AS src_lo,
+       greatest(a.source, b.source) AS src_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(AVG(jaccard), 6) AS avg_jaccard
+FROM ({_duck_minhash_pairs()}) p
+JOIN documents a ON p.id_a = a.doc_id
+JOIN documents b ON p.id_b = b.doc_id
+GROUP BY 1, 2
+ORDER BY src_lo, src_hi
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
@@ -5672,6 +5715,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "gopher_rules": (q_gopher_rules, _duck_gopher_rules()),
     "gopher_audit": (q_gopher_audit, _duck_gopher_audit()),
     "embedding_outliers": (q_embedding_outliers, SQL_EMB_OUTLIERS),
+    "dedup_source_matrix": (q_dedup_source_matrix, _duck_dedup_source_matrix()),
     "token_budget_mix": (q_token_budget_mix, _duck_token_budget_mix()),
     "lm_backoff": (q_lm_backoff, SQL_LM_BACKOFF),
     "bpe_encode": (q_bpe_encode, _duck_bpe_encode()),
