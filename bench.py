@@ -122,7 +122,10 @@ HEADLINE = [
     "lm_surprisal",
     "lm_backoff",
     "gopher_rules",
+    "gopher_audit",
     "token_budget_mix",
+    "embedding_outliers",
+    "dedup_source_matrix",
     "doc_chunking",
     "embedding_centroids",
     "dedup_clusters",

@@ -614,3 +614,51 @@ def test_weighted_sample_is_bottom_k_by_priority(spark, rows, k):
     pri = sorted(((h(i) + 1) / float(HASH_MOD) / w, i) for i, w in rows if w > 0)
     want = {i for _, i in pri[:k]}
     assert got == want
+
+
+WORDS = st.lists(
+    st.text(alphabet="abcx", min_size=1, max_size=6), min_size=1, max_size=12
+)
+MERGES = st.lists(
+    st.tuples(
+        st.text(alphabet="abcx", min_size=1, max_size=2),
+        st.text(alphabet="abcx", min_size=1, max_size=2),
+    ),
+    min_size=0,
+    max_size=4,
+)
+
+
+@given(words=WORDS, merges=MERGES)
+@SLOW_OK
+def test_bpe_encode_roundtrip_and_python_reference(spark, words, merges):
+    """For ANY text and merge list: (1) concatenating the emitted
+    pieces reproduces the tokenized text exactly (merging never
+    loses or reorders characters), and (2) the piece sequence equals
+    an independent Python reference of greedy left-to-right
+    non-overlapping merge application in rank order."""
+    from lion_parcel_etl_spark.operators.text import bpe_encode
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    r = bpe_encode(df, merges).collect()[0]
+
+    def apply_merge(syms, left, right):
+        out = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        return out
+
+    want = []
+    for w in text.lower().split():
+        syms = list(w)
+        for left, right in merges:
+            syms = apply_merge(syms, left, right)
+        want.extend(syms)
+    got = r["pieces"].split(" ") if r["pieces"] else []
+    assert got == want
+    assert r["pieces"].replace(" ", "") == "".join(want)
+    assert r["n_pieces"] == len(want)
