@@ -124,6 +124,7 @@ HEADLINE = [
     "gopher_rules",
     "gopher_audit",
     "token_budget_mix",
+    "training_mix_pipeline",
     "embedding_outliers",
     "dedup_source_matrix",
     "doc_chunking",

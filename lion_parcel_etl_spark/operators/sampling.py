@@ -387,6 +387,7 @@ def pack_sequences(
     budget: int,
     shards: int = 8,
     salt: str = "",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget packing bins — the
     batch-construction step that concatenates documents into
@@ -406,16 +407,20 @@ def pack_sequences(
     function of (ids, lengths) — deterministic, layout-independent,
     and SQL-replayable.
 
-    Returns (id, n_tokens=len_col, shard, bin) — ``bin`` is local to
-    its shard.
+    Returns (id, *carry_cols, n_tokens=len_col, shard, bin) — ``bin``
+    is local to its shard; ``carry_cols`` pass through untouched.
     """
+    carry = list(carry_cols or [])
     lc = F.col(len_col) if isinstance(len_col, str) else len_col
     shard = F.pmod(id_hash(F.col(id_col), salt), F.lit(shards)).alias("shard")
-    base = docs.select(F.col(id_col), lc.cast("long").alias("n_tokens"), shard)
+    base = docs.select(
+        F.col(id_col), *carry, lc.cast("long").alias("n_tokens"), shard
+    )
     w = Window.partitionBy("shard").orderBy(id_col)
     cum = F.sum("n_tokens").over(w)
     return base.select(
         id_col,
+        *carry,
         "n_tokens",
         "shard",
         F.floor((cum - F.col("n_tokens")) / F.lit(budget)).alias("bin"),

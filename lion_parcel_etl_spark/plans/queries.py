@@ -5707,6 +5707,92 @@ ORDER BY src_lo, src_hi
 """
 
 
+MIX_SPLIT = {"train": 0.9, "eval": 0.1}
+
+
+def q_training_mix_pipeline(spark, sf_dir):
+    """End-to-end training-mix construction as ONE declarative plan —
+    the text twin of curation_pipeline, composing the four curation
+    stages a pretraining data pipeline actually runs:
+
+    1. quality filter (gopher_rules, keep only passing docs);
+    2. per-source TOKEN budget (token_budget_select, deterministic
+       hash-order prefix);
+    3. train/eval split (hash_split, append-stable md5 labels);
+    4. sequence packing of the train split (pack_sequences,
+       shard-parallel concat-and-chunk into {PACK_BUDGET}-token bins).
+
+    Output: one packed-training-set table (doc_id, source, n_tokens,
+    shard, bin). Every stage is a zero- or one-shuffle primitive
+    already oracled on its own; the composition is replayed end to
+    end by the oracle's CTE chain, which pins the INTERFACES between
+    stages (the classic composition bug — a filter reordered after a
+    budget — would show up as a hash mismatch even with every stage
+    individually correct)."""
+    from lion_parcel_etl_spark.operators.sampling import (
+        hash_split,
+        pack_sequences,
+        token_budget_select,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = TX.gopher_rules(docs, carry_cols=["source"])
+    kept = rules.filter(F.col("keep")).select("doc_id", "source", "n_words")
+    budgeted = token_budget_select(
+        kept, "doc_id", "source", "n_words",
+        budgets=TOKEN_BUDGETS, default_budget=TOKEN_BUDGET_DEFAULT,
+    )
+    labeled = hash_split(budgeted, "doc_id", MIX_SPLIT, salt="|mix")
+    train = labeled.filter(F.col("split") == "train")
+    return pack_sequences(
+        train, "doc_id", "n_words", PACK_BUDGET, shards=PACK_SHARDS,
+        carry_cols=["source"],
+    )
+
+
+def _duck_training_mix() -> str:
+    from lion_parcel_etl_spark.operators.sampling import (
+        HASH_MOD,
+        duck_group_case,
+        duck_id_hash,
+    )
+
+    budget = duck_group_case(
+        "source",
+        {k: float(v) for k, v in TOKEN_BUDGETS.items()},
+        float(TOKEN_BUDGET_DEFAULT),
+    )
+    u = f"{duck_id_hash('doc_id', '|mix')} / {float(HASH_MOD)!r}"
+    return f"""
+WITH rules AS MATERIALIZED (
+  SELECT r.doc_id, d.source, r.n_words
+  FROM ({_duck_gopher_rules()}) r JOIN documents d USING (doc_id)
+  WHERE r.keep
+),
+bud AS MATERIALIZED (
+  SELECT doc_id, source, n_words,
+    CAST(SUM(n_words) OVER (
+      PARTITION BY source ORDER BY {duck_id_hash('doc_id')}, doc_id
+    ) AS BIGINT) AS cum
+  FROM rules
+),
+bkept AS (SELECT * FROM bud WHERE cum <= {budget}),
+train AS (
+  SELECT doc_id, source, n_words FROM bkept
+  WHERE {u} < {MIX_SPLIT['train']}
+),
+sharded AS (
+  SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_tokens,
+         {duck_id_hash('doc_id')} % {PACK_SHARDS} AS shard
+  FROM train
+)
+SELECT doc_id, source, n_tokens, shard,
+       CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                   - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS bin
+FROM sharded
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
@@ -5716,6 +5802,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "gopher_audit": (q_gopher_audit, _duck_gopher_audit()),
     "embedding_outliers": (q_embedding_outliers, SQL_EMB_OUTLIERS),
     "dedup_source_matrix": (q_dedup_source_matrix, _duck_dedup_source_matrix()),
+    "training_mix_pipeline": (q_training_mix_pipeline, _duck_training_mix()),
     "token_budget_mix": (q_token_budget_mix, _duck_token_budget_mix()),
     "lm_backoff": (q_lm_backoff, SQL_LM_BACKOFF),
     "bpe_encode": (q_bpe_encode, _duck_bpe_encode()),

