@@ -33,7 +33,9 @@ from pyspark.sql import DataFrame
 # seed/refined-centroid tables exactly like its seeded twin;
 # semantic_dedup cross-joins the same broadcast 16-row seed table for
 # its assignment argmax; pmi_collocations crosses its two broadcast
-# ONE-ROW token/bigram totals (the lm_surprisal pattern).
+# ONE-ROW token/bigram totals (the lm_surprisal pattern); lm_backoff
+# crosses its broadcast ONE-ROW (n_train, vsize) scalar for the
+# unigram-floor tier (same pattern).
 BNLJ_ALLOWED = frozenset(
     {
         "cosine_topk",
@@ -50,6 +52,7 @@ BNLJ_ALLOWED = frozenset(
         "column_profile",
         "semantic_dedup",
         "pmi_collocations",
+        "lm_backoff",
     }
 )
 
