@@ -272,6 +272,24 @@ def main() -> None:
     noop(repetition_metrics(big))
     print(f"repetition_metrics: {time.perf_counter() - t0:.2f}s")
 
+    from lion_parcel_etl_spark.operators.sampling import token_budget_select
+    from lion_parcel_etl_spark.operators.text import gopher_rules, token_count
+
+    t0 = time.perf_counter()
+    noop(gopher_rules(big))
+    print(f"gopher_rules: {time.perf_counter() - t0:.2f}s")
+
+    sized = big.select(
+        "doc_id",
+        F.concat(F.lit("s"), F.pmod("doc_id", F.lit(20))).alias("source"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    t0 = time.perf_counter()
+    kept = token_budget_select(
+        sized, "doc_id", "source", "n_tokens", budgets={}, default_budget=10**12
+    ).count()
+    print(f"token_budget_select: {kept} kept, {time.perf_counter() - t0:.2f}s")
+
 
 if __name__ == "__main__":
     main()
