@@ -126,6 +126,7 @@ HEADLINE = [
     "token_budget_mix",
     "training_mix_pipeline",
     "embedding_outliers",
+    "hashed_embedding",
     "dedup_source_matrix",
     "doc_chunking",
     "embedding_centroids",

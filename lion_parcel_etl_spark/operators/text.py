@@ -626,3 +626,88 @@ def bpe_encode(
         F.size("__pieces").cast("long").alias("n_pieces"),
         F.array_join("__pieces", " ").alias("pieces"),
     )
+
+
+HASHED_EMB_DIMS = 64
+
+
+def hashed_embedding(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = HASHED_EMB_DIMS,
+) -> DataFrame:
+    """Feature-hashed bag-of-words document embeddings (the hashing
+    trick, Weinberger et al. 2009): token w adds sign(w) to dimension
+    h(w) mod dims, then the vector is L2-normalized — a deterministic,
+    model-free featurizer that bridges the text corpus into the ANN /
+    dedup / clustering family (cosine on these vectors approximates
+    token-multiset similarity). Hash and sign come from one md5 per
+    token (hex 1-15 → dimension, hex 16 parity → sign), so the oracle
+    replays every bit.
+
+    Shape: ZERO shuffle — per row, one md5 pass over the tokens, then
+    a fold that rebuilds the dims-sized accumulator per token (O(L·D)
+    array cells per doc; at D=64 that is cheap and strictly better
+    than an explode + (id, dim) aggregate, whose exchange carries the
+    whole token stream). For LARGE D the trade flips: explode +
+    groupBy(id, dim) + map-side partial agg keeps per-row work O(L)
+    and shuffles only non-zero cells — switch shapes there. Every
+    expensive array (token hashes, raw vector, its norm) is staged in
+    its own projection: higher-order folds are CodegenFallback with no
+    subexpression reuse, and an inline norm would re-run its whole
+    fold once per output element. Output is long form (id, dim,
+    value), values rounded at 1e-6 — the engine's fold tolerance."""
+    from lion_parcel_etl_spark.operators.dedup import tokens
+
+    staged = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    hashed = staged.select(
+        id_col,
+        F.transform(
+            F.col("__toks"),
+            lambda w: F.struct(
+                F.pmod(
+                    F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint"),
+                    F.lit(dims),
+                ).cast("int").alias("dim"),
+                F.when(
+                    F.conv(F.substring(F.md5(w), 16, 1), 16, 10).cast("int") % 2 == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)).alias("sign"),
+            ),
+        ).alias("__hs"),
+    )
+    vec = F.aggregate(
+        F.col("__hs"),
+        F.array_repeat(F.lit(0.0), dims),
+        lambda acc, h: F.transform(
+            acc, lambda v, i: F.when(i == h["dim"], v + h["sign"]).otherwise(v)
+        ),
+    )
+    with_vec = hashed.select(id_col, vec.alias("__vec"))
+    with_norm = with_vec.select(
+        id_col,
+        "__vec",
+        F.sqrt(
+            F.aggregate(F.col("__vec"), F.lit(0.0), lambda a, x: a + x * x)
+        ).alias("__norm"),
+    )
+    normed = with_norm.select(
+        id_col,
+        F.transform(
+            F.col("__vec"),
+            lambda x: F.round(
+                F.when(F.col("__norm") > 0, x / F.col("__norm")).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ),
+        ).alias("__n"),
+    )
+    return normed.select(
+        id_col, F.posexplode("__n").alias("pos", "value")
+    ).select(
+        id_col,
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("value"),
+    )

@@ -5793,6 +5793,49 @@ FROM sharded
 """
 
 
+def q_hashed_embedding(spark, sf_dir):
+    """Feature-hashed bag-of-words document vectors (operators/text.py
+    hashed_embedding): the model-free featurizer that carries the TEXT
+    corpus into the ANN/clustering family — token md5 → (dimension,
+    sign), accumulate, L2-normalize, emit long form. Zero shuffle; the
+    oracle replays the same hash arithmetic via an explode + (doc,
+    dim) aggregate over a dim spine (different decomposition, same
+    math — the equality IS the test that the per-row fold accumulates
+    exactly what the relational form sums)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.hashed_embedding(docs)
+
+
+def _duck_hashed_embedding(dims: int = TX.HASHED_EMB_DIMS) -> str:
+    return f"""
+WITH toked AS MATERIALIZED (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents WHERE text IS NOT NULL
+),
+cells AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(w), 1, 15))::BIGINT % {dims} AS INTEGER) + 1 AS dim,
+    CASE WHEN ('0x' || substr(md5(w), 16, 1))::BIGINT % 2 = 0
+         THEN 1.0 ELSE -1.0 END AS sign
+  FROM (SELECT doc_id, unnest(t) AS w FROM toked)
+),
+spine AS (
+  SELECT doc_id, d.dim
+  FROM toked, (SELECT unnest(generate_series(1, {dims})) AS dim) d
+),
+raw AS (
+  SELECT s.doc_id, s.dim, COALESCE(SUM(c.sign), 0.0) AS v
+  FROM spine s LEFT JOIN cells c ON s.doc_id = c.doc_id AND s.dim = c.dim
+  GROUP BY s.doc_id, s.dim
+),
+norms AS (
+  SELECT doc_id, sqrt(SUM(v * v)) AS nrm FROM raw GROUP BY doc_id
+)
+SELECT raw.doc_id, CAST(raw.dim AS BIGINT) AS dim,
+       round(CASE WHEN nrm > 0 THEN v / nrm ELSE 0.0 END, 6) AS value
+FROM raw JOIN norms USING (doc_id)
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
@@ -5803,6 +5846,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_outliers": (q_embedding_outliers, SQL_EMB_OUTLIERS),
     "dedup_source_matrix": (q_dedup_source_matrix, _duck_dedup_source_matrix()),
     "training_mix_pipeline": (q_training_mix_pipeline, _duck_training_mix()),
+    "hashed_embedding": (q_hashed_embedding, _duck_hashed_embedding()),
     "token_budget_mix": (q_token_budget_mix, _duck_token_budget_mix()),
     "lm_backoff": (q_lm_backoff, SQL_LM_BACKOFF),
     "bpe_encode": (q_bpe_encode, _duck_bpe_encode()),

@@ -346,3 +346,27 @@ def test_bpe_encode_applies_merges_in_rank_order(spark):
     assert out[0]["pieces"] == "xx xx abab b a x"
     assert out[0]["n_pieces"] == 6
     assert out[1]["n_pieces"] == 0 and out[1]["pieces"] == ""
+
+
+def test_hashed_embedding_unit_norm_and_determinism(spark):
+    from collections import defaultdict
+
+    from lion_parcel_etl_spark.operators.text import hashed_embedding
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),   # identical text
+            (3, "Alpha  BETA gamma   delta"),  # tokenization normalizes
+            (4, ""),                          # empty -> zero vector
+        ],
+        "doc_id long, text string",
+    )
+    vecs = defaultdict(dict)
+    for r in hashed_embedding(df).collect():
+        vecs[r["doc_id"]][r["dim"]] = r["value"]
+    assert all(len(v) == 64 for v in vecs.values())
+    assert vecs[1] == vecs[2] == vecs[3]
+    assert all(v == 0.0 for v in vecs[4].values())
+    for d in (1, 2, 3):
+        assert abs(sum(x * x for x in vecs[d].values()) - 1.0) < 1e-4
