@@ -704,9 +704,19 @@ def hashed_embedding(
             ),
         ).alias("__n"),
     )
+    # posexplode_OUTER, then a cheap post-filter on the generated
+    # column: a plain posexplode triggers InferFiltersFromGenerate,
+    # whose (size > 0 AND isnotnull) condition is pushed below every
+    # projection with alias substitution — re-inlining the ENTIRE
+    # fold chain into an interpreted per-row Filter (the audit's
+    # FOLD_IN_FILTER flag, measured as a multiple of the whole
+    # query's cost). Outer generate semantics make the inference
+    # illegal, so nothing is pushed; null-text docs emit one null row
+    # that the post-filter (on the cheap generated column) drops —
+    # same output as the inner explode.
     return normed.select(
-        id_col, F.posexplode("__n").alias("pos", "value")
-    ).select(
+        id_col, F.posexplode_outer("__n").alias("pos", "value")
+    ).filter(F.col("pos").isNotNull()).select(
         id_col,
         (F.col("pos") + 1).cast("long").alias("dim"),
         F.col("value"),
