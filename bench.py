@@ -127,6 +127,7 @@ HEADLINE = [
     "training_mix_pipeline",
     "embedding_outliers",
     "hashed_embedding",
+    "knn_label_eval",
     "dedup_source_matrix",
     "doc_chunking",
     "embedding_centroids",

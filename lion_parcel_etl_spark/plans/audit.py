@@ -35,7 +35,9 @@ from pyspark.sql import DataFrame
 # its assignment argmax; pmi_collocations crosses its two broadcast
 # ONE-ROW token/bigram totals (the lm_surprisal pattern); lm_backoff
 # crosses its broadcast ONE-ROW (n_train, vsize) scalar for the
-# unigram-floor tier (same pattern).
+# unigram-floor tier (same pattern); knn_label_eval contains
+# cosine_topk's broadcast tiny-query-set pair join (the cosine_topk
+# entry, composed).
 BNLJ_ALLOWED = frozenset(
     {
         "cosine_topk",
@@ -53,6 +55,7 @@ BNLJ_ALLOWED = frozenset(
         "semantic_dedup",
         "pmi_collocations",
         "lm_backoff",
+        "knn_label_eval",
     }
 )
 

@@ -5836,6 +5836,87 @@ FROM raw JOIN norms USING (doc_id)
 """
 
 
+KNN_EVAL_K = 5
+KNN_EVAL_NQ = 50
+
+
+def q_knn_label_eval(spark, sf_dir):
+    """k-NN label-agreement evaluation — the standard embedding
+    quality harness (does a vector's neighborhood share its label?):
+    exact top-{KNN_EVAL_K} cosine neighbors for {KNN_EVAL_NQ} query
+    vectors (self excluded), majority vote over neighbor labels with
+    a deterministic (votes desc, label asc) tie-break, compared to
+    the query's own label. Per-query output (true label, prediction,
+    vote count, correct) — aggregate accuracy is one trivial rollup
+    away, and the per-row form is what an error analysis reads.
+
+    Scale shape: the query set broadcasts (cosine_topk's staged-norm
+    pair join — corpus never shuffles by vector); votes and the
+    majority window act on ≤ queries×k rows. Swap in lsh/ivf/pq_topk
+    for the neighbor stage at billion-vector scale — same eval,
+    approximate neighbors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_EVAL_NQ)
+    nn = SIM.cosine_topk(emb, queries, k=KNN_EVAL_K)
+    lab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    votes = (
+        nn.join(lab, "neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("n_label").asc()
+    )
+    pred = votes.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        "true_label",
+        F.col("n_label").alias("predicted_label"),
+        "votes",
+        (F.col("n_label") == F.col("true_label")).alias("correct"),
+    )
+
+
+def _duck_knn_eval(nq: int = KNN_EVAL_NQ, k: int = KNN_EVAL_K) -> str:
+    cos = _duck_cos("q.qv", "e.embedding")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {nq}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS n_label,
+         round({cos}, 6) AS cosine_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, n_label,
+         row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+  FROM scored
+),
+votes AS (
+  SELECT query_id, n_label, CAST(COUNT(*) AS BIGINT) AS votes
+  FROM ranked WHERE rnk <= {k} GROUP BY query_id, n_label
+),
+pred AS (
+  SELECT query_id, n_label, votes,
+         row_number() OVER (PARTITION BY query_id
+            ORDER BY votes DESC, n_label ASC) AS rk
+  FROM votes
+)
+SELECT p.query_id, t.label AS true_label, p.n_label AS predicted_label,
+       p.votes, p.n_label = t.label AS correct
+FROM pred p JOIN embeddings t ON p.query_id = t.vec_id
+WHERE p.rk = 1
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
@@ -5847,6 +5928,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_source_matrix": (q_dedup_source_matrix, _duck_dedup_source_matrix()),
     "training_mix_pipeline": (q_training_mix_pipeline, _duck_training_mix()),
     "hashed_embedding": (q_hashed_embedding, _duck_hashed_embedding()),
+    "knn_label_eval": (q_knn_label_eval, _duck_knn_eval()),
     "token_budget_mix": (q_token_budget_mix, _duck_token_budget_mix()),
     "lm_backoff": (q_lm_backoff, SQL_LM_BACKOFF),
     "bpe_encode": (q_bpe_encode, _duck_bpe_encode()),
