@@ -743,3 +743,39 @@ def stream_token_budget(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_gopher_audit(spark: SparkSession, docs_path: str) -> DataFrame:
+    """Continuously-maintained per-source quality audit — the
+    streaming twin of the batch gopher_audit rollup: every arriving
+    document is scored by the SAME zero-shuffle gopher_rules
+    projection the batch path uses (identical verdicts, replayable),
+    and per-source counters aggregate in update mode. State is one
+    counter row per source (O(sources), not O(docs)); rates are
+    derived in the same projection so the sink always holds current
+    keep/fail rates. Because the rule battery is stateless and the
+    rollup is an incremental sum, a batch backfill over the same
+    files lands on identical numbers."""
+    from lion_parcel_etl_spark.operators.text import gopher_rules
+
+    docs = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_path)
+    rules = gopher_rules(docs, carry_cols=["source"])
+    counts = rules.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum((~F.col("r_word_count")).cast("long")).alias("n_fail_word_count"),
+        F.sum((~F.col("r_word_len")).cast("long")).alias("n_fail_word_len"),
+        F.sum((~F.col("r_stopwords")).cast("long")).alias("n_fail_stopwords"),
+        F.sum((~F.col("r_repetition")).cast("long")).alias("n_fail_repetition"),
+    )
+    return counts.select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_keep") / F.col("n_docs").cast("double"), 6).alias(
+            "keep_rate"
+        ),
+        "n_fail_word_count",
+        "n_fail_word_len",
+        "n_fail_stopwords",
+        "n_fail_repetition",
+    )

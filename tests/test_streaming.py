@@ -622,3 +622,36 @@ def test_stream_token_budget_carries_state_across_batches(spark, tmp_path):
     # across both batches exactly 0 more docs fit (the 4th doc of
     # batch 1 already overflowed: 160 > 130, prefix semantics)
     assert len(both) == len(first)
+
+
+def test_stream_gopher_audit_matches_batch_rollup(spark, tmp_path):
+    """The streaming per-source audit (update mode, last row per
+    source) must land on the batch gopher_audit numbers over the same
+    files — the backfill-agreement property of a stateless rule set
+    under an incremental rollup."""
+    from lion_parcel_etl_spark.plans.queries import q_gopher_audit
+    from lion_parcel_etl_spark.streaming.jobs import (
+        run_available_now,
+        stream_gopher_audit,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs_dir = str(tmp_path / "docs")
+    docs.write.parquet(docs_dir)
+    stream = stream_gopher_audit(spark, docs_dir)
+    run_available_now(
+        stream, str(tmp_path / "ck"), table_name="ga_out", output_mode="complete"
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["keep_rate"], r["n_fail_stopwords"])
+        for r in spark.table("ga_out").collect()
+    }
+    want = {}
+    for r in q_gopher_audit(spark, "/root/testdata/sf0.001").collect():
+        n = r["n_docs"]
+        want[r["source"]] = (
+            n,
+            r["keep_rate"],
+            round(r["fail_stopwords"] * n),
+        )
+    assert got == want and got
