@@ -128,6 +128,8 @@ HEADLINE = [
     "embedding_outliers",
     "hashed_embedding",
     "knn_label_eval",
+    "bpe_fertility",
+    "corpus_summary",
     "dedup_source_matrix",
     "doc_chunking",
     "embedding_centroids",

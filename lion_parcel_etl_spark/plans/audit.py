@@ -37,7 +37,8 @@ from pyspark.sql import DataFrame
 # crosses its broadcast ONE-ROW (n_train, vsize) scalar for the
 # unigram-floor tier (same pattern); knn_label_eval contains
 # cosine_topk's broadcast tiny-query-set pair join (the cosine_topk
-# entry, composed).
+# entry, composed); corpus_summary crosses its three broadcast
+# ONE-ROW stat aggregates (the column_profile pattern).
 BNLJ_ALLOWED = frozenset(
     {
         "cosine_topk",
@@ -56,6 +57,7 @@ BNLJ_ALLOWED = frozenset(
         "pmi_collocations",
         "lm_backoff",
         "knn_label_eval",
+        "corpus_summary",
     }
 )
 

@@ -5917,6 +5917,129 @@ WHERE p.rk = 1
 """
 
 
+def q_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility — the standard tokenizer-quality metric
+    (mean pieces per word; Ácsi et al. usage in multilingual evals):
+    learn {BPE_K_MERGES} merges, encode the corpus (bpe_encode's
+    vocabulary-join shape), and roll up per source: word count, piece
+    count, fertility = pieces/words rounded at 1e-6, and the
+    compression ratio vs character count. A tokenizer trainer watches
+    exactly this table converge as merges are added; per-source
+    fertility drift flags a source the tokenizer serves badly."""
+    from lion_parcel_etl_spark.operators.text import bpe_encode, bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    learned = bpe_merges(docs, "text", k_merges=BPE_K_MERGES).collect()
+    merges = [(r["lhs"], r["rhs"]) for r in sorted(learned, key=lambda r: r["step"])]
+    enc = bpe_encode(docs, merges)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(DD.tokens(F.col("text"))).cast("long").alias("n_words"),
+    )
+    j = enc.join(toks, "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.round(
+                F.sum("n_pieces") / F.sum("n_words").cast("double"), 6
+            ).alias("fertility"),
+        )
+        .orderBy("source")
+    )
+
+
+def _duck_bpe_fertility() -> str:
+    return f"""
+WITH enc AS MATERIALIZED ({_duck_bpe_encode()})
+SELECT d.source,
+       CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS n_words,
+       CAST(SUM(e.n_pieces) AS BIGINT) AS n_pieces,
+       round(SUM(e.n_pieces) / CAST(SUM(len({_DUCK_TOKS})) AS DOUBLE), 6)
+         AS fertility
+FROM enc e JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+def q_corpus_summary(spark, sf_dir):
+    """The dataset card in one row — corpus-level statistics a data
+    release publishes: document/token counts, vocabulary size,
+    source/language cardinalities, mean document length, exact-dup
+    ratio (1 − distinct md5(text)/docs), and the Gopher keep rate.
+    Three one-row aggregates (doc-level stats; token stream; quality
+    rules) crossed together: each is a full-scan partial aggregate
+    collapsing map-side to one row, the crosses are broadcast scalar
+    fan-ins, and nothing vocabulary-sized reaches the driver."""
+    docs = _t(spark, sf_dir, "documents")
+    doc_stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct(F.md5("text")).alias("n_distinct_texts"),
+    )
+    tok_stats = (
+        docs.select(F.explode(DD.tokens(F.col("text"))).alias("token"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_distinct("token").alias("vocab_size"),
+        )
+    )
+    keep_stats = TX.gopher_rules(docs).agg(
+        F.sum(F.col("keep").cast("long")).alias("n_keep")
+    )
+    row = doc_stats.crossJoin(F.broadcast(tok_stats)).crossJoin(
+        F.broadcast(keep_stats)
+    )
+    return row.select(
+        "n_docs",
+        "n_tokens",
+        "vocab_size",
+        "n_sources",
+        "n_langs",
+        F.round(F.col("n_tokens") / F.col("n_docs").cast("double"), 6).alias(
+            "mean_doc_tokens"
+        ),
+        F.round(
+            F.lit(1.0) - F.col("n_distinct_texts") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("exact_dup_ratio"),
+        F.round(F.col("n_keep") / F.col("n_docs").cast("double"), 6).alias(
+            "gopher_keep_rate"
+        ),
+    )
+
+
+def _duck_corpus_summary() -> str:
+    return f"""
+WITH doc_stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+  FROM documents
+),
+tok_stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT token) AS BIGINT) AS vocab_size
+  FROM (SELECT unnest({_DUCK_TOKS}) AS token FROM documents)
+),
+keep_stats AS (
+  SELECT CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+  FROM ({_duck_gopher_rules()})
+)
+SELECT n_docs, n_tokens, vocab_size, n_sources, n_langs,
+       round(n_tokens / CAST(n_docs AS DOUBLE), 6) AS mean_doc_tokens,
+       round(1.0 - n_distinct_texts / CAST(n_docs AS DOUBLE), 6)
+         AS exact_dup_ratio,
+       round(n_keep / CAST(n_docs AS DOUBLE), 6) AS gopher_keep_rate
+FROM doc_stats CROSS JOIN tok_stats CROSS JOIN keep_stats
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
@@ -5929,6 +6052,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "training_mix_pipeline": (q_training_mix_pipeline, _duck_training_mix()),
     "hashed_embedding": (q_hashed_embedding, _duck_hashed_embedding()),
     "knn_label_eval": (q_knn_label_eval, _duck_knn_eval()),
+    "bpe_fertility": (q_bpe_fertility, _duck_bpe_fertility()),
+    "corpus_summary": (q_corpus_summary, _duck_corpus_summary()),
     "token_budget_mix": (q_token_budget_mix, _duck_token_budget_mix()),
     "lm_backoff": (q_lm_backoff, SQL_LM_BACKOFF),
     "bpe_encode": (q_bpe_encode, _duck_bpe_encode()),
