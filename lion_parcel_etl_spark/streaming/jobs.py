@@ -779,3 +779,36 @@ def stream_gopher_audit(spark: SparkSession, docs_path: str) -> DataFrame:
         "n_fail_stopwords",
         "n_fail_repetition",
     )
+
+
+def stream_training_mix(
+    spark: SparkSession,
+    docs_path: str,
+    budgets: dict[str, int],
+    default_budget: int,
+    salt: str = "",
+) -> DataFrame:
+    """Streaming curation front half — quality filter + token-budget
+    admission at ingest time: every arriving document is scored by the
+    stateless gopher_rules battery, rejects drop immediately (never
+    reaching the state store), and survivors pass through the same
+    per-source budget admission as :func:`stream_token_budget`. A
+    one-micro-batch stream therefore equals the batch composition
+    (gopher keep → token_budget_select) row-for-row — tested — and
+    the split/pack stages that follow in q_training_mix_pipeline are
+    stateless hash functions any downstream consumer can apply to
+    this stream's output verbatim."""
+    from lion_parcel_etl_spark.operators.text import gopher_rules
+
+    docs = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_path)
+    rules = gopher_rules(docs, carry_cols=["source"])
+    kept = rules.filter(F.col("keep")).select(
+        "doc_id", "source", F.col("n_words").alias("n_tokens")
+    )
+    return kept.groupBy("source").applyInPandasWithState(
+        _budget_admit(budgets, default_budget, salt),
+        outputStructType=_BUDGET_OUT,
+        stateStructType=_BUDGET_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -655,3 +655,40 @@ def test_stream_gopher_audit_matches_batch_rollup(spark, tmp_path):
             round(r["fail_stopwords"] * n),
         )
     assert got == want and got
+
+
+def test_stream_training_mix_matches_batch_composition(spark, tmp_path):
+    """One-micro-batch streaming curation (gopher filter + budget
+    admission) equals the batch composition gopher_rules[keep] →
+    token_budget_select row-for-row."""
+    from pyspark.sql import functions as F
+
+    from lion_parcel_etl_spark.operators.sampling import token_budget_select
+    from lion_parcel_etl_spark.operators.text import gopher_rules
+    from lion_parcel_etl_spark.streaming.jobs import (
+        run_available_now,
+        stream_training_mix,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs_dir = str(tmp_path / "docs")
+    docs.write.parquet(docs_dir)
+    budgets = {"src0": 300}
+    stream = stream_training_mix(spark, docs_dir, budgets, 250)
+    run_available_now(stream, str(tmp_path / "ck"), table_name="mix_out")
+    got = {
+        (r["doc_id"], r["source"], r["n_tokens"], r["cum_tokens"])
+        for r in spark.table("mix_out").collect()
+    }
+    kept = (
+        gopher_rules(docs, carry_cols=["source"])
+        .filter(F.col("keep"))
+        .select("doc_id", "source", F.col("n_words").alias("n_tokens"))
+    )
+    want = {
+        (r["doc_id"], r["source"], r["n_tokens"], r["cum_tokens"])
+        for r in token_budget_select(
+            kept, "doc_id", "source", "n_tokens", budgets, 250
+        ).collect()
+    }
+    assert got == want and got
