@@ -6040,6 +6040,51 @@ FROM doc_stats CROSS JOIN tok_stats CROSS JOIN keep_stats
 """
 
 
+def q_dup_cluster_sizes(spark, sf_dir):
+    """Duplicate-cluster size distribution — the histogram a dedup run
+    reports (how much of the corpus sits in clusters of 2, of 3, ...,
+    and how many docs deduplication would remove): connected
+    components over the verified near-dup pair graph, cluster sizes,
+    then one tiny rollup per size with the removable-doc count
+    (size − 1 survivors per cluster). The removable total is THE
+    number a curation report leads with. Cost = dedup_clusters + two
+    aggregates over ≤ |docs| and ≤ |distinct sizes| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_near_dup(docs, "doc_id", "text", threshold=JACCARD_THRESHOLD)
+    cc = F.broadcast(DD.connected_components(pairs, "id_a", "id_b"))
+    labeled = (
+        docs.select("doc_id")
+        .join(cc, docs["doc_id"] == cc["node"], "left")
+        .select(F.coalesce("component", "doc_id").alias("cluster_id"))
+    )
+    sizes = labeled.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").alias("n_docs"),
+            F.sum(F.col("sz") - 1).alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _duck_dup_cluster_sizes() -> str:
+    return f"""
+WITH clusters AS MATERIALIZED ({_duck_dedup_clusters()}),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS sz FROM clusters GROUP BY cluster_id
+)
+SELECT sz AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs,
+       CAST(SUM(sz - 1) AS BIGINT) AS n_removable
+FROM sizes
+GROUP BY sz
+ORDER BY cluster_size
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
@@ -6054,6 +6099,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "knn_label_eval": (q_knn_label_eval, _duck_knn_eval()),
     "bpe_fertility": (q_bpe_fertility, _duck_bpe_fertility()),
     "corpus_summary": (q_corpus_summary, _duck_corpus_summary()),
+    "dup_cluster_sizes": (q_dup_cluster_sizes, _duck_dup_cluster_sizes()),
     "token_budget_mix": (q_token_budget_mix, _duck_token_budget_mix()),
     "lm_backoff": (q_lm_backoff, SQL_LM_BACKOFF),
     "bpe_encode": (q_bpe_encode, _duck_bpe_encode()),
