@@ -130,6 +130,7 @@ HEADLINE = [
     "knn_label_eval",
     "bpe_fertility",
     "corpus_summary",
+    "dup_cluster_sizes",
     "dedup_source_matrix",
     "doc_chunking",
     "embedding_centroids",
