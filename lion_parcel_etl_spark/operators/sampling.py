@@ -446,7 +446,9 @@ def _bucketed_prefix_sum(
     an exclusive prefix sum over the tiny groups × buckets totals
     table. The totals aggregate reads the WINDOWED side (max of the
     inclusive cumsum = bucket total), so both consumers share one
-    exchange (ReusedExchange — single scan, single hash pass).
+    exchange (ReusedExchange — single scan, single hash pass). Values
+    may be negative or NULL (NULLs add nothing, matching SQL window
+    SUM); the offsets come from per-bucket SUMs, not cumsum maxima.
 
     Returns (*by, id, val_col, __cum) with ``__cum`` the inclusive
     within-group running sum.
@@ -463,10 +465,19 @@ def _bucketed_prefix_sum(
     )
     w = Window.partitionBy(*by, "__b").orderBy("__h", id_col)
     local = base.select(
-        *by, id_col, val_col, "__b",
+        *by, id_col, val_col, "__b", "__h",
         F.sum(val_col).over(w).alias("__lcum"),
     )
-    totals = local.groupBy(*by, "__b").agg(F.max("__lcum").alias("__tot"))
+    # bucket totals as the LAST inclusive cumsum in window order
+    # (max_by over the (hash, id) sort key) — correct for any value
+    # signs, unlike max(__lcum), which equals the total only for
+    # non-negative values; and unlike a plain sum(val) aggregate,
+    # max_by consumes the WINDOWED column, so Catalyst cannot prune
+    # the window out of this branch and both consumers still share
+    # one exchange (ReusedExchange — single scan, single hash pass)
+    totals = local.groupBy(*by, "__b").agg(
+        F.max_by("__lcum", F.struct("__h", id_col)).alias("__tot")
+    )
     off_w = (
         Window.partitionBy(*by)
         .orderBy("__b")

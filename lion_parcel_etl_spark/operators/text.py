@@ -547,15 +547,20 @@ def gopher_rules(
         word_ngrams(F.col("__toks"), 2).alias("__g2"),
     )
     toks, g2 = F.col("__toks"), F.col("__g2")
-    n_words = F.size(toks).cast("long")
+    # size(NULL) is -1 with ANSI off (the token_count hazard): a
+    # NULL-text doc must report NULL counts — and NULL rule verdicts —
+    # not -1s that read as a scored failure. The oracle's len(NULL)
+    # does the same.
+    n_words = F.when(toks.isNotNull(), F.size(toks)).cast("long")
     total_chars = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
     )
     mean_len = F.when(
         n_words > 0, F.round(total_chars.cast("double") / n_words, 6)
     ).otherwise(F.lit(0.0))
-    stop_hits = F.size(
-        F.filter(toks, lambda w: w.isin(*EN_STOPWORDS))
+    stop_hits = F.when(
+        toks.isNotNull(),
+        F.size(F.filter(toks, lambda w: w.isin(*EN_STOPWORDS))),
     ).cast("long")
     dup2 = F.when(
         F.size(g2) > 0,
@@ -678,17 +683,26 @@ def hashed_embedding(
     from lion_parcel_etl_spark.operators.dedup import tokens
 
     staged = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
-    hashed = staged.select(
+    # one md5 per token: hash in its own transform, derive (dim, sign)
+    # from the HEX STRING in a second — an inline F.md5(w) in both the
+    # dim and sign branches would run twice per token (higher-order
+    # transforms are CodegenFallback with no subexpression reuse, the
+    # same discipline as the staged norm below)
+    hexed = staged.select(
+        id_col,
+        F.transform(F.col("__toks"), lambda w: F.md5(w)).alias("__hex"),
+    )
+    hashed = hexed.select(
         id_col,
         F.transform(
-            F.col("__toks"),
-            lambda w: F.struct(
+            F.col("__hex"),
+            lambda h: F.struct(
                 F.pmod(
-                    F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint"),
+                    F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint"),
                     F.lit(dims),
                 ).cast("int").alias("dim"),
                 F.when(
-                    F.conv(F.substring(F.md5(w), 16, 1), 16, 10).cast("int") % 2 == 0,
+                    F.conv(F.substring(h, 16, 1), 16, 10).cast("int") % 2 == 0,
                     F.lit(1.0),
                 ).otherwise(F.lit(-1.0)).alias("sign"),
             ),

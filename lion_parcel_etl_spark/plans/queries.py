@@ -5511,7 +5511,13 @@ def _duck_bpe_encode(k: int = BPE_K_MERGES) -> str:
     word_expr = "string_split(w, '')"
     for i in range(1, k + 1):
         word_expr = fold(word_expr, f"b{i}")
-    crosses = " ".join(f"CROSS JOIN best{i} b{i}" for i in range(1, k + 1))
+    # LEFT JOIN ON TRUE, not CROSS JOIN: when the trainer early-stops
+    # (no adjacent pair left — all-single-character corpora) a best{i}
+    # CTE is EMPTY, and a cross join would empty the whole encode,
+    # returning 0 rows while Spark correctly encodes every document.
+    # With NULL b{i}.s1/s2 the merge fold's CASE condition is NULL →
+    # ELSE branch → a no-op merge, matching Spark's skipped round.
+    crosses = " ".join(f"LEFT JOIN best{i} b{i} ON TRUE" for i in range(1, k + 1))
     ctes.append(
         "enc AS (SELECT doc_id, "
         f"flatten(list_transform({_DUCK_TOKS}, w -> {word_expr})) AS pieces "
@@ -5919,13 +5925,14 @@ WHERE p.rk = 1
 
 def q_bpe_fertility(spark, sf_dir):
     """Tokenizer fertility — the standard tokenizer-quality metric
-    (mean pieces per word; Ácsi et al. usage in multilingual evals):
-    learn {BPE_K_MERGES} merges, encode the corpus (bpe_encode's
+    (mean pieces per word, as used in multilingual tokenizer evals,
+    e.g. Rust et al. 2021 "How Good is Your Tokenizer?"): learn
+    {BPE_K_MERGES} merges, encode the corpus (bpe_encode's
     vocabulary-join shape), and roll up per source: word count, piece
-    count, fertility = pieces/words rounded at 1e-6, and the
-    compression ratio vs character count. A tokenizer trainer watches
-    exactly this table converge as merges are added; per-source
-    fertility drift flags a source the tokenizer serves badly."""
+    count, fertility = pieces/words rounded at 1e-6. A tokenizer
+    trainer watches exactly this table converge as merges are added;
+    per-source fertility drift flags a source the tokenizer serves
+    badly."""
     from lion_parcel_etl_spark.operators.text import bpe_encode, bpe_merges
 
     docs = _t(spark, sf_dir, "documents")
@@ -5935,7 +5942,10 @@ def q_bpe_fertility(spark, sf_dir):
     toks = docs.select(
         "doc_id",
         "source",
-        F.size(DD.tokens(F.col("text"))).cast("long").alias("n_words"),
+        # token_count, not bare size(tokens(...)): size(NULL) is -1
+        # with ANSI off, and a NULL-text doc must contribute NULL
+        # (skipped by SUM, as the oracle's len(NULL) is) — not -1
+        TX.token_count(F.col("text")).alias("n_words"),
     )
     j = enc.join(toks, "doc_id")
     return (

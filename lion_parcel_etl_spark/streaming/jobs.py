@@ -695,10 +695,18 @@ def _budget_admit(budgets: dict[str, int], default_budget: int, salt: str):
         # backfilling with later smaller docs, which would diverge
         # from the batch operator's greedy prefix)
         for _, row in batch.iterrows():
-            n = int(row["n_tokens"])
+            # NULL text -> NULL n_tokens -> NaN here; the batch twin's
+            # window SUM skips it (cum unchanged) and still emits the
+            # row when cum fits — mirror that instead of crashing the
+            # micro-batch on int(NaN)
+            raw = row["n_tokens"]
+            n = 0 if pd.isna(raw) else int(raw)
             cum += n
             if cum <= budget:
-                out.append((int(row["doc_id"]), key[0], n, cum))
+                out.append(
+                    (int(row["doc_id"]), key[0],
+                     None if pd.isna(raw) else n, cum)
+                )
         state.update((cum,))
         yield pd.DataFrame(
             out, columns=["doc_id", "source", "n_tokens", "cum_tokens"]

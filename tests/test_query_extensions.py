@@ -371,3 +371,95 @@ def test_training_mix_pipeline_stage_invariants(spark):
         by_shard.setdefault(r["shard"], set()).add(r["bin"])
     for bins in by_shard.values():
         assert bins == set(range(max(bins) + 1))
+
+
+def test_null_text_rows_score_null_not_negative(spark, tmp_path):
+    """The size(NULL) = -1 hazard class (review findings): a NULL-text
+    doc must yield NULL counts and NULL rule verdicts in gopher_rules
+    (matching the oracle's len(NULL)), and contribute nothing — not
+    -1 — to the fertility word sum."""
+    import pandas as pd
+
+    from lion_parcel_etl_spark.operators.text import gopher_rules
+
+    df = spark.createDataFrame(
+        [(1, "the quick doc is a fine one"), (2, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+    assert rows[2]["n_words"] is None
+    assert rows[2]["stopword_hits"] is None
+    assert rows[2]["r_word_count"] is None
+    assert rows[2]["keep"] is False  # NULL AND false-able chain -> never kept
+    assert rows[1]["n_words"] == 7
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["aa bb aa bb", None],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [11, 0],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    from lion_parcel_etl_spark.plans.queries import q_bpe_fertility
+
+    r = q_bpe_fertility(spark, str(tmp_path)).collect()
+    assert len(r) == 1 and r[0]["n_words"] == 4  # NULL doc adds nothing
+
+
+def test_stream_token_budget_survives_null_text(spark, tmp_path):
+    """A NULL-text doc must not crash the streaming micro-batch
+    (int(NaN)); it flows through with NULL n_tokens and an unchanged
+    running total, exactly like the batch window SUM."""
+    from lion_parcel_etl_spark.streaming.jobs import (
+        run_available_now,
+        stream_token_budget,
+    )
+
+    cols = "doc_id long, text string, lang string, source string, n_chars long"
+    rows = [(1, "w w w", "en", "s", 5), (2, None, "en", "s", 0), (3, "w w", "en", "s", 3)]
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(rows, cols).write.parquet(docs_dir)
+    stream = stream_token_budget(spark, docs_dir, {}, 100)
+    run_available_now(stream, str(tmp_path / "ck"), table_name="nb_out")
+    got = {r["doc_id"]: (r["n_tokens"], r["cum_tokens"]) for r in spark.table("nb_out").collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2][0] is None  # null tokens, admitted, total unchanged
+    assert sum(v for v, _ in got.values() if v is not None) == 5
+
+
+def test_bpe_encode_oracle_survives_early_stop(spark, tmp_path):
+    """All-single-character corpus: the trainer learns ZERO merges
+    (early stop) and the DuckDB oracle must still return every doc
+    (LEFT JOIN ON TRUE over the empty merge CTEs), matching Spark."""
+    import duckdb
+    import pandas as pd
+
+    from lion_parcel_etl_spark.plans.queries import (
+        _duck_bpe_encode,
+        q_bpe_encode,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["a b c", "d e"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [5, 3],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = {
+        (r["doc_id"], r["n_pieces"], r["pieces"])
+        for r in q_bpe_encode(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    want = set(map(tuple, con.execute(_duck_bpe_encode()).fetchall()))
+    assert got == want
+    assert got == {(0, 3, "a b c"), (1, 2, "d e")}

@@ -338,6 +338,31 @@ def test_bucketed_prefix_sum_equals_global_window(spark):
         assert got == expected, f"buckets={buckets}"
 
 
+def test_bucketed_prefix_sum_handles_negative_values(spark):
+    """Bucket offsets must equal true prefix sums even when values go
+    negative (a cumsum can peak mid-bucket, so a max-of-cumsum total
+    would shift every later bucket)."""
+    import hashlib
+
+    from lion_parcel_etl_spark.operators.sampling import _bucketed_prefix_sum
+
+    rows = [(f"n{i:03d}", (-13) ** (i % 3) + i % 7 - 3) for i in range(90)]
+    df = spark.createDataFrame(rows, "id string, v long")
+
+    def h(i):
+        return int(hashlib.md5(f"{i}x".encode()).hexdigest()[:15], 16)
+
+    run, expected = 0, {}
+    for rid, v in sorted(rows, key=lambda r: (h(r[0]), r[0])):
+        run += v
+        expected[rid] = run
+    got = {
+        r["id"]: r["__cum"]
+        for r in _bucketed_prefix_sum(df, "id", [], "v", "x", 8).collect()
+    }
+    assert got == expected
+
+
 def test_token_budget_select_greedy_prefix(spark):
     """Kept set per group is exactly the greedy hash-order prefix whose
     inclusive total stays within that group's budget; the
