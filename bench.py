@@ -131,6 +131,7 @@ HEADLINE = [
     "bpe_fertility",
     "corpus_summary",
     "dup_cluster_sizes",
+    "pack_fill_stats",
     "dedup_source_matrix",
     "doc_chunking",
     "embedding_centroids",

@@ -6095,6 +6095,58 @@ ORDER BY cluster_size
 """
 
 
+def q_pack_fill_stats(spark, sf_dir):
+    """Packing efficiency report — the number that decides a packing
+    strategy: per (shard, bin), the token fill; rolled up into one row
+    of corpus-level stats: bin count, mean fill rate vs the
+    {PACK_BUDGET}-token budget, the fraction of bins at or above the
+    budget (overflow bins — concat-and-chunk fills past the boundary
+    by at most its last doc), and total padding tokens a trainer
+    would burn on the non-overflow bins. Every training-batch
+    pipeline reads exactly this table before choosing budget/shards.
+    Cost: pack_sequences + two tiny aggregates (bins ≪ docs)."""
+    from lion_parcel_etl_spark.operators.sampling import pack_sequences
+    from lion_parcel_etl_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(sized, "doc_id", "n_tokens", PACK_BUDGET, shards=PACK_SHARDS)
+    bins = packed.groupBy("shard", "bin").agg(
+        F.sum("n_tokens").alias("fill")
+    )
+    full = F.col("fill") >= PACK_BUDGET
+    return bins.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.round(F.avg(F.col("fill") / F.lit(float(PACK_BUDGET))), 6).alias(
+            "mean_fill_rate"
+        ),
+        F.round(
+            F.avg(full.cast("double")), 6
+        ).alias("overflow_bin_frac"),
+        F.sum(
+            F.when(~full, F.lit(PACK_BUDGET) - F.col("fill")).otherwise(0)
+        ).alias("padding_tokens"),
+    )
+
+
+def _duck_pack_fill_stats() -> str:
+    return f"""
+WITH packed AS MATERIALIZED ({_duck_pack()}),
+bins AS (
+  SELECT shard, bin, SUM(n_tokens) AS fill FROM packed GROUP BY shard, bin
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       round(AVG(fill / {float(PACK_BUDGET)!r}), 6) AS mean_fill_rate,
+       round(AVG(CASE WHEN fill >= {PACK_BUDGET} THEN 1.0 ELSE 0.0 END), 6)
+         AS overflow_bin_frac,
+       CAST(SUM(CASE WHEN fill < {PACK_BUDGET} THEN {PACK_BUDGET} - fill
+                     ELSE 0 END) AS BIGINT) AS padding_tokens
+FROM bins
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
@@ -6110,6 +6162,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bpe_fertility": (q_bpe_fertility, _duck_bpe_fertility()),
     "corpus_summary": (q_corpus_summary, _duck_corpus_summary()),
     "dup_cluster_sizes": (q_dup_cluster_sizes, _duck_dup_cluster_sizes()),
+    "pack_fill_stats": (q_pack_fill_stats, _duck_pack_fill_stats()),
     "token_budget_mix": (q_token_budget_mix, _duck_token_budget_mix()),
     "lm_backoff": (q_lm_backoff, SQL_LM_BACKOFF),
     "bpe_encode": (q_bpe_encode, _duck_bpe_encode()),
