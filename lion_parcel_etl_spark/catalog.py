@@ -148,12 +148,29 @@ class Warehouse:
         rewrites its own directory instead of duplicating rows — the
         plain-parquet stand-in for a table format's transactional
         append. Readers see ``__batch_id`` as a partition column; select
-        explicit columns (or drop it) downstream."""
-        final = os.path.join(self.table_path(name), f"__batch_id={batch_id}")
-        os.makedirs(os.path.dirname(final), exist_ok=True)
-        tmp = f"{final}.__tmp__{uuid.uuid4().hex[:8]}"
+        explicit columns (or drop it) downstream.
+
+        The scratch dirs live OUTSIDE the readable table directory
+        (siblings of the TABLE, not of the batch dir): a name like
+        ``__batch_id=N.__tmp__x`` inside the table contains ``=``, so
+        partition discovery would read it as a real partition and a
+        crashed or in-flight replay would double-count the batch for
+        every concurrent reader. Out-of-tree scratch keeps readers on
+        committed batches only; crash windows recover by checkpoint
+        REPLAY of the uncommitted batch (the stream's contract), and
+        vacuum removes the stale scratch by the shared suffix grammar.
+        """
+        table = self.table_path(name)
+        final = os.path.join(table, f"__batch_id={batch_id}")
+        os.makedirs(table, exist_ok=True)
+        tmp = f"{table}.__tmp__{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(tmp)
-        swap_dir(tmp, final)
+        old = f"{table}.__old__{uuid.uuid4().hex[:8]}"
+        if os.path.exists(final):
+            os.rename(final, old)
+        os.rename(tmp, final)
+        if os.path.exists(old):
+            shutil.rmtree(old)
         if self.metrics is not None:
             self.metrics.record_write(name, final)
 

@@ -98,18 +98,26 @@ def audit(name: str, plan: str) -> list[str]:
 
 
 _HOF_NAMES = "aggregate|transform|zip_with|filter|reduce|exists|forall|array_sort"
-# isnotnull over a HOF anywhere in its argument (covers the raw fold
-# and CASE/coalesce-wrapped rewrites), but ONLY on a line that prints
-# a condition: formatted physical plans put Filter predicates on
+# isnotnull whose ARGUMENT opens with a HOF chain (no intervening
+# close-paren between "isnotnull(" and the HOF name — the printed
+# signature of an inferred null-filter rewritten from isnotnull(col)
+# into isnotnull(<fold chain>)), and ONLY on a line that prints a
+# condition: formatted physical plans put Filter predicates on
 # "Condition :" detail lines, and tree-form plans print them as
-# "+- Filter (...)" / "+- *(n) Filter (...)" nodes. A HOF under
-# isnotnull inside a Project is NOT flagged — projecting
-# when(fold.isNotNull(), ...) evaluates the fold once and is fine.
+# "+- Filter (...)" / "+- *(n) Filter (...)" nodes. Two shapes are
+# deliberately NOT flagged: a HOF under isnotnull inside a Project
+# (projecting when(fold.isNotNull(), ...) evaluates the fold once and
+# is fine), and a condition line where isnotnull CLOSES before any
+# HOF appears — e.g. a pushed user filter containing a null GUARD
+# like CASE WHEN isnotnull(regexp(...)) THEN size(filter(...)): the
+# folds there are the filter's actual work, evaluated once, not an
+# inferred re-evaluation (requiring no ")" before the HOF keeps the
+# true chains isnotnull(transform(aggregate(... flagged).
 _COND_LINE = __import__("re").compile(
     r"^\s*(?:Condition\s*:|[:+\-\s|]*(?:\*\(\d+\)\s*)?Filter\b)"
 )
 _HOF_UNDER_ISNOTNULL = __import__("re").compile(
-    rf"isnotnull\([^\n]*?(?:{_HOF_NAMES})\("
+    rf"isnotnull\([^\n)]*?(?:{_HOF_NAMES})\("
 )
 
 

@@ -85,6 +85,10 @@ class Pipeline:
             if n in seen:
                 continue
             seen.add(n)
+            if n not in self._tasks:
+                # same diagnostic as _topo's untagged path — a tagged
+                # run must not turn a config error into a bare KeyError
+                raise ValueError(f"task depends on unknown {n!r}")
             stack.extend(self._tasks[n].deps)
         return [t for t in self._tasks.values() if t.name in seen]
 
@@ -148,29 +152,42 @@ class Pipeline:
         from lion_parcel_etl_spark.metrics import RunMetrics
 
         rm = ctx.get("run_metrics")
+        attached = False
+        wh = ctx.get("warehouse")
         if rm is None:
             rm = ctx["run_metrics"] = RunMetrics()
-            wh = ctx.get("warehouse")
-            if wh is not None and getattr(wh, "metrics", None) is None:
+            # attach THIS run's recorder even if an earlier run left its
+            # own behind (Scheduler.tick passes a fresh ctx copy per
+            # run, so a None-only check would leave every run after the
+            # first recording into the first run's orphaned recorder
+            # and reporting empty writes); the previous attachment is
+            # restored on exit so a caller-owned recorder keeps working
+            if wh is not None and getattr(wh, "metrics", None) is not rm:
+                prev_metrics = wh.metrics
                 wh.metrics = rm
+                attached = True
 
         report: dict[str, dict] = {}
-        for t in self._topo(self._select(tags)):
-            mark = rm.mark()
-            t0 = time.perf_counter()
-            for attempt in range(t.retries + 1):
-                try:
-                    t.fn(ctx)
-                    break
-                except Exception as e:  # noqa: BLE001
-                    if attempt == t.retries:
-                        raise TaskFailed(t.name, e) from e
-                    if t.retry_delay_s > 0:
-                        time.sleep(t.retry_delay_s)
-            report[t.name] = {
-                "wall_s": time.perf_counter() - t0,
-                "writes": [w.as_dict() for w in rm.writes[mark:]],
-            }
+        try:
+            for t in self._topo(self._select(tags)):
+                mark = rm.mark()
+                t0 = time.perf_counter()
+                for attempt in range(t.retries + 1):
+                    try:
+                        t.fn(ctx)
+                        break
+                    except Exception as e:  # noqa: BLE001
+                        if attempt == t.retries:
+                            raise TaskFailed(t.name, e) from e
+                        if t.retry_delay_s > 0:
+                            time.sleep(t.retry_delay_s)
+                report[t.name] = {
+                    "wall_s": time.perf_counter() - t0,
+                    "writes": [w.as_dict() for w in rm.writes[mark:]],
+                }
+        finally:
+            if attached:
+                wh.metrics = prev_metrics
         return report
 
 @dataclass(frozen=True)

@@ -32,3 +32,26 @@ def test_plan_has_no_scale_antipatterns(spark, sf_dir, name):
     plan = formatted_plan(fn(spark, sf_dir))
     flags = [f for f in audit(name, plan) if (name, f) not in JUSTIFIED]
     assert not flags, f"{name}: {flags}\n{plan[:2000]}"
+
+
+def test_fold_in_filter_detector_signature():
+    """The detector fires on the inferred-null-filter signature
+    (isnotnull directly wrapping a fold chain) and stays silent on a
+    pushed user predicate whose isnotnull closes before a later HOF
+    (a null GUARD inside the filter's own work)."""
+    from lion_parcel_etl_spark.plans.audit import _fold_reeval_in_filter
+
+    bad = (
+        "(3) Filter\n"
+        "Condition : ((size(transform(aggregate(transform(regexp_extract_all"
+        "(lower(text#1), x, 0), lambda), acc, merge), lambda), true) > 0) AND "
+        "isnotnull(transform(aggregate(xs#3, 0, lambda), lambda)))"
+    )
+    assert _fold_reeval_in_filter(bad)
+    ok = (
+        "(3) Filter\n"
+        "Condition : (CASE WHEN isnotnull(regexp_extract_all(lower(text#1), x, 0)) "
+        "THEN size(filter(regexp_extract_all(lower(text#1), x, 0), lambda), true) "
+        "END >= 2)"
+    )
+    assert not _fold_reeval_in_filter(ok)
