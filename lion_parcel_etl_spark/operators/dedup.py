@@ -40,6 +40,35 @@ def spread_input(df: DataFrame) -> DataFrame:
     return df
 
 
+_PIN_TRACKERS: list[list] = []
+
+
+def tracked_pins():
+    """Context manager collecting every :func:`pin` made inside it and
+    unpersisting them on exit — for long-running callers (streaming
+    foreachBatch loops) where each micro-batch would otherwise leak
+    one permanently-cached signature table per batch into executor
+    storage. Batch pipelines don't need it: their pins die with the
+    session."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        pins: list = []
+        _PIN_TRACKERS.append(pins)
+        try:
+            yield
+        finally:
+            _PIN_TRACKERS.pop()
+            for d in pins:
+                try:
+                    d.unpersist()
+                except Exception:
+                    pass
+
+    return _cm()
+
+
 def pin(df: DataFrame) -> DataFrame:
     """Persist a signature-style table and force ONE materialization.
 
@@ -52,6 +81,8 @@ def pin(df: DataFrame) -> DataFrame:
     table to storage and read it back"."""
     df = df.persist()
     df.count()
+    if _PIN_TRACKERS:
+        _PIN_TRACKERS[-1].append(df)
     return df
 
 # Deterministic MinHash permutation coefficients: a*h + b mod P over the

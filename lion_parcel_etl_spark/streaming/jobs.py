@@ -186,14 +186,35 @@ def stream_merge_into(
             # broadcast it whole: semi-prune its (key, order) projection
             # to the batch's keys first (broadcast key set, ≤ |batch|
             # rows), then broadcast the pruned side into the batch join.
-            cur = (
-                tgt.select(*keys, F.col(order_col).alias("__cur_ord"))
-                .join(F.broadcast(batch.select(*keys)), on=keys, how="left_semi")
+            # Keys match NULL-SAFELY (eqNullSafe), because merge_upsert
+            # itself treats NULL as a real key value — a null-unsafe
+            # guard would let an older event for a NULL key bypass the
+            # order check and regress the mart row merge then replaces.
+            from functools import reduce
+
+            cur = tgt.select(
+                *[F.col(k).alias(f"__k_{k}") for k in keys],
+                F.col(order_col).alias("__cur_ord"),
+            )
+            bkeys = batch.select(
+                *[F.col(k).alias(f"__b_{k}") for k in keys]
+            ).dropDuplicates()
+            semi = reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"__k_{k}").eqNullSafe(F.col(f"__b_{k}"))
+                    for k in keys
+                ],
+            )
+            cur = cur.join(F.broadcast(bkeys), on=semi, how="left_semi")
+            cond = reduce(
+                lambda a, b: a & b,
+                [batch[k].eqNullSafe(F.col(f"__k_{k}")) for k in keys],
             )
             batch = (
-                batch.join(F.broadcast(cur), on=keys, how="left")
+                batch.join(F.broadcast(cur), on=cond, how="left")
                 .filter(F.col("__cur_ord").isNull() | (F.col(order_col) >= F.col("__cur_ord")))
-                .drop("__cur_ord")
+                .drop("__cur_ord", *[f"__k_{k}" for k in keys])
             )
         merged = merge_upsert(
             tgt,
@@ -315,19 +336,28 @@ def stream_near_dup_pairs(
         spark = batch.sparkSession
         if batch.isEmpty():
             return
-        if warehouse.exists(sig_table):
-            store = warehouse.read(spark, sig_table).filter(
-                F.col("__batch_id") != batch_id
-            ).select("doc", "sig", "shingles")
-            pairs = minhash_near_dup_incremental(
-                store, batch, id_col, text_col, threshold=threshold
+        # tracked_pins: the dedup operators pin() signature tables
+        # (persist + count). One-shot in batch use, but HERE the
+        # closure runs once per micro-batch of a long-running stream —
+        # without the tracker every batch leaks one permanently-cached
+        # table into executor storage (same discipline as
+        # stream_snapshot_diff's persist/finally-unpersist).
+        from lion_parcel_etl_spark.operators.dedup import tracked_pins
+
+        with tracked_pins():
+            if warehouse.exists(sig_table):
+                store = warehouse.read(spark, sig_table).filter(
+                    F.col("__batch_id") != batch_id
+                ).select("doc", "sig", "shingles")
+                pairs = minhash_near_dup_incremental(
+                    store, batch, id_col, text_col, threshold=threshold
+                )
+            else:
+                pairs = minhash_near_dup(batch, id_col, text_col, threshold=threshold)
+            warehouse.append_batch(pairs, pairs_table, batch_id)
+            warehouse.append_batch(
+                minhash_signatures(batch, id_col, text_col), sig_table, batch_id
             )
-        else:
-            pairs = minhash_near_dup(batch, id_col, text_col, threshold=threshold)
-        warehouse.append_batch(pairs, pairs_table, batch_id)
-        warehouse.append_batch(
-            minhash_signatures(batch, id_col, text_col), sig_table, batch_id
-        )
 
     q = (
         df.writeStream.foreachBatch(_batch)
@@ -415,7 +445,17 @@ def stream_scd2(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        run_ts = str(batch.agg(F.max(order_col)).first()[0])
+        max_ord = batch.agg(F.max(order_col)).first()[0]
+        if max_ord is None:
+            # every row's order column is NULL: no usable snapshot
+            # ordering exists, the row_number dedupe would pick
+            # arbitrary rows, and str(None) would stamp the literal
+            # string 'None' into the validity column — refuse loudly
+            raise ValueError(
+                f"stream_scd2: micro-batch has all-NULL {order_col!r}; "
+                "cannot order snapshot rows or derive run_ts"
+            )
+        run_ts = str(max_ord)
         scd2_apply_partitioned(
             spark, warehouse, table, snap, key, tracked, snapshot_ts_col, run_ts
         )
@@ -680,36 +720,36 @@ def _budget_admit(budgets: dict[str, int], default_budget: int, salt: str):
         # the batch operator uses, so a single-batch stream reproduces
         # token_budget_select exactly; across batches arrival order
         # governs (the honest streaming semantics — replaying the same
-        # file sequence through the same checkpoint reproduces it)
-        batch["__h"] = batch["doc_id"].map(
-            lambda i: int(
-                hashlib.md5(f"{i}{salt}".encode()).hexdigest()[:15], 16
+        # file sequence through the same checkpoint reproduces it).
+        # The id stringifies via id_hash's rules: a NULL id hashes the
+        # '__null__' sentinel, a non-null long formats with no '.0'
+        # (nullable batches arrive as float64 — int() first).
+        def _h(i):
+            key_str = "__null__" if pd.isna(i) else str(int(i))
+            return int(
+                hashlib.md5(f"{key_str}{salt}".encode()).hexdigest()[:15], 16
             )
-        )
+
+        batch["__h"] = batch["doc_id"].map(_h)
         batch = batch.sort_values(["__h", "doc_id"], kind="mergesort")
-        out = []
         # strict-prefix semantics, matching token_budget_select: the
         # running total accumulates EVERY doc seen (admitted or not),
         # and a doc is admitted iff its inclusive total fits — once
-        # one doc overflows, the budget is spent (no first-fit
-        # backfilling with later smaller docs, which would diverge
-        # from the batch operator's greedy prefix)
-        for _, row in batch.iterrows():
-            # NULL text -> NULL n_tokens -> NaN here; the batch twin's
-            # window SUM skips it (cum unchanged) and still emits the
-            # row when cum fits — mirror that instead of crashing the
-            # micro-batch on int(NaN)
-            raw = row["n_tokens"]
-            n = 0 if pd.isna(raw) else int(raw)
-            cum += n
-            if cum <= budget:
-                out.append(
-                    (int(row["doc_id"]), key[0],
-                     None if pd.isna(raw) else n, cum)
-                )
-        state.update((cum,))
+        # one doc overflows, the budget is spent. NULL n_tokens adds
+        # nothing (the batch twin's window SUM skips it) but the row
+        # still admits while the total fits. Vectorized cumsum — no
+        # per-row Python in the hot applyInPandasWithState path.
+        tok = batch["n_tokens"].fillna(0).astype("int64")
+        cums = cum + tok.cumsum()
+        admitted = batch[cums <= budget]
+        state.update((int(cum + int(tok.sum())),))
         yield pd.DataFrame(
-            out, columns=["doc_id", "source", "n_tokens", "cum_tokens"]
+            {
+                "doc_id": admitted["doc_id"].astype("Int64"),
+                "source": key[0],
+                "n_tokens": admitted["n_tokens"].astype("Int64"),
+                "cum_tokens": cums[admitted.index].astype("int64"),
+            }
         )
 
     return admit

@@ -692,3 +692,45 @@ def test_stream_training_mix_matches_batch_composition(spark, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_stream_merge_order_guard_protects_null_keys(spark, tmp_path):
+    """merge_upsert treats NULL as a real key value; the cross-batch
+    ordering guard must match it null-safely too — an older event for
+    the NULL key may not regress the mart row."""
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.streaming.jobs import stream_merge_into
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    cols = "k long, v string, ord long"
+    wh.overwrite(
+        spark.createDataFrame([(None, "current", 10), (1, "one", 10)], cols),
+        "mart",
+    )
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(None, "stale", 5), (1, "one-new", 12)], cols
+    ).write.parquet(src_dir)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src_dir).schema
+    ).parquet(src_dir)
+    stream_merge_into(
+        stream, wh, "mart", ["k"], str(tmp_path / "ck"), order_col="ord"
+    )
+    got = {r["k"]: (r["v"], r["ord"]) for r in wh.read(spark, "mart").collect()}
+    assert got[None] == ("current", 10)  # stale NULL-key event rejected
+    assert got[1] == ("one-new", 12)
+
+
+def test_tracked_pins_unpersists_on_exit(spark):
+    from lion_parcel_etl_spark.operators.dedup import pin, tracked_pins
+
+    df_out = None
+    with tracked_pins():
+        df_out = pin(spark.range(10))
+        assert df_out.storageLevel.useMemory
+    assert not df_out.storageLevel.useMemory  # released on exit
+    # outside a tracker, pins stay (batch semantics unchanged)
+    kept = pin(spark.range(5))
+    assert kept.storageLevel.useMemory
+    kept.unpersist()
