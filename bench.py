@@ -106,6 +106,8 @@ HEADLINE = [
     "repetition_metrics",
     "domain_caps",
     "dup_spans",
+    "span_dedup_rewrite",
+    "ngram_novelty",
     "snapshot_diff",
     "split_leakage",
     "pack_sequences",

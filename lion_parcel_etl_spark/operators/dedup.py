@@ -942,3 +942,106 @@ def duplicate_spans(
             F.array_join("ds", "; ").alias("doc_list"),
         )
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 16,
+) -> DataFrame:
+    """Span-level dedup as a REWRITE: chunk each document into
+    non-overlapping ``window``-token chunks (trailing partial chunk
+    included), drop every chunk whose text occurs elsewhere in the
+    corpus — keeping exactly the canonical first occurrence, the
+    lexicographically-least (doc, pos) — and reassemble the surviving
+    chunks in order. The removal counterpart of
+    :func:`duplicate_spans` (which only reports collisions): this is
+    the CCNet/RefinedWeb-style "remove duplicated passages, keep one
+    copy" transform, expressed corpus-wide instead of per-shard.
+
+    Output: one row per input document (documents whose every chunk
+    was a duplicate survive with empty ``clean_text``) with
+    ``clean_text``, ``n_chunks`` and ``n_removed``.
+
+    Scale shape (100 TB honest): chunk text NEVER crosses an
+    exchange. The decision pipeline shuffles only (md5, doc, pos)
+    triples; the canonical-occurrence aggregate keeps only colliding
+    hashes (∝ duplicated bytes); the per-doc removal sets — again ∝
+    duplicated chunks, not corpus size — group back to one short
+    array per affected document and join against the UNSHUFFLED doc
+    table on its id (AQE broadcasts the removal side when it is
+    small). The rebuild is a pure per-row array expression: re-chunk,
+    filter by removed positions, join with spaces.
+    """
+    # sequence(0, n-1) flips to a DESCENDING [0, -1] when n = 0 (Spark
+    # infers step -1), so the position range must be guarded for
+    # empty/null documents; coalesce folds null text into 0 chunks.
+    # size(NULL) is -1 under legacy semantics (ceil(-1/w) happens to
+    # land on 0, but the isNull branch states the intent explicitly).
+    n_chunks = (
+        F.when(F.col("__toks").isNull(), F.lit(0))
+        .otherwise(F.ceil(F.size("__toks") / F.lit(window)))
+        .cast("long")
+    )
+    positions = F.when(
+        F.col("__n") > 0, F.sequence(F.lit(0), F.col("__n") - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    chunk_at = lambda toks, i: F.concat_ws(  # noqa: E731
+        " ", F.slice(toks, (i * F.lit(window) + 1).cast("int"), window)
+    )
+    toked = docs.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
+    ).select("doc", "__toks", n_chunks.alias("__n"))
+    hashed = toked.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                positions,
+                lambda i: F.md5(chunk_at(F.col("__toks"), i)),
+            )
+        ).alias("pos", "h"),
+    )
+    canon = (
+        hashed.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("doc", "pos")).alias("first"),
+        )
+        .filter(F.col("n_occ") >= 2)
+    )
+    removed = (
+        hashed.join(canon, "h")
+        .filter(
+            ~(
+                (F.col("doc") == F.col("first.doc"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .groupBy("doc")
+        .agg(
+            F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias(
+                "__drop"
+            )
+        )
+    )
+    out = toked.join(removed, "doc", "left")
+    keep = F.filter(
+        positions,
+        lambda i: ~F.coalesce(
+            F.array_contains(F.col("__drop"), i), F.lit(False)
+        ),
+    )
+    return out.select(
+        F.col("doc").alias(id_col),
+        F.array_join(
+            F.transform(keep, lambda i: chunk_at(F.col("__toks"), i)), " "
+        ).alias("clean_text"),
+        F.col("__n").alias("n_chunks"),
+        # size(NULL) is -1 under legacy (non-ANSI) semantics, so the
+        # no-removals branch needs an explicit isNull test, not coalesce.
+        F.when(F.col("__drop").isNull(), F.lit(0))
+        .otherwise(F.size("__drop"))
+        .cast("long")
+        .alias("n_removed"),
+    )

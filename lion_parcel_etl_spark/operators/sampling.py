@@ -560,3 +560,48 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(out_path)
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    total_budget: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled source sampling targets: given per-group row
+    counts ``n_g``, allocate a ``total_budget`` of training examples
+    proportionally to ``n_g**alpha`` — the standard temperature /
+    exponential-smoothing mix for multilingual and multi-source
+    corpora (alpha=1 is natural proportions, alpha→0 is uniform;
+    published variants use alpha≈0.3–0.7). Emits, per group: the raw
+    count, the smoothed sampling probability, the integer target row
+    count, and the implied epochs over that group (>1 means
+    oversampling / repetition, a quality-risk signal worth auditing
+    before training).
+
+    Scale shape: one map-side-combined groupBy on the (tiny) group
+    key; the Σ n**alpha normalizer is a one-row aggregate broadcast
+    back by a scalar cross join. The input is scanned once; nothing
+    row-sized ever reaches the driver.
+    """
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    norm = counts.agg(
+        F.sum(F.pow(F.col("n_rows").cast("double"), F.lit(alpha))).alias(
+            "__z"
+        )
+    )
+    p = F.pow(F.col("n_rows").cast("double"), F.lit(alpha)) / F.col("__z")
+    target = F.round(p * F.lit(float(total_budget))).cast("long")
+    return (
+        counts.crossJoin(F.broadcast(norm))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_rows",
+            F.round(p, 6).alias("p_sample"),
+            target.alias("target_rows"),
+            F.round(target / F.col("n_rows"), 6).alias("epochs"),
+        )
+        .orderBy(group_col)
+    )

@@ -1106,3 +1106,68 @@ def semantic_dedup(
         F.col("code").alias("cluster_id"),
         F.col("__dup").isNull().alias("kept"),
     )
+
+
+def jl_signs(out_dim: int, dims: int) -> list[list[float]]:
+    """Deterministic Rademacher (±1) Johnson–Lindenstrauss projection
+    matrix, scaled by 1/√out_dim — md5-derived like
+    :func:`plane_matrix`, so every engine rebuilds the identical
+    matrix from the (j, i) coordinates alone (Achlioptas-style
+    database-friendly JL: ±1 entries preserve pairwise distances with
+    the same guarantee as Gaussian entries)."""
+    import hashlib
+    import math
+
+    s = 1.0 / math.sqrt(out_dim)
+    out = []
+    for j in range(out_dim):
+        row = []
+        for i in range(dims):
+            b = hashlib.md5(f"jl:{j}:{i}".encode()).digest()[0]
+            row.append(s if b & 1 else -s)
+        out.append(row)
+    return out
+
+
+def jl_project(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    dims: int = 64,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection of an embedding column
+    to ``out_dim`` dimensions — the cheap-ANN preprocessing step:
+    downstream LSH / brute-force passes over the projected vectors
+    touch out_dim/dims of the bytes while approximately preserving
+    cosine geometry. Values rounded at 1e-6 (the engine-parity noise
+    floor for short ordered folds).
+
+    Scale shape: a zero-shuffle per-row projection. The fixed
+    out_dim×dims sign matrix is embedded as plan literals and each
+    output coordinate is an ordered JVM fold over the input array —
+    no Python, no state, embarrassingly parallel. For big matrices
+    (out_dim×dims ≳ 10⁴ terms) switch to the Arrow matmul path used
+    by :func:`lsh_buckets_udf`; at 16×64 the interpreted
+    higher-order-function cost is far below Arrow transfer cost.
+    """
+    M = jl_signs(out_dim, dims)
+    mlit = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in M]
+    )
+    proj = F.transform(
+        F.sequence(F.lit(1), F.lit(out_dim)),
+        lambda j: F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col).cast("array<double>"),
+                    F.element_at(mlit, j.cast("int")),
+                    lambda x, s: x * s,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ),
+    )
+    return vecs.select(F.col(id_col), proj.alias("proj"))

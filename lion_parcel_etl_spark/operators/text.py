@@ -752,3 +752,128 @@ def hashed_embedding(
         (F.col("pos") + 1).cast("long").alias("dim"),
         F.col("value"),
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document n-gram novelty / commonness profile: for each
+    document's DISTINCT word ``n``-grams, how many other documents
+    share them. Emits the novelty fraction (share of the doc's
+    n-grams appearing in NO other document — high = original text,
+    low = boilerplate or near-copy), the mean document frequency of
+    its n-grams, and the worst-case (max) document frequency. The
+    memorization-risk complement of span dedup: a doc can dodge
+    16-token exact windows yet still score low novelty.
+
+    Scale shape: n-grams are md5-hashed per row before the first
+    exchange (shuffle carries (hash, doc) pairs only, map-side
+    distinct), the document-frequency aggregate is output-bounded by
+    the distinct n-gram vocabulary, and the join back to (hash, doc)
+    is an equi-join on the hash both sides are already partitioned
+    by. Per-doc stats then group on the doc id. No step is
+    corpus-quadratic; nothing but hashes and counts ever shuffles.
+    """
+    from lion_parcel_etl_spark.operators.dedup import tokens
+
+    toked = docs.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
+    )
+    grams = (
+        toked.select(
+            "doc", F.explode(word_ngrams(F.col("__toks"), n)).alias("g")
+        )
+        .select("doc", F.md5("g").alias("h"))
+        .distinct()
+    )
+    df_counts = grams.groupBy("h").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    return (
+        grams.join(df_counts, "h")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.round(
+                F.avg(F.when(F.col("doc_freq") == 1, 1.0).otherwise(0.0)), 6
+            ).alias("novel_frac"),
+            F.round(F.avg("doc_freq"), 6).alias("mean_df"),
+            F.max("doc_freq").alias("max_df"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_ngrams",
+            "novel_frac",
+            "mean_df",
+            "max_df",
+        )
+    )
+
+
+def mlm_mask(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate_pct: int = 15,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic masked-language-model example construction: mask
+    ``rate_pct`` % of each document's tokens (BERT-style MLM inputs),
+    choosing positions by a content-free md5 draw over
+    (doc, position, salt) — so the mask set is reproducible across
+    runs, partitionings and engines, and re-salting draws an
+    independent masking epoch. Emits the masked token stream, the
+    supervision labels as a ``pos:token`` list (1-based positions),
+    and the token/mask counts.
+
+    Scale shape: zero shuffle — one pure per-row array expression
+    over the token array (positions via a guarded ``sequence``, mask
+    decision per position from md5), embarrassingly parallel and
+    append-stable. The label list stays inside the row; nothing
+    global is consulted.
+    """
+    from lion_parcel_etl_spark.operators.dedup import tokens
+
+    toked = docs.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
+    ).withColumn(
+        # size(NULL) is -1 under legacy (non-ANSI) semantics — null
+        # text needs the explicit isNull branch, not coalesce.
+        "__n",
+        F.when(F.col("__toks").isNull(), F.lit(0))
+        .otherwise(F.size("__toks"))
+        .cast("int"),
+    )
+    positions = F.when(
+        F.col("__n") > 0, F.sequence(F.lit(1), F.col("__n"))
+    ).otherwise(F.array().cast("array<int>"))
+
+    def is_masked(i: Column) -> Column:
+        key = F.concat_ws(
+            ":", F.lit("mlm"), F.col("doc").cast("string"), i.cast("string"), F.lit(salt)
+        )
+        draw = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+        return (draw % 100) < rate_pct
+
+    masked = F.transform(
+        positions,
+        lambda i: F.when(is_masked(i), F.lit("[MASK]")).otherwise(
+            F.element_at(F.col("__toks"), i)
+        ),
+    )
+    labels = F.transform(
+        F.filter(positions, is_masked),
+        lambda i: F.concat_ws(
+            ":", i.cast("string"), F.element_at(F.col("__toks"), i)
+        ),
+    )
+    return toked.select(
+        F.col("doc").alias(id_col),
+        F.array_join(masked, " ").alias("masked_text"),
+        F.array_join(labels, "; ").alias("labels"),
+        F.col("__n").cast("long").alias("n_tokens"),
+        F.size(labels).cast("long").alias("n_masked"),
+    )

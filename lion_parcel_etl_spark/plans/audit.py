@@ -38,7 +38,9 @@ from pyspark.sql import DataFrame
 # unigram-floor tier (same pattern); knn_label_eval contains
 # cosine_topk's broadcast tiny-query-set pair join (the cosine_topk
 # entry, composed); corpus_summary crosses its three broadcast
-# ONE-ROW stat aggregates (the column_profile pattern).
+# ONE-ROW stat aggregates (the column_profile pattern);
+# temperature_mix crosses its broadcast ONE-ROW Σ n**alpha normalizer
+# (the lm_surprisal scalar pattern).
 BNLJ_ALLOWED = frozenset(
     {
         "cosine_topk",
@@ -58,6 +60,7 @@ BNLJ_ALLOWED = frozenset(
         "lm_backoff",
         "knn_label_eval",
         "corpus_summary",
+        "temperature_mix",
     }
 )
 

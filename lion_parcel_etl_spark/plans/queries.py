@@ -6147,11 +6147,198 @@ FROM bins
 """
 
 
+def q_span_dedup_rewrite(spark, sf_dir):
+    """Span-level dedup as a rewrite (operators/dedup.py
+    remove_duplicate_spans): chunk every document into non-overlapping
+    16-token chunks, drop chunks duplicated elsewhere in the corpus
+    (keeping the lexicographically-first (doc, pos) occurrence) and
+    reassemble the survivors — the CCNet/RefinedWeb-style "remove
+    duplicated passages, keep one copy" transform. Chunk text never
+    crosses an exchange: decisions shuffle (md5, doc, pos) triples
+    only and join back to the unshuffled doc table as small per-doc
+    removal arrays."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.remove_duplicate_spans(docs, "doc_id", "text", window=SPAN_W)
+
+
+# The oracle encodes the canonical occurrence as doc_id*100000+pos
+# (valid while pos < 100000 — positions here are ≤ tokens/16); the
+# Spark side uses the struct min, identical ordering under that bound.
+SQL_SPAN_REWRITE = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+tt AS (SELECT doc_id, tk, CAST(ceil(len(tk)/{SPAN_W}.0) AS BIGINT) AS n FROM t),
+c AS (SELECT doc_id, unnest(range(0, n)) AS pos,
+             unnest(list_transform(range(0, n),
+                    i -> md5(array_to_string(tk[i*{SPAN_W}+1:i*{SPAN_W}+{SPAN_W}], ' ')))) AS h
+      FROM tt),
+canon AS (SELECT h, COUNT(*) AS n_occ, MIN(doc_id*100000+pos) AS fk
+          FROM c GROUP BY 1 HAVING COUNT(*) >= 2),
+rm AS (SELECT doc_id, list_sort(list(pos)) AS drop_pos
+       FROM c JOIN canon USING (h) WHERE doc_id*100000+pos <> fk GROUP BY 1)
+SELECT tt.doc_id,
+       -- array_to_string([]) is NULL in DuckDB but '' in Spark's
+       -- array_join: coalesce the every-chunk-removed case.
+       coalesce(array_to_string(list_transform(
+           list_filter(range(0, n),
+                       i -> NOT list_contains(coalesce(rm.drop_pos, [])::BIGINT[], i)),
+           i -> array_to_string(tk[i*{SPAN_W}+1:i*{SPAN_W}+{SPAN_W}], ' ')), ' '), '')
+         AS clean_text,
+       n AS n_chunks,
+       CAST(coalesce(len(rm.drop_pos), 0) AS BIGINT) AS n_removed
+FROM tt LEFT JOIN rm USING (doc_id)
+"""
+
+
+NOVELTY_N = 8
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty profile (operators/text.py
+    ngram_novelty): the share of each doc's distinct 8-grams that
+    appear in no other document, plus mean/max document frequency —
+    the memorization-risk complement of span dedup. Hashes before the
+    exchange; the doc-frequency join runs on the partitioning both
+    sides already share."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.ngram_novelty(docs, "doc_id", "text", n=NOVELTY_N)
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(tk) - {NOVELTY_N} + 2),
+                    i -> md5(array_to_string(tk[i:i+{NOVELTY_N - 1}], ' ')))) AS h
+      FROM t),
+df AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM g GROUP BY 1)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       round(AVG(CASE WHEN doc_freq = 1 THEN 1.0 ELSE 0.0 END), 6) AS novel_frac,
+       round(AVG(doc_freq), 6) AS mean_df,
+       MAX(doc_freq) AS max_df
+FROM g JOIN df USING (h)
+GROUP BY doc_id
+"""
+
+
+MIX_ALPHA = 0.5
+MIX_BUDGET = 1_000_000
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled source mixing targets (operators/sampling.py
+    temperature_mix): allocate a 1M-example budget across document
+    sources ∝ count**0.5 — the standard multilingual/multi-source
+    smoothing — with implied per-source oversampling epochs. One tiny
+    groupBy plus a broadcast scalar normalizer."""
+    from lion_parcel_etl_spark.operators.sampling import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mix(
+        docs, "source", alpha=MIX_ALPHA, total_budget=MIX_BUDGET
+    )
+
+
+SQL_TEMPERATURE_MIX = f"""
+WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows
+           FROM documents GROUP BY 1),
+z AS (SELECT SUM(pow(n_rows, {MIX_ALPHA})) AS zz FROM c)
+SELECT source, n_rows,
+       round(pow(n_rows, {MIX_ALPHA}) / zz, 6) AS p_sample,
+       CAST(round(pow(n_rows, {MIX_ALPHA}) / zz * {float(MIX_BUDGET)!r}) AS BIGINT)
+         AS target_rows,
+       round(CAST(round(pow(n_rows, {MIX_ALPHA}) / zz * {float(MIX_BUDGET)!r}) AS BIGINT)
+             / n_rows, 6) AS epochs
+FROM c, z
+ORDER BY source
+"""
+
+
+def q_jl_project(spark, sf_dir):
+    """Johnson–Lindenstrauss projection of the embedding table to 16
+    dims (operators/similarity.py jl_project): md5-derived Rademacher
+    sign matrix embedded as plan literals, one zero-shuffle JVM fold
+    per output coordinate — the cheap-ANN preprocessing step whose
+    oracle replays the identical matrix as SQL literals. The array is
+    emitted comma-joined through DECIMAL(12,6) (the registry's array
+    parity convention — pandas canonicalization on the comparison
+    path turns engine-native arrays into differently-rendered
+    objects)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.jl_project(emb, "vec_id", "embedding", out_dim=16, dims=64)
+    return out.select(
+        "vec_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("proj"),
+                lambda v: v.cast("decimal(12,6)").cast("string"),
+            ),
+        ).alias("proj"),
+    )
+
+
+def _duck_jl_project() -> str:
+    from lion_parcel_etl_spark.operators.similarity import jl_signs
+
+    rows = ", ".join(
+        "[" + ", ".join(repr(v) for v in row) + "]"
+        for row in jl_signs(16, 64)
+    )
+    return f"""
+SELECT vec_id,
+       array_to_string(list_transform([{rows}]::DOUBLE[][],
+           r -> CAST(CAST(round(list_sum(list_transform(range(1, 65),
+                    i -> embedding[i] * r[i])), 6) AS DECIMAL(12,6)) AS VARCHAR)),
+           ',')
+         AS proj
+FROM embeddings
+"""
+
+
+MLM_RATE = 15
+
+
+def q_mlm_mask(spark, sf_dir):
+    """Deterministic MLM example construction (operators/text.py
+    mlm_mask): mask 15% of tokens per document by a content-free md5
+    draw over (doc, position) — reproducible across runs, partitions
+    and engines — emitting masked text, pos:token labels and counts.
+    Zero shuffle; pure per-row array expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.mlm_mask(docs, "doc_id", "text", rate_pct=MLM_RATE)
+
+
+_MLM_COND = (
+    f"(('0x' || substr(md5('mlm:' || doc_id || ':' || i || ':'), 1, 8))::BIGINT"
+    f" % 100) < {MLM_RATE}"
+)
+
+SQL_MLM_MASK = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+tt AS (SELECT doc_id, tk, len(tk) AS n FROM t)
+SELECT doc_id,
+       array_to_string(list_transform(range(1, n + 1),
+           i -> CASE WHEN {_MLM_COND} THEN '[MASK]' ELSE tk[i] END), ' ')
+         AS masked_text,
+       coalesce(array_to_string(list_transform(
+           list_filter(range(1, n + 1), i -> {_MLM_COND}),
+           i -> i || ':' || tk[i]), '; '), '') AS labels,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(range(1, n + 1), i -> {_MLM_COND})) AS BIGINT)
+         AS n_masked
+FROM tt
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
 # follow in their original order. Lookup semantics are unaffected.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "span_dedup_rewrite": (q_span_dedup_rewrite, SQL_SPAN_REWRITE),
+    "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
+    "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
+    "jl_project": (q_jl_project, _duck_jl_project()),
+    "mlm_mask": (q_mlm_mask, SQL_MLM_MASK),
     "gopher_rules": (q_gopher_rules, _duck_gopher_rules()),
     "gopher_audit": (q_gopher_audit, _duck_gopher_audit()),
     "embedding_outliers": (q_embedding_outliers, SQL_EMB_OUTLIERS),

@@ -433,3 +433,69 @@ def test_simhash_incremental_batch_broadcasts(spark):
     )
     plan = plan_string(out)
     assert "BroadcastHashJoin" in plan
+
+
+class TestRemoveDuplicateSpans:
+    def test_rewrite_removes_later_copies_keeps_first(self, spark):
+        # 32 tokens = exactly two 16-token chunks; doc 11 repeats doc
+        # 10's first chunk as its second chunk.
+        a = " ".join(f"a{i}" for i in range(16))
+        b = " ".join(f"b{i}" for i in range(16))
+        c = " ".join(f"c{i}" for i in range(16))
+        from lion_parcel_etl_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+
+        df = spark.createDataFrame(
+            [(10, f"{a} {b}"), (11, f"{c} {a}")],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in remove_duplicate_spans(
+                df, "doc_id", "text", window=16
+            ).collect()
+        }
+        assert out[10].clean_text == f"{a} {b}"
+        assert out[10].n_removed == 0
+        assert out[11].clean_text == c
+        assert out[11].n_removed == 1
+        assert out[11].n_chunks == 2
+
+    def test_all_chunks_removed_yields_empty_text(self, spark):
+        from lion_parcel_etl_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+
+        a = " ".join(f"x{i}" for i in range(16))
+        df = spark.createDataFrame(
+            [(1, a), (2, a)], "doc_id long, text string"
+        )
+        out = {
+            r.doc_id: r
+            for r in remove_duplicate_spans(
+                df, "doc_id", "text", window=16
+            ).collect()
+        }
+        # canonical first occurrence is (1, 0): doc 1 keeps, doc 2 empties
+        assert out[1].clean_text == a and out[1].n_removed == 0
+        assert out[2].clean_text == "" and out[2].n_removed == 1
+
+    def test_partial_trailing_chunk_and_null_text(self, spark):
+        from lion_parcel_etl_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "only five little tokens here"), (2, None)],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in remove_duplicate_spans(
+                df, "doc_id", "text", window=16
+            ).collect()
+        }
+        assert out[1].n_chunks == 1
+        assert out[1].clean_text == "only five little tokens here"
+        assert out[2].n_chunks == 0 and out[2].clean_text == ""

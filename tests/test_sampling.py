@@ -418,3 +418,54 @@ def test_write_training_shards_round_trip(spark, docs, tmp_path):
     write_training_shards(docs, "doc_id", out, n_shards=4, epoch=2)
     again = {r["doc_id"]: r["pos"] for r in spark.read.parquet(out).collect()}
     assert again == order
+
+
+class TestTemperatureMix:
+    def test_alpha_one_is_natural_proportions(self, spark):
+        from lion_parcel_etl_spark.operators.sampling import temperature_mix
+
+        df = spark.createDataFrame(
+            [(i, "big" if i < 90 else "small") for i in range(100)],
+            "id long, src string",
+        )
+        out = {
+            r.src: r
+            for r in temperature_mix(
+                df, "src", alpha=1.0, total_budget=1000
+            ).collect()
+        }
+        assert out["big"].target_rows == 900
+        assert out["small"].target_rows == 100
+        assert out["small"].epochs == 10.0
+
+    def test_alpha_zero_is_uniform(self, spark):
+        from lion_parcel_etl_spark.operators.sampling import temperature_mix
+
+        df = spark.createDataFrame(
+            [(i, "a" if i < 99 else "b") for i in range(100)],
+            "id long, src string",
+        )
+        out = {
+            r.src: r.target_rows
+            for r in temperature_mix(
+                df, "src", alpha=0.0, total_budget=1000
+            ).collect()
+        }
+        assert out == {"a": 500, "b": 500}
+
+    def test_smoothing_upweights_small_sources(self, spark):
+        from lion_parcel_etl_spark.operators.sampling import temperature_mix
+
+        df = spark.createDataFrame(
+            [(i, "big" if i < 96 else "small") for i in range(100)],
+            "id long, src string",
+        )
+        out = {
+            r.src: r
+            for r in temperature_mix(
+                df, "src", alpha=0.5, total_budget=1000
+            ).collect()
+        }
+        # sqrt smoothing: 96/4 natural ratio becomes sqrt ratio ~ 9.8/2
+        assert out["small"].p_sample > 4 / 100
+        assert abs(out["big"].p_sample / out["small"].p_sample - (96 / 4) ** 0.5) < 0.01

@@ -446,3 +446,31 @@ def test_semantic_dedup_threshold_monotone(spark, emb):
     loose = {r.vec_id for r in semantic_dedup(emb, 0.30).collect() if r.kept}
     tight = {r.vec_id for r in semantic_dedup(emb, 0.60).collect() if r.kept}
     assert loose <= tight
+
+
+class TestJlProject:
+    def test_matches_numpy_and_preserves_geometry(self, spark, sf_dir):
+        import numpy as np
+
+        from lion_parcel_etl_spark.operators.similarity import (
+            jl_project,
+            jl_signs,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+        rows = emb.collect()
+        out = {r.vec_id: r.proj for r in jl_project(emb).collect()}
+        M = np.array(jl_signs(16, 64))
+        vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+        for vid, v in vecs.items():
+            np.testing.assert_allclose(out[vid], M @ v, atol=2e-6)
+        # JL property (loose at 16 dims): projected cosine tracks the
+        # original ordering for a clearly-separated pair of pairs.
+        ids = sorted(vecs)[:8]
+        def cos(a, b):
+            return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        orig = [(cos(vecs[a], vecs[b]), a, b) for a in ids for b in ids if a < b]
+        orig.sort()
+        lo, hi = orig[0], orig[-1]
+        pa = {i: np.array(out[i]) for i in ids}
+        assert cos(pa[hi[1]], pa[hi[2]]) > cos(pa[lo[1]], pa[lo[2]])

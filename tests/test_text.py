@@ -370,3 +370,71 @@ def test_hashed_embedding_unit_norm_and_determinism(spark):
     assert all(v == 0.0 for v in vecs[4].values())
     for d in (1, 2, 3):
         assert abs(sum(x * x for x in vecs[d].values()) - 1.0) < 1e-4
+
+
+class TestNgramNovelty:
+    def test_novelty_fractions(self, spark):
+        from lion_parcel_etl_spark.operators.text import ngram_novelty
+
+        shared = "one two three four five six seven eight"
+        df = spark.createDataFrame(
+            [
+                (1, shared),                      # one 8-gram, shared with 2
+                (2, shared),
+                (3, "alpha beta gamma delta epsilon zeta eta theta"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in ngram_novelty(df, n=8).collect()}
+        assert out[1].n_ngrams == 1 and out[1].novel_frac == 0.0
+        assert out[1].max_df == 2
+        assert out[3].novel_frac == 1.0 and out[3].mean_df == 1.0
+
+    def test_short_docs_absent(self, spark):
+        from lion_parcel_etl_spark.operators.text import ngram_novelty
+
+        df = spark.createDataFrame(
+            [(1, "too short"), (2, "a b c d e f g h")],
+            "doc_id long, text string",
+        )
+        ids = [r.doc_id for r in ngram_novelty(df, n=8).collect()]
+        assert ids == [2]
+
+
+class TestMlmMask:
+    def test_deterministic_and_rate_bounded(self, spark):
+        from lion_parcel_etl_spark.operators.text import mlm_mask
+
+        rows = [(i, " ".join(f"tok{j}" for j in range(50))) for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = {r.doc_id: r for r in mlm_mask(df, rate_pct=15).collect()}
+        b = {r.doc_id: r for r in mlm_mask(df, rate_pct=15).collect()}
+        assert a == b  # deterministic across runs
+        total = sum(r.n_masked for r in a.values())
+        n = sum(r.n_tokens for r in a.values())
+        assert 0.08 * n < total < 0.22 * n  # ~15% of 1000 draws
+        # labels reconstruct the original tokens at masked positions
+        r = a[0]
+        toks = r.masked_text.split(" ")
+        for lab in filter(None, r.labels.split("; ")):
+            pos, tok = lab.split(":")
+            assert toks[int(pos) - 1] == "[MASK]"
+            assert tok == f"tok{int(pos) - 1}"
+
+    def test_salt_draws_independent_epoch(self, spark):
+        from lion_parcel_etl_spark.operators.text import mlm_mask
+
+        df = spark.createDataFrame(
+            [(1, " ".join(f"w{j}" for j in range(100)))],
+            "doc_id long, text string",
+        )
+        a = mlm_mask(df, rate_pct=15, salt="e1").collect()[0]
+        b = mlm_mask(df, rate_pct=15, salt="e2").collect()[0]
+        assert a.labels != b.labels
+
+    def test_null_text(self, spark):
+        from lion_parcel_etl_spark.operators.text import mlm_mask
+
+        df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+        r = mlm_mask(df).collect()[0]
+        assert r.n_tokens == 0 and r.masked_text == "" and r.labels == ""
