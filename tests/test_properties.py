@@ -662,3 +662,94 @@ def test_bpe_encode_roundtrip_and_python_reference(spark, words, merges):
     assert got == want
     assert r["pieces"].replace(" ", "") == "".join(want)
     assert r["n_pieces"] == len(want)
+
+
+WORDS = st.sampled_from(["red", "blue", "green", "fast", "slow", "big"])
+DOCS = st.lists(
+    st.lists(WORDS, min_size=0, max_size=40).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=DOCS)
+@SLOW_OK
+def test_span_rewrite_idempotent_and_conserving(spark, texts):
+    """remove_duplicate_spans invariants for ANY corpus: (1) chunk
+    conservation — n_chunks splits into kept + removed, and the
+    rebuilt text is exactly the kept chunks in order; (2) corpus-wide
+    idempotence — after one rewrite no duplicated chunk survives, so
+    a second pass removes nothing."""
+    from lion_parcel_etl_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    once = remove_duplicate_spans(df, "doc_id", "text", window=4)
+    rows = once.collect()
+    for r in rows:
+        kept_tokens = [t for t in r.clean_text.split(" ") if t]
+        orig = texts[r.doc_id].split(" ") if texts[r.doc_id] else []
+        orig = [t for t in orig if t]
+        # kept text is a subsequence of the original token stream
+        it = iter(orig)
+        assert all(any(t == o for o in it) for t in kept_tokens)
+        assert r.n_removed <= r.n_chunks
+    again = remove_duplicate_spans(
+        once.select("doc_id", F.col("clean_text").alias("text")),
+        "doc_id",
+        "text",
+        window=4,
+    ).collect()
+    assert all(r.n_removed == 0 for r in again)
+
+
+@given(texts=DOCS)
+@SLOW_OK
+def test_mlm_mask_rate_edges_and_shape(spark, texts):
+    """mlm_mask at rate 0 masks nothing and reproduces the tokenized
+    text; at rate 100 it masks everything; at any rate the masked
+    token count equals the label count and the masked stream keeps
+    the original length."""
+    from lion_parcel_etl_spark.operators.text import mlm_mask
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    zero = {r.doc_id: r for r in mlm_mask(df, rate_pct=0).collect()}
+    full = {r.doc_id: r for r in mlm_mask(df, rate_pct=100).collect()}
+    mid = {r.doc_id: r for r in mlm_mask(df, rate_pct=30).collect()}
+    for i, text in enumerate(texts):
+        toks = [t for t in text.lower().split(" ") if t]
+        assert zero[i].n_masked == 0
+        assert zero[i].masked_text == " ".join(toks)
+        assert full[i].n_masked == len(toks)
+        r = mid[i]
+        stream = r.masked_text.split(" ") if r.masked_text else []
+        assert len([s for s in stream if s]) == r.n_tokens
+        assert stream.count("[MASK]") >= r.n_masked - sum(
+            1 for t in toks if t == "[mask]"
+        )
+        assert r.n_masked == (
+            len([x for x in r.labels.split("; ") if x]) if r.labels else 0
+        )
+
+
+@given(texts=DOCS)
+@SLOW_OK
+def test_ngram_novelty_bounds(spark, texts):
+    """ngram_novelty invariants: fractions in [0,1], 1 ≤ mean_df ≤
+    max_df ≤ number of documents, and a doc duplicated verbatim can
+    never be fully novel."""
+    from lion_parcel_etl_spark.operators.text import ngram_novelty
+
+    rows = list(enumerate(texts)) + [(len(texts), texts[0])]  # dup doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in ngram_novelty(df, n=3).collect()}
+    for r in out.values():
+        assert 0.0 <= r.novel_frac <= 1.0
+        assert 1.0 <= r.mean_df <= r.max_df <= len(rows)
+    if 0 in out:  # doc 0 long enough to have 3-grams → its dup shares all
+        assert out[0].novel_frac == 0.0
