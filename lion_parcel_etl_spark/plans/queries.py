@@ -6329,6 +6329,81 @@ FROM tt
 """
 
 
+def q_minhash_est_error(spark, sf_dir):
+    """Sketch-accuracy eval for the MinHash family: on the exact
+    ground-truth near-dup pairs (ngram_jaccard_pairs — the documented
+    small-corpus verifier), compare the k=16 signature estimate
+    (matching-position fraction) against exact shingle Jaccard,
+    per pair. Measured (not assumed) sketch error is what justifies
+    picking k/bands at corpus scale; the estimate is a pure
+    zip-and-count over the two signatures, so the only cost beyond
+    the ground-truth join is two broadcast-or-keyed sig lookups."""
+    docs = _t(spark, sf_dir, "documents")
+    exact = DD.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD
+    )
+    sigs = docs.select(
+        F.col("doc_id").alias("doc"),
+        DD.minhash_signature(F.col("text")).alias("sig"),
+    )
+    sa = sigs.select(F.col("doc").alias("id_a"), F.col("sig").alias("siga"))
+    sb = sigs.select(F.col("doc").alias("id_b"), F.col("sig").alias("sigb"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("siga"), F.col("sigb"), lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        / F.lit(float(DD.MINHASH_K))
+    )
+    return (
+        exact.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(F.abs(F.col("jaccard") - est), 6).alias("abs_err"),
+        )
+    )
+
+
+def _duck_minhash_est_error() -> str:
+    k = DD.MINHASH_K
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS doc, {_DUCK_SHINGLES} AS shingles, {_duck_minhash_sig()} AS sig
+  FROM documents
+), sized AS (
+  SELECT doc, shingles, sig, len(shingles) AS n_sh FROM sh
+), ex AS (
+  SELECT doc, n_sh, unnest(shingles) AS s FROM sized
+), pairs AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY 1, 2, 3, 4
+), exact AS (
+  SELECT id_a, id_b,
+         round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+  FROM pairs
+  WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= {JACCARD_THRESHOLD}
+)
+SELECT e.id_a, e.id_b, e.jaccard,
+       round(len(list_filter(range(1, {k} + 1),
+                             i -> sa.sig[i] = sb.sig[i])) / {float(k)!r}, 6)
+         AS est_jaccard,
+       round(abs(e.jaccard
+                 - len(list_filter(range(1, {k} + 1),
+                                   i -> sa.sig[i] = sb.sig[i])) / {float(k)!r}), 6)
+         AS abs_err
+FROM exact e
+JOIN sized sa ON sa.doc = e.id_a
+JOIN sized sb ON sb.doc = e.id_b
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
@@ -6339,6 +6414,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
     "jl_project": (q_jl_project, _duck_jl_project()),
     "mlm_mask": (q_mlm_mask, SQL_MLM_MASK),
+    "minhash_est_error": (q_minhash_est_error, _duck_minhash_est_error()),
     "gopher_rules": (q_gopher_rules, _duck_gopher_rules()),
     "gopher_audit": (q_gopher_audit, _duck_gopher_audit()),
     "embedding_outliers": (q_embedding_outliers, SQL_EMB_OUTLIERS),

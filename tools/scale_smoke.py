@@ -221,7 +221,10 @@ def main() -> None:
         incremental_main()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    spark = get_spark(app_name="scale-smoke")
+    spark = get_spark(
+        app_name="scale-smoke",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.retainedStages": "100000"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     n_base = base.count()
@@ -259,6 +262,32 @@ def main() -> None:
     t0 = time.perf_counter()
     spans = DD.duplicate_spans(big, "doc_id", "text").count()
     print(f"duplicate_spans: {spans} spans, {time.perf_counter() - t0:.2f}s")
+
+    # worst-case rewrite load: every replica doc's chunks collide with
+    # the original's, so the removal side is ∝ corpus here — the
+    # adversarial ceiling for the decision-join + rebuild path
+    t0 = time.perf_counter()
+    sb0 = _shuffle_bytes(spark)
+    removed = (
+        DD.remove_duplicate_spans(big, "doc_id", "text")
+        .agg(F.sum("n_removed"))
+        .collect()[0][0]
+    )
+    print(
+        f"span_dedup_rewrite: {removed} chunks removed, "
+        f"{time.perf_counter() - t0:.2f}s, "
+        f"shuffle {(_shuffle_bytes(spark) - sb0) / 1e6:.1f} MB"
+    )
+
+    from lion_parcel_etl_spark.operators.text import ngram_novelty
+
+    t0 = time.perf_counter()
+    sb0 = _shuffle_bytes(spark)
+    noop(ngram_novelty(big))
+    print(
+        f"ngram_novelty: {time.perf_counter() - t0:.2f}s, "
+        f"shuffle {(_shuffle_bytes(spark) - sb0) / 1e6:.1f} MB"
+    )
 
     from lion_parcel_etl_spark.operators.sketches import frequent_items_exact
     from lion_parcel_etl_spark.operators.text import repetition_metrics
