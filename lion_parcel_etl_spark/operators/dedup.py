@@ -974,34 +974,8 @@ def remove_duplicate_spans(
     small). The rebuild is a pure per-row array expression: re-chunk,
     filter by removed positions, join with spaces.
     """
-    # sequence(0, n-1) flips to a DESCENDING [0, -1] when n = 0 (Spark
-    # infers step -1), so the position range must be guarded for
-    # empty/null documents; coalesce folds null text into 0 chunks.
-    # size(NULL) is -1 under legacy semantics (ceil(-1/w) happens to
-    # land on 0, but the isNull branch states the intent explicitly).
-    n_chunks = (
-        F.when(F.col("__toks").isNull(), F.lit(0))
-        .otherwise(F.ceil(F.size("__toks") / F.lit(window)))
-        .cast("long")
-    )
-    positions = F.when(
-        F.col("__n") > 0, F.sequence(F.lit(0), F.col("__n") - 1)
-    ).otherwise(F.array().cast("array<long>"))
-    chunk_at = lambda toks, i: F.concat_ws(  # noqa: E731
-        " ", F.slice(toks, (i * F.lit(window) + 1).cast("int"), window)
-    )
-    toked = docs.select(
-        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
-    ).select("doc", "__toks", n_chunks.alias("__n"))
-    hashed = toked.select(
-        "doc",
-        F.posexplode(
-            F.transform(
-                positions,
-                lambda i: F.md5(chunk_at(F.col("__toks"), i)),
-            )
-        ).alias("pos", "h"),
-    )
+    toked, positions, chunk_at = _span_chunked(docs, id_col, text_col, window)
+    hashed = _span_hashes(toked, positions, chunk_at)
     canon = (
         hashed.groupBy("h")
         .agg(
@@ -1025,6 +999,51 @@ def remove_duplicate_spans(
             )
         )
     )
+    return _span_rebuild(toked, removed, positions, chunk_at, id_col)
+
+
+def _span_chunked(docs, id_col, text_col, window):
+    """Shared chunking stage: (doc, token array, chunk count) plus the
+    position-range and chunk-slice expressions for ``window``.
+
+    sequence(0, n-1) flips to a DESCENDING [0, -1] when n = 0 (Spark
+    infers step -1), so the position range is guarded for empty/null
+    documents; size(NULL) is -1 under legacy semantics, so null text
+    needs the explicit isNull branch."""
+    n_chunks = (
+        F.when(F.col("__toks").isNull(), F.lit(0))
+        .otherwise(F.ceil(F.size("__toks") / F.lit(window)))
+        .cast("long")
+    )
+    positions = F.when(
+        F.col("__n") > 0, F.sequence(F.lit(0), F.col("__n") - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    chunk_at = lambda toks, i: F.concat_ws(  # noqa: E731
+        " ", F.slice(toks, (i * F.lit(window) + 1).cast("int"), window)
+    )
+    toked = docs.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
+    ).select("doc", "__toks", n_chunks.alias("__n"))
+    return toked, positions, chunk_at
+
+
+def _span_hashes(toked, positions, chunk_at) -> DataFrame:
+    """(doc, pos, md5-of-chunk) triples — the only thing the span
+    decision pipeline ever shuffles."""
+    return toked.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                positions,
+                lambda i: F.md5(chunk_at(F.col("__toks"), i)),
+            )
+        ).alias("pos", "h"),
+    )
+
+
+def _span_rebuild(toked, removed, positions, chunk_at, id_col) -> DataFrame:
+    """Join per-doc removal arrays back to the unshuffled doc table and
+    reassemble surviving chunks as a pure per-row array expression."""
     out = toked.join(removed, "doc", "left")
     keep = F.filter(
         positions,
@@ -1045,3 +1064,77 @@ def remove_duplicate_spans(
         .cast("long")
         .alias("n_removed"),
     )
+
+
+def remove_duplicate_spans_incremental(
+    store_hashes: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Continuous-ingest twin of :func:`remove_duplicate_spans`: rewrite
+    an arriving BATCH of documents against everything already ingested,
+    represented as a persisted chunk-hash store (one ``h`` column of
+    md5 chunk hashes). A batch chunk is dropped when its hash is
+    already in the store, or when it duplicates an earlier chunk of
+    the batch itself (the same canonical (doc, pos)-first rule as the
+    corpus-wide rewrite). Returns ``(clean_docs, new_hashes)`` —
+    ``new_hashes`` is exactly the batch's surviving distinct hashes,
+    i.e. what the caller appends to the store to keep the invariant
+    "store = chunk hashes of everything kept so far".
+
+    Scale shape: the store is streamed ONCE through a left-semi probe
+    against the broadcast distinct batch-hash set (the store is never
+    re-hashed, shuffled, or self-joined), so per-batch cost is
+    O(store scan + batch) — the property that makes ingest-time span
+    dedup sustainable; hit sets and removal arrays are ∝ the batch's
+    duplicated chunks.
+    """
+    toked, positions, chunk_at = _span_chunked(
+        batch, id_col, text_col, window
+    )
+    hashed = _span_hashes(toked, positions, chunk_at).localCheckpoint()
+    batch_hashes = hashed.select("h").distinct()
+    # store ∩ batch: probe the (huge) store with the broadcast batch
+    # set; the result is at most |batch_hashes| rows.
+    hits = (
+        store_hashes.select(F.col("h"))
+        .join(F.broadcast(batch_hashes), "h", "left_semi")
+        .distinct()
+    )
+    in_store = hashed.join(F.broadcast(hits), "h", "left_semi").select(
+        "doc", "pos"
+    )
+    # within-batch duplicates: same canonical-first rule as the batch op
+    canon = (
+        hashed.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("doc", "pos")).alias("first"),
+        )
+        .filter(F.col("n_occ") >= 2)
+    )
+    intra = (
+        hashed.join(canon, "h")
+        .filter(
+            ~(
+                (F.col("doc") == F.col("first.doc"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .select("doc", "pos")
+    )
+    dropped = in_store.unionByName(intra).distinct().localCheckpoint()
+    removed = dropped.groupBy("doc").agg(
+        F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias(
+            "__drop"
+        )
+    )
+    clean = _span_rebuild(toked, removed, positions, chunk_at, id_col)
+    new_hashes = (
+        hashed.join(dropped, ["doc", "pos"], "left_anti")
+        .select("h")
+        .distinct()
+    )
+    return clean, new_hashes

@@ -860,3 +860,80 @@ def stream_training_mix(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_span_dedup(
+    df: DataFrame,
+    warehouse,
+    hash_table: str,
+    clean_table: str,
+    id_col: str,
+    text_col: str,
+    checkpoint: str,
+    window: int = 16,
+) -> None:
+    """Ingest-time span-level dedup: each micro-batch of documents is
+    rewritten against everything kept so far (operators/dedup.py
+    remove_duplicate_spans_incremental — the chunk-hash store is
+    streamed once through a broadcast batch-set probe, never re-hashed
+    or self-joined), the cleaned documents land in ``clean_table`` and
+    the batch's surviving chunk hashes accrete into ``hash_table``.
+    The first batch dedups only within itself (no store yet).
+    Per-batch cost is O(store scan + batch) — the continuous-ingest
+    form of the CCNet/RefinedWeb passage-removal transform.
+
+    Restart safety: both appends go through ``Warehouse.append_batch``
+    keyed on the micro-batch id (atomic per-batch partition swap →
+    replays rewrite, never duplicate), and the store read excludes the
+    CURRENT batch id so a replayed batch can't collide with its own
+    half-written hashes.
+    """
+    from lion_parcel_etl_spark.operators.dedup import (
+        remove_duplicate_spans,
+        remove_duplicate_spans_incremental,
+    )
+
+    def _batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        if warehouse.exists(hash_table):
+            store = warehouse.read(spark, hash_table).filter(
+                F.col("__batch_id") != batch_id
+            ).select("h")
+            clean, new_hashes = remove_duplicate_spans_incremental(
+                store, batch, id_col, text_col, window=window
+            )
+        else:
+            clean = remove_duplicate_spans(
+                batch, id_col, text_col, window=window
+            ).localCheckpoint()
+            # store invariant: hashes of everything KEPT — re-chunk the
+            # cleaned text (kept chunks stay window-aligned, so the
+            # rechunk reproduces exactly the surviving chunk set)
+            from lion_parcel_etl_spark.operators.dedup import (
+                _span_chunked,
+                _span_hashes,
+            )
+
+            toked, positions, chunk_at = _span_chunked(
+                clean.filter(F.col("clean_text") != ""),
+                id_col,
+                "clean_text",
+                window,
+            )
+            new_hashes = (
+                _span_hashes(toked, positions, chunk_at)
+                .select("h")
+                .distinct()
+            )
+        warehouse.append_batch(clean, clean_table, batch_id)
+        warehouse.append_batch(new_hashes, hash_table, batch_id)
+
+    q = (
+        df.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

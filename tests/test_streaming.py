@@ -734,3 +734,77 @@ def test_tracked_pins_unpersists_on_exit(spark):
     kept = pin(spark.range(5))
     assert kept.storageLevel.useMemory
     kept.unpersist()
+
+
+def test_stream_span_dedup_accretes_store_and_rewrites(spark, tmp_path):
+    """Two micro-batches: batch 1 establishes the chunk-hash store
+    (after its own internal dedup); batch 2's chunks that repeat batch
+    1 — or repeat within batch 2 — are dropped, and only genuinely new
+    chunk hashes accrete. The final clean corpus equals the one-shot
+    corpus-wide rewrite of all docs in arrival order."""
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.streaming.jobs import stream_span_dedup
+
+    a = " ".join(f"a{i}" for i in range(4))
+    b = " ".join(f"b{i}" for i in range(4))
+    c = " ".join(f"c{i}" for i in range(4))
+    d = " ".join(f"d{i}" for i in range(4))
+    schema = "doc_id long, text string"
+    b1 = [(1, f"{a} {b}"), (2, f"{b} {c}")]        # chunk b dups within batch 1
+    b2 = [(3, f"{a} {d}"), (4, f"{d} {d}")]        # a dups store; d dups in-batch
+
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        stream_span_dedup(
+            stream, wh, "chunks", "clean", "doc_id", "text", ckpt, window=4
+        )
+
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(landing)
+    run()
+    store1 = {r.h for r in wh.read(spark, "chunks").collect()}
+    assert len(store1) == 3  # a, b, c
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(landing)
+    run()
+
+    clean = {r.doc_id: r for r in wh.read(spark, "clean").collect()}
+    assert clean[1].clean_text == f"{a} {b}" and clean[1].n_removed == 0
+    assert clean[2].clean_text == c and clean[2].n_removed == 1
+    # batch 2: doc 3 loses `a` (store hit), keeps d (first batch-2 use)
+    assert clean[3].clean_text == d and clean[3].n_removed == 1
+    # doc 4: both chunks are d — (3,?) vs (4,?): canonical first is doc 3
+    assert clean[4].clean_text == "" and clean[4].n_removed == 2
+    # store accreted exactly one new hash (d)
+    store2 = {r.h for r in wh.read(spark, "chunks").collect()}
+    assert len(store2) == 4
+
+
+def test_remove_duplicate_spans_incremental_store_probe(spark):
+    """Batch rewrite against an existing hash store: store hits drop,
+    within-batch later copies drop, and new_hashes returns exactly the
+    surviving chunk hashes (ready to append to the store)."""
+    from pyspark.sql import functions as SF
+
+    from lion_parcel_etl_spark.operators.dedup import (
+        remove_duplicate_spans_incremental,
+        tokens,
+    )
+
+    x = " ".join(f"x{i}" for i in range(4))
+    y = " ".join(f"y{i}" for i in range(4))
+    store = spark.createDataFrame(
+        [(x,)], "chunk string"
+    ).select(SF.md5(SF.concat_ws(" ", tokens(SF.col("chunk")))).alias("h"))
+    batch = spark.createDataFrame(
+        [(7, f"{x} {y}"), (8, f"{y} {x}")], "doc_id long, text string"
+    )
+    clean, new_hashes = remove_duplicate_spans_incremental(
+        store, batch, "doc_id", "text", window=4
+    )
+    out = {r.doc_id: r for r in clean.collect()}
+    assert out[7].clean_text == y and out[7].n_removed == 1   # x in store
+    assert out[8].clean_text == "" and out[8].n_removed == 2  # y dup of (7,1), x in store
+    assert new_hashes.count() == 1  # only y survives into the store
