@@ -759,6 +759,7 @@ def ngram_novelty(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    compact_hashes: bool = False,
 ) -> DataFrame:
     """Per-document n-gram novelty / commonness profile: for each
     document's DISTINCT word ``n``-grams, how many other documents
@@ -782,11 +783,24 @@ def ngram_novelty(
     toked = docs.select(
         F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
     )
+    # Hash width is the shuffle knob: the exchanged (hash, doc) table
+    # dominates cost (measured 508 MB at a 100k-doc smoke with 32-hex
+    # md5). ``compact_hashes`` folds the gram to a 60-bit BIGINT —
+    # 4x less exchanged bytes — at a documented collision risk of
+    # ~n²/2^61 expected colliding gram pairs (≈0.4M at 10^12 distinct
+    # grams: noise for a profile metric, which is why it is the
+    # recommended corpus-scale setting; the md5 default stays
+    # collision-free for oracle-exact runs).
+    gram_hash = (
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
+        if compact_hashes
+        else F.md5("g")
+    )
     grams = (
         toked.select(
             "doc", F.explode(word_ngrams(F.col("__toks"), n)).alias("g")
         )
-        .select("doc", F.md5("g").alias("h"))
+        .select("doc", gram_hash.alias("h"))
         .distinct()
     )
     df_counts = grams.groupBy("h").agg(

@@ -6404,6 +6404,86 @@ JOIN sized sb ON sb.doc = e.id_b
 """
 
 
+def q_dq_checks(spark, sf_dir):
+    """The data-quality check layer (operators/checks.py — the dbt
+    test analog of the reference's model contracts,
+    reference ``dbt/models/marts/*.sql`` unique_key declarations) as
+    one relational result: per-check violation counts over the retail
+    tables. Exercises all four check kinds — unique (l_orderkey
+    repeats across lineitems: a deliberately-violated constraint so
+    the count is non-trivial), not_null, accepted_values (restricted
+    to A/N so R rows count), and referential integrity (distinct
+    broadcast parent anti-join). Each check is a small aggregate; the
+    union is the check report."""
+    from lion_parcel_etl_spark.operators.checks import (
+        expect_accepted_values,
+        expect_not_null,
+        expect_ref_integrity,
+        expect_unique,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+
+    def cnt(name, df):
+        return df.agg(
+            F.lit(name).alias("check"),
+            F.count(F.lit(1)).alias("violations"),
+        )
+
+    out = (
+        cnt("unique_lineitem_orderkey", expect_unique(li, ["l_orderkey"]))
+        .unionByName(
+            cnt(
+                "not_null_lineitem_shipdate",
+                expect_not_null(li, ["l_shipdate"]),
+            )
+        )
+        .unionByName(
+            cnt(
+                "accepted_returnflag_a_n",
+                expect_accepted_values(li, "l_returnflag", ["A", "N"]),
+            )
+        )
+        .unionByName(
+            cnt(
+                "ref_lineitem_orders",
+                expect_ref_integrity(li, "l_orderkey", orders, "o_orderkey"),
+            )
+        )
+    )
+    return out.select(
+        "check",
+        "violations",
+        (F.col("violations") == 0).alias("passed"),
+    ).orderBy("check")
+
+
+SQL_DQ_CHECKS = """
+WITH u AS (
+  SELECT 'unique_lineitem_orderkey' AS check, CAST(COUNT(*) AS BIGINT) AS violations
+  FROM (SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING COUNT(*) > 1)
+), nn AS (
+  SELECT 'not_null_lineitem_shipdate', CAST(COUNT(*) AS BIGINT)
+  FROM lineitem WHERE l_shipdate IS NULL
+), av AS (
+  SELECT 'accepted_returnflag_a_n', CAST(COUNT(*) AS BIGINT)
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N')
+), ri AS (
+  SELECT 'ref_lineitem_orders', CAST(COUNT(*) AS BIGINT)
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL
+    AND l_orderkey NOT IN (SELECT DISTINCT o_orderkey FROM orders)
+)
+SELECT "check", violations, violations = 0 AS passed FROM (
+  SELECT * FROM u UNION ALL SELECT * FROM nn
+  UNION ALL SELECT * FROM av UNION ALL SELECT * FROM ri
+)
+ORDER BY "check"
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
@@ -6415,6 +6495,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "jl_project": (q_jl_project, _duck_jl_project()),
     "mlm_mask": (q_mlm_mask, SQL_MLM_MASK),
     "minhash_est_error": (q_minhash_est_error, _duck_minhash_est_error()),
+    "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
     "gopher_rules": (q_gopher_rules, _duck_gopher_rules()),
     "gopher_audit": (q_gopher_audit, _duck_gopher_audit()),
     "embedding_outliers": (q_embedding_outliers, SQL_EMB_OUTLIERS),

@@ -438,3 +438,16 @@ class TestMlmMask:
         df = spark.createDataFrame([(1, None)], "doc_id long, text string")
         r = mlm_mask(df).collect()[0]
         assert r.n_tokens == 0 and r.masked_text == "" and r.labels == ""
+
+
+def test_ngram_novelty_compact_hashes_matches_md5(spark, sf_dir):
+    from lion_parcel_etl_spark.operators.text import ngram_novelty
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(
+        map(tuple, ngram_novelty(docs).collect())
+    )
+    b = sorted(
+        map(tuple, ngram_novelty(docs, compact_hashes=True).collect())
+    )
+    assert a == b  # 60-bit folding collision-free at this scale
