@@ -866,11 +866,12 @@ def mlm_mask(
     ).otherwise(F.array().cast("array<int>"))
 
     def is_masked(i: Column) -> Column:
+        from lion_parcel_etl_spark.operators.dedup import hash32
+
         key = F.concat_ws(
             ":", F.lit("mlm"), F.col("doc").cast("string"), i.cast("string"), F.lit(salt)
         )
-        draw = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
-        return (draw % 100) < rate_pct
+        return (hash32(key) % 100) < rate_pct
 
     masked = F.transform(
         positions,

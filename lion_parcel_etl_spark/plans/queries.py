@@ -6166,7 +6166,9 @@ def q_span_dedup_rewrite(spark, sf_dir):
 # Spark side uses the struct min, identical ordering under that bound.
 SQL_SPAN_REWRITE = f"""
 WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
-tt AS (SELECT doc_id, tk, CAST(ceil(len(tk)/{SPAN_W}.0) AS BIGINT) AS n FROM t),
+-- coalesce: NULL text gives len(NULL)=NULL; the Spark side emits 0 chunks
+tt AS (SELECT doc_id, tk,
+              CAST(coalesce(ceil(len(tk)/{SPAN_W}.0), 0) AS BIGINT) AS n FROM t),
 c AS (SELECT doc_id, unnest(range(0, n)) AS pos,
              unnest(list_transform(range(0, n),
                     i -> md5(array_to_string(tk[i*{SPAN_W}+1:i*{SPAN_W}+{SPAN_W}], ' ')))) AS h
@@ -6314,10 +6316,11 @@ _MLM_COND = (
 
 SQL_MLM_MASK = f"""
 WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
-tt AS (SELECT doc_id, tk, len(tk) AS n FROM t)
+-- coalesce: NULL text gives len(NULL)=NULL; the Spark side emits ''/0/0
+tt AS (SELECT doc_id, tk, coalesce(len(tk), 0) AS n FROM t)
 SELECT doc_id,
-       array_to_string(list_transform(range(1, n + 1),
-           i -> CASE WHEN {_MLM_COND} THEN '[MASK]' ELSE tk[i] END), ' ')
+       coalesce(array_to_string(list_transform(range(1, n + 1),
+           i -> CASE WHEN {_MLM_COND} THEN '[MASK]' ELSE tk[i] END), ' '), '')
          AS masked_text,
        coalesce(array_to_string(list_transform(
            list_filter(range(1, n + 1), i -> {_MLM_COND}),

@@ -889,7 +889,6 @@ def stream_span_dedup(
     half-written hashes.
     """
     from lion_parcel_etl_spark.operators.dedup import (
-        remove_duplicate_spans,
         remove_duplicate_spans_incremental,
     )
 
@@ -901,32 +900,13 @@ def stream_span_dedup(
             store = warehouse.read(spark, hash_table).filter(
                 F.col("__batch_id") != batch_id
             ).select("h")
-            clean, new_hashes = remove_duplicate_spans_incremental(
-                store, batch, id_col, text_col, window=window
-            )
         else:
-            clean = remove_duplicate_spans(
-                batch, id_col, text_col, window=window
-            ).localCheckpoint()
-            # store invariant: hashes of everything KEPT — re-chunk the
-            # cleaned text (kept chunks stay window-aligned, so the
-            # rechunk reproduces exactly the surviving chunk set)
-            from lion_parcel_etl_spark.operators.dedup import (
-                _span_chunked,
-                _span_hashes,
-            )
-
-            toked, positions, chunk_at = _span_chunked(
-                clean.filter(F.col("clean_text") != ""),
-                id_col,
-                "clean_text",
-                window,
-            )
-            new_hashes = (
-                _span_hashes(toked, positions, chunk_at)
-                .select("h")
-                .distinct()
-            )
+            # first batch: same incremental path, empty store — the
+            # probe finds nothing, so only within-batch dedup applies
+            store = spark.createDataFrame([], "h string")
+        clean, new_hashes = remove_duplicate_spans_incremental(
+            store, batch, id_col, text_col, window=window
+        )
         warehouse.append_batch(clean, clean_table, batch_id)
         warehouse.append_batch(new_hashes, hash_table, batch_id)
 
