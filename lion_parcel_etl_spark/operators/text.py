@@ -892,3 +892,60 @@ def mlm_mask(
         F.col("__n").cast("long").alias("n_tokens"),
         F.size(labels).cast("long").alias("n_masked"),
     )
+
+
+def clm_examples(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ctx: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """Causal-LM example construction — the next-token twin of
+    :func:`mlm_mask`: slide a fixed ``ctx``-token context window over
+    each document at ``stride`` and emit (context, target-token)
+    supervision pairs, the classic eager-materialization layout for
+    LM training/eval batches. Window ``w`` starts at token
+    ``w*stride + 1`` and must leave one target token after the
+    context, so a doc yields ``floor((n_tokens - ctx - 1)/stride) + 1``
+    examples (none when ``n_tokens <= ctx``).
+
+    Scale shape: zero shuffle — a guarded position range and one
+    posexplode of per-row array expressions; output rows ∝ corpus
+    tokens / stride. Deterministic and partition-independent.
+    """
+    from lion_parcel_etl_spark.operators.dedup import tokens
+
+    toked = docs.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
+    ).withColumn(
+        "__n",
+        F.when(F.col("__toks").isNull(), F.lit(0))
+        .otherwise(F.size("__toks"))
+        .cast("int"),
+    )
+    n_ex = F.floor((F.col("__n") - F.lit(ctx + 1)) / F.lit(stride)) + 1
+    windows = F.when(
+        F.col("__n") > ctx, F.sequence(F.lit(0), (n_ex - 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    start = lambda w: w * F.lit(stride)  # noqa: E731  0-based token offset
+    examples = F.transform(
+        windows,
+        lambda w: F.struct(
+            F.concat_ws(
+                " ", F.slice(F.col("__toks"), (start(w) + 1).cast("int"), ctx)
+            ).alias("context"),
+            F.element_at(
+                F.col("__toks"), (start(w) + ctx + 1).cast("int")
+            ).alias("target"),
+        ),
+    )
+    return toked.select(
+        F.col("doc").alias(id_col),
+        F.posexplode(examples).alias("example_id", "ex"),
+    ).select(
+        id_col,
+        F.col("example_id").cast("long").alias("example_id"),
+        F.col("ex.context").alias("context"),
+        F.col("ex.target").alias("target"),
+    )

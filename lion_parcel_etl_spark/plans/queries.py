@@ -1997,7 +1997,10 @@ def q_text_analysis(spark, sf_dir):
     )
 
 
-def _duck_text_analysis() -> str:
+def _duck_lang_case() -> str:
+    """The DuckDB spelling of text.lang_id (argmax with profile-order
+    tie-break), shared by text_analysis and langid_eval."""
+
     def hits(words):
         pat = TX.stopword_pattern(words)  # ASCII-only \b rule shared
         return f"len(regexp_extract_all(lower(text), '{pat}'))"
@@ -2008,7 +2011,15 @@ def _duck_text_analysis() -> str:
         others = ", ".join(hits(TX.LANG_PROFILES[o]) for o in langs if o != lang)
         s = hits(TX.LANG_PROFILES[lang])
         whens.append(f"WHEN {s} > 0 AND {s} >= greatest({others}) THEN '{lang}'")
-    lang_case = "CASE " + " ".join(whens) + " ELSE 'und' END"
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+def _duck_text_analysis() -> str:
+    def hits(words):
+        pat = TX.stopword_pattern(words)  # ASCII-only \b rule shared
+        return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+    lang_case = _duck_lang_case()
 
     ntok = "len(regexp_extract_all(text, '\\S+'))"
     stop = hits(TX.EN_STOPWORDS)
@@ -6487,6 +6498,67 @@ ORDER BY "check"
 """
 
 
+CLM_CTX = 8
+CLM_STRIDE = 4
+
+
+def q_clm_examples(spark, sf_dir):
+    """Causal-LM next-token example construction (operators/text.py
+    clm_examples — the CLM twin of mlm_mask): fixed 8-token contexts
+    at stride 4 with the following token as the supervision target.
+    Zero shuffle; output rows ∝ corpus tokens / stride."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.clm_examples(
+        docs, "doc_id", "text", ctx=CLM_CTX, stride=CLM_STRIDE
+    )
+
+
+SQL_CLM_EXAMPLES = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+tt AS (SELECT doc_id, tk, coalesce(len(tk), 0) AS n FROM t),
+w AS (
+  SELECT doc_id,
+         unnest(range(0, CASE WHEN n > {CLM_CTX}
+                              THEN (n - {CLM_CTX + 1}) // {CLM_STRIDE} + 1
+                              ELSE 0 END)) AS example_id,
+         tk
+  FROM tt
+)
+SELECT doc_id, example_id,
+       array_to_string(tk[example_id*{CLM_STRIDE}+1 : example_id*{CLM_STRIDE}+{CLM_CTX}], ' ')
+         AS context,
+       tk[example_id*{CLM_STRIDE} + {CLM_CTX} + 1] AS target
+FROM w
+"""
+
+
+def q_langid_eval(spark, sf_dir):
+    """Language-ID evaluation: confusion matrix of the n-gram
+    heuristic (operators/text.py lang_id) against the corpus's
+    labeled lang column — the measured accuracy behind using the
+    heuristic as a filter. One tiny groupBy over a zero-shuffle
+    projection."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.col("lang").alias("lang_true"),
+            TX.lang_id(F.col("text")).alias("lang_pred"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_true", "lang_pred")
+    )
+
+
+def _duck_langid_eval() -> str:
+    return f"""
+SELECT lang AS lang_true, {_duck_lang_case()} AS lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
@@ -6499,6 +6571,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "mlm_mask": (q_mlm_mask, SQL_MLM_MASK),
     "minhash_est_error": (q_minhash_est_error, _duck_minhash_est_error()),
     "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
+    "clm_examples": (q_clm_examples, SQL_CLM_EXAMPLES),
+    "langid_eval": (q_langid_eval, _duck_langid_eval()),
     "gopher_rules": (q_gopher_rules, _duck_gopher_rules()),
     "gopher_audit": (q_gopher_audit, _duck_gopher_audit()),
     "embedding_outliers": (q_embedding_outliers, SQL_EMB_OUTLIERS),

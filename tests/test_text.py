@@ -451,3 +451,33 @@ def test_ngram_novelty_compact_hashes_matches_md5(spark, sf_dir):
         map(tuple, ngram_novelty(docs, compact_hashes=True).collect())
     )
     assert a == b  # 60-bit folding collision-free at this scale
+
+
+class TestClmExamples:
+    def test_window_layout_and_targets(self, spark):
+        from lion_parcel_etl_spark.operators.text import clm_examples
+
+        toks = [f"t{i}" for i in range(15)]
+        df = spark.createDataFrame(
+            [(1, " ".join(toks))], "doc_id long, text string"
+        )
+        out = sorted(
+            clm_examples(df, ctx=8, stride=4).collect(),
+            key=lambda r: r.example_id,
+        )
+        # n=15 → floor((15-9)/4)+1 = 2 examples at starts 0 and 4
+        assert len(out) == 2
+        assert out[0].context == " ".join(toks[0:8])
+        assert out[0].target == "t8"
+        assert out[1].context == " ".join(toks[4:12])
+        assert out[1].target == "t12"
+
+    def test_short_and_null_docs_yield_nothing(self, spark):
+        from lion_parcel_etl_spark.operators.text import clm_examples
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, None), (3, " ".join("x" * 1 for _ in range(8)))],
+            "doc_id long, text string",
+        )
+        # 8 tokens = exactly ctx → no room for a target
+        assert clm_examples(df, ctx=8, stride=4).count() == 0
