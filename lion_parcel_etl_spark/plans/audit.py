@@ -37,7 +37,8 @@ from pyspark.sql import DataFrame
 # crosses its broadcast ONE-ROW (n_train, vsize) scalar for the
 # unigram-floor tier (same pattern); knn_label_eval contains
 # cosine_topk's broadcast tiny-query-set pair join (the cosine_topk
-# entry, composed); corpus_summary crosses its three broadcast
+# entry, composed), as does hard_negatives (the same neighbor stage
+# with a label-mismatch filter); corpus_summary crosses its three broadcast
 # ONE-ROW stat aggregates (the column_profile pattern);
 # temperature_mix crosses its broadcast ONE-ROW Σ n**alpha normalizer
 # (the lm_surprisal scalar pattern).
@@ -59,6 +60,7 @@ BNLJ_ALLOWED = frozenset(
         "pmi_collocations",
         "lm_backoff",
         "knn_label_eval",
+        "hard_negatives",
         "corpus_summary",
         "temperature_mix",
     }

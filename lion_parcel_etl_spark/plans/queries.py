@@ -6559,6 +6559,78 @@ ORDER BY 1, 2
 """
 
 
+HARDNEG_NQ = 50
+HARDNEG_POOL = 20
+HARDNEG_K = 5
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive/retrieval training: for
+    each query vector, the top-{HARDNEG_K} highest-cosine neighbors
+    whose LABEL differs — drawn from the exact top-{HARDNEG_POOL}
+    neighbor pool (cosine_topk's broadcast-query staged-norm join;
+    swap in lsh/ivf/pq_topk at billion-vector scale). These
+    near-but-wrong examples are what make a contrastive batch
+    informative; random negatives are trivially separable. Per-row
+    output keeps the similarity and both labels for margin analysis."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < HARDNEG_NQ)
+    nn = SIM.cosine_topk(emb, queries, k=HARDNEG_POOL)
+    lab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    cand = (
+        nn.join(lab, "neighbor_id")
+        .join(F.broadcast(truth), "query_id")
+        .filter(F.col("n_label") != F.col("q_label"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= HARDNEG_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine_sim",
+            "q_label",
+            "n_label",
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+        )
+    )
+
+
+def _duck_hard_negatives() -> str:
+    cos = _duck_cos("q.qv", "e.embedding")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+           FROM embeddings WHERE vec_id < {HARDNEG_NQ}),
+scored AS (
+  SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id,
+         e.label AS n_label, round({cos}, 6) AS cosine_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+),
+pool AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+  FROM scored
+),
+neg AS (
+  SELECT query_id, neighbor_id, cosine_sim, q_label, n_label,
+         row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id ASC) AS neg_rank
+  FROM pool WHERE rnk <= {HARDNEG_POOL} AND n_label <> q_label
+)
+SELECT query_id, neighbor_id, cosine_sim, q_label, n_label,
+       CAST(neg_rank AS BIGINT) AS neg_rank
+FROM neg WHERE neg_rank <= {HARDNEG_K}
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
@@ -6573,6 +6645,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
     "clm_examples": (q_clm_examples, SQL_CLM_EXAMPLES),
     "langid_eval": (q_langid_eval, _duck_langid_eval()),
+    "hard_negatives": (q_hard_negatives, _duck_hard_negatives()),
     "gopher_rules": (q_gopher_rules, _duck_gopher_rules()),
     "gopher_audit": (q_gopher_audit, _duck_gopher_audit()),
     "embedding_outliers": (q_embedding_outliers, SQL_EMB_OUTLIERS),
