@@ -784,13 +784,13 @@ def ngram_novelty(
         F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
     )
     # Hash width is the shuffle knob: the exchanged (hash, doc) table
-    # dominates cost (measured 508 MB at a 100k-doc smoke with 32-hex
-    # md5). ``compact_hashes`` folds the gram to a 60-bit BIGINT —
-    # 4x less exchanged bytes — at a documented collision risk of
-    # ~n²/2^61 expected colliding gram pairs (≈0.4M at 10^12 distinct
-    # grams: noise for a profile metric, which is why it is the
-    # recommended corpus-scale setting; the md5 default stays
-    # collision-free for oracle-exact runs).
+    # dominates cost. ``compact_hashes`` folds the gram to a 60-bit
+    # BIGINT — measured at the 100k-doc smoke: 507 → 206 MB shuffled
+    # and 15.2 → 7.7 s — at a collision risk of ~n²/2^61 expected
+    # colliding gram pairs (≈0.4M at 10^12 distinct grams: noise for
+    # a profile metric, which is why it is the recommended
+    # corpus-scale setting; the md5 default stays collision-free for
+    # oracle-exact runs).
     gram_hash = (
         F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
         if compact_hashes
