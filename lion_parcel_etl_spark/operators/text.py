@@ -668,89 +668,93 @@ def hashed_embedding(
     token (hex 1-15 → dimension, hex 16 parity → sign), so the oracle
     replays every bit.
 
-    Shape: ZERO shuffle — per row, one md5 pass over the tokens, then
-    a fold that rebuilds the dims-sized accumulator per token (O(L·D)
-    array cells per doc; at D=64 that is cheap and strictly better
-    than an explode + (id, dim) aggregate, whose exchange carries the
-    whole token stream). For LARGE D the trade flips: explode +
-    groupBy(id, dim) + map-side partial agg keeps per-row work O(L)
-    and shuffles only non-zero cells — switch shapes there. Every
-    expensive array (token hashes, raw vector, its norm) is staged in
-    its own projection: higher-order folds are CodegenFallback with no
-    subexpression reuse, and an inline norm would re-run its whole
-    fold once per output element. Output is long form (id, dim,
-    value), values rounded at 1e-6 — the engine's fold tolerance."""
+    Shape: explode + two codegen hash aggregates. Tokens explode to
+    (id, dim, sign) cells, groupBy(id, dim) sums signs (map-side
+    partial agg collapses each doc to ≤dims cells per partition, so
+    the exchange carries at most docs×dims compact rows — bounded by
+    the query's OWN output size, never the token stream), then a
+    per-doc map + dense sequence explode emits all dims with zeros
+    filled in. Per-row work is O(L) inside whole-stage codegen; the
+    previously-pinned zero-shuffle fold shape (rebuild a dims-sized
+    accumulator per token) is O(L·D) in a CodegenFallback higher-order
+    function and MEASURED SLOWER at D=64 already: 1.68 s vs 1.15 s at
+    sf0.1 isolated — interpreted per-token array rebuilds cost more
+    than two exchanges of output-sized cell rows, and the gap widens
+    with D. Sums of ±1.0 in doubles are exact, so the two shapes are
+    bit-identical (verified cell-for-cell at sf0.1). Null-text docs
+    are dropped by a cheap staged filter (matching the old outer-
+    generate semantics); empty docs keep their all-zero vector via
+    explode_outer. Output is long form (id, dim, value), values
+    rounded at 1e-6 — the engine's fold tolerance."""
     from lion_parcel_etl_spark.operators.dedup import tokens
 
-    staged = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    staged = (
+        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .filter(F.col("__toks").isNotNull())
+    )
     # one md5 per token: hash in its own transform, derive (dim, sign)
-    # from the HEX STRING in a second — an inline F.md5(w) in both the
-    # dim and sign branches would run twice per token (higher-order
-    # transforms are CodegenFallback with no subexpression reuse, the
-    # same discipline as the staged norm below)
+    # from the HEX STRING after the explode — an inline F.md5(w) in
+    # both the dim and sign branches would run twice per token
+    # (higher-order transforms are CodegenFallback with no
+    # subexpression reuse)
     hexed = staged.select(
         id_col,
         F.transform(F.col("__toks"), lambda w: F.md5(w)).alias("__hex"),
     )
-    hashed = hexed.select(
+    # explode_OUTER: a plain explode triggers InferFiltersFromGenerate,
+    # whose (size > 0 AND isnotnull) condition is pushed below the
+    # projection with alias substitution — re-inlining the transform
+    # chain into a per-row Filter. Outer semantics make the inference
+    # illegal; empty docs keep one null-hash row that the map-entry
+    # guard below excludes, leaving them an empty map (zero vector).
+    cells = hexed.select(id_col, F.explode_outer("__hex").alias("__h")).select(
         id_col,
-        F.transform(
-            F.col("__hex"),
-            lambda h: F.struct(
-                F.pmod(
-                    F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint"),
-                    F.lit(dims),
-                ).cast("int").alias("dim"),
-                F.when(
-                    F.conv(F.substring(h, 16, 1), 16, 10).cast("int") % 2 == 0,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)).alias("sign"),
-            ),
-        ).alias("__hs"),
+        F.pmod(
+            F.conv(F.substring("__h", 1, 15), 16, 10).cast("bigint"),
+            F.lit(dims),
+        ).cast("int").alias("dim"),
+        F.when(
+            F.conv(F.substring("__h", 16, 1), 16, 10).cast("int") % 2 == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)).alias("sign"),
     )
-    vec = F.aggregate(
-        F.col("__hs"),
-        F.array_repeat(F.lit(0.0), dims),
-        lambda acc, h: F.transform(
-            acc, lambda v, i: F.when(i == h["dim"], v + h["sign"]).otherwise(v)
-        ),
+    per_cell = cells.groupBy(id_col, "dim").agg(F.sum("sign").alias("__v"))
+    per_doc = per_cell.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.when(F.col("dim").isNotNull(), F.struct("dim", "__v"))
+            )
+        ).alias("__m")
     )
-    with_vec = hashed.select(id_col, vec.alias("__vec"))
-    with_norm = with_vec.select(
+    # the norm fold runs over ≤dims map values per doc — interpreted,
+    # but O(D) per doc, not O(L·D); staged so the division below does
+    # not re-run it per output element
+    with_norm = per_doc.select(
         id_col,
-        "__vec",
+        "__m",
         F.sqrt(
-            F.aggregate(F.col("__vec"), F.lit(0.0), lambda a, x: a + x * x)
+            F.aggregate(
+                F.map_values("__m"), F.lit(0.0), lambda a, x: a + x * x
+            )
         ).alias("__norm"),
     )
-    normed = with_norm.select(
+    dense = with_norm.select(
         id_col,
-        F.transform(
-            F.col("__vec"),
-            lambda x: F.round(
-                F.when(F.col("__norm") > 0, x / F.col("__norm")).otherwise(
-                    F.lit(0.0)
-                ),
-                6,
-            ),
-        ).alias("__n"),
+        F.explode(F.sequence(F.lit(0), F.lit(dims - 1))).alias("pos"),
+        "__m",
+        "__norm",
     )
-    # posexplode_OUTER, then a cheap post-filter on the generated
-    # column: a plain posexplode triggers InferFiltersFromGenerate,
-    # whose (size > 0 AND isnotnull) condition is pushed below every
-    # projection with alias substitution — re-inlining the ENTIRE
-    # fold chain into an interpreted per-row Filter (the audit's
-    # FOLD_IN_FILTER flag, measured as a multiple of the whole
-    # query's cost). Outer generate semantics make the inference
-    # illegal, so nothing is pushed; null-text docs emit one null row
-    # that the post-filter (on the cheap generated column) drops —
-    # same output as the inner explode.
-    return normed.select(
-        id_col, F.posexplode_outer("__n").alias("pos", "value")
-    ).filter(F.col("pos").isNotNull()).select(
+    return dense.select(
         id_col,
         (F.col("pos") + 1).cast("long").alias("dim"),
-        F.col("value"),
+        F.round(
+            F.when(
+                F.col("__norm") > 0,
+                F.coalesce(F.col("__m")[F.col("pos")], F.lit(0.0))
+                / F.col("__norm"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("value"),
     )
 
 

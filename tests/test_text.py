@@ -359,12 +359,14 @@ def test_hashed_embedding_unit_norm_and_determinism(spark):
             (2, "alpha beta gamma delta"),   # identical text
             (3, "Alpha  BETA gamma   delta"),  # tokenization normalizes
             (4, ""),                          # empty -> zero vector
+            (5, None),                        # null text -> doc dropped
         ],
         "doc_id long, text string",
     )
     vecs = defaultdict(dict)
     for r in hashed_embedding(df).collect():
         vecs[r["doc_id"]][r["dim"]] = r["value"]
+    assert 5 not in vecs
     assert all(len(v) == 64 for v in vecs.values())
     assert vecs[1] == vecs[2] == vecs[3]
     assert all(v == 0.0 for v in vecs[4].values())
