@@ -108,6 +108,8 @@ HEADLINE = [
     "dup_spans",
     "span_dedup_rewrite",
     "ngram_novelty",
+    "dsir_weights",
+    "dsir_select",
     "snapshot_diff",
     "split_leakage",
     "pack_sequences",

@@ -6631,11 +6631,108 @@ FROM neg WHERE neg_rank <= {HARDNEG_K}
 """
 
 
+DSIR_K = 100
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_weights_df(spark, sf_dir):
+    """Shared DSIR fit+score chain: target = {DSIR_TARGET_LANG} docs,
+    raw = the whole corpus (the standard 'make the crawl look like
+    the reference corpus' setup)."""
+    from lion_parcel_etl_spark.operators import selection as SEL
+
+    docs = _t(spark, sf_dir, "documents")
+    lr = SEL.dsir_fit(docs, F.col("lang") == DSIR_TARGET_LANG)
+    return SEL.dsir_weights(docs, lr)
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/selection.py; Xie et al.
+    2023): hashed unigram+bigram bucket distributions fitted on the
+    {DSIR_TARGET_LANG}-language target slice vs the whole pool, add-one
+    smoothed, each doc scored Σ c_b·(ln p̂_tgt(b) − ln p̂_raw(b)).
+    Two bucket-histogram aggregates (≤BUCKETS rows each, map-side
+    combined), a broadcast log-ratio join, one per-doc sum — the
+    standard published recipe for distribution-matching data
+    selection, entirely in JVM expressions."""
+    w = _dsir_weights_df(spark, sf_dir)
+    return w.select("doc_id", "n_feats", F.round("logw", 6).alias("logw"))
+
+
+def q_dsir_select(spark, sf_dir):
+    """Gumbel-top-k resample of the DSIR weights — the selection step:
+    key = logw + Gumbel noise derived from the deterministic 60-bit id
+    hash, take the top {DSIR_K} (exact sampling-without-replacement
+    from softmax(logw); Vieira 2014). TakeOrderedAndProject shape —
+    per-partition top-k, k rows to the driver, no global sort."""
+    from lion_parcel_etl_spark.operators import selection as SEL
+
+    sel = SEL.dsir_select(_dsir_weights_df(spark, sf_dir), DSIR_K)
+    return sel.select(
+        "doc_id",
+        F.round("logw", 6).alias("logw"),
+        F.round("gkey", 6).alias("gkey"),
+    )
+
+
+def _duck_dsir_common() -> str:
+    from lion_parcel_etl_spark.operators.selection import DSIR_BUCKETS
+
+    b = DSIR_BUCKETS
+    return f"""
+WITH toked AS MATERIALIZED (
+  SELECT doc_id, lang, {_DUCK_TOKS} AS tk FROM documents WHERE text IS NOT NULL
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, lang,
+    CAST(('0x' || substr(md5(f), 1, 15))::BIGINT % {b} AS INTEGER) AS bucket
+  FROM (SELECT doc_id, lang,
+          unnest(tk || list_transform(
+            range(1, greatest(len(tk) - 1, 0) + 1),
+            i -> tk[i] || ' ' || tk[i + 1])) AS f
+        FROM toked)
+),
+tgt AS (SELECT bucket, count(*) AS t FROM feats
+        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1),
+rawc AS (SELECT bucket, count(*) AS r FROM feats GROUP BY 1),
+lr AS (
+  SELECT rawc.bucket,
+         ln(COALESCE(t, 0) + 1)
+         - ln((SELECT count(*) FROM feats WHERE lang = '{DSIR_TARGET_LANG}') + {b})
+         - ln(r + 1)
+         + ln((SELECT count(*) FROM feats) + {b}) AS lr
+  FROM rawc LEFT JOIN tgt USING (bucket)
+),
+sc AS (
+  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats, sum(lr.lr) AS logw
+  FROM feats f JOIN lr USING (bucket) GROUP BY 1
+)"""
+
+
+def _duck_dsir_weights() -> str:
+    return _duck_dsir_common() + """
+SELECT doc_id, n_feats, round(logw, 6) AS logw FROM sc
+"""
+
+
+def _duck_dsir_select() -> str:
+    from lion_parcel_etl_spark.operators.selection import duck_gumbel_key
+
+    gkey = duck_gumbel_key("logw", "doc_id")
+    return _duck_dsir_common() + f""",
+sel AS (SELECT doc_id, logw, {gkey} AS gkey FROM sc)
+SELECT doc_id, round(logw, 6) AS logw, round(gkey, 6) AS gkey
+FROM sel ORDER BY gkey DESC LIMIT {DSIR_K}
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
 # follow in their original order. Lookup semantics are unaffected.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "dsir_weights": (q_dsir_weights, _duck_dsir_weights()),
+    "dsir_select": (q_dsir_select, _duck_dsir_select()),
     "span_dedup_rewrite": (q_span_dedup_rewrite, SQL_SPAN_REWRITE),
     "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
     "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
