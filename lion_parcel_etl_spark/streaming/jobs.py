@@ -862,6 +862,37 @@ def stream_training_mix(
     )
 
 
+def stream_dsir_filter(
+    spark: SparkSession,
+    docs_path: str,
+    lr_values: list[float],
+    min_mean_lr: float = 0.0,
+) -> DataFrame:
+    """Streaming DSIR admission — the continuous-ingest twin of the
+    batch dsir_weights → threshold selection: each arriving document
+    is scored against a PRE-FITTED log-ratio model (operators/
+    selection.py dsir_score — the fitted table rides the plan as one
+    array literal, so scoring is a stateless zero-shuffle per-row
+    fold; no join, no state store, no watermark needed) and admitted
+    when its length-normalized weight logw/n_feats clears
+    ``min_mean_lr``. Mean rather than raw logw: an unbounded stream
+    mixes lengths, and raw log-weights scale with document length, so
+    a fixed raw threshold would admit long off-target docs over short
+    on-target ones. Docs with no features score NULL and are dropped
+    — same fate as their absence from the batch weights table. A
+    one-micro-batch stream equals the batch dsir_score + filter
+    row-for-row (tested); refresh the fit by restarting with new
+    ``lr_values`` — the model is a deliberate plan constant, the
+    streaming analogue of a broadcast dimension snapshot."""
+    from lion_parcel_etl_spark.operators.selection import dsir_score
+
+    docs = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_path)
+    scored = dsir_score(docs, lr_values)
+    return scored.filter(
+        (F.col("logw") / F.col("n_feats").cast("double")) >= F.lit(min_mean_lr)
+    )
+
+
 def stream_span_dedup(
     df: DataFrame,
     warehouse,

@@ -808,3 +808,45 @@ def test_remove_duplicate_spans_incremental_store_probe(spark):
     assert out[7].clean_text == y and out[7].n_removed == 1   # x in store
     assert out[8].clean_text == "" and out[8].n_removed == 2  # y dup of (7,1), x in store
     assert new_hashes.count() == 1  # only y survives into the store
+
+
+def test_stream_dsir_filter_matches_batch_threshold(spark, tmp_path):
+    """One-micro-batch streaming DSIR admission equals the batch
+    dsir_score + mean-threshold filter row-for-row, and featureless
+    docs never pass (NULL score)."""
+    from pyspark.sql import functions as SF
+
+    from lion_parcel_etl_spark.operators.selection import (
+        dsir_fit,
+        dsir_score,
+        logratio_values,
+    )
+    from lion_parcel_etl_spark.streaming.jobs import (
+        run_available_now,
+        stream_dsir_filter,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lr_vals = logratio_values(dsir_fit(docs, SF.col("lang") == "en"))
+    docs_dir = str(tmp_path / "docs")
+    docs.write.parquet(docs_dir)
+
+    # data-derived threshold (the corpus median mean-lr): with add-one
+    # smoothing over 4096 buckets a tiny corpus scores every doc
+    # negative, so a fixed 0.0 cut would vacuously pass an empty==empty
+    # comparison
+    scored = dsir_score(docs, lr_vals).withColumn(
+        "m", SF.col("logw") / SF.col("n_feats").cast("double")
+    )
+    thr = scored.agg(SF.median("m")).collect()[0][0]
+
+    stream = stream_dsir_filter(spark, docs_dir, lr_vals, min_mean_lr=thr)
+    run_available_now(stream, str(tmp_path / "ck"), table_name="dsir_out")
+    got = {r["doc_id"]: (r["n_feats"], round(r["logw"], 6))
+           for r in spark.table("dsir_out").collect()}
+
+    want = {r["doc_id"]: (r["n_feats"], round(r["logw"], 6))
+            for r in scored.filter(SF.col("m") >= thr).collect()}
+    assert got == want and got
+    # admission is selective: some docs fail the threshold
+    assert len(got) < docs.count()
