@@ -110,6 +110,7 @@ HEADLINE = [
     "ngram_novelty",
     "dsir_weights",
     "dsir_select",
+    "perplexity_buckets",
     "snapshot_diff",
     "split_leakage",
     "pack_sequences",

