@@ -319,6 +319,23 @@ def main() -> None:
     ).count()
     print(f"token_budget_select: {kept} kept, {time.perf_counter() - t0:.2f}s")
 
+    # DSIR: the claim under test is that the fit exchange stays
+    # ≤ partitions×BUCKETS and the score exchange ∝ docs — both far
+    # below the exploded feature-instance count (≈2 rows per token)
+    from lion_parcel_etl_spark.operators.selection import dsir_fit, dsir_weights
+
+    langd = big.withColumn(
+        "lang", F.when(F.pmod("doc_id", F.lit(2)) == 0, "en").otherwise("xx")
+    )
+    t0 = time.perf_counter()
+    sb0 = _shuffle_bytes(spark)
+    lr = dsir_fit(langd, F.col("lang") == "en")
+    noop(dsir_weights(langd, lr))
+    print(
+        f"dsir_weights: {time.perf_counter() - t0:.2f}s, "
+        f"shuffle {(_shuffle_bytes(spark) - sb0) / 1e6:.1f} MB"
+    )
+
 
 if __name__ == "__main__":
     main()
