@@ -110,6 +110,7 @@ HEADLINE = [
     "ngram_novelty",
     "dsir_weights",
     "dsir_select",
+    "quality_classifier",
     "perplexity_buckets",
     "snapshot_diff",
     "split_leakage",

@@ -6807,11 +6807,114 @@ FROM sel ORDER BY gkey DESC LIMIT {DSIR_K}
 """
 
 
+QC_STEPS = 4
+QC_LR = 1.0
+#: Rule being distilled into the classifier: docs containing either
+#: order of the slow/join word pair. Presence of a single bigram
+#: feature — the canonical linearly-separable target for a hashed
+#: bag-of-ngrams model (its bucket count is 0 on one class, ≥1 on the
+#: other), with ~13% prevalence on the synthetic corpus. Measured at
+#: sf0.01: accuracy 0.996 after {QC_STEPS} preconditioned steps vs
+#: 0.874 majority-class, min |p−0.5| = 0.063 (≫ the 1e-6 rounding).
+QC_RULE_SPARK = lambda: (  # noqa: E731 — paired spellings kept adjacent
+    F.lower(F.col("text")).contains("slow join")
+    | F.lower(F.col("text")).contains("join slow")
+)
+QC_RULE_SQL = "(lower(text) LIKE '%slow join%' OR lower(text) LIKE '%join slow%')"
+
+
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style quality classifier (operators/classifier.py;
+    Joulin et al. 2017, the CCNet/GPT-3 curation-filter shape):
+    hashed unigram+bigram tf features, logistic loss, {QC_STEPS}
+    fixed steps of Jacobi-preconditioned full-batch GD distilling the
+    {QC_RULE_SQL} rule into a learned model, then every doc scored.
+    Per step: one broadcast weight join + doc-partitioned margin
+    aggregate (exchange-free over the pinned feature table) and one
+    bucket-gradient aggregate (map-side combined to
+    partitions×(buckets+1) rows); only the ≤4097-row model ever
+    reaches the driver. The DuckDB oracle replays the ENTIRE fit —
+    preconditioner, every unrolled step, the scoring — not just the
+    final model."""
+    from lion_parcel_etl_spark.operators.classifier import (
+        doc_features,
+        logreg_fit,
+        logreg_score,
+    )
+    from lion_parcel_etl_spark.operators.dedup import pin
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = pin(doc_features(docs, QC_RULE_SPARK()))
+    w = logreg_fit(feats, steps=QC_STEPS, lr=QC_LR)
+    return logreg_score(feats, w).orderBy("doc_id")
+
+
+def _duck_quality_classifier() -> str:
+    from lion_parcel_etl_spark.operators.classifier import (
+        BIAS_BUCKET,
+        H_FLOOR,
+    )
+    from lion_parcel_etl_spark.operators.selection import DSIR_BUCKETS
+
+    b, lr = DSIR_BUCKETS, QC_LR
+    parts = [
+        f"""
+WITH toked AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN {QC_RULE_SQL} THEN 1 ELSE 0 END AS y,
+         {_DUCK_TOKS} AS tk
+  FROM documents WHERE text IS NOT NULL
+),
+inst AS (
+  SELECT doc_id, y,
+    CAST(('0x' || substr(md5(f), 1, 15))::BIGINT % {b} AS INTEGER) AS bucket
+  FROM (SELECT doc_id, y,
+          unnest(tk || list_transform(
+            range(1, greatest(len(tk) - 1, 0) + 1),
+            i -> tk[i] || ' ' || tk[i + 1])) AS f
+        FROM toked)
+),
+cnts AS (SELECT doc_id, y, bucket, count(*) AS cnt FROM inst GROUP BY 1, 2, 3),
+feats AS MATERIALIZED (
+  SELECT doc_id, y, bucket, CAST(cnt AS DOUBLE) AS x FROM cnts
+  UNION ALL
+  SELECT DISTINCT doc_id, y, {BIAS_BUCKET} AS bucket, 1.0 AS x FROM cnts
+),
+n AS (SELECT count(DISTINCT doc_id) AS nn FROM feats),
+w1 AS (
+  SELECT bucket,
+         -{lr} * (sum((0.5 - y) * x) / (SELECT nn FROM n))
+           / greatest(0.25 * sum(x * x) / (SELECT nn FROM n), {H_FLOOR}) AS w,
+         greatest(0.25 * sum(x * x) / (SELECT nn FROM n), {H_FLOOR}) AS h
+  FROM feats GROUP BY bucket)"""
+    ]
+    prev = "w1"
+    for k in range(2, QC_STEPS + 1):
+        parts.append(f""",
+m{k} AS (SELECT f.doc_id, f.y, sum(f.x * COALESCE(p.w, 0)) AS m
+         FROM feats f LEFT JOIN {prev} p ON f.bucket = p.bucket
+         GROUP BY 1, 2),
+e{k} AS (SELECT doc_id, 1.0 / (1.0 + exp(-m)) - y AS err FROM m{k}),
+g{k} AS (SELECT f.bucket, sum(e.err * f.x) / (SELECT nn FROM n) AS g
+         FROM feats f JOIN e{k} e USING (doc_id) GROUP BY 1),
+w{k} AS (SELECT p.bucket, p.w - {lr} * g.g / p.h AS w, p.h AS h
+         FROM {prev} p JOIN g{k} g USING (bucket))""")
+        prev = f"w{k}"
+    parts.append(f""",
+mf AS (SELECT f.doc_id, f.y, sum(f.x * COALESCE(p.w, 0)) AS m
+       FROM feats f LEFT JOIN {prev} p ON f.bucket = p.bucket
+       GROUP BY 1, 2)
+SELECT doc_id, y, round(1.0 / (1.0 + exp(-m)), 6) AS p,
+       CASE WHEN round(1.0 / (1.0 + exp(-m)), 6) >= 0.5 THEN 1 ELSE 0 END AS pred
+FROM mf ORDER BY doc_id""")
+    return "".join(parts)
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
 # follow in their original order. Lookup semantics are unaffected.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "quality_classifier": (q_quality_classifier, _duck_quality_classifier()),
     "dsir_weights": (q_dsir_weights, _duck_dsir_weights()),
     "dsir_select": (q_dsir_select, _duck_dsir_select()),
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
