@@ -111,6 +111,7 @@ HEADLINE = [
     "dsir_weights",
     "dsir_select",
     "quality_classifier",
+    "kmv_overlap",
     "perplexity_buckets",
     "snapshot_diff",
     "split_leakage",

@@ -6909,12 +6909,174 @@ FROM mf ORDER BY doc_id""")
     return "".join(parts)
 
 
+KMV_QUERY_K = 256
+
+
+def _kmv_shingle_keys(spark, sf_dir):
+    """(source, s) word-3-shingle rows per source — the key stream both
+    KMV queries sketch."""
+    from lion_parcel_etl_spark.operators.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").isNotNull()).select(
+        "source", F.explode(word_shingles(F.col("text"))).alias("s")
+    )
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV bottom-k distinct sketch per source (operators/sketches.py;
+    Beyer et al. 2007): deterministic md5-hash bottom-{KMV_QUERY_K}
+    over the word-3-shingle sets, estimate (k−1)·SPACE/h_(k), shown
+    against the exact distinct count with the realized relative
+    error. The sketch build is one distinct + one per-group rank; the
+    sketch itself is what persists at corpus scale (k BIGINTs per
+    source) so any later overlap/rollup question never rescans."""
+    from lion_parcel_etl_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    keys = _kmv_shingle_keys(spark, sf_dir)
+    sk = kmv_sketch(keys, "s", ["source"], k=KMV_QUERY_K)
+    from lion_parcel_etl_spark.operators.sampling import id_hash
+
+    exact = (
+        keys.select("source", id_hash(F.col("s"), salt="kmv").alias("h"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    est = kmv_estimate(F.col("kmv"), KMV_QUERY_K)
+    return (
+        sk.join(exact, "source")
+        .select(
+            "source",
+            F.round(est, 6).alias("kmv_est"),
+            "exact_distinct",
+            F.round(
+                F.abs(est - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_kmv_overlap(spark, sf_dir):
+    """All-pairs cross-source overlap estimates from the KMV sketches —
+    the sketch-scale twin of dedup_source_matrix: the bottom-k of a
+    pair's union is a uniform union sample, so its both-sketches
+    fraction estimates Jaccard and scales to an intersection size.
+    The pairwise stage touches only the G sketch rows (k-length
+    arrays); 1000 sources cost half a million tiny array ops no
+    matter how big the corpus behind them."""
+    from lion_parcel_etl_spark.operators.sketches import (
+        kmv_overlap,
+        kmv_sketch,
+    )
+
+    keys = _kmv_shingle_keys(spark, sf_dir)
+    sk = kmv_sketch(keys, "s", ["source"], k=KMV_QUERY_K)
+    return kmv_overlap(sk, "source", k=KMV_QUERY_K).orderBy(
+        "group_a", "group_b"
+    )
+
+
+def _duck_kmv_common() -> str:
+    from lion_parcel_etl_spark.operators.sampling import duck_id_hash
+
+    h = duck_id_hash("s", "kmv")
+    return f"""
+WITH sh AS (
+  SELECT source, {_DUCK_SHINGLES} AS shingles
+  FROM documents WHERE text IS NOT NULL
+),
+keys AS (
+  SELECT DISTINCT source, s
+  FROM (SELECT source, unnest(shingles) AS s FROM sh)
+),
+hashes AS (SELECT DISTINCT source, {h} AS h FROM keys),
+ranked AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM hashes
+),
+sk AS (SELECT source, h, rn FROM ranked WHERE rn <= {KMV_QUERY_K})"""
+
+
+def _duck_kmv_distinct() -> str:
+    k = KMV_QUERY_K
+    return _duck_kmv_common() + f""",
+est AS (
+  SELECT source, count(*) AS sz,
+         max(CASE WHEN rn = {k} THEN h END) AS hk
+  FROM sk GROUP BY 1
+),
+exact AS (SELECT source, count(*) AS exact_distinct FROM hashes GROUP BY 1),
+sc AS (
+  SELECT e.source,
+         CASE WHEN e.sz < {k} THEN CAST(e.sz AS DOUBLE)
+              ELSE {k - 1}.0 * 1152921504606846976.0 / e.hk END AS est,
+         x.exact_distinct
+  FROM est e JOIN exact x USING (source)
+)
+SELECT source, round(est, 6) AS kmv_est,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       round(abs(est - exact_distinct) / exact_distinct, 6) AS rel_err
+FROM sc ORDER BY source
+"""
+
+
+def _duck_kmv_overlap() -> str:
+    k = KMV_QUERY_K
+    return _duck_kmv_common() + f""",
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM (SELECT DISTINCT source FROM sk) a
+  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+),
+uh AS (
+  SELECT p.sa, p.sb, s.h,
+         max(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS ia,
+         max(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS ib
+  FROM pairs p JOIN sk s ON s.source IN (p.sa, p.sb)
+  GROUP BY 1, 2, 3
+),
+ur AS (
+  SELECT sa, sb, h, ia, ib,
+         row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+  FROM uh
+),
+agg AS (
+  SELECT sa, sb, count(*) AS us,
+         max(CASE WHEN rn = {k} THEN h END) AS hk,
+         sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS nboth
+  FROM ur WHERE rn <= {k} GROUP BY 1, 2
+),
+sc AS (
+  SELECT sa, sb,
+         CASE WHEN us < {k} THEN CAST(us AS DOUBLE)
+              ELSE {k - 1}.0 * 1152921504606846976.0 / hk END AS union_est,
+         CAST(nboth AS DOUBLE) / us AS jac
+  FROM agg
+)
+SELECT sa AS group_a, sb AS group_b,
+       round(union_est, 6) AS union_est,
+       round(jac, 6) AS jaccard_est,
+       round(jac * union_est, 6) AS intersection_est
+FROM sc ORDER BY group_a, group_b
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
 # follow in their original order. Lookup semantics are unaffected.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_classifier": (q_quality_classifier, _duck_quality_classifier()),
+    "kmv_distinct": (q_kmv_distinct, _duck_kmv_distinct()),
+    "kmv_overlap": (q_kmv_overlap, _duck_kmv_overlap()),
     "dsir_weights": (q_dsir_weights, _duck_dsir_weights()),
     "dsir_select": (q_dsir_select, _duck_dsir_select()),
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),

@@ -287,3 +287,103 @@ def test_bloom_empty_key_set_matches_nothing(spark):
     assert words == [0]
     probe = spark.range(0, 500).select(F.col("id").alias("k"))
     assert probe.filter(bloom_probe(F.col("k"), words, 3)).count() == 0
+
+
+# --- KMV bottom-k sketches -------------------------------------------------
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    from lion_parcel_etl_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    n = 20000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("k")
+    )
+    sk = kmv_sketch(df, "k", ["g"], k=256)
+    est = sk.select(kmv_estimate(F.col("kmv"), 256).alias("e")).collect()[0]["e"]
+    # KMV standard error ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    assert abs(est - n) / n < 0.25
+
+
+def test_kmv_small_group_is_exact(spark):
+    from lion_parcel_etl_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    df = spark.range(100).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("k")
+    )
+    sk = kmv_sketch(df, "k", ["g"], k=256)
+    row = sk.select(
+        F.size("kmv").alias("sz"), kmv_estimate(F.col("kmv"), 256).alias("e")
+    ).collect()[0]
+    assert row["sz"] == 100 and row["e"] == 100.0
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    from lion_parcel_etl_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    a = spark.range(5000).select(
+        F.lit("a").alias("g"), F.col("id").cast("string").alias("k")
+    )
+    b = spark.range(3000, 9000).select(
+        F.lit("b").alias("g"), F.col("id").cast("string").alias("k")
+    )
+    sk = kmv_sketch(a.union(b), "k", ["g"], k=128)
+    merged = (
+        sk.groupBy()
+        .pivot("g", ["a", "b"])
+        .agg(F.first("kmv"))
+        .select(kmv_merge(F.col("a"), F.col("b"), 128).alias("m"))
+        .collect()[0]["m"]
+    )
+    union_sk = kmv_sketch(
+        a.union(b).select(F.lit("u").alias("g"), "k"), "k", ["g"], k=128
+    ).collect()[0]["kmv"]
+    assert merged == union_sk
+
+
+def test_kmv_overlap_estimates_jaccard(spark):
+    from lion_parcel_etl_spark.operators.sketches import kmv_overlap, kmv_sketch
+
+    # |A|=6000, |B|=6000, |A∩B|=3000, |A∪B|=9000 → J = 1/3
+    a = spark.range(6000).select(
+        F.lit("a").alias("g"), F.col("id").cast("string").alias("k")
+    )
+    b = spark.range(3000, 9000).select(
+        F.lit("b").alias("g"), F.col("id").cast("string").alias("k")
+    )
+    sk = kmv_sketch(a.union(b), "k", ["g"], k=256)
+    row = kmv_overlap(sk, "g", k=256).collect()[0]
+    assert abs(row["jaccard_est"] - 1 / 3) < 0.12
+    assert abs(row["union_est"] - 9000) / 9000 < 0.25
+    assert abs(row["intersection_est"] - 3000) / 3000 < 0.45
+
+
+def test_kmv_prefilter_output_identical(spark):
+    from lion_parcel_etl_spark.operators.sketches import kmv_sketch
+
+    df = spark.range(30000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").cast("string").alias("k"),
+    )
+    plain = {r["g"]: r["kmv"] for r in kmv_sketch(df, "k", ["g"], k=64).collect()}
+    pre = {
+        r["g"]: r["kmv"]
+        for r in kmv_sketch(df, "k", ["g"], k=64, prefilter_rsd=0.05).collect()
+    }
+    assert plain == pre
+
+
+def test_kmv_prefilter_keeps_small_groups(spark):
+    from lion_parcel_etl_spark.operators.sketches import kmv_sketch
+
+    df = spark.range(50).select(
+        F.lit("tiny").alias("g"), F.col("id").cast("string").alias("k")
+    )
+    rows = kmv_sketch(df, "k", ["g"], k=256, prefilter_rsd=0.05).collect()
+    assert len(rows) == 1 and len(rows[0]["kmv"]) == 50
