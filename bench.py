@@ -112,6 +112,7 @@ HEADLINE = [
     "dsir_select",
     "quality_classifier",
     "kmv_overlap",
+    "triangle_count",
     "perplexity_buckets",
     "snapshot_diff",
     "split_leakage",

@@ -7069,6 +7069,126 @@ FROM sc ORDER BY group_a, group_b
 """
 
 
+COOC_MIN_JACCARD = 0.4
+
+
+def _user_key_rows(spark, sf_dir):
+    """(k, user_id) bipartite rows from events.props — the json_extract
+    regex spelling shared with q_json_extract so the two cannot
+    drift."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    return ev.filter(F.col("props").isNotNull()).select(
+        k.alias("k"), "user_id"
+    )
+
+
+def q_cooccurrence_graph(spark, sf_dir):
+    """Bipartite→similarity projection (operators/graph.py): users
+    become edges when the Jaccard of their distinct event-key sets is
+    ≥ {COOC_MIN_JACCARD}. Set similarity, not a raw shared-count
+    threshold, so the rule survives a corpus growing 100×; the
+    operator's max_key_degree hub cap (not needed at this key
+    cardinality) bounds the projection exchange at Σ min(deg,cap)²."""
+    from lion_parcel_etl_spark.operators.graph import cooccurrence_edges
+
+    return cooccurrence_edges(
+        _user_key_rows(spark, sf_dir),
+        "k",
+        "user_id",
+        min_jaccard=COOC_MIN_JACCARD,
+    ).orderBy("node_a", "node_b")
+
+
+def q_triangle_count(spark, sf_dir):
+    """Per-node triangle participation + local clustering coefficient
+    over the co-occurrence graph — the canonical two-equi-join
+    enumeration (each a<b<c triangle produced once), wedge volume a
+    property of the graph not the corpus. Clustering coefficient 1.0
+    = the node's neighborhood is a clique (in dedup graphs: a
+    copy-paste cluster)."""
+    from lion_parcel_etl_spark.operators.dedup import pin
+    from lion_parcel_etl_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_counts,
+    )
+
+    edges = pin(
+        cooccurrence_edges(
+            _user_key_rows(spark, sf_dir),
+            "k",
+            "user_id",
+            min_jaccard=COOC_MIN_JACCARD,
+        )
+    )
+    return triangle_counts(edges).orderBy("node")
+
+
+_DUCK_COOC = f"""
+WITH kn AS (
+  SELECT DISTINCT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k,
+         user_id AS n
+  FROM events WHERE props IS NOT NULL
+),
+deg AS (SELECT n, count(*) AS d FROM kn GROUP BY 1),
+shared AS (
+  SELECT a.n AS node_a, b.n AS node_b, count(*) AS shared
+  FROM kn a JOIN kn b ON a.k = b.k AND a.n < b.n
+  GROUP BY 1, 2
+),
+cooc AS (
+  SELECT s.node_a, s.node_b, s.shared,
+         round(CAST(s.shared AS DOUBLE) / (da.d + db.d - s.shared), 6) AS jaccard
+  FROM shared s
+  JOIN deg da ON da.n = s.node_a
+  JOIN deg db ON db.n = s.node_b
+  WHERE round(CAST(s.shared AS DOUBLE) / (da.d + db.d - s.shared), 6)
+          >= {COOC_MIN_JACCARD}
+)"""
+
+
+def _duck_cooccurrence_graph() -> str:
+    return (
+        _DUCK_COOC
+        + """
+SELECT node_a, node_b, shared, jaccard FROM cooc ORDER BY node_a, node_b
+"""
+    )
+
+
+def _duck_triangle_count() -> str:
+    return (
+        _DUCK_COOC
+        + """,
+e AS (SELECT node_a, node_b FROM cooc),
+tri AS (
+  SELECT w.node_a, w.node_b, w.node_c
+  FROM (SELECT e1.node_a, e1.node_b, e2.node_b AS node_c
+        FROM e e1 JOIN e e2 ON e1.node_b = e2.node_a) w
+  JOIN e c ON c.node_a = w.node_a AND c.node_b = w.node_c
+),
+tn AS (
+  SELECT node, count(*) AS triangles
+  FROM (SELECT node_a AS node FROM tri
+        UNION ALL SELECT node_b FROM tri
+        UNION ALL SELECT node_c FROM tri)
+  GROUP BY 1
+),
+dg AS (
+  SELECT node, count(*) AS degree
+  FROM (SELECT node_a AS node FROM e UNION ALL SELECT node_b FROM e)
+  GROUP BY 1
+)
+SELECT d.node, d.degree,
+       CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+       round(2.0 * COALESCE(t.triangles, 0) / (d.degree * (d.degree - 1)), 6)
+         AS clustering_coeff
+FROM dg d LEFT JOIN tn t USING (node)
+WHERE d.degree >= 2 ORDER BY node
+"""
+    )
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
@@ -7077,6 +7197,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "quality_classifier": (q_quality_classifier, _duck_quality_classifier()),
     "kmv_distinct": (q_kmv_distinct, _duck_kmv_distinct()),
     "kmv_overlap": (q_kmv_overlap, _duck_kmv_overlap()),
+    "cooccurrence_graph": (q_cooccurrence_graph, _duck_cooccurrence_graph()),
+    "triangle_count": (q_triangle_count, _duck_triangle_count()),
     "dsir_weights": (q_dsir_weights, _duck_dsir_weights()),
     "dsir_select": (q_dsir_select, _duck_dsir_select()),
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
