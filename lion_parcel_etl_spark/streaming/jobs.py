@@ -948,3 +948,94 @@ def stream_span_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_quality_filter(
+    spark: SparkSession,
+    docs_path: str,
+    w_values: list[float],
+    bias: float,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming learned-quality admission — the continuous-ingest twin
+    of the batch quality_filter: each arriving document is scored by a
+    PRE-FITTED logistic model (operators/classifier.py
+    logreg_score_row — the weight vector rides the plan as one array
+    literal, so scoring is a stateless zero-shuffle per-row fold; no
+    join, no state store, no watermark) and admitted when p ≥
+    threshold. Featureless docs score NULL and are dropped — same fate
+    as their absence from the batch feature table. A one-micro-batch
+    stream equals batch logreg_score + filter row-for-row (tested);
+    refresh the model by restarting with new weights — the deliberate
+    plan-constant pattern shared with stream_dsir_filter."""
+    from lion_parcel_etl_spark.operators.classifier import logreg_score_row
+
+    docs = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_path)
+    scored = logreg_score_row(docs, w_values, bias)
+    return scored.filter(F.col("p") >= F.lit(threshold))
+
+
+def stream_kmv_sketch(
+    df: DataFrame,
+    warehouse,
+    table: str,
+    key_col: str,
+    group_cols: list[str],
+    checkpoint: str,
+    k: int = 256,
+) -> None:
+    """Continuously-maintained KMV distinct sketches: each micro-batch
+    sketches ITSELF (one bounded rank over the batch) and appends the
+    per-group bottom-k arrays to the batch's own ``__batch_id``
+    partition (the exactly-once-by-layout contract shared with
+    stream_rollup_into); :func:`read_kmv` merges the stored log at
+    read time. Why this works: KMV sketches are mergeable — the
+    bottom-k of a union of bottom-k's IS the bottom-k of the union
+    (Beyer et al. 2007), so per-batch state is O(groups × k) and the
+    raw stream is never rescanned. Compact old partitions during
+    quiet hours by re-bottom-k'ing them into one, exactly like rollup
+    compaction."""
+    from lion_parcel_etl_spark.operators.sketches import kmv_sketch
+
+    def _batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        warehouse.append_batch(
+            kmv_sketch(batch, key_col, group_cols, k=k), table, batch_id
+        )
+
+    q = (
+        df.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_kmv(
+    spark: SparkSession,
+    warehouse,
+    table: str,
+    group_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Merge the stored per-batch KMV sketches into per-group global
+    sketches + distinct estimates. collect_list is bounded by
+    batches×k per group (compaction keeps 'batches' small); the
+    flatten→distinct→sort→slice is the n-way :func:`kmv_merge`."""
+    from lion_parcel_etl_spark.operators.sketches import kmv_estimate
+
+    log = warehouse.read(spark, table)
+    merged = log.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmv")))),
+            1,
+            k,
+        ).alias("kmv")
+    )
+    return merged.select(
+        *group_cols,
+        "kmv",
+        F.round(kmv_estimate(F.col("kmv"), k), 6).alias("distinct_est"),
+    )

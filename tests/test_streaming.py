@@ -850,3 +850,90 @@ def test_stream_dsir_filter_matches_batch_threshold(spark, tmp_path):
     assert got == want and got
     # admission is selective: some docs fail the threshold
     assert len(got) < docs.count()
+
+
+def test_stream_quality_filter_matches_batch_scores(spark, tmp_path):
+    """One-micro-batch streaming classifier admission equals the batch
+    logreg_score + threshold filter row-for-row (two independent code
+    paths: groupBy-join margins vs per-row literal-array fold)."""
+    from pyspark.sql import functions as SF
+
+    from lion_parcel_etl_spark.operators.classifier import (
+        doc_features,
+        logreg_fit,
+        logreg_score,
+        weights_array,
+    )
+    from lion_parcel_etl_spark.operators.dedup import pin
+    from lion_parcel_etl_spark.streaming.jobs import (
+        run_available_now,
+        stream_quality_filter,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cond = SF.lower(SF.col("text")).contains("slow join") | SF.lower(
+        SF.col("text")
+    ).contains("join slow")
+    feats = pin(doc_features(docs, cond))
+    w = logreg_fit(feats)
+    batch = logreg_score(feats, w)
+    feats.unpersist()
+    # data-derived threshold for selectivity
+    thr = batch.agg(SF.median("p")).collect()[0][0]
+
+    docs_dir = str(tmp_path / "docs")
+    docs.write.parquet(docs_dir)
+    vals, bias = weights_array(w)
+    stream = stream_quality_filter(spark, docs_dir, vals, bias, threshold=thr)
+    run_available_now(stream, str(tmp_path / "ck"), table_name="qf_out")
+    got = {r["doc_id"]: r["p"] for r in spark.table("qf_out").collect()}
+    want = {
+        r["doc_id"]: r["p"]
+        for r in batch.filter(SF.col("p") >= thr).collect()
+    }
+    assert got == want and got
+    assert len(got) < docs.count()
+
+
+def test_stream_kmv_merged_equals_batch_sketch(spark, tmp_path):
+    """Two micro-batches of KMV sketches merge (read_kmv) into exactly
+    the sketch of the full stream, and replays overwrite cleanly."""
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.sketches import kmv_sketch
+    from lion_parcel_etl_spark.streaming.jobs import read_kmv, stream_kmv_sketch
+
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    k = 32
+    b1 = [("g1", str(i)) for i in range(500)] + [("g2", str(i)) for i in range(50)]
+    b2 = [("g1", str(i)) for i in range(300, 800)] + [("g2", str(i)) for i in range(20, 70)]
+
+    def run():
+        stream = spark.readStream.schema("g string, v string").parquet(landing)
+        stream_kmv_sketch(stream, wh, "kmv", "v", ["g"], ckpt, k=k)
+
+    for batch in (b1, b2):
+        spark.createDataFrame(batch, "g string, v string").coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        run()
+
+    merged = {r["g"]: r["kmv"] for r in read_kmv(spark, wh, "kmv", ["g"], k=k).collect()}
+    full = {
+        r["g"]: r["kmv"]
+        for r in kmv_sketch(
+            spark.createDataFrame(b1 + b2, "g string, v string"), "v", ["g"], k=k
+        ).collect()
+    }
+    assert merged == full
+    # replayed batch overwrites its own partition: merged view unchanged
+    wh.append_batch(
+        kmv_sketch(
+            spark.createDataFrame(b2, "g string, v string"), "v", ["g"], k=k
+        ),
+        "kmv",
+        1,
+    )
+    after = {r["g"]: r["kmv"] for r in read_kmv(spark, wh, "kmv", ["g"], k=k).collect()}
+    assert after == merged
