@@ -605,3 +605,41 @@ def temperature_mix(
         )
         .orderBy(group_col)
     )
+
+
+def cluster_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Leakage-proof train/val/test assignment: :func:`hash_split`
+    keyed on the near-dup CLUSTER id instead of the document id, so an
+    entire duplicate cluster lands in ONE split and no near-duplicate
+    pair can straddle train/test (the leakage mode that inflates every
+    eval — splitting by doc id puts two 95%-identical docs on opposite
+    sides of the split with probability 2·p·(1−p)).
+
+    ``pairs`` is any near-dup pair table (id_a, id_b) — MinHash,
+    SimHash or embedding-LSH; cluster ids come from the pointer-
+    doubling connected components (operators/dedup.py), singletons
+    stay their own cluster. The label table holds only docs that
+    appear in a pair — broadcast under the same rationale as
+    dedup_clusters: at extreme dup rates materialize it and let AQE
+    pick the join. Split assignment itself stays a stateless per-row
+    hash — appends re-derive the same clusters' splits as long as the
+    canonical min-id of each cluster is stable (a NEW doc joining an
+    existing cluster inherits that cluster's split)."""
+    from lion_parcel_etl_spark.operators.dedup import connected_components
+
+    cc = F.broadcast(connected_components(pairs, "id_a", "id_b"))
+    labeled = (
+        docs.join(cc, docs[id_col] == cc["node"], "left")
+        .drop("node")
+        .withColumn(
+            "cluster_id", F.coalesce("component", F.col(id_col))
+        )
+        .drop("component")
+    )
+    return hash_split(labeled, "cluster_id", weights, salt)

@@ -7189,6 +7189,56 @@ WHERE d.degree >= 2 ORDER BY node
     )
 
 
+def q_cluster_split(spark, sf_dir):
+    """Leakage-proof splits (operators/sampling.py cluster_split):
+    hash-split keyed on the MinHash near-dup CLUSTER id, so a whole
+    duplicate cluster lands in one split and no near-dup pair
+    straddles train/test — the composition the split_leakage audit
+    exists to check. Stateless per-row hash over the canonical
+    min-id; appends inherit their cluster's split."""
+    from lion_parcel_etl_spark.operators.sampling import cluster_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_near_dup(
+        docs, "doc_id", "text", threshold=JACCARD_THRESHOLD
+    )
+    return cluster_split(
+        docs, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "cluster_id", "split").orderBy("doc_id")
+
+
+def _duck_cluster_split() -> str:
+    from lion_parcel_etl_spark.operators.sampling import (
+        HASH_MOD,
+        duck_id_hash,
+    )
+
+    u = f"{duck_id_hash('cluster_id')} / {float(HASH_MOD)!r}"
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_duck_minhash_pairs()})
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a
+), labeled AS (
+  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN {u} < 0.8 THEN 'train'
+            WHEN {u} < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM labeled ORDER BY doc_id
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
@@ -7199,6 +7249,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kmv_overlap": (q_kmv_overlap, _duck_kmv_overlap()),
     "cooccurrence_graph": (q_cooccurrence_graph, _duck_cooccurrence_graph()),
     "triangle_count": (q_triangle_count, _duck_triangle_count()),
+    "cluster_split": (q_cluster_split, _duck_cluster_split()),
     "dsir_weights": (q_dsir_weights, _duck_dsir_weights()),
     "dsir_select": (q_dsir_select, _duck_dsir_select()),
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),

@@ -469,3 +469,48 @@ class TestTemperatureMix:
         # sqrt smoothing: 96/4 natural ratio becomes sqrt ratio ~ 9.8/2
         assert out["small"].p_sample > 4 / 100
         assert abs(out["big"].p_sample / out["small"].p_sample - (96 / 4) ** 0.5) < 0.01
+
+
+def test_cluster_split_never_leaks_pairs(spark):
+    from lion_parcel_etl_spark.operators.sampling import cluster_split
+
+    # clusters {1,2,3} and {10,11}; 20,21 singletons
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 21)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = cluster_split(
+        docs, pairs, "doc_id", {"train": 0.5, "val": 0.25, "test": 0.25}
+    ).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    cid = {r["doc_id"]: r["cluster_id"] for r in out}
+    # whole cluster shares one split → no pair straddles
+    assert split_of[1] == split_of[2] == split_of[3]
+    assert split_of[10] == split_of[11]
+    # canonical min-id labels
+    assert cid[1] == cid[2] == cid[3] == 1
+    assert cid[10] == cid[11] == 10
+    assert cid[20] == 20 and cid[21] == 21
+
+
+def test_cluster_split_append_inherits_cluster_split(spark):
+    from lion_parcel_etl_spark.operators.sampling import cluster_split
+
+    docs1 = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    pairs1 = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    w = {"train": 0.5, "test": 0.5}
+    first = {
+        r["doc_id"]: r["split"]
+        for r in cluster_split(docs1, pairs1, "doc_id", w).collect()
+    }
+    # new doc 3 joins the existing cluster (min id 1 unchanged)
+    docs2 = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    pairs2 = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    second = {
+        r["doc_id"]: r["split"]
+        for r in cluster_split(docs2, pairs2, "doc_id", w).collect()
+    }
+    assert second[1] == first[1] and second[2] == first[2]
+    assert second[3] == second[1]
