@@ -43,7 +43,10 @@ from pyspark.sql import DataFrame
 # temperature_mix crosses its broadcast ONE-ROW Σ n**alpha normalizer
 # (the lm_surprisal scalar pattern); perplexity_buckets contains the
 # lm_surprisal chain verbatim (same broadcast ONE-ROW vocabulary
-# scalar), composed with a per-lang NTILE; kmv_overlap's pairwise
+# scalar), composed with a per-lang NTILE; psi_drift crosses each
+# group row with the broadcast ≤(bins+2)-row baseline histogram and a
+# ONE-ROW total (the column_profile pattern) to build the dense
+# group×bin grid; kmv_overlap's pairwise
 # group_a < group_b join runs over the G-row SKETCH table (k-length
 # arrays, one row per source) — the all-pairs stage is the operator's
 # entire point and never touches corpus-sized data.
@@ -70,6 +73,7 @@ BNLJ_ALLOWED = frozenset(
         "corpus_summary",
         "temperature_mix",
         "kmv_overlap",
+        "psi_drift",
     }
 )
 

@@ -7239,6 +7239,60 @@ FROM labeled ORDER BY doc_id
 """
 
 
+PSI_LO, PSI_HI, PSI_BINS = 100.0, 500.0, 10
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index per source vs the whole corpus
+    (operators/checks.py): the standard distribution-drift monitor
+    (PSI = Σ (p−q)·ln(p/q) over fixed bins; >0.2 = significant) on the
+    document-length distribution. One scan; the per-(source, bin)
+    histogram is the only exchange, and the corpus baseline
+    re-aggregates from it rather than rescanning."""
+    from lion_parcel_etl_spark.operators.checks import psi_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return psi_drift(
+        docs, "n_chars", "source", PSI_LO, PSI_HI, PSI_BINS
+    ).orderBy("source")
+
+
+def _duck_psi_drift() -> str:
+    lo, hi, n = PSI_LO, PSI_HI, PSI_BINS
+    w = (hi - lo) / n
+    sm = 0.5 * (n + 2)
+    p = "(cnt + 0.5) / (gn + {sm})".format(sm=sm)
+    q = "(bcnt + 0.5) / (bn + {sm})".format(sm=sm)
+    return f"""
+WITH per AS (
+  SELECT source AS g,
+         CASE WHEN n_chars < {lo} THEN 0
+              WHEN n_chars >= {hi} THEN {n + 1}
+              ELSE 1 + CAST(floor((n_chars - {lo}) / {w}) AS BIGINT)
+         END AS bin,
+         count(*) AS cnt
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+),
+base AS (SELECT bin, sum(cnt) AS bcnt FROM per GROUP BY 1),
+gtot AS (SELECT g, sum(cnt) AS gn FROM per GROUP BY 1),
+btot AS (SELECT sum(bcnt) AS bn FROM base),
+grid AS (SELECT g, gn, bin, bcnt, bn FROM gtot, base, btot),
+j AS (
+  SELECT grid.g, grid.bin, COALESCE(per.cnt, 0) AS cnt, gn, bcnt, bn
+  FROM grid LEFT JOIN per ON per.g = grid.g AND per.bin = grid.bin
+),
+s AS (
+  SELECT g, round(sum(({p} - {q}) * ln({p} / {q})), 6) AS psi
+  FROM j GROUP BY 1
+)
+SELECT g AS source, psi,
+       CASE WHEN psi > 0.2 THEN 'significant'
+            WHEN psi > 0.1 THEN 'moderate'
+            ELSE 'stable' END AS drift
+FROM s ORDER BY source
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
@@ -7250,6 +7304,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cooccurrence_graph": (q_cooccurrence_graph, _duck_cooccurrence_graph()),
     "triangle_count": (q_triangle_count, _duck_triangle_count()),
     "cluster_split": (q_cluster_split, _duck_cluster_split()),
+    "psi_drift": (q_psi_drift, _duck_psi_drift()),
     "dsir_weights": (q_dsir_weights, _duck_dsir_weights()),
     "dsir_select": (q_dsir_select, _duck_dsir_select()),
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),

@@ -89,3 +89,37 @@ def test_column_profile_counts_and_renderers(spark):
     # DECIMAL render: no scientific notation for the 1e7 max
     assert prof["b"].max_val == "10000000.00" and prof["b"].min_val == "2.50"
     assert (prof["c"].n_null, prof["c"].n_distinct) == (1, 1)
+
+
+def test_psi_drift_flags_shifted_group(spark):
+    from pyspark.sql import functions as F
+
+    from lion_parcel_etl_spark.operators.checks import psi_drift
+
+    # 'same' mirrors the pooled distribution; 'shifted' sits far right
+    rows = [("same", float(v)) for v in range(100, 300)] * 3 + [
+        ("shifted", float(v)) for v in range(800, 1000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in psi_drift(df, "v", "g", 0.0, 1000.0, 10).collect()}
+    assert out["shifted"]["psi"] > 0.2
+    assert out["shifted"]["drift"] == "significant"
+    assert out["same"]["psi"] < out["shifted"]["psi"]
+
+
+def test_psi_drift_identical_groups_near_zero(spark):
+    from lion_parcel_etl_spark.operators.checks import psi_drift
+
+    rows = [(g, float(v)) for g in ("a", "b") for v in range(0, 100)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = psi_drift(df, "v", "g", 0.0, 100.0, 10).collect()
+    assert all(r["psi"] < 0.01 and r["drift"] == "stable" for r in out)
+
+
+def test_psi_drift_ignores_nulls(spark):
+    from lion_parcel_etl_spark.operators.checks import psi_drift
+
+    rows = [("a", float(v)) for v in range(100)] + [("a", None)] * 50
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = psi_drift(df, "v", "g", 0.0, 100.0, 10).collect()
+    assert len(out) == 1 and out[0]["psi"] < 0.01
