@@ -206,3 +206,98 @@ def psi_drift(
             .alias("drift"),
         )
     )
+
+
+#: Poisson(1) inverse-CDF breakpoints (cumulative e⁻¹·Σ 1/k!) shared
+#: verbatim by the Spark expression and the SQL oracle. Weights cap at
+#: 7 — P(X ≥ 8) < 1e-8, invisible next to bootstrap noise.
+POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286059,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507177,
+]
+
+
+def _poisson_weight(u):
+    expr = None
+    for k, c in enumerate(POISSON1_CDF):
+        cond = u < F.lit(c)
+        expr = F.when(cond, k) if expr is None else expr.when(cond, k)
+    return expr.otherwise(len(POISSON1_CDF))
+
+
+def duck_poisson_weight(u_expr: str) -> str:
+    """The DuckDB spelling of the Poisson(1) inverse CDF."""
+    whens = " ".join(
+        f"WHEN {u_expr} < {c!r} THEN {k}" for k, c in enumerate(POISSON1_CDF)
+    )
+    return f"(CASE {whens} ELSE {len(POISSON1_CDF)} END)"
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    b: int = 200,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """One-row (mean, ci_lo, ci_hi, b) percentile-bootstrap confidence
+    interval for the mean of ``value_col`` — the Poisson bootstrap
+    (Hanley & MacGibbon 2006; the form used for resampling on
+    distributed data, e.g. "bag of little bootstraps" infrastructure):
+    each replicate reweights every row by an independent Poisson(1)
+    count instead of materializing resamples, so one pass computes all
+    B replicate means. The Poisson draws come from the deterministic
+    60-bit id hash salted per replicate — rerunning (or re-running in
+    DuckDB) reproduces the interval bit-for-bit.
+
+    The CI bounds are ORDER STATISTICS of the B replicate means
+    (⌊α/2·B⌋-th from each end), not interpolated percentiles — the
+    two engines' interpolation conventions can differ; ranks cannot.
+
+    Scale: the replicate explode multiplies the (id, value) stream by
+    B before one aggregate whose map-side combine caps the exchange at
+    partitions×B rows; only B replicate means exist after it. Null
+    values are excluded up front (the mean's own convention)."""
+    lo_rank = max(1, int(alpha / 2 * b))
+    hi_rank = b - lo_rank + 1
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(id_col).cast("string").alias("__id"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    rep = rows.select(
+        "__id", "__v", F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("__r")
+    )
+    from lion_parcel_etl_spark.operators.sampling import HASH_MOD, id_hash
+
+    u = id_hash(
+        F.concat(F.col("__id"), F.lit("|"), F.col("__r").cast("string")),
+        salt="boot",
+    ) / F.lit(float(HASH_MOD))
+    w = _poisson_weight(u).cast("double")
+    means = (
+        rep.select("__r", (w * F.col("__v")).alias("__wv"), w.alias("__w"))
+        .groupBy("__r")
+        .agg((F.sum("__wv") / F.sum("__w")).alias("m"))
+        .filter(F.col("m").isNotNull())
+    )
+    from pyspark.sql import Window
+
+    ranked = means.select(
+        "m", F.row_number().over(Window.orderBy(F.col("m"))).alias("rn")
+    )
+    point = rows.agg(F.avg("__v").alias("mean"))
+    ci = ranked.agg(
+        F.max(F.when(F.col("rn") == lo_rank, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("m"))).alias("ci_hi"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        F.round("mean", 6).alias("mean"),
+        F.round("ci_lo", 6).alias("ci_lo"),
+        F.round("ci_hi", 6).alias("ci_hi"),
+        F.lit(b).alias("b"),
+    )

@@ -46,7 +46,9 @@ from pyspark.sql import DataFrame
 # scalar), composed with a per-lang NTILE; psi_drift crosses each
 # group row with the broadcast ≤(bins+2)-row baseline histogram and a
 # ONE-ROW total (the column_profile pattern) to build the dense
-# group×bin grid; kmv_overlap's pairwise
+# group×bin grid; bootstrap_ci crosses the ONE-ROW point estimate with
+# the ONE-ROW order-statistic CI (two scalar aggregates, the
+# column_profile pattern); kmv_overlap's pairwise
 # group_a < group_b join runs over the G-row SKETCH table (k-length
 # arrays, one row per source) — the all-pairs stage is the operator's
 # entire point and never touches corpus-sized data.
@@ -74,6 +76,7 @@ BNLJ_ALLOWED = frozenset(
         "temperature_mix",
         "kmv_overlap",
         "psi_drift",
+        "bootstrap_ci",
     }
 )
 

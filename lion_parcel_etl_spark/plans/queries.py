@@ -7293,6 +7293,67 @@ FROM s ORDER BY source
 """
 
 
+BOOT_B = 200
+BOOT_ALPHA = 0.05
+
+
+def q_bootstrap_ci(spark, sf_dir):
+    """Deterministic Poisson-bootstrap CI for the corpus mean document
+    length (operators/checks.py; Hanley & MacGibbon 2006): every row
+    reweighted by a hash-derived Poisson(1) count per replicate, all
+    {BOOT_B} replicate means in ONE aggregate (map-side combine caps
+    the exchange at partitions×B rows), CI bounds as order statistics
+    (engines' percentile interpolation conventions differ; ranks
+    cannot). Reruns — and the DuckDB oracle — reproduce the interval
+    bit-for-bit."""
+    from lion_parcel_etl_spark.operators.checks import bootstrap_ci
+
+    docs = _t(spark, sf_dir, "documents")
+    return bootstrap_ci(docs, "n_chars", "doc_id", b=BOOT_B, alpha=BOOT_ALPHA)
+
+
+def _duck_bootstrap_ci() -> str:
+    from lion_parcel_etl_spark.operators.checks import duck_poisson_weight
+    from lion_parcel_etl_spark.operators.sampling import (
+        HASH_MOD,
+        duck_id_hash,
+    )
+
+    b = BOOT_B
+    lo_rank = max(1, int(BOOT_ALPHA / 2 * b))
+    hi_rank = b - lo_rank + 1
+    u = (
+        duck_id_hash(
+            "CAST(doc_id AS VARCHAR) || '|' || CAST(r AS VARCHAR)", "boot"
+        )
+        + f" / {float(HASH_MOD)!r}"
+    )
+    w = duck_poisson_weight(u)
+    return f"""
+WITH vals AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS v
+  FROM documents WHERE n_chars IS NOT NULL
+),
+rep AS (
+  SELECT doc_id, v, r, CAST({w} AS DOUBLE) AS w
+  FROM vals, range(0, {b}) t(r)
+),
+means AS (
+  SELECT r, sum(w * v) / sum(w) AS m FROM rep GROUP BY r HAVING sum(w) > 0
+),
+ranked AS (SELECT m, row_number() OVER (ORDER BY m) AS rn FROM means),
+ci AS (
+  SELECT max(CASE WHEN rn = {lo_rank} THEN m END) AS ci_lo,
+         max(CASE WHEN rn = {hi_rank} THEN m END) AS ci_hi
+  FROM ranked
+)
+SELECT round((SELECT avg(v) FROM vals), 6) AS mean,
+       round(ci_lo, 6) AS ci_lo, round(ci_hi, 6) AS ci_hi,
+       {b} AS b
+FROM ci
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
@@ -7305,6 +7366,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "triangle_count": (q_triangle_count, _duck_triangle_count()),
     "cluster_split": (q_cluster_split, _duck_cluster_split()),
     "psi_drift": (q_psi_drift, _duck_psi_drift()),
+    "bootstrap_ci": (q_bootstrap_ci, _duck_bootstrap_ci()),
     "dsir_weights": (q_dsir_weights, _duck_dsir_weights()),
     "dsir_select": (q_dsir_select, _duck_dsir_select()),
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),

@@ -123,3 +123,38 @@ def test_psi_drift_ignores_nulls(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     out = psi_drift(df, "v", "g", 0.0, 100.0, 10).collect()
     assert len(out) == 1 and out[0]["psi"] < 0.01
+
+
+def test_bootstrap_ci_brackets_true_mean_and_is_deterministic(spark):
+    from lion_parcel_etl_spark.operators.checks import bootstrap_ci
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    r1 = bootstrap_ci(df, "v", "id", b=200).collect()[0]
+    assert r1["ci_lo"] < r1["mean"] < r1["ci_hi"]
+    assert abs(r1["mean"] - 49.5) < 1e-6
+    # CI of a 1000-row mean of U{0..99} (sd≈28.9, se≈0.91): sane width
+    assert 0.5 < (r1["ci_hi"] - r1["ci_lo"]) < 8.0
+    # partition-layout independence: same interval bit-for-bit
+    r2 = bootstrap_ci(df.repartition(13), "v", "id", b=200).collect()[0]
+    assert (r1["ci_lo"], r1["ci_hi"]) == (r2["ci_lo"], r2["ci_hi"])
+
+
+def test_bootstrap_ci_width_shrinks_with_n(spark):
+    from lion_parcel_etl_spark.operators.checks import bootstrap_ci
+
+    small = spark.range(100).select("id", (F.col("id") % 50).cast("double").alias("v"))
+    big = spark.range(4000).select("id", (F.col("id") % 50).cast("double").alias("v"))
+    ws = bootstrap_ci(small, "v", "id", b=200).collect()[0]
+    wb = bootstrap_ci(big, "v", "id", b=200).collect()[0]
+    assert (wb["ci_hi"] - wb["ci_lo"]) < (ws["ci_hi"] - ws["ci_lo"])
+
+
+def test_bootstrap_ci_ignores_nulls(spark):
+    from lion_parcel_etl_spark.operators.checks import bootstrap_ci
+
+    rows = [(i, float(i % 10)) for i in range(200)] + [(1000 + i, None) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    r = bootstrap_ci(df, "v", "id", b=100).collect()[0]
+    assert abs(r["mean"] - 4.5) < 1e-6
