@@ -782,6 +782,7 @@ def edit_distance_pairs(
     id_col: str,
     text_col: str,
     max_dist: int = 1,
+    block_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """All pairs within Levenshtein distance 1, via deletion-
     neighborhood blocking (the SymSpell candidate rule, public
@@ -799,7 +800,10 @@ def edit_distance_pairs(
     analog of the MinHash band join — same bucket-join pattern, exact
     distance instead of Jaccard. Only ``max_dist=1`` is implemented
     (d-deletion neighborhoods generalize it at (L choose d) variant
-    cost)."""
+    cost). ``block_cols`` adds exact-agreement attributes to the
+    candidate join (classic multi-attribute blocking: name-similar
+    AND same region/segment) — it both tightens the match semantics
+    and shrinks every variant bucket."""
     if max_dist != 1:
         raise NotImplementedError("deletion-neighborhood blocking implemented for max_dist=1")
     variants = F.array_append(
@@ -812,6 +816,7 @@ def edit_distance_pairs(
     v = docs.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("name"),
+        *[F.col(c).alias(f"__bk{i}") for i, c in enumerate(block_cols)],
         F.explode(variants).alias("var"),
     )
     a, b = v.alias("a"), v.alias("b")
@@ -820,8 +825,11 @@ def edit_distance_pairs(
     # runs exactly once per distinct pair — names come back via two
     # joins against the name table (AQE broadcasts it when small; at
     # corpus scale it hash-joins on the id like any dimension)
+    cond = (F.col("a.var") == F.col("b.var")) & (F.col("a.id") < F.col("b.id"))
+    for i in range(len(block_cols)):
+        cond = cond & F.col(f"a.__bk{i}").eqNullSafe(F.col(f"b.__bk{i}"))
     cand = (
-        a.join(b, (F.col("a.var") == F.col("b.var")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -499,3 +499,31 @@ class TestRemoveDuplicateSpans:
         assert out[1].n_chunks == 1
         assert out[1].clean_text == "only five little tokens here"
         assert out[2].n_chunks == 0 and out[2].clean_text == ""
+
+
+def test_edit_distance_pairs_block_cols_tighten_matches(spark):
+    from lion_parcel_etl_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "smith", "US"),
+            (2, "smyth", "US"),   # dist 1, same block → match
+            (3, "smitt", "DE"),   # dist 1, different block → no match
+            (4, "smith", None),   # null block only matches null block
+            (5, "smiths", None),  # dist 1, null block → matches 4
+        ],
+        "id long, name string, region string",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in edit_distance_pairs(
+            df, "id", "name", block_cols=("region",)
+        ).collect()
+    }
+    assert got == {(1, 2), (4, 5)}
+    # without blocking the cross-region pair appears too
+    loose = {
+        (r["id_a"], r["id_b"])
+        for r in edit_distance_pairs(df, "id", "name").collect()
+    }
+    assert (1, 3) in loose and (2, 3) not in loose  # smyth↔smitt is dist 2
