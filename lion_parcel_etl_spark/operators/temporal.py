@@ -201,3 +201,69 @@ def interval_overlap_join(
         )
         .drop("__bin", "__sb_l", "__sb_r")
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    trunc_unit: str = "hour",
+) -> DataFrame:
+    """(key, t, value, observed) — regularize an irregular time series
+    to a fixed grid with linear interpolation across gaps: observations
+    aggregate (mean) into truncated buckets, each key's grid spans ITS
+    OWN [min, max] bucket (resampling never extrapolates), and an
+    empty bucket takes prev + (next − prev)·Δt/ΔT from the nearest
+    observed buckets on each side.
+
+    Plan shape: one hash aggregate (the bucket mean — the only
+    corpus-sized exchange), a per-key bounds aggregate feeding a
+    sequence() explode (grid rows ∝ keys × span/step, a property of
+    the GRID, not the event volume), and one window sort per key for
+    the two ignore-nulls neighbor scans. Grid points at observed
+    buckets pass through exactly (observed = true); interior gaps are
+    bounded by observed buckets on both sides by construction, so the
+    interpolation denominators are never null."""
+    t = F.date_trunc(trunc_unit, F.col(ts_col))
+    hourly = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"), t.alias("t"))
+        .agg(F.avg(value_col).alias("v"))
+    )
+    bounds = hourly.groupBy("key").agg(
+        F.min("t").alias("__lo"), F.max("t").alias("__hi")
+    )
+    grid = bounds.select(
+        "key",
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
+        ).alias("t"),
+    )
+    g = grid.join(hourly, ["key", "t"], "left")
+    w = Window.partitionBy("key").orderBy("t")
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    prev_v = F.last("v", ignorenulls=True).over(back)
+    prev_t = F.last(F.when(F.col("v").isNotNull(), F.col("t")), True).over(back)
+    next_v = F.first("v", ignorenulls=True).over(fwd)
+    next_t = F.first(F.when(F.col("v").isNotNull(), F.col("t")), True).over(fwd)
+    frac = (F.col("t").cast("long") - prev_t.cast("long")).cast("double") / (
+        next_t.cast("long") - prev_t.cast("long")
+    ).cast("double")
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        prev_v + (next_v - prev_v) * frac
+    )
+    # explicit HALF-UP rounding (floor(x·1e6 + 0.5)/1e6) instead of
+    # round(): interpolated values between 2-decimal inputs land on
+    # EXACT dyadic halves, where engines' round() tie-break conventions
+    # differ (Spark half-up, DuckDB half-even) — this spelling is the
+    # same double arithmetic everywhere
+    r6 = (F.floor(interp * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("double")
+    return g.select(
+        F.col("key").alias(key_col),
+        "t",
+        r6.alias("value"),
+        F.col("v").isNotNull().alias("observed"),
+    )

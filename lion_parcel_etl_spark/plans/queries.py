@@ -7446,6 +7446,62 @@ ORDER BY entity_id
 """
 
 
+def q_resample_interpolate(spark, sf_dir):
+    """Time-series regularization (operators/temporal.py): per-user
+    hourly resample of the event value stream with linear
+    interpolation across empty buckets (never extrapolating past a
+    user's own first/last observation). One corpus-sized exchange (the
+    bucket mean); grid volume ∝ users × span/step — a property of the
+    grid, not event count."""
+    from lion_parcel_etl_spark.operators.temporal import resample_interpolate
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample_interpolate(ev, "user_id", "ts", "value")
+    return out.orderBy("user_id", "t")
+
+
+SQL_RESAMPLE = """
+WITH hourly AS (
+  SELECT user_id AS key, date_trunc('hour', ts) AS t, avg(value) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+bounds AS (SELECT key, min(t) AS lo, max(t) AS hi FROM hourly GROUP BY 1),
+grid AS (
+  SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t
+  FROM bounds
+),
+g AS (
+  SELECT grid.key, grid.t, hourly.v
+  FROM grid LEFT JOIN hourly ON hourly.key = grid.key AND hourly.t = grid.t
+),
+n AS (
+  SELECT key, t, v,
+         last_value(v IGNORE NULLS) OVER
+           (PARTITION BY key ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER
+           (PARTITION BY key ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         first_value(v IGNORE NULLS) OVER
+           (PARTITION BY key ORDER BY t
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER
+           (PARTITION BY key ORDER BY t
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM g
+)
+SELECT key AS user_id, t,
+       floor((CASE WHEN v IS NOT NULL THEN v
+                  ELSE pv + (nv - pv)
+                       * (CAST(CAST(epoch(t) AS BIGINT) - CAST(epoch(pt) AS BIGINT) AS DOUBLE)
+                          / CAST(CAST(epoch(nt) AS BIGINT) - CAST(epoch(pt) AS BIGINT) AS DOUBLE))
+             END) * 1e6 + 0.5) / 1e6 AS value,
+       v IS NOT NULL AS observed
+FROM n ORDER BY user_id, t
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
@@ -7460,6 +7516,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "psi_drift": (q_psi_drift, _duck_psi_drift()),
     "bootstrap_ci": (q_bootstrap_ci, _duck_bootstrap_ci()),
     "golden_record": (q_golden_record, _duck_golden_record()),
+    "resample_interpolate": (q_resample_interpolate, SQL_RESAMPLE),
     "dsir_weights": (q_dsir_weights, _duck_dsir_weights()),
     "dsir_select": (q_dsir_select, _duck_dsir_select()),
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),

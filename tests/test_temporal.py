@@ -204,3 +204,44 @@ def test_interval_overlap_join_same_column_names(spark):
     b = mk([(10, 1, 3), (11, 5, 6)]).withColumnRenamed("id", "rid")
     out = interval_overlap_join(a, b, "s", "e", "s", "e")
     assert [(r.id, r.rid) for r in out.collect()] == [(1, 10)]
+
+
+def test_resample_interpolate_linear_fill(spark):
+    from datetime import datetime
+
+    from lion_parcel_etl_spark.operators.temporal import resample_interpolate
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 30), 10.0),
+        (1, datetime(2024, 1, 1, 3, 10), 40.0),   # 2-hour gap → 2 interpolated points
+        (2, datetime(2024, 1, 1, 5, 0), 7.0),     # singleton key → one grid point
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = resample_interpolate(df, "user_id", "ts", "value").collect()
+    k1 = sorted(
+        [(r["t"].hour, r["value"], r["observed"]) for r in out if r["user_id"] == 1]
+    )
+    assert k1 == [(0, 10.0, True), (1, 20.0, False), (2, 30.0, False), (3, 40.0, True)]
+    k2 = [(r["t"].hour, r["value"], r["observed"]) for r in out if r["user_id"] == 2]
+    assert k2 == [(5, 7.0, True)]
+
+
+def test_resample_interpolate_bucket_mean_and_no_extrapolation(spark):
+    from datetime import datetime
+
+    from lion_parcel_etl_spark.operators.temporal import resample_interpolate
+
+    rows = [
+        (1, datetime(2024, 1, 1, 2, 5), 1.0),
+        (1, datetime(2024, 1, 1, 2, 55), 3.0),   # same bucket → mean 2.0
+        (1, datetime(2024, 1, 1, 4, 0), 6.0),
+        (1, None, 99.0),                          # null ts dropped
+        (1, datetime(2024, 1, 1, 5, 0), None),    # null value dropped
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = sorted(
+        (r["t"].hour, r["value"]) for r in
+        resample_interpolate(df, "user_id", "ts", "value").collect()
+    )
+    # grid spans [2h, 4h] only — no point at 0h/1h/5h
+    assert out == [(2, 2.0), (3, 4.0), (4, 6.0)]
