@@ -23,7 +23,7 @@ are single aggregate/join plans:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -300,4 +300,58 @@ def bootstrap_ci(
         F.round("ci_lo", 6).alias("ci_lo"),
         F.round("ci_hi", 6).alias("ci_hi"),
         F.lit(b).alias("b"),
+    )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_col: str,
+    k_sigmas: float = 0.5,
+    h_sigmas: float = 4.0,
+) -> DataFrame:
+    """(group, order, value, cusum_up, cusum_down, alarm) — two-sided
+    CUSUM changepoint statistics (Page 1954) per ordered series.
+
+    Uses the closed form instead of the textbook recurrence
+    S_t = max(0, S_{t−1} + dev_t): the running max-with-reset equals
+    P_t − min_{j≤t} P_j over the prefix sums P of deviations
+    (x − μ − k·σ) — pure cumulative windows, no recursion, no UDF, so
+    it runs as two ordered window folds per series and replays in SQL.
+    μ and σ are the series' own (self-baselined retrospective form);
+    pass a pre-fit baseline by standardizing ``value_col`` upstream.
+    Alarm compares 1e-6-ROUNDED statistics against the rounded
+    threshold so both engines make identical boundary calls."""
+    w = Window.partitionBy("g").orderBy("o")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("o"),
+        F.col(value_col).cast("double").alias("x"),
+    ).filter(F.col("x").isNotNull())
+    stats = base.groupBy("g").agg(
+        F.avg("x").alias("mu"), F.stddev_pop("x").alias("sigma")
+    )
+    j = base.join(F.broadcast(stats), "g")
+    up_dev = F.col("x") - F.col("mu") - F.lit(k_sigmas) * F.col("sigma")
+    dn_dev = F.col("x") - F.col("mu") + F.lit(k_sigmas) * F.col("sigma")
+    pu = F.sum(up_dev).over(run)
+    pd_ = F.sum(dn_dev).over(run)
+    staged = j.select(
+        "g", "o", "x", "sigma",
+        pu.alias("pu"), pd_.alias("pd")
+    )
+    # min/max over prefixes must include the EMPTY prefix (P₀ = 0):
+    # S₁ = max(0, dev₁) = P₁ − min(0, P₁), not P₁ − P₁
+    s_up = F.round(F.col("pu") - F.least(F.lit(0.0), F.min("pu").over(run)), 6)
+    s_dn = F.round(F.greatest(F.lit(0.0), F.max("pd").over(run)) - F.col("pd"), 6)
+    thr = F.round(F.lit(h_sigmas) * F.col("sigma"), 6)
+    return staged.select(
+        F.col("g").alias(group_col),
+        F.col("o").alias(order_col),
+        F.col("x").alias(value_col),
+        s_up.alias("cusum_up"),
+        s_dn.alias("cusum_down"),
+        ((s_up > thr) | (s_dn > thr)).alias("alarm"),
     )

@@ -7502,6 +7502,58 @@ FROM n ORDER BY user_id, t
 """
 
 
+def q_cusum_changepoints(spark, sf_dir):
+    """CUSUM changepoint detection (operators/checks.py; Page 1954) on
+    the daily event volume per event type — the closed form (prefix
+    sums minus running extrema including the empty prefix) instead of
+    the textbook recurrence, so the whole statistic is two ordered
+    window folds per series: no recursion, no UDF, SQL-replayable."""
+    from lion_parcel_etl_spark.operators.checks import cusum_changepoints
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_events"))
+    return cusum_changepoints(
+        daily, "n_events", "day", "event_type"
+    ).orderBy("event_type", "day")
+
+
+SQL_CUSUM = """
+WITH daily AS (
+  SELECT event_type AS g, strftime(ts, '%Y-%m-%d') AS o, CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+stats AS (SELECT g, avg(x) AS mu, stddev_pop(x) AS sigma FROM daily GROUP BY 1),
+j AS (SELECT d.g, d.o, d.x, s.mu, s.sigma FROM daily d JOIN stats s USING (g)),
+p AS (
+  SELECT g, o, x, sigma,
+         sum(x - mu - 0.5 * sigma) OVER
+           (PARTITION BY g ORDER BY o
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pu,
+         sum(x - mu + 0.5 * sigma) OVER
+           (PARTITION BY g ORDER BY o
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd
+  FROM j
+),
+s AS (
+  SELECT g, o, x, sigma,
+         round(pu - least(0.0, min(pu) OVER
+           (PARTITION BY g ORDER BY o
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS s_up,
+         round(greatest(0.0, max(pd) OVER
+           (PARTITION BY g ORDER BY o
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - pd, 6) AS s_dn
+  FROM p
+)
+SELECT g AS event_type, o AS day, x AS n_events,
+       s_up AS cusum_up, s_dn AS cusum_down,
+       (s_up > round(4.0 * sigma, 6) OR s_dn > round(4.0 * sigma, 6)) AS alarm
+FROM s ORDER BY event_type, day
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
@@ -7517,6 +7569,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bootstrap_ci": (q_bootstrap_ci, _duck_bootstrap_ci()),
     "golden_record": (q_golden_record, _duck_golden_record()),
     "resample_interpolate": (q_resample_interpolate, SQL_RESAMPLE),
+    "cusum_changepoints": (q_cusum_changepoints, SQL_CUSUM),
     "dsir_weights": (q_dsir_weights, _duck_dsir_weights()),
     "dsir_select": (q_dsir_select, _duck_dsir_select()),
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),

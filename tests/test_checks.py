@@ -158,3 +158,61 @@ def test_bootstrap_ci_ignores_nulls(spark):
     df = spark.createDataFrame(rows, "id long, v double")
     r = bootstrap_ci(df, "v", "id", b=100).collect()[0]
     assert abs(r["mean"] - 4.5) < 1e-6
+
+
+def _cusum_reference(xs, k_sig=0.5, h_sig=4.0):
+    import math
+
+    mu = sum(xs) / len(xs)
+    var = sum((x - mu) ** 2 for x in xs) / len(xs)
+    sig = math.sqrt(var)
+    su = sd = 0.0
+    out = []
+    for x in xs:
+        su = max(0.0, su + (x - mu - k_sig * sig))
+        sd = max(0.0, sd + (mu - x - k_sig * sig))
+        out.append((round(su, 6), round(sd, 6)))
+    return out, sig
+
+
+def test_cusum_closed_form_matches_recurrence(spark):
+    from lion_parcel_etl_spark.operators.checks import cusum_changepoints
+
+    xs = [10.0, 11.0, 9.0, 10.0, 30.0, 31.0, 29.0, 30.0, 5.0, 10.0]
+    df = spark.createDataFrame(
+        [("g", i, x) for i, x in enumerate(xs)], "g string, o long, x double"
+    )
+    got = [
+        (r["cusum_up"], r["cusum_down"])
+        for r in cusum_changepoints(df, "x", "o", "g").orderBy("o").collect()
+    ]
+    want, _ = _cusum_reference(xs)
+    for (gu, gd), (wu, wd) in zip(got, want):
+        assert abs(gu - wu) < 1e-6 and abs(gd - wd) < 1e-6
+
+
+def test_cusum_alarms_on_level_shift_not_on_noise(spark):
+    from lion_parcel_etl_spark.operators.checks import cusum_changepoints
+
+    stable = [10.0, 10.5, 9.5, 10.0, 10.2, 9.8] * 5
+    shifted = stable[:15] + [x + 3.0 for x in stable[15:]]
+    sdf = spark.createDataFrame(
+        [("s", i, x) for i, x in enumerate(stable)], "g string, o long, x double"
+    )
+    assert not any(
+        r["alarm"] for r in cusum_changepoints(sdf, "x", "o", "g").collect()
+    )
+    hdf = spark.createDataFrame(
+        [("h", i, x) for i, x in enumerate(shifted)], "g string, o long, x double"
+    )
+    rows = cusum_changepoints(hdf, "x", "o", "g").orderBy("o").collect()
+    assert any(r["alarm"] for r in rows)
+    # self-baselined: the global mean sits between the two levels, so
+    # the DOWN statistic may alarm in the low first half — but the UP
+    # statistic must only cross after the upward shift at index 15
+    first_up = min(
+        i
+        for i, r in enumerate(rows)
+        if r["alarm"] and r["cusum_up"] > r["cusum_down"]
+    )
+    assert first_up >= 15
