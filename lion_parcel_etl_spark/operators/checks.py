@@ -166,10 +166,20 @@ def psi_drift(
     base = per.groupBy("bin").agg(F.sum("cnt").alias("bcnt"))
     gtot = per.groupBy("g").agg(F.sum("cnt").alias("gn"))
     btot = base.agg(F.sum("bcnt").alias("bn"))
-    # dense (group × bin) grid so bins empty on one side still
-    # contribute their smoothed share
-    grid = gtot.crossJoin(F.broadcast(base)).join(
-        F.broadcast(btot), F.lit(True)
+    # dense (group × bin) grid over ALL n_bins+2 bins — including bins
+    # empty corpus-wide: the smoothed denominators charge smooth·nb for
+    # every bin, so omitting globally-empty bins would understate PSI
+    # by their (p−q)·ln(p/q) share (material when [lo, hi] is wider
+    # than the data)
+    all_bins = gtot.select(
+        "g",
+        "gn",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins + 1))).alias("bin"),
+    )
+    grid = (
+        all_bins.join(F.broadcast(base), "bin", "left")
+        .withColumn("bcnt", F.coalesce("bcnt", F.lit(0)))
+        .join(F.broadcast(btot), F.lit(True))
     )
     # rename before the re-join with `per`: grid derives FROM per, so a
     # direct join is an ambiguous self-join to the analyzer

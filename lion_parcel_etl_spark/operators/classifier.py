@@ -150,22 +150,28 @@ def logreg_fit(
     exactly 0 and every error is 0.5 - y, so the first gradient needs
     no margin pass — one aggregate instead of three operators, and the
     SQL oracle replays the identical shortcut. The preconditioner
-    aggregate rides along with it (same grouping, same scan)."""
+    aggregate rides along with it (same grouping, same scan), and the
+    document count N rides along too: the bias pseudo-bucket has one
+    x=1 row per doc, so its Σx² IS N exactly — no separate
+    count-distinct pass over the big table."""
     spark = feats.sparkSession
-    n = F.lit(feats.select(id_col).distinct().count())
     first = (
         feats.groupBy("bucket")
         .agg(
-            (F.sum((F.lit(0.5) - F.col("y")) * F.col("x")) / n).alias("g"),
-            F.greatest(
-                F.lit(0.25) * F.sum(F.col("x") * F.col("x")) / n,
-                F.lit(H_FLOOR),
-            ).alias("h"),
+            F.sum((F.lit(0.5) - F.col("y")) * F.col("x")).alias("sg"),
+            F.sum(F.col("x") * F.col("x")).alias("sx"),
         )
         .collect()
     )
-    h = {r["bucket"]: r["h"] for r in first}
-    weights = {r["bucket"]: -lr * r["g"] / r["h"] for r in first}
+    n_docs = next(r["sx"] for r in first if r["bucket"] == BIAS_BUCKET)
+    h = {
+        r["bucket"]: max(0.25 * r["sx"] / n_docs, H_FLOOR) for r in first
+    }
+    weights = {
+        r["bucket"]: -lr * (r["sg"] / n_docs) / h[r["bucket"]]
+        for r in first
+    }
+    n = F.lit(float(n_docs))
     for _ in range(steps - 1):
         m = _margins(feats, _weights_df(spark, weights), id_col)
         err = m.select(
@@ -259,26 +265,17 @@ def logreg_score_row(
     NULL p (nothing to classify; a threshold filter drops them, same
     as their absence from the batch feature table). Margins match
     :func:`logreg_score` to well below the 1e-6 rounding; ``pred``
-    thresholds the rounded p on both paths."""
-    from lion_parcel_etl_spark.operators.dedup import tokens
-    from lion_parcel_etl_spark.operators.selection import ngram_features
+    thresholds the rounded p on both paths. The tokenize→bucket
+    staging is selection.bucketed_feature_rows — ONE spelling shared
+    with DSIR scoring and the fit-side feature_buckets, so fit and
+    score cannot drift."""
+    from lion_parcel_etl_spark.operators.selection import (
+        bucketed_feature_rows,
+    )
 
     w_arr = F.array(*[F.lit(v) for v in w_values])
     others = list(docs.columns)
-    staged = docs.select(
-        *others, ngram_features(tokens(F.col(text_col))).alias("__feats")
-    )
-    bucketed = staged.select(
-        *others,
-        F.size("__feats").cast("bigint").alias("n_feats"),
-        F.transform(
-            "__feats",
-            lambda f: F.pmod(
-                F.conv(F.substring(F.md5(f), 1, 15), 16, 10).cast("bigint"),
-                F.lit(buckets),
-            ).cast("int"),
-        ).alias("__buckets"),
-    )
+    bucketed = bucketed_feature_rows(docs, text_col, buckets)
     m = F.lit(bias) + F.aggregate(
         F.col("__buckets"),
         F.lit(0.0),

@@ -56,10 +56,14 @@ def cooccurrence_edges(
     # across those consumers and the whole scan+regex+distinct chain
     # re-runs per consumer — measured 15.1 s → 5.0 s on the sf0.1
     # pair join alone
+    # NULL keys can never equi-match, but counting them in the degree
+    # would phantom-inflate the Jaccard denominator (a node with 3 real
+    # keys + a NULL row would score 3/(4+3−3) on a perfect match
+    # instead of 1.0) — drop them before the distinct
     kn = pin(
-        df.select(
-            F.col(key_col).alias("k"), F.col(node_col).alias("n")
-        ).distinct()
+        df.select(F.col(key_col).alias("k"), F.col(node_col).alias("n"))
+        .filter(F.col("k").isNotNull() & F.col("n").isNotNull())
+        .distinct()
     )
     deg = kn.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
     if max_key_degree is not None:

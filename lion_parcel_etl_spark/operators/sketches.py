@@ -443,6 +443,19 @@ def kmv_sketch(
     hashes = df.select(
         *group_cols, id_hash(F.col(key_col), salt="kmv").alias("h")
     ).distinct()
+    return kmv_sketch_hashed(hashes, group_cols, k, prefilter_rsd)
+
+
+def kmv_sketch_hashed(
+    hashes: DataFrame,
+    group_cols: list[str],
+    k: int = KMV_K,
+    prefilter_rsd: float | None = None,
+) -> DataFrame:
+    """:func:`kmv_sketch` over a PRE-HASHED distinct (group..., h)
+    table — for callers that also need the hash table for something
+    else (an exact count, a leakage audit) and pin it once instead of
+    re-running the tokenize/explode/distinct chain per consumer."""
     est = None
     if prefilter_rsd is not None:
         est = hashes.groupBy(*group_cols).agg(
@@ -450,12 +463,18 @@ def kmv_sketch(
         )
         thr = est.select(
             *group_cols,
+            # clamp in DOUBLE space BEFORE the bigint cast: with
+            # n̂ < k/2 the raw 4k/n̂·2^60 exceeds Long.MaxValue, and
+            # under ANSI mode the unclamped cast would throw
+            # CAST_OVERFLOW instead of saturating. (KMV_SPACE−1 rounds
+            # to 2^60 in double — a clamp at exactly the space size,
+            # i.e. a true no-op filter for small groups.)
             F.least(
-                F.lit(int(KMV_SPACE) - 1),
-                (F.lit(4.0 * k) / F.col("__n") * F.lit(KMV_SPACE)).cast(
-                    "bigint"
-                ),
-            ).alias("__thr"),
+                F.lit(KMV_SPACE),
+                F.lit(4.0 * k) / F.col("__n") * F.lit(KMV_SPACE),
+            )
+            .cast("bigint")
+            .alias("__thr"),
         )
         hashes = hashes.join(F.broadcast(thr), group_cols).filter(
             F.col("h") < F.col("__thr")

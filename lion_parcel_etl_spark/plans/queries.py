@@ -6931,20 +6931,26 @@ def q_kmv_distinct(spark, sf_dir):
     error. The sketch build is one distinct + one per-group rank; the
     sketch itself is what persists at corpus scale (k BIGINTs per
     source) so any later overlap/rollup question never rescans."""
+    from lion_parcel_etl_spark.operators.dedup import pin
+    from lion_parcel_etl_spark.operators.sampling import id_hash
     from lion_parcel_etl_spark.operators.sketches import (
         kmv_estimate,
-        kmv_sketch,
+        kmv_sketch_hashed,
     )
 
     keys = _kmv_shingle_keys(spark, sf_dir)
-    sk = kmv_sketch(keys, "s", ["source"], k=KMV_QUERY_K)
-    from lion_parcel_etl_spark.operators.sampling import id_hash
-
-    exact = (
-        keys.select("source", id_hash(F.col("s"), salt="kmv").alias("h"))
-        .distinct()
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    # pin the distinct (source, hash) table: the sketch rank AND the
+    # exact count both consume it, and the tokenize/shingle/explode/
+    # distinct chain is the dominant cost — the cooccurrence_edges
+    # lesson applied
+    hashes = pin(
+        keys.select(
+            "source", id_hash(F.col("s"), salt="kmv").alias("h")
+        ).distinct()
+    )
+    sk = kmv_sketch_hashed(hashes, ["source"], k=KMV_QUERY_K)
+    exact = hashes.groupBy("source").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
     )
     est = kmv_estimate(F.col("kmv"), KMV_QUERY_K)
     return (
@@ -7126,9 +7132,11 @@ def q_triangle_count(spark, sf_dir):
 
 _DUCK_COOC = f"""
 WITH kn AS (
-  SELECT DISTINCT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k,
-         user_id AS n
-  FROM events WHERE props IS NOT NULL
+  SELECT DISTINCT k, n FROM (
+    SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k,
+           user_id AS n
+    FROM events WHERE props IS NOT NULL
+  ) WHERE k IS NOT NULL AND n IS NOT NULL
 ),
 deg AS (SELECT n, count(*) AS d FROM kn GROUP BY 1),
 shared AS (
@@ -7276,7 +7284,14 @@ WITH per AS (
 base AS (SELECT bin, sum(cnt) AS bcnt FROM per GROUP BY 1),
 gtot AS (SELECT g, sum(cnt) AS gn FROM per GROUP BY 1),
 btot AS (SELECT sum(bcnt) AS bn FROM base),
-grid AS (SELECT g, gn, bin, bcnt, bn FROM gtot, base, btot),
+allb AS (SELECT unnest(range(0, {n + 2})) AS bin),
+grid AS (
+  SELECT g, gn, allb.bin, COALESCE(base.bcnt, 0) AS bcnt, bn
+  FROM gtot
+  CROSS JOIN allb
+  CROSS JOIN btot
+  LEFT JOIN base ON base.bin = allb.bin
+),
 j AS (
   SELECT grid.g, grid.bin, COALESCE(per.cnt, 0) AS cnt, gn, bcnt, bn
   FROM grid LEFT JOIN per ON per.g = grid.g AND per.bin = grid.bin
