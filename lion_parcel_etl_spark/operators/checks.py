@@ -365,3 +365,73 @@ def cusum_changepoints(
         s_dn.alias("cusum_down"),
         ((s_up > thr) | (s_dn > thr)).alias("alarm"),
     )
+
+
+def _group_median(df: DataFrame, group: str, col: str, out: str) -> DataFrame:
+    """Exact per-group median by the row_number middle-elements
+    spelling (shared with the mode_median query) — deterministic and
+    identical across engines, unlike interpolated percentile
+    conventions."""
+    wr = Window.partitionBy(group).orderBy(col)
+    ranked = df.select(
+        group, col, F.row_number().over(wr).alias("__rn")
+    ).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(group))
+    )
+    return (
+        ranked.filter(
+            (F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+            | (F.col("__rn") == F.floor((F.col("__n") + 2) / 2))
+        )
+        .groupBy(group)
+        .agg(F.avg(col).alias(out))
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    z_thresh: float = 3.5,
+) -> DataFrame:
+    """(group, id, value, robust_z, outlier) — modified z-scores
+    0.6745·(x−median)/MAD per group (Iglewicz & Hoaglin 1993), the
+    robust outlier rule that one extreme value cannot drag (unlike
+    mean/stddev z-scores, where the outlier inflates its own
+    denominator).
+
+    Exact medians via the deterministic middle-elements spelling, so
+    the whole statistic replays in SQL; groups with MAD = 0 (over half
+    the values identical) yield NULL robust_z — flagging everything
+    unequal to the median there would be noise, not signal. Two
+    per-group window sorts (value, then deviation) + two joins; the
+    100 TB swap is approx_percentile for both medians (documented
+    trade: sketch tolerance for no sort)."""
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("i"),
+        F.col(value_col).cast("double").alias("x"),
+    ).filter(F.col("x").isNotNull())
+    med = _group_median(base, "g", "x", "med")
+    dev = base.join(F.broadcast(med), "g").select(
+        "g", "i", "x", "med", F.abs(F.col("x") - F.col("med")).alias("d")
+    )
+    mad = _group_median(
+        dev.select("g", F.col("d").alias("x")), "g", "x", "mad"
+    )
+    z = F.round(
+        F.lit(0.6745)
+        * (F.col("x") - F.col("med"))
+        / F.when(F.col("mad") > 0, F.col("mad")),
+        6,
+    )
+    return dev.join(F.broadcast(mad), "g").select(
+        F.col("g").alias(group_col),
+        F.col("i").alias(id_col),
+        F.col("x").alias(value_col),
+        z.alias("robust_z"),
+        F.coalesce(F.abs(z) > F.lit(z_thresh), F.lit(False)).alias(
+            "outlier"
+        ),
+    )

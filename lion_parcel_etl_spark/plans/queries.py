@@ -7569,6 +7569,73 @@ FROM s ORDER BY event_type, day
 """
 
 
+MAD_TOPK = 50
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Robust outlier detection (operators/checks.py; Iglewicz &
+    Hoaglin's modified z-score 0.6745·(x−median)/MAD) on event values
+    per event type — the rule a single extreme value cannot drag,
+    unlike mean/stddev z-scores. Exact medians by the deterministic
+    middle-elements spelling (the mode_median discipline); emits the
+    {MAD_TOPK} most extreme rows so the output exercises the ranking
+    even when the synthetic distribution has no true outliers."""
+    from lion_parcel_etl_spark.operators.checks import mad_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    out = mad_outliers(ev, "value", "event_type", "event_id")
+    return out.orderBy(
+        F.abs("robust_z").desc_nulls_last(), "event_id"
+    ).limit(MAD_TOPK)
+
+
+SQL_MAD = f"""
+WITH base AS (
+  SELECT event_type AS g, event_id AS i, CAST(value AS DOUBLE) AS x
+  FROM events WHERE value IS NOT NULL
+),
+r1 AS (
+  SELECT g, x,
+         row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM base
+),
+med AS (
+  SELECT g, avg(x) AS med FROM r1
+  WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+     OR rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
+  GROUP BY g
+),
+dev AS (
+  SELECT b.g, b.i, b.x, m.med, abs(b.x - m.med) AS d
+  FROM base b JOIN med m USING (g)
+),
+r2 AS (
+  SELECT g, d,
+         row_number() OVER (PARTITION BY g ORDER BY d) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM dev
+),
+mad AS (
+  SELECT g, avg(d) AS mad FROM r2
+  WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+     OR rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
+  GROUP BY g
+),
+z AS (
+  SELECT dev.g, dev.i, dev.x,
+         round(0.6745 * (dev.x - dev.med)
+               / (CASE WHEN mad.mad > 0 THEN mad.mad END), 6) AS robust_z
+  FROM dev JOIN mad USING (g)
+)
+SELECT g AS event_type, i AS event_id, x AS value, robust_z,
+       COALESCE(abs(robust_z) > 3.5, false) AS outlier
+FROM z
+ORDER BY abs(robust_z) DESC NULLS LAST, event_id
+LIMIT {MAD_TOPK}
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
@@ -7585,6 +7652,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "golden_record": (q_golden_record, _duck_golden_record()),
     "resample_interpolate": (q_resample_interpolate, SQL_RESAMPLE),
     "cusum_changepoints": (q_cusum_changepoints, SQL_CUSUM),
+    "mad_outliers": (q_mad_outliers, SQL_MAD),
     "dsir_weights": (q_dsir_weights, _duck_dsir_weights()),
     "dsir_select": (q_dsir_select, _duck_dsir_select()),
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),

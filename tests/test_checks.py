@@ -216,3 +216,46 @@ def test_cusum_alarms_on_level_shift_not_on_noise(spark):
         if r["alarm"] and r["cusum_up"] > r["cusum_down"]
     )
     assert first_up >= 15
+
+
+def test_mad_outliers_flags_known_extreme(spark):
+    from lion_parcel_etl_spark.operators.checks import mad_outliers
+
+    xs = [10.0, 11.0, 12.0, 10.5, 11.5, 9.5, 10.2, 11.8, 100.0]
+    df = spark.createDataFrame(
+        [("g", i, x) for i, x in enumerate(xs)], "g string, i long, x double"
+    )
+    rows = {r["i"]: r for r in mad_outliers(df, "x", "g", "i").collect()}
+    # median 11.0, MAD = median(|x-11|) = 0.8 → z(100) = 0.6745*89/0.8 ≈ 75
+    assert rows[8]["outlier"] and rows[8]["robust_z"] > 50
+    assert all(not rows[i]["outlier"] for i in range(8))
+
+
+def test_mad_outliers_zero_mad_yields_null_not_flags(spark):
+    from lion_parcel_etl_spark.operators.checks import mad_outliers
+
+    # >half identical → MAD 0: no flags, NULL z
+    xs = [5.0] * 6 + [5.1, 4.9, 50.0]
+    df = spark.createDataFrame(
+        [("g", i, x) for i, x in enumerate(xs)], "g string, i long, x double"
+    )
+    rows = mad_outliers(df, "x", "g", "i").collect()
+    assert all(r["robust_z"] is None for r in rows)
+    assert all(not r["outlier"] for r in rows)
+
+
+def test_mad_outliers_matches_python_reference(spark):
+    import statistics
+
+    from lion_parcel_etl_spark.operators.checks import mad_outliers
+
+    xs = [float(v % 17) + 0.25 * (v % 3) for v in range(40)]
+    df = spark.createDataFrame(
+        [("g", i, x) for i, x in enumerate(xs)], "g string, i long, x double"
+    )
+    med = statistics.median(xs)
+    mad = statistics.median([abs(x - med) for x in xs])
+    rows = mad_outliers(df, "x", "g", "i").collect()
+    for r in rows:
+        want = round(0.6745 * (xs[r["i"]] - med) / mad, 6)
+        assert abs(r["robust_z"] - want) < 1e-9
