@@ -157,12 +157,40 @@ def psi_drift(
     the only exchange (≤ groups×(n_bins+2) rows after map-side
     combine); the baseline histogram derives from it by re-aggregation
     — the raw data is NOT scanned twice."""
+    per = psi_histogram(df, value_col, group_col, lo, hi, n_bins)
+    return psi_from_histogram(per, group_col, n_bins, smooth)
+
+
+def psi_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """(g, bin, cnt) fixed-width histogram — the mergeable half of
+    :func:`psi_drift`: per-batch histograms sum into the same
+    statistic, so streams persist these and never rescan."""
     b = F.width_bucket(F.col(value_col), F.lit(lo), F.lit(hi), F.lit(n_bins))
-    per = (
+    return (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(F.col(group_col).alias("g"), b.alias("bin"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def psi_from_histogram(
+    per: DataFrame,
+    group_col: str,
+    n_bins: int = 10,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """PSI/verdict from a pre-built (g, bin, cnt) histogram — the math
+    half of :func:`psi_drift`, split out so continuously-maintained
+    histogram stores (streaming/jobs.stream_psi_histograms) compute
+    the identical statistic at read time from merged per-batch
+    counts."""
     base = per.groupBy("bin").agg(F.sum("cnt").alias("bcnt"))
     gtot = per.groupBy("g").agg(F.sum("cnt").alias("gn"))
     btot = base.agg(F.sum("bcnt").alias("bn"))

@@ -1039,3 +1039,58 @@ def read_kmv(
         "kmv",
         F.round(kmv_estimate(F.col("kmv"), k), 6).alias("distinct_est"),
     )
+
+
+def stream_psi_histograms(
+    df: DataFrame,
+    warehouse,
+    table: str,
+    value_col: str,
+    group_col: str,
+    lo: float,
+    hi: float,
+    checkpoint: str,
+    n_bins: int = 10,
+) -> None:
+    """Continuously-maintained drift histograms: each micro-batch's
+    fixed-width (group, bin) counts land in the batch's own
+    ``__batch_id`` partition (exactly-once-by-layout, the
+    stream_rollup_into contract); :func:`read_psi` sums the stored log
+    and computes the SAME PSI statistic as the batch operator.
+    Histograms over fixed bins are trivially mergeable, so per-batch
+    state is O(groups × bins) and the raw stream is never rescanned —
+    the monitoring twin of the batch psi_drift."""
+    from lion_parcel_etl_spark.operators.checks import psi_histogram
+
+    def _batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        warehouse.append_batch(
+            psi_histogram(batch, value_col, group_col, lo, hi, n_bins),
+            table,
+            batch_id,
+        )
+
+    q = (
+        df.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_psi(
+    spark: SparkSession,
+    warehouse,
+    table: str,
+    group_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """PSI per group from the stored histogram log — merge (sum
+    matching counters) then the identical psi_from_histogram math."""
+    from lion_parcel_etl_spark.operators.checks import psi_from_histogram
+
+    log = warehouse.read(spark, table)
+    merged = log.groupBy("g", "bin").agg(F.sum("cnt").alias("cnt"))
+    return psi_from_histogram(merged, group_col, n_bins)

@@ -937,3 +937,46 @@ def test_stream_kmv_merged_equals_batch_sketch(spark, tmp_path):
     )
     after = {r["g"]: r["kmv"] for r in read_kmv(spark, wh, "kmv", ["g"], k=k).collect()}
     assert after == merged
+
+
+def test_stream_psi_merged_equals_batch_statistic(spark, tmp_path):
+    """Two micro-batches of stored histograms merge (read_psi) into
+    exactly the batch psi_drift of the full stream."""
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.checks import psi_drift
+    from lion_parcel_etl_spark.streaming.jobs import (
+        read_psi,
+        stream_psi_histograms,
+    )
+
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    b1 = [("a", float(v % 100)) for v in range(300)] + [
+        ("b", 900.0 + v % 50) for v in range(100)
+    ]
+    b2 = [("a", float(v % 120)) for v in range(200)] + [
+        ("b", 850.0 + v % 80) for v in range(150)
+    ]
+
+    def run():
+        stream = spark.readStream.schema("g string, v double").parquet(landing)
+        stream_psi_histograms(stream, wh, "psi", "v", "g", 0.0, 1000.0, ckpt)
+
+    for batch in (b1, b2):
+        spark.createDataFrame(batch, "g string, v double").coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        run()
+
+    got = {
+        r["g"]: (r["psi"], r["drift"])
+        for r in read_psi(spark, wh, "psi", "g").collect()
+    }
+    full = spark.createDataFrame(b1 + b2, "g string, v double")
+    want = {
+        r["g"]: (r["psi"], r["drift"])
+        for r in psi_drift(full, "v", "g", 0.0, 1000.0).collect()
+    }
+    assert got == want
+    assert got["b"][1] == "significant"
