@@ -173,8 +173,14 @@ def psi_histogram(
     :func:`psi_drift`: per-batch histograms sum into the same
     statistic, so streams persist these and never rescan."""
     b = F.width_bucket(F.col(value_col), F.lit(lo), F.lit(hi), F.lit(n_bins))
+    # NaN joins the NULL filter: width_bucket(NaN) is NULL, and a
+    # NULL-bin row would be counted in the totals but silently miss
+    # the dense 0..n_bins+1 grid, biasing every PSI low
     return (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(
+            F.col(value_col).isNotNull()
+            & ~F.isnan(F.col(value_col).cast("double"))
+        )
         .groupBy(F.col(group_col).alias("g"), b.alias("bin"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -435,15 +441,28 @@ def mad_outliers(
     unequal to the median there would be noise, not signal. Two
     per-group window sorts (value, then deviation) + two joins; the
     100 TB swap is approx_percentile for both medians (documented
-    trade: sketch tolerance for no sort)."""
-    base = df.select(
-        F.col(group_col).alias("g"),
-        F.col(id_col).alias("i"),
-        F.col(value_col).cast("double").alias("x"),
-    ).filter(F.col("x").isNotNull())
+    trade: sketch tolerance for no sort).
+
+    NaN values are excluded with the NULLs: NaN sorts above every
+    real value in both engines, so it would shift the median rank,
+    score robust_z = NaN, and — since NaN > threshold is true — flag
+    itself as the top 'outlier'. The input and the deviation table are
+    pinned: each feeds two lineage branches (median + join-back), and
+    unpinned the source scan would run four times."""
+    from lion_parcel_etl_spark.operators.dedup import pin
+
+    base = pin(
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(id_col).alias("i"),
+            F.col(value_col).cast("double").alias("x"),
+        ).filter(F.col("x").isNotNull() & ~F.isnan("x"))
+    )
     med = _group_median(base, "g", "x", "med")
-    dev = base.join(F.broadcast(med), "g").select(
-        "g", "i", "x", "med", F.abs(F.col("x") - F.col("med")).alias("d")
+    dev = pin(
+        base.join(F.broadcast(med), "g").select(
+            "g", "i", "x", "med", F.abs(F.col("x") - F.col("med")).alias("d")
+        )
     )
     mad = _group_median(
         dev.select("g", F.col("d").alias("x")), "g", "x", "mad"

@@ -163,7 +163,20 @@ def logreg_fit(
         )
         .collect()
     )
-    n_docs = next(r["sx"] for r in first if r["bucket"] == BIAS_BUCKET)
+    if not first:
+        # nothing trainable: every doc was null/empty text (no feature
+        # rows at all) — return the empty model instead of crashing;
+        # scoring with it yields p = 0.5 everywhere, the honest prior
+        return {}
+    n_docs = next(
+        (r["sx"] for r in first if r["bucket"] == BIAS_BUCKET), None
+    )
+    if n_docs is None:
+        raise ValueError(
+            "feature table has rows but no BIAS_BUCKET entries — "
+            "build it with doc_features(), which adds one bias row "
+            "per document"
+        )
     h = {
         r["bucket"]: max(0.25 * r["sx"] / n_docs, H_FLOOR) for r in first
     }

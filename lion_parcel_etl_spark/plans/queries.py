@@ -7279,7 +7279,9 @@ WITH per AS (
               ELSE 1 + CAST(floor((n_chars - {lo}) / {w}) AS BIGINT)
          END AS bin,
          count(*) AS cnt
-  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+  FROM documents
+  WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))
+  GROUP BY 1, 2
 ),
 base AS (SELECT bin, sum(cnt) AS bcnt FROM per GROUP BY 1),
 gtot AS (SELECT g, sum(cnt) AS gn FROM per GROUP BY 1),
@@ -7592,7 +7594,7 @@ def q_mad_outliers(spark, sf_dir):
 SQL_MAD = f"""
 WITH base AS (
   SELECT event_type AS g, event_id AS i, CAST(value AS DOUBLE) AS x
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
 ),
 r1 AS (
   SELECT g, x,

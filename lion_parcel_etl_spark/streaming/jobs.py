@@ -1086,11 +1086,25 @@ def read_psi(
     table: str,
     group_col: str,
     n_bins: int = 10,
+    smooth: float = 0.5,
 ) -> DataFrame:
     """PSI per group from the stored histogram log — merge (sum
-    matching counters) then the identical psi_from_histogram math."""
+    matching counters) then the identical psi_from_histogram math.
+    ``n_bins``/``smooth`` must match the writer's; a stored bin id
+    beyond n_bins+1 proves the histogram was written with MORE bins
+    than the reader assumes (its counts would inflate the totals while
+    silently missing the dense grid, biasing PSI low), so the read
+    fails loudly instead."""
     from lion_parcel_etl_spark.operators.checks import psi_from_histogram
 
     log = warehouse.read(spark, table)
     merged = log.groupBy("g", "bin").agg(F.sum("cnt").alias("cnt"))
-    return psi_from_histogram(merged, group_col, n_bins)
+    guard = F.assert_true(
+        F.col("bin") <= F.lit(n_bins + 1),
+        F.lit(
+            "stored PSI histogram has bin ids beyond n_bins+1 — it was "
+            "written with a different n_bins than read_psi was given"
+        ),
+    )
+    merged = merged.filter(guard.isNull())
+    return psi_from_histogram(merged, group_col, n_bins, smooth)

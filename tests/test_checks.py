@@ -259,3 +259,16 @@ def test_mad_outliers_matches_python_reference(spark):
     for r in rows:
         want = round(0.6745 * (xs[r["i"]] - med) / mad, 6)
         assert abs(r["robust_z"] - want) < 1e-9
+
+
+def test_mad_outliers_excludes_nan(spark):
+    from lion_parcel_etl_spark.operators.checks import mad_outliers
+
+    xs = [10.0, 11.0, 12.0, 10.5, 11.5, float("nan")]
+    df = spark.createDataFrame(
+        [("g", i, x) for i, x in enumerate(xs)], "g string, i long, x double"
+    )
+    rows = mad_outliers(df, "x", "g", "i").collect()
+    ids = {r["i"] for r in rows}
+    assert 5 not in ids  # NaN row excluded entirely
+    assert not any(r["outlier"] for r in rows)

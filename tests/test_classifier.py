@@ -95,3 +95,17 @@ def test_probabilities_rounded_and_bounded(corpus):
         assert r["p"] == round(r["p"], 6)
         assert r["pred"] == (1 if r["p"] >= 0.5 else 0)
     feats.unpersist()
+
+
+def test_logreg_fit_empty_corpus_returns_empty_model(spark):
+    docs = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
+    feats = doc_features(docs, F.lit(False))
+    assert logreg_fit(feats) == {}
+
+
+def test_logreg_fit_rejects_biasless_feature_table(spark):
+    feats = spark.createDataFrame(
+        [(1, 0, 7, 1.0)], "doc_id long, y int, bucket int, x double"
+    )
+    with pytest.raises(Exception, match="BIAS_BUCKET"):
+        logreg_fit(feats)
