@@ -267,3 +267,69 @@ def resample_interpolate(
         r6.alias("value"),
         F.col("v").isNotNull().alias("observed"),
     )
+
+
+def kaplan_meier(
+    subjects: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """(duration, n_at_risk, n_events, n_censored, survival) — the
+    Kaplan–Meier product-limit survival estimator from per-subject
+    (duration, observed-event) rows, with the standard convention that
+    subjects censored at t are still at risk for deaths at t.
+
+    The product Π(1 − d/n) is computed as exp(Σ ln(1 − d/n)) over an
+    ordered cumulative window — the ewma/cusum discipline: recurrences
+    become window folds, no iteration, no UDF, SQL-replayable (libm ln
+    ulp differences stay ~1e-14 over any realistic number of distinct
+    times, far below the 1e-6 output rounding). One aggregate to the
+    per-duration death/censor table (the only corpus-sized exchange),
+    then windows over ≤ distinct-duration rows."""
+    per_t = (
+        subjects.select(
+            F.col(duration_col).alias("t"),
+            F.col(event_col).cast("int").alias("e"),
+        )
+        .filter(F.col("t").isNotNull())
+        .groupBy("t")
+        .agg(
+            F.sum("e").cast("long").alias("d"),
+            F.sum(F.lit(1) - F.col("e")).cast("long").alias("c"),
+        )
+    )
+    w = Window.orderBy("t")
+    prior = F.coalesce(
+        F.sum(F.col("d") + F.col("c")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    total = F.sum(F.col("d") + F.col("c")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    staged = per_t.select(
+        "t", "d", "c", (total - prior).alias("n")
+    )
+    # d = n (every remaining subject dies at t) makes the factor 0 and
+    # ln(0) undefined — DuckDB throws rather than returning −inf, so
+    # both engines special-case it: term 0 in the cumsum, survival
+    # pinned to 0.0 at that (necessarily final) time point
+    log_term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n")),
+        F.log(F.lit(1.0) - F.col("d") / F.col("n")),
+    ).otherwise(F.lit(0.0))
+    surv = F.when(F.col("d") == F.col("n"), F.lit(0.0)).otherwise(
+        F.exp(
+            F.sum(log_term).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        )
+    )
+    return staged.select(
+        F.col("t").alias(duration_col),
+        F.col("n").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.round(surv, 6).alias("survival"),
+    )

@@ -7638,6 +7638,78 @@ LIMIT {MAD_TOPK}
 """
 
 
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan–Meier survival curve (operators/temporal.py) for
+    time-to-first-purchase per user: duration = days from a user's
+    first event to their first 'purchase' (observed) or last event
+    (right-censored). The product limit is exp of a cumulative
+    log-sum — the recurrences-as-window-folds discipline shared with
+    ewma/cusum; one per-user aggregate is the only corpus-sized
+    exchange."""
+    from lion_parcel_etl_spark.operators.temporal import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+        F.max("ts").alias("tl"),
+    )
+    subj = per_user.select(
+        F.datediff(
+            F.to_date(F.coalesce("tp", "tl")), F.to_date("t0")
+        )
+        .cast("long")
+        .alias("duration_days"),
+        F.col("tp").isNotNull().alias("event"),
+    )
+    return kaplan_meier(subj, "duration_days", "event").orderBy(
+        "duration_days"
+    )
+
+
+SQL_KM = """
+WITH per_user AS (
+  SELECT user_id, min(ts) AS t0,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+         max(ts) AS tl
+  FROM events GROUP BY 1
+),
+subj AS (
+  SELECT date_diff('day', CAST(t0 AS DATE), CAST(COALESCE(tp, tl) AS DATE)) AS t,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS e
+  FROM per_user
+),
+per_t AS (
+  SELECT t, CAST(sum(e) AS BIGINT) AS d, CAST(sum(1 - e) AS BIGINT) AS c
+  FROM subj GROUP BY 1
+),
+st AS (
+  SELECT t, d, c,
+         CAST((SELECT sum(d + c) FROM per_t)
+              - COALESCE(sum(d + c) OVER
+                  (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS n
+  FROM per_t
+),
+s AS (
+  SELECT t, n, d, c,
+         CASE WHEN d = n THEN 0.0
+              ELSE exp(sum(CASE WHEN d > 0 AND d < n
+                           THEN ln(1.0 - CAST(d AS DOUBLE) / n)
+                           ELSE 0.0 END)
+                  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW))
+         END AS surv
+  FROM st
+)
+SELECT t AS duration_days, n AS n_at_risk, d AS n_events, c AS n_censored,
+       round(surv, 6) AS survival
+FROM s ORDER BY duration_days
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
@@ -7655,6 +7727,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "resample_interpolate": (q_resample_interpolate, SQL_RESAMPLE),
     "cusum_changepoints": (q_cusum_changepoints, SQL_CUSUM),
     "mad_outliers": (q_mad_outliers, SQL_MAD),
+    "kaplan_meier": (q_kaplan_meier, SQL_KM),
     "dsir_weights": (q_dsir_weights, _duck_dsir_weights()),
     "dsir_select": (q_dsir_select, _duck_dsir_select()),
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),

@@ -245,3 +245,41 @@ def test_resample_interpolate_bucket_mean_and_no_extrapolation(spark):
     )
     # grid spans [2h, 4h] only — no point at 0h/1h/5h
     assert out == [(2, 2.0), (3, 4.0), (4, 6.0)]
+
+
+def test_kaplan_meier_matches_hand_computation(spark):
+    from lion_parcel_etl_spark.operators.temporal import kaplan_meier
+
+    # classic textbook set: deaths at 1 (2 of 10), censor at 2 (1),
+    # deaths at 3 (1 of 7), censor at 4 (2), deaths at 5 (4 of 4)
+    rows = (
+        [(1, True)] * 2
+        + [(2, False)]
+        + [(3, True)]
+        + [(4, False)] * 2
+        + [(5, True)] * 4
+    )
+    df = spark.createDataFrame(rows, "duration_days long, event boolean")
+    got = {
+        r["duration_days"]: r
+        for r in kaplan_meier(df, "duration_days", "event").collect()
+    }
+    assert (got[1]["n_at_risk"], got[1]["n_events"]) == (10, 2)
+    assert abs(got[1]["survival"] - 0.8) < 1e-6
+    # t=2: censor only — survival unchanged
+    assert abs(got[2]["survival"] - 0.8) < 1e-6
+    # t=3: 1 death of 7 at risk → 0.8 * 6/7
+    assert abs(got[3]["survival"] - 0.8 * 6 / 7) < 1e-6
+    # t=5: all 4 remaining die → survival exactly 0
+    assert got[5]["n_at_risk"] == 4 and got[5]["survival"] == 0.0
+
+
+def test_kaplan_meier_no_events_stays_at_one(spark):
+    from lion_parcel_etl_spark.operators.temporal import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(i % 5 + 1, False) for i in range(20)], "duration_days long, event boolean"
+    )
+    rows = kaplan_meier(df, "duration_days", "event").collect()
+    assert all(r["survival"] == 1.0 for r in rows)
+    assert all(r["n_events"] == 0 for r in rows)
