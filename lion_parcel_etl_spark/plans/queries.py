@@ -7710,6 +7710,97 @@ FROM s ORDER BY duration_days
 """
 
 
+ATTR_LOOKBACK_DAYS = 7
+
+
+def q_attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution: each purchase's value splits
+    evenly across the user's view/click touches in the preceding
+    {ATTR_LOOKBACK_DAYS} days, rolled up per touch type. The
+    touch-to-conversion pairing is the engine's range_join
+    (operators/temporal.py) — binned equi-join, never a nested loop —
+    and the credit split is one count window per conversion. NaN
+    purchase values are excluded with NULLs (the events.value
+    convention)."""
+    from lion_parcel_etl_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    conv = ev.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+    ).select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id"),
+        F.col("ts").alias("conv_ts"),
+        (F.col("ts") - F.expr(f"INTERVAL {ATTR_LOOKBACK_DAYS} DAYS")).alias(
+            "win_start"
+        ),
+        F.col("value").alias("conv_value"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("ts").alias("touch_ts"), "event_type"
+    )
+    pairs = range_join(
+        touch,
+        conv,
+        "touch_ts",
+        "win_start",
+        "conv_ts",
+        by=["user_id"],
+        bin_seconds=86400,  # daily bins ≈ interval length / 7 — 8 candidate
+        # rows per conversion instead of 168 at the default hourly bins
+    )
+    w = Window.partitionBy("conv_id")
+    credited = pairs.select(
+        "event_type",
+        (F.col("conv_value") / F.count(F.lit(1)).over(w)).alias("credit"),
+        "conv_id",
+    )
+    return (
+        credited.groupBy("event_type")
+        .agg(
+            F.round(F.sum("credit"), 6).alias("attributed_value"),
+            F.count(F.lit(1)).alias("n_touches"),
+            F.count_distinct("conv_id").alias("n_conversions"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_ATTRIBUTION = f"""
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, ts AS conv_ts,
+         ts - INTERVAL {ATTR_LOOKBACK_DAYS} DAY AS win_start,
+         value AS conv_value
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL AND NOT isnan(value)
+),
+touch AS (
+  SELECT user_id, ts AS touch_ts, event_type
+  FROM events WHERE event_type IN ('view', 'click')
+),
+pairs AS (
+  SELECT t.event_type, c.conv_id, c.conv_value
+  FROM touch t JOIN conv c
+    ON t.user_id = c.user_id
+   AND t.touch_ts >= c.win_start AND t.touch_ts <= c.conv_ts
+),
+credited AS (
+  SELECT event_type,
+         conv_value / COUNT(*) OVER (PARTITION BY conv_id) AS credit,
+         conv_id
+  FROM pairs
+)
+SELECT event_type,
+       round(sum(credit), 6) AS attributed_value,
+       COUNT(*) AS n_touches,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions
+FROM credited
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
@@ -7728,6 +7819,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cusum_changepoints": (q_cusum_changepoints, SQL_CUSUM),
     "mad_outliers": (q_mad_outliers, SQL_MAD),
     "kaplan_meier": (q_kaplan_meier, SQL_KM),
+    "attribution_linear": (q_attribution_linear, SQL_ATTRIBUTION),
     "dsir_weights": (q_dsir_weights, _duck_dsir_weights()),
     "dsir_select": (q_dsir_select, _duck_dsir_select()),
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
