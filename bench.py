@@ -113,6 +113,11 @@ HEADLINE = [
     "quality_classifier",
     "kmv_overlap",
     "triangle_count",
+    "resample_interpolate",
+    "golden_record",
+    "cluster_split",
+    "mad_outliers",
+    "attribution_linear",
     "perplexity_buckets",
     "snapshot_diff",
     "split_leakage",
