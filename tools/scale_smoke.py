@@ -220,6 +220,9 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--incremental":
         incremental_main()
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--classifier":
+        classifier_main()
+        return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     spark = get_spark(
         app_name="scale-smoke",
@@ -339,3 +342,55 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def classifier_main() -> None:
+    """Measure the quality-classifier fit at the replicated corpus:
+    the claim is that per-step cost is two aggregates over the pinned
+    feature table with only partitions×(buckets+1) gradient rows and
+    the ≤4097-double model crossing any boundary — fit wall should
+    scale with the ONE feature-table build, not with steps×corpus."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from lion_parcel_etl_spark.operators.classifier import (
+        doc_features,
+        logreg_fit,
+        logreg_score,
+    )
+    from lion_parcel_etl_spark.operators.dedup import pin
+    from lion_parcel_etl_spark.session import get_spark
+
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    spark = get_spark(app_name="scale-smoke-clf")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    n = base.count()
+    copies = spark.range(mult).select(F.col("id").alias("copy"))
+    big = base.crossJoin(copies).select(
+        (F.col("doc_id") + F.col("copy") * n).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" rep"), F.col("copy")
+        ).alias("text"),
+    )
+    cond = F.lower(F.col("text")).contains("slow join") | F.lower(
+        F.col("text")
+    ).contains("join slow")
+    t0 = time.perf_counter()
+    feats = pin(doc_features(big, cond))
+    t_feat = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    w = logreg_fit(feats)
+    t_fit = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    acc = (
+        logreg_score(feats, w)
+        .agg(F.avg((F.col("pred") == F.col("y")).cast("double")))
+        .collect()[0][0]
+    )
+    t_score = time.perf_counter() - t0
+    print(
+        f"quality_classifier: {mult * n} docs, features {t_feat:.1f}s, "
+        f"fit(4 steps) {t_fit:.1f}s, score {t_score:.1f}s, acc {acc:.3f}"
+    )
