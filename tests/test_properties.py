@@ -790,3 +790,98 @@ def test_dsir_weights_partition_invariant_and_monotone(spark, texts, parts):
     for i, t in enumerate(texts):
         if i and not (set(t.split()) & tgt_words):
             assert base[0][1] / base[0][0] >= base[i][1] / base[i][0]
+
+
+# --- KMV sketches ----------------------------------------------------------
+
+KMV_SETS = st.lists(
+    st.integers(min_value=0, max_value=500), min_size=1, max_size=80
+)
+
+
+@SLOW_OK
+@given(a=KMV_SETS, b=KMV_SETS, k=st.sampled_from([4, 16]))
+def test_kmv_merge_equals_union_sketch(spark, a, b, k):
+    """Mergeability: bottom-k of two sketches' union == sketch of the
+    unioned key sets, for ANY inputs and k."""
+    from lion_parcel_etl_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    rows = [("a", str(v)) for v in a] + [("b", str(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v string")
+    sk = {r["g"]: r["kmv"] for r in kmv_sketch(df, "v", ["g"], k=k).collect()}
+    merged_df = spark.createDataFrame(
+        [(sk["a"], sk["b"])], "ka array<bigint>, kb array<bigint>"
+    ).select(kmv_merge(F.col("ka"), F.col("kb"), k).alias("m"))
+    merged = merged_df.collect()[0]["m"]
+    union_sk = kmv_sketch(
+        spark.createDataFrame(
+            [("u", str(v)) for v in set(a) | set(b)], "g string, v string"
+        ),
+        "v",
+        ["g"],
+        k=k,
+    ).collect()[0]["kmv"]
+    assert merged == union_sk
+
+
+# --- CUSUM closed form -----------------------------------------------------
+
+SERIES = st.lists(
+    st.floats(
+        min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+    ),
+    min_size=2,
+    max_size=25,
+)
+
+
+@SLOW_OK
+@given(xs=SERIES)
+def test_cusum_closed_form_equals_recurrence_any_series(spark, xs):
+    import math
+
+    from lion_parcel_etl_spark.operators.checks import cusum_changepoints
+
+    df = spark.createDataFrame(
+        [("g", i, float(x)) for i, x in enumerate(xs)],
+        "g string, o long, x double",
+    )
+    got = [
+        (r["cusum_up"], r["cusum_down"])
+        for r in cusum_changepoints(df, "x", "o", "g").orderBy("o").collect()
+    ]
+    mu = sum(xs) / len(xs)
+    sig = math.sqrt(sum((x - mu) ** 2 for x in xs) / len(xs))
+    su = sd = 0.0
+    for (gu, gd), x in zip(got, xs):
+        su = max(0.0, su + (x - mu - 0.5 * sig))
+        sd = max(0.0, sd + (mu - x - 0.5 * sig))
+        assert abs(gu - su) < 1e-5 and abs(gd - sd) < 1e-5
+
+
+# --- Bootstrap determinism -------------------------------------------------
+
+BOOT_VALS = st.lists(
+    st.floats(min_value=0, max_value=1000, allow_nan=False, allow_infinity=False),
+    min_size=3,
+    max_size=40,
+)
+
+
+@SLOW_OK
+@given(vals=BOOT_VALS)
+def test_bootstrap_ci_invariant_under_row_order(spark, vals):
+    """The interval depends only on (id, value) pairs — never on row
+    order or partitioning (the id-hash discipline)."""
+    from lion_parcel_etl_spark.operators.checks import bootstrap_ci
+
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df1 = spark.createDataFrame(rows, "id long, v double")
+    df2 = spark.createDataFrame(rows[::-1], "id long, v double").repartition(5)
+    r1 = bootstrap_ci(df1, "v", "id", b=50).collect()[0]
+    r2 = bootstrap_ci(df2, "v", "id", b=50).collect()[0]
+    assert (r1["ci_lo"], r1["ci_hi"], r1["mean"]) == (
+        r2["ci_lo"],
+        r2["ci_hi"],
+        r2["mean"],
+    )
