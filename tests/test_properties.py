@@ -776,6 +776,8 @@ def test_dsir_weights_partition_invariant_and_monotone(spark, texts, parts):
         dsir_weights,
     )
 
+    from lion_parcel_etl_spark.operators.selection import feature_buckets
+
     rows = [(i, t) for i, t in enumerate(texts)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     lr = dsir_fit(docs, F.col("doc_id") == 0)  # doc 0 is the target slice
@@ -784,12 +786,31 @@ def test_dsir_weights_partition_invariant_and_monotone(spark, texts, parts):
     shuffled = {r["doc_id"]: (r["n_feats"], round(r["logw"], 9))
                 for r in dsir_weights(docs.repartition(parts), lr).collect()}
     assert base == shuffled
-    # the target doc scores itself at least as high as any doc with no
-    # shared tokens (its own features sit in every target bucket)
-    tgt_words = set(texts[0].split())
-    for i, t in enumerate(texts):
-        if i and not (set(t.split()) & tgt_words):
-            assert base[0][1] / base[0][0] >= base[i][1] / base[i][0]
+    # monotonicity of the log-ratio itself AT MATCHED COUNTS (a
+    # doc-level "target doc beats no-overlap docs" claim is NOT a
+    # theorem: a target token that is also raw-frequent can score
+    # below a rare raw-only token — the raw penalty is part of the
+    # design). For buckets with equal raw count, more target count ⇒
+    # strictly higher lr; for equal target count, more raw ⇒ lower.
+    fb = feature_buckets(docs.withColumn("__t", F.col("doc_id") == 0),
+                         extra_cols=("__t",))
+    counts = {
+        r["bucket"]: (r["t"], r["r"])
+        for r in fb.groupBy("bucket")
+        .agg(
+            F.sum(F.col("__t").cast("int")).alias("t"),
+            F.count(F.lit(1)).alias("r"),
+        )
+        .collect()
+    }
+    lrs = {r["bucket"]: r["lr"] for r in lr.collect()}
+    items = list(counts.items())
+    for b1, (t1, r1) in items:
+        for b2, (t2, r2) in items:
+            if r1 == r2 and t1 > t2:
+                assert lrs[b1] > lrs[b2]
+            if t1 == t2 and r1 > r2:
+                assert lrs[b1] < lrs[b2]
 
 
 # --- KMV sketches ----------------------------------------------------------
