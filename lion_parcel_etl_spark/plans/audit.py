@@ -113,7 +113,26 @@ def audit(name: str, plan: str) -> list[str]:
         flags.append("SMJ")
     if _fold_reeval_in_filter(plan):
         flags.append("FOLD_IN_FILTER")
+    if _SUFFIX_FRAME.search(plan):
+        # a window frame that STARTS past unbounded-preceding and ENDS
+        # at UNBOUNDED FOLLOWING re-aggregates the partition suffix for
+        # EVERY row — O(rows²) per key (measured 29 s vs 7 s on
+        # resample_interpolate's 1M-row grid). A FULL-partition frame
+        # (unboundedpreceding..unboundedfollowing) is fine — computed
+        # once per partition. The O(rows) spelling for suffix scans is
+        # a running frame over the REVERSED ordering: last(...) over
+        # (ORDER BY t DESC ROWS UNBOUNDED PRECEDING..CURRENT).
+        flags.append("SUFFIX_WINDOW_FRAME")
     return flags
+
+
+# the lower-bound lookahead must absorb the whitespace itself —
+# a separate \s* would backtrack to empty and let the lookahead pass
+# on the space before "unboundedpreceding"
+_SUFFIX_FRAME = __import__("re").compile(
+    r"specifiedwindowframe\((?:Row|Range)Frame,(?!\s*unboundedpreceding)"
+    r"[^,]*,\s*unboundedfollowing"
+)
 
 
 _HOF_NAMES = "aggregate|transform|zip_with|filter|reduce|exists|forall|array_sort"
