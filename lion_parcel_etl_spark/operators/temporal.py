@@ -221,8 +221,10 @@ def resample_interpolate(
     Plan shape: one hash aggregate (the bucket mean — the only
     corpus-sized exchange), a per-key bounds aggregate feeding a
     sequence() explode (grid rows ∝ keys × span/step, a property of
-    the GRID, not the event volume), and one window sort per key for
-    the two ignore-nulls neighbor scans. Grid points at observed
+    the GRID, not the event volume), and two window sorts per key
+    (ASC and DESC running frames) for the ignore-nulls neighbor scans
+    — Spark's suffix frame would be one sort but O(rows²) per key.
+    Grid points at observed
     buckets pass through exactly (observed = true); interior gaps are
     bounded by observed buckets on both sides by construction, so the
     interpolation denominators are never null."""

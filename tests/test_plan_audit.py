@@ -55,3 +55,49 @@ def test_fold_in_filter_detector_signature():
         "END >= 2)"
     )
     assert not _fold_reeval_in_filter(ok)
+
+
+def test_suffix_frame_detector_signature(spark):
+    """SUFFIX_WINDOW_FRAME fires on a real Spark plan using a
+    current-row..unbounded-following frame (the O(rows²) shape),
+    stays silent on running and full-partition frames, and the
+    pinned-string form guards against silent regex breakage if the
+    plan print format ever changes."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lion_parcel_etl_spark.plans.audit import (
+        _SUFFIX_FRAME,
+        audit,
+        formatted_plan,
+    )
+
+    df = spark.range(10).select("id", (F.col("id") % 3).alias("g"))
+    suffix = Window.partitionBy("g").orderBy("id").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    bad_plan = formatted_plan(
+        df.select(F.first("id", True).over(suffix).alias("x"))
+    )
+    assert "SUFFIX_WINDOW_FRAME" in audit("probe", bad_plan)
+
+    running = Window.partitionBy("g").orderBy(F.col("id").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    full = Window.partitionBy("g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ok_plan = formatted_plan(
+        df.select(
+            F.last("id", True).over(running).alias("x"),
+            F.count(F.lit(1)).over(full).alias("n"),
+        )
+    )
+    assert "SUFFIX_WINDOW_FRAME" not in audit("probe", ok_plan)
+    # pinned literal signature: breaks loudly if Spark's print changes
+    assert _SUFFIX_FRAME.search(
+        "specifiedwindowframe(RowFrame, currentrow$(), unboundedfollowing$())"
+    )
+    assert not _SUFFIX_FRAME.search(
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), unboundedfollowing$())"
+    )

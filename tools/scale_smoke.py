@@ -340,10 +340,6 @@ def main() -> None:
     )
 
 
-if __name__ == "__main__":
-    main()
-
-
 def classifier_main() -> None:
     """Measure the quality-classifier fit at the replicated corpus:
     the claim is that per-step cost is two aggregates over the pinned
@@ -369,7 +365,7 @@ def classifier_main() -> None:
     n = base.count()
     copies = spark.range(mult).select(F.col("id").alias("copy"))
     big = base.crossJoin(copies).select(
-        (F.col("doc_id") + F.col("copy") * n).alias("doc_id"),
+        (F.col("doc_id") + F.col("copy") * (n * 10)).alias("doc_id"),
         F.concat(
             F.col("text"), F.lit(" rep"), F.col("copy")
         ).alias("text"),
@@ -394,3 +390,8 @@ def classifier_main() -> None:
         f"quality_classifier: {mult * n} docs, features {t_feat:.1f}s, "
         f"fit(4 steps) {t_fit:.1f}s, score {t_score:.1f}s, acc {acc:.3f}"
     )
+
+
+if __name__ == "__main__":
+    main()
+
