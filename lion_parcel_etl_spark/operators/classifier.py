@@ -137,8 +137,8 @@ def _margins(feats: DataFrame, wdf: DataFrame, id_col: str) -> DataFrame:
 def logreg_fit(
     feats: DataFrame,
     id_col: str = "doc_id",
-    steps: int = 4,
-    lr: float = 1.0,
+    steps: int = 10,
+    lr: float = 0.25,
 ) -> dict[int, float]:
     """Fixed-step Jacobi-preconditioned full-batch GD on logistic loss
     over a pinned :func:`doc_features` table; returns {bucket: weight}
@@ -230,8 +230,8 @@ def quality_filter(
     id_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = DSIR_BUCKETS,
-    steps: int = 4,
-    lr: float = 1.0,
+    steps: int = 10,
+    lr: float = 0.25,
     threshold: float = 0.5,
 ) -> DataFrame:
     """End-to-end train-then-filter: fit on ``label_cond`` (typically a

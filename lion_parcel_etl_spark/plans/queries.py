@@ -6807,15 +6807,19 @@ FROM sel ORDER BY gkey DESC LIMIT {DSIR_K}
 """
 
 
-QC_STEPS = 4
-QC_LR = 1.0
+QC_STEPS = 10
+QC_LR = 0.25
 #: Rule being distilled into the classifier: docs containing either
 #: order of the slow/join word pair. Presence of a single bigram
 #: feature — the canonical linearly-separable target for a hashed
 #: bag-of-ngrams model (its bucket count is 0 on one class, ≥1 on the
-#: other), with ~13% prevalence on the synthetic corpus. Measured at
-#: sf0.01: accuracy 0.996 after {QC_STEPS} preconditioned steps vs
-#: 0.874 majority-class, min |p−0.5| = 0.063 (≫ the 1e-6 rounding).
+#: other), with ~13% prevalence on the synthetic corpus. Measured:
+#: accuracy 1.000 at sf0.01 / 0.990 at sf0.1 after {QC_STEPS}
+#: preconditioned steps (vs 0.87-0.89 majority-class), min |p−0.5| =
+#: 0.21 at the sf0.01 oracle scale (≫ the 1e-6 rounding). Fewer,
+#: larger steps (4 × lr 1.0) ace sf0.01 but OSCILLATE at sf0.1 — the
+#: diagonal preconditioner cannot damp the CORRELATED common-vocab
+#: curvature, so the safe setting is more, smaller steps.
 QC_RULE_SPARK = lambda: (  # noqa: E731 — paired spellings kept adjacent
     F.lower(F.col("text")).contains("slow join")
     | F.lower(F.col("text")).contains("join slow")

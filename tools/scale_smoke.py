@@ -388,7 +388,7 @@ def classifier_main() -> None:
     t_score = time.perf_counter() - t0
     print(
         f"quality_classifier: {mult * n} docs, features {t_feat:.1f}s, "
-        f"fit(4 steps) {t_fit:.1f}s, score {t_score:.1f}s, acc {acc:.3f}"
+        f"fit(10 steps) {t_fit:.1f}s, score {t_score:.1f}s, acc {acc:.3f}"
     )
 
 
