@@ -1108,3 +1108,65 @@ def read_psi(
     )
     merged = merged.filter(guard.isNull())
     return psi_from_histogram(merged, group_col, n_bins, smooth)
+
+
+def stream_daily_counts(
+    df: DataFrame,
+    warehouse,
+    table: str,
+    ts_col: str,
+    group_col: str,
+    checkpoint: str,
+) -> None:
+    """Continuously-maintained per-(group, day) event-volume counts:
+    each micro-batch's partial counts land in the batch's own
+    ``__batch_id`` partition (exactly-once-by-layout); counts are
+    trivially mergeable by summing, so per-batch state is
+    O(groups × days touched) and :func:`read_cusum` (or any other
+    consumer of the volume series) never rescans the raw stream."""
+
+    def _batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        part = (
+            batch.filter(F.col(ts_col).isNotNull())
+            .groupBy(
+                F.col(group_col).alias("g"),
+                F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        warehouse.append_batch(part, table, batch_id)
+
+    q = (
+        df.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_cusum(
+    spark: SparkSession,
+    warehouse,
+    table: str,
+    group_col: str = "event_type",
+    k_sigmas: float = 0.5,
+    h_sigmas: float = 4.0,
+) -> DataFrame:
+    """CUSUM changepoint statistics over the stored daily-volume log —
+    merge (sum matching counters), then the identical batch operator
+    (operators/checks.cusum_changepoints) on the merged series. The
+    retrospective self-baselined form recomputes μ/σ over the whole
+    merged series at read time, so the statistic equals the batch
+    answer over the full stream by construction (tested)."""
+    from lion_parcel_etl_spark.operators.checks import cusum_changepoints
+
+    log = warehouse.read(spark, table)
+    merged = (
+        log.groupBy("g", "day")
+        .agg(F.sum("cnt").cast("double").alias("x"))
+    )
+    out = cusum_changepoints(merged, "x", "day", "g", k_sigmas, h_sigmas)
+    return out.withColumnsRenamed({"g": group_col, "x": "n_events"})

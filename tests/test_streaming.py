@@ -980,3 +980,64 @@ def test_stream_psi_merged_equals_batch_statistic(spark, tmp_path):
     }
     assert got == want
     assert got["b"][1] == "significant"
+
+
+def test_stream_cusum_merged_equals_batch_statistic(spark, tmp_path):
+    """Two micro-batches of stored daily counts merge (read_cusum) into
+    exactly the batch CUSUM over the full stream's daily volumes."""
+    from datetime import datetime
+
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.checks import cusum_changepoints
+    from lion_parcel_etl_spark.streaming.jobs import (
+        read_cusum,
+        stream_daily_counts,
+    )
+
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def rows(day_counts, typ):
+        out = []
+        for day, n in day_counts.items():
+            out += [(typ, datetime(2024, 1, day, 12, 0))] * n
+        return out
+
+    b1 = rows({d: 10 for d in range(1, 8)}, "click") + rows(
+        {1: 5, 2: 5, 3: 3}, "view"
+    )
+    # day 8 splits across batches (4 + 6); days 13-14 spike to 35
+    b1 += rows({8: 4}, "click")
+    b2 = rows({8: 6, 9: 10, 10: 10, 11: 10, 12: 10, 13: 35, 14: 35}, "click") + rows(
+        {4: 5, 5: 4}, "view"
+    )
+
+    def run():
+        stream = spark.readStream.schema("event_type string, ts timestamp").parquet(landing)
+        stream_daily_counts(stream, wh, "vol", "ts", "event_type", ckpt)
+
+    for batch in (b1, b2):
+        spark.createDataFrame(batch, "event_type string, ts timestamp").coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+        run()
+
+    got = {
+        (r["event_type"], r["day"]): (r["n_events"], r["cusum_up"], r["alarm"])
+        for r in read_cusum(spark, wh, "vol", h_sigmas=2.0).collect()
+    }
+    full = spark.createDataFrame(b1 + b2, "event_type string, ts timestamp")
+    daily = full.groupBy(
+        F.col("event_type").alias("g"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    want = {
+        (r["g"], r["day"]): (r["x"], r["cusum_up"], r["alarm"])
+        for r in cusum_changepoints(daily, "x", "day", "g", h_sigmas=2.0).collect()
+    }
+    assert got == want
+    # the day-8 click counts split across batches merged: 4 + 6 = 10
+    assert got[("click", "2024-01-08")][0] == 10.0
+    # the injected level shift alarms
+    assert any(k[0] == "click" and v[2] for k, v in got.items())
