@@ -68,6 +68,18 @@ BIAS_BUCKET = -1
 #: nothing to any margin; the floor only keeps the division defined.
 H_FLOOR = 1e-12
 
+#: The tuned step schedule — defined ONCE and imported by the registry
+#: query (plans/queries.py QC_STEPS/QC_LR) and the scale smoke, so a
+#: retune cannot silently diverge between the library default, the
+#: benchmarked oracle query, and the measurement label. Many small
+#: steps, not few large ones: diagonal preconditioning cannot damp the
+#: CORRELATED common-vocabulary curvature, and 4 steps at lr 1.0
+#: oscillated at 10× the corpus while acing the small scale (measured:
+#: this pair scores 1.000 at sf0.01 / 0.990 at sf0.1 / 0.981 at the
+#: 100k-doc 20× smoke).
+DEFAULT_STEPS = 10
+DEFAULT_LR = 0.25
+
 
 def doc_features(
     docs: DataFrame,
@@ -137,8 +149,8 @@ def _margins(feats: DataFrame, wdf: DataFrame, id_col: str) -> DataFrame:
 def logreg_fit(
     feats: DataFrame,
     id_col: str = "doc_id",
-    steps: int = 10,
-    lr: float = 0.25,
+    steps: int = DEFAULT_STEPS,
+    lr: float = DEFAULT_LR,
 ) -> dict[int, float]:
     """Fixed-step Jacobi-preconditioned full-batch GD on logistic loss
     over a pinned :func:`doc_features` table; returns {bucket: weight}
@@ -230,8 +242,8 @@ def quality_filter(
     id_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = DSIR_BUCKETS,
-    steps: int = 10,
-    lr: float = 0.25,
+    steps: int = DEFAULT_STEPS,
+    lr: float = DEFAULT_LR,
     threshold: float = 0.5,
 ) -> DataFrame:
     """End-to-end train-then-filter: fit on ``label_cond`` (typically a

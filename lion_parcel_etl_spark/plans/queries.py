@@ -6807,8 +6807,10 @@ FROM sel ORDER BY gkey DESC LIMIT {DSIR_K}
 """
 
 
-QC_STEPS = 10
-QC_LR = 0.25
+from lion_parcel_etl_spark.operators.classifier import (  # noqa: E402
+    DEFAULT_LR as QC_LR,
+    DEFAULT_STEPS as QC_STEPS,
+)
 #: Rule being distilled into the classifier: docs containing either
 #: order of the slow/join word pair. Presence of a single bigram
 #: feature — the canonical linearly-separable target for a hashed

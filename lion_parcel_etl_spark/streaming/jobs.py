@@ -1123,7 +1123,11 @@ def stream_daily_counts(
     ``__batch_id`` partition (exactly-once-by-layout); counts are
     trivially mergeable by summing, so per-batch state is
     O(groups × days touched) and :func:`read_cusum` (or any other
-    consumer of the volume series) never rescans the raw stream."""
+    consumer of the volume series) never rescans the raw stream.
+    Null-``ts_col`` rows are dropped — they have no day to count
+    toward — so the batch twin of the statistic must apply the same
+    filter (a raw groupBy over null-bearing events would grow an
+    extra day=NULL row that shifts the self-baselined μ/σ)."""
 
     def _batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():

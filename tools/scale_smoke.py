@@ -351,6 +351,7 @@ def classifier_main() -> None:
     from pyspark.sql import functions as F
 
     from lion_parcel_etl_spark.operators.classifier import (
+        DEFAULT_STEPS,
         doc_features,
         logreg_fit,
         logreg_score,
@@ -388,7 +389,7 @@ def classifier_main() -> None:
     t_score = time.perf_counter() - t0
     print(
         f"quality_classifier: {mult * n} docs, features {t_feat:.1f}s, "
-        f"fit(10 steps) {t_fit:.1f}s, score {t_score:.1f}s, acc {acc:.3f}"
+        f"fit({DEFAULT_STEPS} steps) {t_fit:.1f}s, score {t_score:.1f}s, acc {acc:.3f}"
     )
 
 
