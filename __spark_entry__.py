@@ -17,6 +17,20 @@ stays recall-tested in tests/test_similarity.py). The rest of the approximate fa
 deterministic (md5-derived hyperplanes / sampled codebooks / seeded
 quantizers) and oracle-checked.
 
+Late round 3 added a statistics/ML layer, every entry oracle-checked
+end to end: ``quality_classifier`` (the DuckDB oracle replays the
+ENTIRE Jacobi-preconditioned logistic-regression fit, not just the
+model), KMV bottom-k sketches (``kmv_distinct``/``kmv_overlap`` —
+deterministic, so even the ESTIMATES replay), graph analytics
+(``cooccurrence_graph``/``triangle_count``), leakage-proof
+``cluster_split``, drift/outlier/changepoint monitoring
+(``psi_drift``/``mad_outliers``/``cusum_changepoints``),
+``bootstrap_ci`` (deterministic Poisson bootstrap),
+``golden_record`` (entity-resolution survivorship),
+``resample_interpolate``, ``kaplan_meier`` and
+``attribution_linear``. These lead the registry iteration order so a
+sampled scoreboard covers the never-before-checked entries first.
+
 Every query builder is wrapped so it runs correctly on ANY
 SparkSession the caller provides, not just the repo's own
 ``session.get_spark()``: the wrapper pins the three runtime-settable
