@@ -482,3 +482,101 @@ def mad_outliers(
             "outlier"
         ),
     )
+
+
+def ols_trend(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str,
+) -> DataFrame:
+    """(group, n, slope, intercept, r2) — per-group ordinary
+    least-squares line fit from the closed-form sums: ONE hash
+    aggregate over the input (map-side combined to groups×partitions
+    rows), no iteration, no sort. With integer x (e.g. epoch days) and
+    integer-exact y the moment sums are exact in doubles, so the fit
+    replays bit-for-bit in SQL. Degenerate groups (n < 2 or zero x
+    variance) yield NULL slope/intercept/r2 rather than ±inf."""
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    ).filter(
+        F.col("x").isNotNull()
+        & F.col("y").isNotNull()
+        & ~F.isnan("x")
+        & ~F.isnan("y")
+    )
+    agg = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when((F.col("n") >= 2) & (dx > 0), cov / dx)
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r2 = F.when(dy > 0, (cov * cov) / (dx * dy)).otherwise(
+        F.when(slope.isNotNull(), F.lit(1.0))
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str,
+) -> DataFrame:
+    """(group, n, slope) — per-group Theil–Sen robust slope: the exact
+    median of all pairwise slopes (the estimator a 29%-outlier
+    fraction cannot break, unlike OLS where one bad point owns the
+    fit). Pairwise enumeration is an a<b self-join per group —
+    O(rows²/group) — so this is for SHORT series per group (daily
+    rollups, sensor summaries); it pairs with :func:`ols_trend` the
+    way mad_outliers pairs with mean/stddev z-scores. The median uses
+    the deterministic middle-elements spelling, so the whole estimate
+    replays in SQL."""
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    ).filter(
+        F.col("x").isNotNull()
+        & F.col("y").isNotNull()
+        & ~F.isnan("x")
+        & ~F.isnan("y")
+    )
+    a = base.select("g", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = base.select("g", F.col("x").alias("xb"), F.col("y").alias("yb"))
+    # broadcast one side: the input is rollup-sized by this operator's
+    # own short-series contract (the quadratic pair volume would be
+    # the problem long before the broadcast), so a shuffle join here
+    # would be pure overhead
+    pairs = (
+        a.join(F.broadcast(b), "g")
+        .filter(F.col("xa") < F.col("xb"))
+        .select(
+            "g",
+            (
+                (F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))
+            ).alias("x"),
+        )
+    )
+    med = _group_median(pairs, "g", "x", "slope")
+    n = base.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    return n.join(F.broadcast(med), "g", "left").select(
+        F.col("g").alias(group_col),
+        "n",
+        F.round("slope", 6).alias("slope"),
+    )

@@ -7807,6 +7807,107 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def _daily_volumes(spark, sf_dir):
+    """(event_type, x=epoch-day, y=count) — the shared series both
+    trend queries fit."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("ts").isNotNull()).groupBy(
+        F.col("event_type"),
+        F.unix_date(F.to_date("ts")).alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+
+
+_DUCK_DAILY = """
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         count(*) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_trend_ols(spark, sf_dir):
+    """Per-group OLS trend line (operators/checks.py) on daily event
+    volumes: slope/intercept/r² from the closed-form moment sums — ONE
+    hash aggregate over the series, map-side combined, no sort, no
+    iteration. Integer x (epoch days) and integer y keep every moment
+    sum exact in doubles, so the fit replays bit-for-bit in SQL."""
+    from lion_parcel_etl_spark.operators.checks import ols_trend
+
+    return ols_trend(
+        _daily_volumes(spark, sf_dir), "x", "y", "event_type"
+    ).orderBy("event_type")
+
+
+SQL_TREND_OLS = f"""
+WITH daily AS ({_DUCK_DAILY}),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(CAST(x AS DOUBLE)) AS sx, sum(CAST(y AS DOUBLE)) AS sy,
+         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sxx,
+         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS syy,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS sxy
+  FROM daily GROUP BY 1
+),
+fit AS (
+  SELECT event_type, n,
+         CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+              THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+         n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy,
+         n * sxy - sx * sy AS cov, sy, sx
+  FROM agg
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(slope, 6) AS slope,
+       round((sy - slope * sx) / n, 6) AS intercept,
+       round(CASE WHEN dy > 0 THEN (cov * cov) / (dx * dy)
+                  WHEN slope IS NOT NULL THEN 1.0 END, 6) AS r2
+FROM fit ORDER BY event_type
+"""
+
+
+def q_trend_theil_sen(spark, sf_dir):
+    """Per-group Theil–Sen robust slope on the same daily volumes: the
+    exact median of all pairwise slopes (the 29%-breakdown estimator —
+    OLS's mad_outliers-style robust twin). Pairwise enumeration is
+    per-group a<b self-join, O(days²) per series — the short-series
+    regime this estimator is for."""
+    from lion_parcel_etl_spark.operators.checks import theil_sen_trend
+
+    return theil_sen_trend(
+        _daily_volumes(spark, sf_dir), "x", "y", "event_type"
+    ).orderBy("event_type")
+
+
+SQL_TREND_TS = f"""
+WITH daily AS ({_DUCK_DAILY}),
+base AS (
+  SELECT event_type AS g, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+  FROM daily
+),
+pairs AS (
+  SELECT a.g, (b.y - a.y) / (b.x - a.x) AS x
+  FROM base a JOIN base b ON a.g = b.g AND a.x < b.x
+),
+r AS (
+  SELECT g, x,
+         row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM pairs
+),
+med AS (
+  SELECT g, avg(x) AS slope FROM r
+  WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+     OR rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
+  GROUP BY g
+),
+cnt AS (SELECT g, count(*) AS n FROM base GROUP BY 1)
+SELECT cnt.g AS event_type, cnt.n, round(med.slope, 6) AS slope
+FROM cnt LEFT JOIN med ON med.g = cnt.g
+ORDER BY event_type
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
@@ -7826,6 +7927,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "mad_outliers": (q_mad_outliers, SQL_MAD),
     "kaplan_meier": (q_kaplan_meier, SQL_KM),
     "attribution_linear": (q_attribution_linear, SQL_ATTRIBUTION),
+    "trend_ols": (q_trend_ols, SQL_TREND_OLS),
+    "trend_theil_sen": (q_trend_theil_sen, SQL_TREND_TS),
     "dsir_weights": (q_dsir_weights, _duck_dsir_weights()),
     "dsir_select": (q_dsir_select, _duck_dsir_select()),
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),

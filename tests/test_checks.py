@@ -272,3 +272,54 @@ def test_mad_outliers_excludes_nan(spark):
     ids = {r["i"] for r in rows}
     assert 5 not in ids  # NaN row excluded entirely
     assert not any(r["outlier"] for r in rows)
+
+
+def test_ols_trend_matches_numpy(spark):
+    import numpy as np
+
+    from lion_parcel_etl_spark.operators.checks import ols_trend
+
+    xs = list(range(20))
+    ys = [3.0 * x + 7.0 + ((-1) ** x) * 0.5 for x in xs]
+    df = spark.createDataFrame(
+        [("g", float(x), y) for x, y in zip(xs, ys)], "g string, x double, y double"
+    )
+    r = ols_trend(df, "x", "y", "g").collect()[0]
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert abs(r["slope"] - slope) < 1e-6
+    assert abs(r["intercept"] - intercept) < 1e-6
+    assert 0.99 < r["r2"] <= 1.0
+
+
+def test_ols_trend_degenerate_groups_null(spark):
+    from lion_parcel_etl_spark.operators.checks import ols_trend
+
+    df = spark.createDataFrame(
+        [("one_point", 1.0, 5.0), ("zero_var_x", 2.0, 1.0), ("zero_var_x", 2.0, 9.0)],
+        "g string, x double, y double",
+    )
+    out = {r["g"]: r for r in ols_trend(df, "x", "y", "g").collect()}
+    assert out["one_point"]["slope"] is None
+    assert out["zero_var_x"]["slope"] is None
+    # perfectly flat y: slope 0, r2 pinned to 1.0 (fit is exact)
+    flat = spark.createDataFrame(
+        [("f", float(x), 4.0) for x in range(5)], "g string, x double, y double"
+    )
+    r = ols_trend(flat, "x", "y", "g").collect()[0]
+    assert r["slope"] == 0.0 and r["r2"] == 1.0
+
+
+def test_theil_sen_ignores_outlier_ols_does_not(spark):
+    from lion_parcel_etl_spark.operators.checks import ols_trend, theil_sen_trend
+
+    xs = list(range(15))
+    ys = [2.0 * x for x in xs]
+    ys[14] = 500.0  # one wild point
+    df = spark.createDataFrame(
+        [("g", float(x), y) for x, y in zip(xs, ys)], "g string, x double, y double"
+    )
+    ts = theil_sen_trend(df, "x", "y", "g").collect()[0]
+    ols = ols_trend(df, "x", "y", "g").collect()[0]
+    assert abs(ts["slope"] - 2.0) < 0.15          # robust: barely moves
+    assert ols["slope"] > 5.0                      # OLS dragged hard
+    assert ts["n"] == 15
