@@ -9,14 +9,15 @@ projection column and can reduce a map-only query to a parquet
 row-count — the noop sink materializes every output column without
 ferrying rows to the driver.
 
-Each query runs twice: an untimed first run pays Janino/JIT compilation
-of its generated code (7+ s for the big signature folds — a per-JVM
-one-time cost that is noise at cluster scale and would swamp the
-sub-second data work at sf0.1), then a timed steady-state run against a
-cleared cache, so ``queries`` measures plan execution. The cold
-first-run seconds are still reported verbatim under ``cold`` so both
-numbers are visible. The cache is cleared between runs so every timed
-run re-reads parquet and re-materializes its own persists.
+Each query runs three times: an untimed first run pays Janino/JIT
+compilation of its generated code (7+ s for the big signature folds — a
+per-JVM one-time cost that is noise at cluster scale and would swamp
+the sub-second data work at sf0.1), then TWO timed steady-state runs
+against a cleared cache; ``queries`` records the min (GC-pause noise is
+strictly additive, so min estimates the plan's true cost) and both raw
+values appear under ``warm_runs``. The cold first-run seconds are still
+reported verbatim under ``cold``. The cache is cleared between runs so
+every timed run re-reads parquet and re-materializes its own persists.
 """
 
 from __future__ import annotations
@@ -226,24 +227,22 @@ def main() -> None:
         sb0 = _shuffle_bytes(spark)
         t0 = time.perf_counter()
         run(fn(spark, sf_dir))
-        warm = time.perf_counter() - t0
-        sb1 = _shuffle_bytes(spark)  # before any re-time: one run's delta
-        if warm > max(1.5 * cold[name], cold[name] + 1.0):
-            # A warm run slower than its own cold run is measurement
-            # interference (a stop-the-world GC pause landing mid-query
-            # late in the 150-query session), not plan cost — re-time
-            # once and keep the min so one pause can't inflate a query
-            # 5x (observed: 14.5 s recorded for a 2.5 s plan). The
-            # correction is one-sided by design (fast runs can't be
-            # GC-inflated), so BOTH raw and re-timed values are
-            # recorded under ``retimed`` for auditability.
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            run(fn(spark, sf_dir))
-            retime = time.perf_counter() - t0
-            retimes[name] = [round(warm, 3), round(retime, 3)]
-            warm = min(warm, retime)
-        timings[name] = round(warm, 3)
+        warm1 = time.perf_counter() - t0
+        sb1 = _shuffle_bytes(spark)  # first warm run's delta only
+        # Two timed warm runs for EVERY query, min taken, both raws
+        # recorded. Timing noise in a 150-query shared JVM is strictly
+        # additive (stop-the-world GC pauses land mid-query and inflate;
+        # nothing makes a run spuriously fast), so min is the standard
+        # low-variance estimator for the plan's steady-state cost —
+        # and applying it unconditionally keeps the estimator identical
+        # across queries and rounds, unlike r03's one-sided conditional
+        # re-time (see BENCH_NOTES.md for the methodology change).
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        run(fn(spark, sf_dir))
+        warm2 = time.perf_counter() - t0
+        retimes[name] = [round(warm1, 3), round(warm2, 3)]
+        timings[name] = round(min(warm1, warm2), 3)
         if sb0 >= 0 and sb1 >= sb0:
             # sb1 < sb0 means the stage buffer evicted mid-query and the
             # delta is meaningless — omit rather than record garbage.
@@ -257,7 +256,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "cold": cold,
-        "retimed": retimes,
+        "warm_runs": retimes,
         "shuffle_write_bytes": shuffle,
         "cold_total": round(sum(cold.values()), 3),
         "sf": sf,

@@ -537,6 +537,7 @@ def theil_sen_trend(
     x_col: str,
     y_col: str,
     group_col: str,
+    max_rows: int = 1_000_000,
 ) -> DataFrame:
     """(group, n, slope) — per-group Theil–Sen robust slope: the exact
     median of all pairwise slopes (the estimator a 29%-outlier
@@ -546,17 +547,40 @@ def theil_sen_trend(
     rollups, sensor summaries); it pairs with :func:`ols_trend` the
     way mad_outliers pairs with mean/stddev z-scores. The median uses
     the deterministic middle-elements spelling, so the whole estimate
-    replays in SQL."""
-    base = df.select(
-        F.col(group_col).alias("g"),
-        F.col(x_col).cast("double").alias("x"),
-        F.col(y_col).cast("double").alias("y"),
-    ).filter(
-        F.col("x").isNotNull()
-        & F.col("y").isNotNull()
-        & ~F.isnan("x")
-        & ~F.isnan("y")
+    replays in SQL.
+
+    The short-series contract is ENFORCED, not just documented: the
+    cleaned input is pinned and counted, and more than ``max_rows``
+    rows raises a contract error up front — the same
+    loud-failure-over-silent-hazard judgment as the
+    connected-components convergence guard. Past that size the
+    quadratic pair volume (and the one-sided broadcast the pair join
+    relies on) are both wrong tools; :func:`ols_trend` is the
+    closed-form single-aggregate scale path."""
+    from lion_parcel_etl_spark.operators.dedup import pin
+
+    base = pin(
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(x_col).cast("double").alias("x"),
+            F.col(y_col).cast("double").alias("y"),
+        ).filter(
+            F.col("x").isNotNull()
+            & F.col("y").isNotNull()
+            & ~F.isnan("x")
+            & ~F.isnan("y")
+        )
     )
+    n_rows = base.count()  # cached by pin — no extra scan
+    if n_rows > max_rows:
+        raise ValueError(
+            f"theil_sen_trend: input has {n_rows} rows after cleaning, over "
+            f"the short-series contract's max_rows={max_rows}. The exact "
+            "pairwise-median estimator is O(rows²/group) and broadcasts "
+            "one full side of the pair join; at this size use ols_trend "
+            "(closed-form, one hash aggregate) or pre-aggregate each series "
+            "before fitting."
+        )
     a = base.select("g", F.col("x").alias("xa"), F.col("y").alias("ya"))
     b = base.select("g", F.col("x").alias("xb"), F.col("y").alias("yb"))
     # broadcast one side: the input is rollup-sized by this operator's

@@ -14,11 +14,19 @@ the two classic JOIN-shaped graph workloads:
   everyone carries no similarity signal anyway). With the cap, the
   exchange is bounded by Σ_k min(deg k, cap)² over keys.
 - **Triangle counting** (`triangle_counts`): the canonical two-join
-  enumeration over ID-oriented edges (a<b<c), per-node counts and
-  local clustering coefficients. Each triangle is produced exactly
-  once; output and intermediate wedge volume are properties of the
-  graph, not the corpus — on skewed degree distributions, orient by
-  degree instead of ID before enumerating (noted inline).
+  wedge enumeration over DEGREE-ORIENTED edges (the "forward"
+  algorithm): each undirected edge points from its lower-(degree, id)
+  endpoint to the higher, wedges form only between a node's
+  out-neighbors, and the closure join checks the oriented (v, w)
+  edge. Every out-degree is bounded by O(√m) amortized (arboricity),
+  so wedge volume is O(m^1.5) on ANY degree distribution — a
+  million-leaf star anchors ZERO wedges, where ID orientation could
+  anchor 10¹¹ at the hub (asserted in tests/test_graph.py). Each
+  triangle {a,b,c} has exactly one rank-minimal corner, so it is
+  produced exactly once and the triangle MULTISET is identical to ID
+  orientation — which is why the DuckDB oracle deliberately keeps the
+  independent a<b<c ID enumeration: two different join orders
+  agreeing is stronger evidence than one replayed twice.
 
 Everything is pure DataFrame algebra — no driver-side graph state —
 and deterministic, so the DuckDB oracles replay both operators
@@ -99,51 +107,94 @@ def cooccurrence_edges(
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
-    """(node, degree, triangles, clustering_coeff) from an oriented
-    edge table (node_a < node_b, unique pairs).
+def _degree_oriented(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """(src, dst, ddst) oriented edges: each undirected (node_a,
+    node_b) edge points from its lower-(degree, id) endpoint to the
+    higher. The destination's rank components ride along as ``ddst``
+    (+ ``dst`` itself) so the wedge join can order a node's
+    out-neighbors without another degree lookup."""
+    da = deg.select(F.col("node").alias("node_a"), F.col("d").alias("__da"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("d").alias("__db"))
+    ed = e.join(da, "node_a").join(db, "node_b")
+    a_first = F.struct(F.col("__da"), F.col("node_a")) < F.struct(
+        F.col("__db"), F.col("node_b")
+    )
+    return ed.select(
+        F.when(a_first, F.col("node_a")).otherwise(F.col("node_b")).alias("src"),
+        F.when(a_first, F.col("node_b")).otherwise(F.col("node_a")).alias("dst"),
+        F.when(a_first, F.col("__db")).otherwise(F.col("__da")).alias("ddst"),
+    )
 
-    Two equi-joins: wedges a→b→c then closure against (a, c); each
-    triangle a<b<c is enumerated once. Per-node participation comes
-    from exploding the triangle's three corners — output rows ∝
-    3·#triangles. Local clustering coefficient =
-    2·tri(v) / (deg(v)·(deg(v)−1)) over nodes with degree ≥ 2 (a
-    near-dup clique scores 1.0). ID orientation keeps the oracle
-    replay trivial; for power-law graphs orient by (degree, id) so
-    high-degree vertices never anchor wedges. Callers iterating over
-    the result should pin ``edges`` — it is scanned three times."""
-    e = edges.select("node_a", "node_b")
-    wedge = e.join(
-        e.select(
-            F.col("node_a").alias("node_b"), F.col("node_b").alias("node_c")
-        ),
-        "node_b",
+
+def _oriented_wedges(oe: DataFrame) -> DataFrame:
+    """(u, v, w) wedges between each node's out-neighbors, ordered by
+    the same (degree, id) rank the orientation used — rank(v) <
+    rank(w), so the (v, w) closure edge (if it exists) is guaranteed
+    to be oriented v→w. Wedge volume is Σ_u outdeg(u)², bounded by
+    arboricity under degree orientation."""
+    x = oe.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.col("ddst").alias("dv")
     )
-    # the closure join must match BOTH endpoints; express it as a
-    # composite equi-join so it plans as a hash join, never a BNLJ
-    tri = (
-        wedge.alias("w")
-        .join(
-            e.select(
-                F.col("node_a").alias("ca"), F.col("node_b").alias("cc")
-            ).alias("c"),
-            (F.col("w.node_a") == F.col("c.ca"))
-            & (F.col("w.node_c") == F.col("c.cc")),
-        )
-        .select("node_a", "node_b", "node_c")
+    y = oe.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"), F.col("ddst").alias("dw")
     )
-    corners = (
-        tri.select(F.col("node_a").alias("node"))
-        .unionAll(tri.select(F.col("node_b").alias("node")))
-        .unionAll(tri.select(F.col("node_c").alias("node")))
+    return (
+        x.join(y, "u")
+        .filter(F.struct(F.col("dv"), F.col("v")) < F.struct(F.col("dw"), F.col("w")))
+        .select("u", "v", "w")
     )
-    tn = corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
-    deg = (
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(node, degree, triangles, clustering_coeff) from an undirected
+    unique-pair edge table (node_a < node_b).
+
+    Degree-oriented "forward" enumeration: orient every edge from its
+    lower-(degree, id) endpoint to the higher (:func:`_degree_oriented`
+    — the orientation is acyclic because (degree, id) is a total
+    order), build wedges between each node's out-neighbors
+    (:func:`_oriented_wedges`), then close each wedge with a composite
+    equi-join on the oriented (v, w) edge — a hash join, never a BNLJ.
+    Each triangle has exactly one rank-minimal corner, so it is
+    produced exactly once, and the triangle multiset equals the
+    ID-oriented (a<b<c) enumeration's — the DuckDB oracle keeps that
+    independent order on purpose. Out-degrees are bounded by O(√m)
+    amortized, so wedge volume is O(m^1.5) regardless of skew: a star
+    hub has out-degree 0 and anchors nothing (tests/test_graph.py
+    asserts the wedge-count collapse vs ID orientation).
+
+    Per-node participation comes from exploding the triangle's three
+    corners — output rows ∝ 3·#triangles. Local clustering coefficient
+    = 2·tri(v) / (deg(v)·(deg(v)−1)) over nodes with degree ≥ 2 (a
+    near-dup clique scores 1.0). The edge table feeds the degree
+    aggregate, both wedge sides and the closure join, so it is pinned
+    here rather than re-scanned four times."""
+    from lion_parcel_etl_spark.operators.dedup import pin
+
+    e = pin(edges.select("node_a", "node_b"))
+    deg = pin(
         e.select(F.col("node_a").alias("node"))
         .unionAll(e.select(F.col("node_b").alias("node")))
         .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
+        .agg(F.count(F.lit(1)).alias("d"))
     )
+    oe = pin(_degree_oriented(e, deg))
+    tri = (
+        _oriented_wedges(oe)
+        .alias("wg")
+        .join(
+            oe.select(F.col("src").alias("cv"), F.col("dst").alias("cw")).alias("c"),
+            (F.col("wg.v") == F.col("c.cv")) & (F.col("wg.w") == F.col("c.cw")),
+        )
+        .select("u", "v", "w")
+    )
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+    )
+    tn = corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+    deg = deg.select("node", F.col("d").alias("degree"))
     return (
         deg.filter(F.col("degree") >= 2)
         .join(tn, "node", "left")

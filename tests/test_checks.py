@@ -323,3 +323,28 @@ def test_theil_sen_ignores_outlier_ols_does_not(spark):
     assert abs(ts["slope"] - 2.0) < 0.15          # robust: barely moves
     assert ols["slope"] > 5.0                      # OLS dragged hard
     assert ts["n"] == 15
+
+
+def test_theil_sen_short_series_contract_enforced(spark):
+    """Over-max_rows input raises a clear contract error naming the
+    ols_trend scale path instead of risking a broadcast OOM; rows
+    dropped by the NaN/NULL cleaning don't count against the limit."""
+    import pytest
+
+    from lion_parcel_etl_spark.operators.checks import theil_sen_trend
+
+    df = spark.createDataFrame(
+        [("g", float(x), 2.0 * x) for x in range(30)],
+        "g string, x double, y double",
+    )
+    with pytest.raises(ValueError, match="ols_trend"):
+        theil_sen_trend(df, "x", "y", "g", max_rows=10)
+    # cleaning runs BEFORE the gate: 25 null-y rows leave 5 clean ones
+    dirty = df.limit(5).union(
+        spark.createDataFrame(
+            [("g", float(x), None) for x in range(25)],
+            "g string, x double, y double",
+        )
+    )
+    out = theil_sen_trend(dirty, "x", "y", "g", max_rows=10).collect()
+    assert out[0]["n"] == 5

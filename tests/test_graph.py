@@ -39,6 +39,51 @@ def test_triangle_counts_square_has_none(spark):
     assert all(r["triangles"] == 0 and r["clustering_coeff"] == 0.0 for r in rows)
 
 
+def test_degree_orientation_collapses_star_wedges(spark):
+    """Skew case from SCALE.md: star + clique. The star hub (highest
+    degree) gets out-degree 0 under (degree, id) orientation, so it
+    anchors ZERO wedges — ID orientation (hub id below every leaf id)
+    would anchor C(n_leaves + 4, 2) at the hub. The attached clique's
+    triangles still come out exactly."""
+    from lion_parcel_etl_spark.operators.graph import (
+        _degree_oriented,
+        _oriented_wedges,
+    )
+
+    n_leaves = 40
+    hub = 0  # smallest id: adversarial for ID orientation
+    star = [(hub, leaf) for leaf in range(100, 100 + n_leaves)]
+    clique = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    edges = _edges(spark, star + clique + [(hub, 1)])
+
+    e = edges.select("node_a", "node_b")
+    deg = (
+        e.select(F.col("node_a").alias("node"))
+        .unionAll(e.select(F.col("node_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    oriented = _degree_oriented(e, deg)
+    # the hub (degree 41, max) is never a wedge anchor
+    out_deg = {
+        r["src"]: r["n"]
+        for r in oriented.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert hub not in out_deg
+    wedges = _oriented_wedges(oriented).count()
+    # ID orientation would anchor C(41, 2) = 820 wedges at the hub
+    # alone; degree orientation's total is bounded by the clique
+    id_oriented_hub_wedges = (n_leaves + 1) * n_leaves // 2
+    assert wedges < 25 < id_oriented_hub_wedges
+    # triangles still exact: K5 → C(4,2)=6 per clique node, cc=1.0;
+    # the hub (degree ≥ 2 via leaves + clique node 1) sits on none
+    tri = {r["node"]: r for r in triangle_counts(edges).collect()}
+    for n in range(1, 6):
+        assert tri[n]["triangles"] == 6
+    assert tri[1]["clustering_coeff"] < 1.0  # hub edge dilutes node 1
+    assert tri[hub]["triangles"] == 0
+
+
 @pytest.fixture()
 def bipartite(spark):
     # users 1,2 share keys {10,11,12} fully (J=1); user 3 shares one
