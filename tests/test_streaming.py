@@ -1041,3 +1041,210 @@ def test_stream_cusum_merged_equals_batch_statistic(spark, tmp_path):
     assert got[("click", "2024-01-08")][0] == 10.0
     # the injected level shift alarms
     assert any(k[0] == "click" and v[2] for k, v in got.items())
+
+
+# ---------------------------------------------------------------------------
+# Crash-recovery chaos tests for the continuously-maintained state
+# tables (KMV sketches, PSI histograms, daily-volume CUSUM counts) —
+# the streaming mirror of test_maintenance.py's swap-window chaos.
+# Two windows per job: a crash BEFORE the batch append (state table
+# untouched; restart replays the batch) and a crash AFTER the append
+# but BEFORE the checkpoint commit (the batch landed; restart replays
+# the SAME batch_id, which overwrites its own __batch_id partition —
+# the exactly-once-by-layout contract under an actual mid-stream
+# failure, not just a manual re-append).
+# ---------------------------------------------------------------------------
+
+
+def _crash_append(monkeypatch, window: str):
+    """Patch Warehouse.append_batch to raise on every call while armed:
+    either before any write ('before-append') or after the real append
+    completes ('after-append' — simulating a crash in the gap before
+    the streaming checkpoint commits the batch). Disarm via
+    d['armed']=False for the recovery rerun."""
+    from lion_parcel_etl_spark.catalog import Warehouse
+
+    real = Warehouse.append_batch
+    state = {"armed": True}
+
+    def chaotic(self, df, name, batch_id):
+        if state["armed"]:
+            if window == "before-append":
+                raise RuntimeError("injected crash before append")
+            real(self, df, name, batch_id)
+            raise RuntimeError("injected crash after append, before commit")
+        return real(self, df, name, batch_id)
+
+    monkeypatch.setattr(Warehouse, "append_batch", chaotic)
+    return state
+
+
+def _batch_dirs(wh, table):
+    import os
+
+    root = wh.table_path(table)
+    if not os.path.isdir(root):
+        return []
+    return sorted(d for d in os.listdir(root) if d.startswith("__batch_id="))
+
+
+@pytest.mark.parametrize("window", ["before-append", "after-append"])
+def test_stream_kmv_crash_recovers_on_restart(spark, tmp_path, monkeypatch, window):
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.sketches import kmv_sketch
+    from lion_parcel_etl_spark.streaming.jobs import read_kmv, stream_kmv_sketch
+
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    k = 32
+    b1 = [("g1", str(i)) for i in range(400)] + [("g2", str(i)) for i in range(40)]
+    b2 = [("g1", str(i)) for i in range(200, 700)] + [("g2", str(i)) for i in range(20, 60)]
+
+    def run():
+        stream = spark.readStream.schema("g string, v string").parquet(landing)
+        stream_kmv_sketch(stream, wh, "kmv", "v", ["g"], ckpt, k=k)
+
+    spark.createDataFrame(b1, "g string, v string").coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    run()
+    after_b1 = {r["g"]: r["kmv"] for r in read_kmv(spark, wh, "kmv", ["g"], k=k).collect()}
+
+    spark.createDataFrame(b2, "g string, v string").coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    state = _crash_append(monkeypatch, window)
+    with pytest.raises(Exception, match="injected crash"):
+        run()
+
+    # crashed state: log readable; before-append left it at batch-1 only
+    if window == "before-append":
+        got = {r["g"]: r["kmv"] for r in read_kmv(spark, wh, "kmv", ["g"], k=k).collect()}
+        assert got == after_b1
+        assert len(_batch_dirs(wh, "kmv")) == 1
+
+    # recovery: restart with the SAME checkpoint replays the batch
+    state["armed"] = False
+    run()
+    merged = {r["g"]: r["kmv"] for r in read_kmv(spark, wh, "kmv", ["g"], k=k).collect()}
+    full = {
+        r["g"]: r["kmv"]
+        for r in kmv_sketch(
+            spark.createDataFrame(b1 + b2, "g string, v string"), "v", ["g"], k=k
+        ).collect()
+    }
+    assert merged == full
+    # exactly one partition per batch — the replay overwrote, not duplicated
+    assert len(_batch_dirs(wh, "kmv")) == 2
+    # idle restart (no new files): nothing changes
+    run()
+    assert len(_batch_dirs(wh, "kmv")) == 2
+    again = {r["g"]: r["kmv"] for r in read_kmv(spark, wh, "kmv", ["g"], k=k).collect()}
+    assert again == full
+
+
+@pytest.mark.parametrize("window", ["before-append", "after-append"])
+def test_stream_psi_crash_recovers_on_restart(spark, tmp_path, monkeypatch, window):
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.checks import psi_drift
+    from lion_parcel_etl_spark.streaming.jobs import read_psi, stream_psi_histograms
+
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    b1 = [("a", float(v % 100)) for v in range(300)] + [
+        ("b", 900.0 + v % 50) for v in range(100)
+    ]
+    b2 = [("a", float(v % 120)) for v in range(200)] + [
+        ("b", 850.0 + v % 80) for v in range(150)
+    ]
+
+    def run():
+        stream = spark.readStream.schema("g string, v double").parquet(landing)
+        stream_psi_histograms(stream, wh, "psi", "v", "g", 0.0, 1000.0, ckpt)
+
+    spark.createDataFrame(b1, "g string, v double").coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    run()
+    spark.createDataFrame(b2, "g string, v double").coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    state = _crash_append(monkeypatch, window)
+    with pytest.raises(Exception, match="injected crash"):
+        run()
+    state["armed"] = False
+    run()
+
+    got = {
+        r["g"]: (r["psi"], r["drift"])
+        for r in read_psi(spark, wh, "psi", "g").collect()
+    }
+    want = {
+        r["g"]: (r["psi"], r["drift"])
+        for r in psi_drift(
+            spark.createDataFrame(b1 + b2, "g string, v double"), "v", "g", 0.0, 1000.0
+        ).collect()
+    }
+    assert got == want
+    assert len(_batch_dirs(wh, "psi")) == 2
+
+
+@pytest.mark.parametrize("window", ["before-append", "after-append"])
+def test_stream_cusum_crash_recovers_on_restart(spark, tmp_path, monkeypatch, window):
+    from datetime import datetime
+
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.checks import cusum_changepoints
+    from lion_parcel_etl_spark.streaming.jobs import read_cusum, stream_daily_counts
+
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def rows(day_counts, typ):
+        out = []
+        for day, n in day_counts.items():
+            out += [(typ, datetime(2024, 1, day, 12, 0))] * n
+        return out
+
+    b1 = rows({d: 10 for d in range(1, 8)}, "click") + rows({8: 4}, "click")
+    b2 = rows({8: 6, 9: 10, 10: 10, 11: 35, 12: 35}, "click")
+
+    def run():
+        stream = spark.readStream.schema(
+            "event_type string, ts timestamp"
+        ).parquet(landing)
+        stream_daily_counts(stream, wh, "vol", "ts", "event_type", ckpt)
+
+    spark.createDataFrame(b1, "event_type string, ts timestamp").coalesce(
+        1
+    ).write.mode("append").parquet(landing)
+    run()
+    spark.createDataFrame(b2, "event_type string, ts timestamp").coalesce(
+        1
+    ).write.mode("append").parquet(landing)
+    state = _crash_append(monkeypatch, window)
+    with pytest.raises(Exception, match="injected crash"):
+        run()
+    state["armed"] = False
+    run()
+
+    got = {
+        (r["event_type"], r["day"]): (r["n_events"], r["alarm"])
+        for r in read_cusum(spark, wh, "vol", h_sigmas=2.0).collect()
+    }
+    full = spark.createDataFrame(b1 + b2, "event_type string, ts timestamp")
+    daily = full.groupBy(
+        F.col("event_type").alias("g"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    want = {
+        (r["g"], r["day"]): (r["x"], r["alarm"])
+        for r in cusum_changepoints(daily, "x", "day", "g", h_sigmas=2.0).collect()
+    }
+    assert got == want
+    # the split day's counts merged exactly once across the crash: 4+6
+    assert got[("click", "2024-01-08")][0] == 10.0
+    assert len(_batch_dirs(wh, "vol")) == 2
