@@ -28,8 +28,14 @@ deterministic, so even the ESTIMATES replay), graph analytics
 ``bootstrap_ci`` (deterministic Poisson bootstrap),
 ``golden_record`` (entity-resolution survivorship),
 ``resample_interpolate``, ``kaplan_meier`` and
-``attribution_linear``. These lead the registry iteration order so a
-sampled scoreboard covers the never-before-checked entries first.
+``attribution_linear``. Round 4 added an evaluation/retrieval layer,
+likewise fully oracle-checked: ``classifier_auc`` (Mann-Whitney
+mid-rank ROC-AUC + thresholded metrics over the replayed classifier
+fit), ``calibration_bins``, ``hybrid_rrf`` (reciprocal-rank fusion of
+BM25 and hashed-embedding cosine rankings), ``zipf_fit`` and
+``cluster_quality``. The registry iteration order leads with entries
+that have never appeared in a driver sample (plus stale-fail and
+brand-new ones) so a sampled scoreboard covers them first.
 
 Every query builder is wrapped so it runs correctly on ANY
 SparkSession the caller provides, not just the repo's own

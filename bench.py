@@ -161,6 +161,13 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "semantic_dedup",
     "embedding_lsh_incremental",
+    # round-4 evaluation/retrieval layer (calibration_bins shares the
+    # classifier fit classifier_auc already times, so it is left to
+    # the correctness gate)
+    "classifier_auc",
+    "hybrid_rrf",
+    "zipf_fit",
+    "cluster_quality",
 ]
 
 

@@ -1026,6 +1026,121 @@ def ivf_topk_seeded(
     )
 
 
+def seeded_assignment(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, code, ev, nv) — deterministic coarse clustering of an
+    embedding corpus: the ``n_centroids`` lowest-id vectors are the
+    seeds (the ivf_topk_seeded convention) and every vector joins its
+    cosine-nearest seed, argmax tie-broken toward the lower seed id on
+    round(cosine, 6) so the assignment replays in SQL. The member's
+    own vector and staged norm ride along for downstream pair tests /
+    centroid math. Assignment is a broadcast cross join folded into an
+    argmax aggregate — the corpus never shuffles by vector. Shared by
+    :func:`semantic_dedup` (SemDeDup keep rule) and
+    :func:`cluster_quality` (cohesion/separation diagnostics).
+
+    Norms are staged once per VECTOR (cosine_prenormed): the fold
+    expressions are CodegenFallback with no CSE, so inline cosine
+    would re-run both norm folds per (vector, seed) in assignment and
+    per PAIR in any quadratic consumer — 3x the fold count where it
+    hurts most (measured 1.7x end-to-end at sf0.1)."""
+    seeds = corpus.orderBy(id_col).limit(n_centroids).select(
+        F.col(id_col).alias("code"),
+        F.col(vec_col).alias("sv"),
+        norm(F.col(vec_col)).alias("ns"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("ev"),
+        norm(F.col(vec_col)).alias("nv"),
+    )
+    sim_cs = F.round(
+        cosine_prenormed(F.col("ev"), F.col("sv"), F.col("nv"), F.col("ns")), 6
+    )
+    asg = (
+        c.join(F.broadcast(seeds), how="cross")
+        .select(
+            "cid",
+            F.struct(sim_cs.alias("s"), (-F.col("code")).alias("nc")).alias("sc"),
+        )
+        .groupBy("cid")
+        .agg(F.max("sc").alias("m"))
+        .select("cid", (-F.col("m.nc")).cast("long").alias("code"))
+    )
+    return asg.join(c, "cid")
+
+
+def cluster_quality(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cluster_id, n, cohesion, nearest_other_sim) — per-cluster
+    quality diagnostics over the :func:`seeded_assignment` clustering:
+    ``cohesion`` is the mean cosine of members to their own cluster
+    centroid (per-dim mean, components rounded at 1e-6 so both
+    engines compare against the identical centroid), and
+    ``nearest_other_sim`` is the max cosine between this centroid and
+    any OTHER centroid — the simplified silhouette pair: tight
+    clusters score high cohesion, well-separated ones low
+    nearest-other similarity, and a cluster whose nearest-other
+    exceeds its cohesion is a merge candidate.
+
+    Scale shape: centroids come from a posexplode + (code, dim)
+    aggregate — map-side partial aggregation collapses each task to
+    ≤ clusters×dims rows before the exchange, the distributed-k-means
+    update step. The centroid table (clusters×dims values) is the
+    only small object; it broadcasts into the cohesion join and
+    self-joins for the clusters² separation matrix — both trivial at
+    any corpus size because clusters ≪ corpus."""
+    from lion_parcel_etl_spark.operators.dedup import pin
+
+    withv = pin(seeded_assignment(corpus, n_centroids, id_col, vec_col))
+    cells = withv.select("code", F.posexplode("ev").alias("pos", "v"))
+    cent_long = cells.groupBy("code", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("c")
+    )
+    cent = cent_long.groupBy("code").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "c")))
+        .getField("c")
+        .alias("cv")
+    )
+    member_sim = F.round(
+        cosine(F.col("ev"), F.col("cv")), 6
+    )
+    coh = (
+        withv.join(F.broadcast(cent), "code")
+        .groupBy("code")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(member_sim), 6).alias("cohesion"),
+        )
+    )
+    other = cent.select(
+        F.col("code").alias("code_b"), F.col("cv").alias("cv_b")
+    )
+    sep = (
+        cent.join(F.broadcast(other), F.col("code") != F.col("code_b"))
+        .groupBy("code")
+        .agg(
+            F.round(
+                F.max(F.round(cosine(F.col("cv"), F.col("cv_b")), 6)), 6
+            ).alias("nearest_other_sim")
+        )
+    )
+    return coh.join(F.broadcast(sep), "code", "left").select(
+        F.col("code").alias("cluster_id"),
+        "n",
+        "cohesion",
+        "nearest_other_sim",
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float,
@@ -1056,35 +1171,7 @@ def semantic_dedup(
     vectors); a skew-degenerate giant cluster calls for re-seeding or
     a within-cluster LSH pre-filter, the same escalation path as
     embedding_near_dup_lsh."""
-    # norms staged once per VECTOR (cosine_prenormed): the fold
-    # expressions are CodegenFallback with no CSE, so inline cosine
-    # would re-run both norm folds per (vector, seed) in assignment
-    # and per PAIR in the quadratic stage — 3x the fold count where
-    # it hurts most (measured 1.7x end-to-end at sf0.1)
-    seeds = corpus.orderBy(id_col).limit(n_centroids).select(
-        F.col(id_col).alias("code"),
-        F.col(vec_col).alias("sv"),
-        norm(F.col(vec_col)).alias("ns"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("cid"),
-        F.col(vec_col).alias("ev"),
-        norm(F.col(vec_col)).alias("nv"),
-    )
-    sim_cs = F.round(
-        cosine_prenormed(F.col("ev"), F.col("sv"), F.col("nv"), F.col("ns")), 6
-    )
-    asg = (
-        c.join(F.broadcast(seeds), how="cross")
-        .select(
-            "cid",
-            F.struct(sim_cs.alias("s"), (-F.col("code")).alias("nc")).alias("sc"),
-        )
-        .groupBy("cid")
-        .agg(F.max("sc").alias("m"))
-        .select("cid", (-F.col("m.nc")).cast("long").alias("code"))
-    )
-    withv = asg.join(c, "cid")
+    withv = seeded_assignment(corpus, n_centroids, id_col, vec_col)
     right = withv.select(
         F.col("cid").alias("cid_b"),
         F.col("code").alias("code_b"),

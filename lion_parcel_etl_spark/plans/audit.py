@@ -51,7 +51,15 @@ from pyspark.sql import DataFrame
 # column_profile pattern); kmv_overlap's pairwise
 # group_a < group_b join runs over the G-row SKETCH table (k-length
 # arrays, one row per source) — the all-pairs stage is the operator's
-# entire point and never touches corpus-sized data.
+# entire point and never touches corpus-sized data; classifier_auc
+# crosses its ONE-ROW rank-sum aggregate with its ONE-ROW confusion
+# aggregate (the column_profile pattern); cluster_quality contains
+# seeded_assignment's broadcast 16-row seed crossJoin (the
+# semantic_dedup entry, shared code) plus the clusters²
+# centroid-pair join over the ≤clusters-row centroid table;
+# hybrid_rrf contains the bm25_rank chain verbatim (its broadcast
+# ONE-ROW corpus-stats crossJoin — the fusion itself is a hash
+# aggregate, not a join).
 BNLJ_ALLOWED = frozenset(
     {
         "cosine_topk",
@@ -77,6 +85,9 @@ BNLJ_ALLOWED = frozenset(
         "kmv_overlap",
         "psi_drift",
         "bootstrap_ci",
+        "classifier_auc",
+        "cluster_quality",
+        "hybrid_rrf",
     }
 )
 

@@ -1822,7 +1822,12 @@ def q_bm25_rank(spark, sf_dir):
 
 _BM25_IN = ", ".join(f"'{t}'" for t in sorted(BM25_TERMS))
 
-SQL_BM25 = f"""
+
+def _duck_bm25_ranked(top_n: int) -> str:
+    """The BM25 ranking chain with a parameterized cut — SQL_BM25 is
+    the top-20 instance; hybrid_rrf reuses the identical chain at its
+    candidate-pool depth."""
+    return f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
   FROM documents
@@ -1850,8 +1855,11 @@ ranked AS (
          CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk
   FROM scores
 )
-SELECT doc_id, score, rnk FROM ranked WHERE rnk <= 20
+SELECT doc_id, score, rnk FROM ranked WHERE rnk <= {top_n}
 """
+
+
+SQL_BM25 = _duck_bm25_ranked(20)
 
 
 def q_pii_redact(spark, sf_dir):
@@ -6842,6 +6850,14 @@ def q_quality_classifier(spark, sf_dir):
     reaches the driver. The DuckDB oracle replays the ENTIRE fit —
     preconditioner, every unrolled step, the scoring — not just the
     final model."""
+    return _qc_scored(spark, sf_dir).orderBy("doc_id")
+
+
+def _qc_scored(spark, sf_dir):
+    """Fit + score the quality classifier (the q_quality_classifier
+    pipeline without the final ordering) — shared by the classifier
+    query and its evaluation queries (classifier_auc,
+    calibration_bins) so all three replay the identical fit."""
     from lion_parcel_etl_spark.operators.classifier import (
         doc_features,
         logreg_fit,
@@ -6852,7 +6868,7 @@ def q_quality_classifier(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     feats = pin(doc_features(docs, QC_RULE_SPARK()))
     w = logreg_fit(feats, steps=QC_STEPS, lr=QC_LR)
-    return logreg_score(feats, w).orderBy("doc_id")
+    return logreg_score(feats, w)
 
 
 def _duck_quality_classifier() -> str:
@@ -7908,6 +7924,311 @@ ORDER BY event_type
 """
 
 
+def q_classifier_auc(spark, sf_dir):
+    """Threshold-free evaluation of the learned quality classifier
+    (operators/evaluation.py roc_auc): Mann-Whitney rank-sum ROC-AUC
+    with mid-rank ties over the scored corpus, plus thresholded
+    accuracy/precision/recall/f1 — the one-row model report card. The
+    corpus collapses to per-distinct-score counts BEFORE the only
+    window (bounded by the 1e-6 score granularity, never corpus
+    rows); all pre-division arithmetic is integers-and-halves, so the
+    whole statistic — fit, scores, AUC — replays in the oracle."""
+    from lion_parcel_etl_spark.operators.evaluation import roc_auc
+
+    return roc_auc(_qc_scored(spark, sf_dir))
+
+
+def _duck_classifier_auc() -> str:
+    return f"""
+WITH scored AS MATERIALIZED ({_duck_quality_classifier()}),
+per AS (
+  SELECT p AS s, sum(y) AS np_, sum(1 - y) AS nn_ FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT np_, nn_,
+         CAST(COALESCE(sum(nn_) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) AS cum_nn
+  FROM per
+),
+agg AS (
+  SELECT CAST(sum(np_) AS BIGINT) AS n_pos, CAST(sum(nn_) AS BIGINT) AS n_neg,
+         sum(np_ * (cum_nn + nn_ / 2.0)) AS u
+  FROM cum
+),
+conf AS (
+  SELECT CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS tp,
+         CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS fp,
+         CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS fn,
+         CAST(sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS tn
+  FROM scored
+)
+SELECT n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN round(u / (n_pos * n_neg), 6) END AS auc,
+       round((tp + tn) / (tp + tn + fp + fn), 6) AS accuracy,
+       round(CASE WHEN tp + fp > 0 THEN tp / (tp + fp) END, 6) AS prec,
+       round(CASE WHEN tp + fn > 0 THEN tp / (tp + fn) END, 6) AS recall,
+       round(CASE WHEN (CASE WHEN tp + fp > 0 THEN tp / (tp + fp) END)
+                     + (CASE WHEN tp + fn > 0 THEN tp / (tp + fn) END) > 0
+             THEN 2.0 * (tp / (tp + fp)) * (tp / (tp + fn))
+                  / (tp / (tp + fp) + tp / (tp + fn)) END, 6) AS f1
+FROM agg CROSS JOIN conf
+"""
+
+
+CALIB_BINS = 10
+
+
+def q_calibration_bins(spark, sf_dir):
+    """Reliability-diagram data for the quality classifier
+    (operators/evaluation.py calibration_bins): per score-decile
+    confidence vs empirical positive rate and their gap — weight by
+    n/N and sum for ECE. ONE hash aggregate over the scored corpus;
+    bins are the only exchange."""
+    from lion_parcel_etl_spark.operators.evaluation import calibration_bins
+
+    return calibration_bins(_qc_scored(spark, sf_dir), n_bins=CALIB_BINS)
+
+
+def _duck_calibration_bins() -> str:
+    return f"""
+WITH scored AS MATERIALIZED ({_duck_quality_classifier()})
+SELECT CAST(least(CAST(floor(p * {CALIB_BINS}) AS BIGINT), {CALIB_BINS - 1}) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(p), 6) AS mean_p,
+       round(avg(CAST(y AS DOUBLE)), 6) AS frac_pos,
+       round(abs(avg(p) - avg(CAST(y AS DOUBLE))), 6) AS gap
+FROM scored
+WHERE p IS NOT NULL AND y IS NOT NULL
+GROUP BY 1
+"""
+
+
+RRF_POOL = 50
+RRF_K0 = 60
+RRF_TOPN = 20
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (operators/
+    evaluation.py rrf_fuse; Cormack et al. 2009): the fixed query's
+    BM25 lexical top-{RRF_POOL} fused with a dense top-{RRF_POOL} —
+    cosine of each document's feature-hashed embedding against the
+    QUERY's own hashed embedding (the same featurizer applied to the
+    query string, so lexical and dense views share one vocabulary
+    model) — by rrf = Σ 1/({RRF_K0}+rank), top-{RRF_TOPN}.
+
+    Scale shape: BM25 prunes to query-term rows before any shuffle;
+    the dense side is the zero-extra-shuffle hashed_embedding cells
+    joined to a BROADCAST {TX.HASHED_EMB_DIMS}-row query vector and
+    collapsed by one map-side-combined per-doc aggregate; both
+    top-{RRF_POOL} cuts are TakeOrderedAndProject, and every window
+    (dense rank, fused rank) runs over ≤{RRF_POOL} survivor rows."""
+    from lion_parcel_etl_spark.operators.evaluation import rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    lex = TX.bm25_rank(
+        docs, BM25_TERMS, "doc_id", "text", k1=BM25_K1, b=BM25_B, top_n=RRF_POOL
+    )
+    qdoc = spark.createDataFrame(
+        [("q", " ".join(BM25_TERMS))], "doc_id string, text string"
+    )
+    qcells = TX.hashed_embedding(qdoc).select(
+        "dim", F.col("value").alias("qv")
+    )
+    dots = (
+        TX.hashed_embedding(docs)
+        .join(F.broadcast(qcells), "dim")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("value") * F.col("qv")), 6).alias("dot"))
+    )
+    dtop = dots.orderBy(F.col("dot").desc(), F.col("doc_id").asc()).limit(
+        RRF_POOL
+    )
+    dense = dtop.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("dot").desc(), F.col("doc_id").asc()))
+        .cast("long")
+        .alias("rnk"),
+    )
+    return rrf_fuse(lex, dense, "doc_id", "rnk", k0=RRF_K0, top_n=RRF_TOPN)
+
+
+def _duck_hybrid_rrf() -> str:
+    dims = TX.HASHED_EMB_DIMS
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH lex AS MATERIALIZED (
+  SELECT doc_id, rnk AS rank_a FROM ({_duck_bm25_ranked(RRF_POOL)})
+),
+emb AS MATERIALIZED ({_duck_hashed_embedding()}),
+qraw AS (
+  SELECT CAST(('0x' || substr(md5(t), 1, 15))::BIGINT % {dims} AS INTEGER) + 1 AS dim,
+         CASE WHEN ('0x' || substr(md5(t), 16, 1))::BIGINT % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM (SELECT unnest([{terms}]) AS t)
+),
+qagg AS (SELECT dim, sum(s) AS v FROM qraw GROUP BY 1),
+qspine AS (
+  SELECT d.dim, COALESCE(q.v, 0.0) AS v
+  FROM (SELECT unnest(generate_series(1, {dims})) AS dim) d
+  LEFT JOIN qagg q USING (dim)
+),
+qnorm AS (SELECT sqrt(sum(v * v)) AS nrm FROM qspine),
+qcells AS (
+  SELECT dim, round(CASE WHEN nrm > 0 THEN v / nrm ELSE 0.0 END, 6) AS qv
+  FROM qspine CROSS JOIN qnorm
+),
+dots AS (
+  SELECT e.doc_id, round(sum(e.value * q.qv), 6) AS dot
+  FROM emb e JOIN qcells q USING (dim) GROUP BY 1
+),
+dtop AS (
+  SELECT doc_id, dot FROM dots ORDER BY dot DESC, doc_id ASC LIMIT {RRF_POOL}
+),
+dense AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY dot DESC, doc_id ASC) AS BIGINT) AS rank_b
+  FROM dtop
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.rank_a, d.rank_b,
+         round(COALESCE(1.0 / ({RRF_K0} + l.rank_a), 0.0)
+               + COALESCE(1.0 / ({RRF_K0} + d.rank_b), 0.0), 6) AS rrf
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+),
+top AS (SELECT * FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {RRF_TOPN})
+SELECT doc_id, rank_a, rank_b, rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS fused_rank
+FROM top
+"""
+
+
+ZIPF_TOPR = 500
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf's-law diagnostic (operators/evaluation.py zipf_fit): the
+    closed-form log-log OLS of the top-{ZIPF_TOPR} token
+    rank-frequency head — natural text fits slope ≈ −1; a head far
+    off flags synthetic/degenerate data. Token counts collapse via
+    map-side partial aggregation; the head cut is
+    TakeOrderedAndProject; the rank window and moment sums act on
+    {ZIPF_TOPR} rows only."""
+    from lion_parcel_etl_spark.operators.evaluation import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(DD.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return zipf_fit(counts, "n", "token", top_r=ZIPF_TOPR)
+
+
+SQL_ZIPF = f"""
+WITH tok AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest({_DUCK_TOKS}) AS token FROM documents)
+  GROUP BY token
+),
+top AS (SELECT token AS t, n AS c FROM tok ORDER BY n DESC, token ASC LIMIT {ZIPF_TOPR}),
+pts AS (
+  SELECT round(ln(CAST(row_number() OVER (ORDER BY c DESC, t ASC) AS DOUBLE)), 6) AS x,
+         round(ln(CAST(c AS DOUBLE)), 6) AS y
+  FROM top
+),
+fit AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM pts
+),
+d AS (
+  SELECT n, sx, sy,
+         n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy,
+         n * sxy - sx * sy AS cov
+  FROM fit
+),
+s AS (
+  SELECT n, sx, sy, dx, dy, cov,
+         CASE WHEN n >= 2 AND dx > 0 THEN cov / dx END AS slope
+  FROM d
+)
+SELECT CAST(n AS BIGINT) AS n_tokens,
+       round(slope, 6) AS slope,
+       round((sy - slope * sx) / n, 6) AS intercept,
+       round(CASE WHEN dy > 0 THEN (cov * cov) / (dx * dy)
+                  WHEN slope IS NOT NULL THEN 1.0 END, 6) AS r2
+FROM s
+"""
+
+
+CLUSTER_QUALITY_K = 16
+
+
+def q_cluster_quality(spark, sf_dir):
+    """Per-cluster cohesion/separation diagnostics
+    (operators/similarity.py cluster_quality) over the deterministic
+    {CLUSTER_QUALITY_K}-seed coarse clustering shared with
+    semantic_dedup: mean member→centroid cosine vs the nearest OTHER
+    centroid's cosine — the simplified silhouette pair that decides
+    whether n_centroids must grow before the quadratic
+    within-cluster stages are trusted. Centroids come from one
+    map-side-combined (cluster, dim) aggregate; only the
+    clusters×dims centroid table joins back (broadcast) and
+    self-joins for separation."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.cluster_quality(emb, n_centroids=CLUSTER_QUALITY_K)
+
+
+def _duck_cluster_quality(n_centroids: int = CLUSTER_QUALITY_K) -> str:
+    cos_es = _duck_cos("e.embedding", "s.sv")
+    cos_wc = _duck_cos("w.ev", "ct.cv")
+    cos_ab = _duck_cos("a.cv", "b.cv")
+    return f"""
+WITH seeds AS MATERIALIZED (
+  SELECT vec_id AS code, embedding AS sv FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+),
+asg AS MATERIALIZED (
+  SELECT cid, code FROM (
+    SELECT e.vec_id AS cid, s.code,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({cos_es}, 6) DESC, s.code ASC) AS rn
+    FROM embeddings e CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+withv AS MATERIALIZED (
+  SELECT a.cid, a.code, e.embedding AS ev
+  FROM asg a JOIN embeddings e ON e.vec_id = a.cid
+),
+dims AS (
+  SELECT unnest(generate_series(1, (SELECT max(len(ev)) FROM withv))) AS dim
+),
+cent_long AS (
+  SELECT w.code, d.dim, round(avg(CAST(w.ev[d.dim] AS DOUBLE)), 6) AS c
+  FROM withv w CROSS JOIN dims d
+  GROUP BY 1, 2
+),
+cent AS MATERIALIZED (
+  SELECT code, list(c ORDER BY dim) AS cv FROM cent_long GROUP BY 1
+),
+coh AS (
+  SELECT w.code, CAST(count(*) AS BIGINT) AS n,
+         round(avg(round({cos_wc}, 6)), 6) AS cohesion
+  FROM withv w JOIN cent ct ON ct.code = w.code
+  GROUP BY 1
+),
+sep AS (
+  SELECT a.code, round(max(round({cos_ab}, 6)), 6) AS nearest_other_sim
+  FROM cent a JOIN cent b ON a.code <> b.code
+  GROUP BY 1
+)
+SELECT coh.code AS cluster_id, coh.n, coh.cohesion, s.nearest_other_sim
+FROM coh LEFT JOIN sep s ON s.code = coh.code
+"""
+
+
 # Registry iteration order is deliberate: entries that have never
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
@@ -8091,6 +8412,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cosine_topk": (q_cosine_topk, SQL_COSINE),
     "dedup_embedding": (q_embedding_near_dup, _duck_embedding_near_dup()),
     "dedup_embedding_lsh": (q_embedding_near_dup_lsh, _duck_embedding_near_dup_lsh()),
+    "classifier_auc": (q_classifier_auc, _duck_classifier_auc()),
+    "calibration_bins": (q_calibration_bins, _duck_calibration_bins()),
+    "hybrid_rrf": (q_hybrid_rrf, _duck_hybrid_rrf()),
+    "zipf_fit": (q_zipf_fit, SQL_ZIPF),
+    "cluster_quality": (q_cluster_quality, _duck_cluster_quality()),
 }
 
 # Round-4 registry head: the 32 entries that have never appeared in any
@@ -8136,6 +8462,12 @@ _R4_HEAD = [
     "frequent_tokens",
     "sessionize",
     "dedup_embedding_lsh",
+    # new in round 4 (evaluation/retrieval layer) — need first rows:
+    "classifier_auc",
+    "calibration_bins",
+    "hybrid_rrf",
+    "zipf_fit",
+    "cluster_quality",
 ]
 assert set(_R4_HEAD) <= set(QUERIES), sorted(set(_R4_HEAD) - set(QUERIES))
 QUERIES = {

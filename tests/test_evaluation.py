@@ -1,0 +1,171 @@
+"""Evaluation-operator tests (operators/evaluation.py +
+similarity.cluster_quality): known-answer inputs, edge cases, and the
+tie/degenerate handling the oracles rely on."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from lion_parcel_etl_spark.operators.evaluation import (
+    calibration_bins,
+    roc_auc,
+    rrf_fuse,
+    zipf_fit,
+)
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, "p double, y int, pred int")
+
+
+def test_roc_auc_perfect_and_reversed(spark):
+    perfect = _scored(
+        spark, [(0.9, 1, 1), (0.8, 1, 1), (0.2, 0, 0), (0.1, 0, 0)]
+    )
+    r = roc_auc(perfect).collect()[0]
+    assert r["auc"] == 1.0 and r["n_pos"] == 2 and r["n_neg"] == 2
+    assert r["accuracy"] == 1.0 and r["f1"] == 1.0
+    reversed_ = _scored(
+        spark, [(0.9, 0, 1), (0.8, 0, 1), (0.2, 1, 0), (0.1, 1, 0)]
+    )
+    assert roc_auc(reversed_).collect()[0]["auc"] == 0.0
+
+
+def test_roc_auc_mid_rank_ties(spark):
+    # one positive and one negative TIED at 0.5, plus one of each
+    # clearly ordered: pairs = (p=.9 vs n=.5: win) + (p=.9 vs n=.1?) —
+    # enumerate: pos {0.9, 0.5}, neg {0.5, 0.1}
+    # (0.9,0.5)=1, (0.9,0.1)=1, (0.5,0.5)=0.5, (0.5,0.1)=1 → 3.5/4
+    df = _scored(spark, [(0.9, 1, 1), (0.5, 1, 1), (0.5, 0, 1), (0.1, 0, 0)])
+    assert roc_auc(df).collect()[0]["auc"] == 0.875
+
+
+def test_roc_auc_single_class_yields_null(spark):
+    df = _scored(spark, [(0.9, 1, 1), (0.8, 1, 1)])
+    r = roc_auc(df).collect()[0]
+    assert r["auc"] is None and r["n_neg"] == 0
+    # precision defined (all predicted positive), recall 1.0
+    assert r["recall"] == 1.0
+
+
+def test_roc_auc_matches_sklearn_formula_on_random(spark):
+    # hand-computed rank-sum on a fixed sample (no sklearn in sandbox)
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (round(rng.random(), 2), rng.randint(0, 1)) for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "p double, y int")
+    got = roc_auc(df, pred_col=None).collect()[0]
+    pos = sorted(p for p, y in rows if y == 1)
+    neg = sorted(p for p, y in rows if y == 0)
+    wins = sum(
+        1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg
+    )
+    want = round(wins / (len(pos) * len(neg)), 6)
+    assert got["auc"] == want
+
+
+def test_calibration_bins_known_gaps(spark):
+    rows = (
+        [(0.95, 1)] * 9 + [(0.95, 0)]      # bin 9: conf .95, acc .9
+        + [(0.15, 1)] * 5 + [(0.15, 0)] * 5  # bin 1: conf .15, acc .5
+        + [(1.0, 1)]                        # p=1.0 folds into bin 9
+    )
+    df = spark.createDataFrame(rows, "p double, y int")
+    out = {r["bin"]: r for r in calibration_bins(df).collect()}
+    assert set(out) == {1, 9}
+    assert out[9]["n"] == 11
+    b1 = out[1]
+    assert b1["mean_p"] == 0.15 and b1["frac_pos"] == 0.5
+    assert b1["gap"] == 0.35
+
+
+def test_rrf_fuse_known_scores_and_missing_items(spark):
+    a = spark.createDataFrame(
+        [("d1", 1), ("d2", 2), ("d3", 3)], "doc string, rnk long"
+    )
+    b = spark.createDataFrame(
+        [("d2", 1), ("d4", 2)], "doc string, rnk long"
+    )
+    out = {r["doc"]: r for r in rrf_fuse(a, b, "doc", top_n=10).collect()}
+    assert out["d2"]["rrf"] == round(1 / 62 + 1 / 61, 6)
+    assert out["d1"]["rrf"] == round(1 / 61, 6)
+    assert out["d4"]["rrf"] == round(1 / 62, 6)
+    assert out["d4"]["rank_a"] is None and out["d4"]["rank_b"] == 2
+    # d2 appears in both lists → top fused rank
+    assert out["d2"]["fused_rank"] == 1
+    # deterministic tie-break: d1 (1/61) vs d4's 1/62 — no tie here,
+    # but equal-rrf items order by id (d3 absent from top only if cut)
+    assert len(out) == 4
+
+
+def test_zipf_fit_recovers_planted_exponent(spark):
+    # plant an exact power law n(r) = round(1e6 * r^-0.8): the log-log
+    # fit must recover slope ≈ -0.8 with r2 ≈ 1
+    rows = [
+        (f"t{r:04d}", int(1e6 * r ** -0.8)) for r in range(1, 301)
+    ]
+    df = spark.createDataFrame(rows, "token string, n long")
+    got = zipf_fit(df, "n", "token", top_r=300).collect()[0]
+    assert got["n_tokens"] == 300
+    assert abs(got["slope"] + 0.8) < 0.01
+    assert got["r2"] > 0.9999
+    # ranking is by count desc: token names don't matter
+    assert got["intercept"] == pytest.approx(math.log(1e6), abs=0.01)
+
+
+def test_cluster_quality_separated_blobs(spark):
+    """Two obvious blobs around orthogonal axes: cohesion near 1 within
+    each, near-zero similarity between the two centroids."""
+    from lion_parcel_etl_spark.operators.similarity import cluster_quality
+
+    rows = []
+    for i in range(20):
+        eps = (i % 5) * 0.01
+        # blob A: along +x; blob B: along +y — ids interleave so the
+        # two lowest ids (the seeds at n_centroids=2) are one of each
+        rows.append((2 * i, [1.0, eps, 0.0, 0.0]))
+        rows.append((2 * i + 1, [eps, 1.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["cluster_id"]: r
+        for r in cluster_quality(df, n_centroids=2).collect()
+    }
+    assert set(out) == {0, 1} and all(r["n"] == 20 for r in out.values())
+    for r in out.values():
+        assert r["cohesion"] > 0.999
+        assert r["nearest_other_sim"] < 0.05
+
+
+def test_cluster_quality_single_cluster_null_separation(spark):
+    from lion_parcel_etl_spark.operators.similarity import cluster_quality
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    out = cluster_quality(df, n_centroids=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 5 and r["cohesion"] == 1.0
+    assert r["nearest_other_sim"] is None  # no other centroid exists
+
+
+def test_semantic_dedup_unchanged_by_assignment_refactor(spark):
+    """seeded_assignment extraction must not move semantic_dedup's
+    output: pin the keep-set on a corpus with planted near-dups."""
+    from lion_parcel_etl_spark.operators.similarity import semantic_dedup
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    rows += [(i, [1.0, 0.001 * i]) for i in range(2, 10)]     # dups of 0
+    rows += [(i, [0.001 * i, 1.0]) for i in range(10, 14)]    # dups of 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semantic_dedup(df, 0.99, n_centroids=2).collect()}
+    assert len(out) == 14
+    assert out[0]["kept"] and out[1]["kept"]
+    assert not any(out[i]["kept"] for i in range(2, 14))
+    assert all(out[i]["cluster_id"] == 0 for i in range(2, 10))
+    assert all(out[i]["cluster_id"] == 1 for i in range(10, 14))
