@@ -31,6 +31,32 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def auc_from_score_counts(per_score: DataFrame) -> DataFrame:
+    """(n_pos, n_neg, auc) from a per-DISTINCT-SCORE count table
+    (s, np_, nn_) — the Mann-Whitney mid-rank rank-sum core shared by
+    :func:`roc_auc` (batch) and streaming ``read_auc``: because the
+    per-score counts are MERGEABLE (sum matching score rows), a
+    continuously-maintained count log yields the EXACT batch AUC of
+    the full stream at read time. The running-negatives window runs
+    over distinct score values only."""
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_score.withColumn(
+        "cum_nn", F.coalesce(F.sum("nn_").over(w), F.lit(0)).cast("double")
+    )
+    agg = cum.agg(
+        F.sum("np_").alias("n_pos"),
+        F.sum("nn_").alias("n_neg"),
+        F.sum(
+            F.col("np_") * (F.col("cum_nn") + F.col("nn_") / F.lit(2.0))
+        ).alias("u"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.round(F.col("u") / (F.col("n_pos") * F.col("n_neg")), 6),
+    )
+    return agg.select("n_pos", "n_neg", auc.alias("auc"))
+
+
 def roc_auc(
     scored: DataFrame,
     score_col: str = "p",
@@ -69,22 +95,7 @@ def roc_auc(
         F.sum("y").alias("np_"),
         F.sum(F.lit(1) - F.col("y")).alias("nn_"),
     )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    cum = per_score.withColumn(
-        "cum_nn", F.coalesce(F.sum("nn_").over(w), F.lit(0)).cast("double")
-    )
-    agg = cum.agg(
-        F.sum("np_").alias("n_pos"),
-        F.sum("nn_").alias("n_neg"),
-        F.sum(
-            F.col("np_") * (F.col("cum_nn") + F.col("nn_") / F.lit(2.0))
-        ).alias("u"),
-    )
-    auc = F.when(
-        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-        F.round(F.col("u") / (F.col("n_pos") * F.col("n_neg")), 6),
-    )
-    out = agg.select("n_pos", "n_neg", auc.alias("auc"))
+    out = auc_from_score_counts(per_score)
     if pred_col is None:
         return out
 

@@ -166,13 +166,23 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     Per-node participation comes from exploding the triangle's three
     corners — output rows ∝ 3·#triangles. Local clustering coefficient
     = 2·tri(v) / (deg(v)·(deg(v)−1)) over nodes with degree ≥ 2 (a
-    near-dup clique scores 1.0). The edge table feeds the degree
-    aggregate, both wedge sides and the closure join, so it is pinned
-    here rather than re-scanned four times."""
+    near-dup clique scores 1.0). Callers should hand in a PINNED edge
+    table (q_triangle_count does). Pinning here is deliberate about
+    which intermediates earn a materialization barrier (measured at
+    sf0.1: pinning everything costs ~0.7 s of pure job-barrier
+    overhead): ``e`` is a trivial projection of the caller's pinned
+    edges and ``deg`` a cheap aggregate with two consumers — both
+    recompute from cache for less than a pin's count job; the
+    ORIENTED edge table is pinned because it feeds three consumers
+    (both wedge sides + the closure join) through a two-join subplan
+    that Spark's exchange reuse does NOT dedup (the three reads carry
+    different aliases), so unpinned it would execute three times —
+    the co-occurrence lesson, applied to the expensive intermediate
+    only."""
     from lion_parcel_etl_spark.operators.dedup import pin
 
-    e = pin(edges.select("node_a", "node_b"))
-    deg = pin(
+    e = edges.select("node_a", "node_b")
+    deg = (
         e.select(F.col("node_a").alias("node"))
         .unionAll(e.select(F.col("node_b").alias("node")))
         .groupBy("node")

@@ -1174,3 +1174,66 @@ def read_cusum(
     )
     out = cusum_changepoints(merged, "x", "day", "g", k_sigmas, h_sigmas)
     return out.withColumnsRenamed({"g": group_col, "x": "n_events"})
+
+
+def stream_score_histograms(
+    df: DataFrame,
+    warehouse,
+    table: str,
+    score_col: str,
+    label_col: str,
+    checkpoint: str,
+) -> None:
+    """Continuously-maintained classifier-AUC state: each micro-batch
+    collapses to per-DISTINCT-SCORE (s, np_, nn_) label counts and
+    appends them to the batch's own ``__batch_id`` partition
+    (exactly-once-by-layout, the stream_rollup_into contract);
+    :func:`read_auc` merges the stored log and computes the EXACT
+    batch ROC-AUC of the full stream — score counts are trivially
+    mergeable, and because scores are already 1e-6-rounded, the
+    per-score table IS the lossless sufficient statistic for the
+    Mann-Whitney rank sum (no binning approximation at all). State is
+    O(distinct scores) ≤ 1e6+1 rows regardless of stream volume — the
+    monitoring twin of the batch classifier_auc, for watching a
+    deployed filter's discrimination drift without rescanning
+    admitted history."""
+
+    def _batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        part = (
+            batch.filter(
+                F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+            )
+            .groupBy(F.col(score_col).alias("s"))
+            .agg(
+                F.sum(F.col(label_col).cast("long")).alias("np_"),
+                F.sum(F.lit(1) - F.col(label_col).cast("long")).alias("nn_"),
+            )
+        )
+        warehouse.append_batch(part, table, batch_id)
+
+    q = (
+        df.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_auc(spark: SparkSession, warehouse, table: str) -> DataFrame:
+    """(n_pos, n_neg, auc) from the stored per-batch score-count log —
+    merge (sum matching score rows), then the identical rank-sum core
+    the batch operator uses (operators/evaluation.py
+    auc_from_score_counts), so the streamed statistic equals the batch
+    answer over the full stream by construction (tested)."""
+    from lion_parcel_etl_spark.operators.evaluation import (
+        auc_from_score_counts,
+    )
+
+    log = warehouse.read(spark, table)
+    merged = log.groupBy("s").agg(
+        F.sum("np_").alias("np_"), F.sum("nn_").alias("nn_")
+    )
+    return auc_from_score_counts(merged)

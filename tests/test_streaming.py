@@ -1248,3 +1248,92 @@ def test_stream_cusum_crash_recovers_on_restart(spark, tmp_path, monkeypatch, wi
     # the split day's counts merged exactly once across the crash: 4+6
     assert got[("click", "2024-01-08")][0] == 10.0
     assert len(_batch_dirs(wh, "vol")) == 2
+
+
+def test_stream_auc_merged_equals_batch_statistic(spark, tmp_path):
+    """Two micro-batches of per-score label counts merge (read_auc)
+    into EXACTLY the batch roc_auc of the full stream — the per-score
+    table is the lossless sufficient statistic, not a binned
+    estimate."""
+    import random
+
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.evaluation import roc_auc
+    from lion_parcel_etl_spark.streaming.jobs import (
+        read_auc,
+        stream_score_histograms,
+    )
+
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    rng = random.Random(11)
+    # overlapping score distributions with deliberate cross-batch ties
+    mk = lambda n, hi: [
+        (round(rng.random() * (0.6 if not hi else 1.0) + (0.3 if hi else 0.0), 2),
+         1 if hi else 0)
+        for _ in range(n)
+    ]
+    b1 = mk(150, True) + mk(100, False)
+    b2 = mk(80, True) + mk(170, False)
+
+    def run():
+        stream = spark.readStream.schema("p double, y int").parquet(landing)
+        stream_score_histograms(stream, wh, "auc", "p", "y", ckpt)
+
+    for batch in (b1, b2):
+        spark.createDataFrame(batch, "p double, y int").coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        run()
+
+    got = read_auc(spark, wh, "auc").collect()[0]
+    want = roc_auc(
+        spark.createDataFrame(b1 + b2, "p double, y int"), pred_col=None
+    ).collect()[0]
+    assert (got["n_pos"], got["n_neg"], got["auc"]) == (
+        want["n_pos"], want["n_neg"], want["auc"],
+    )
+    assert 0.5 < got["auc"] < 1.0  # separable-but-overlapping by design
+
+
+@pytest.mark.parametrize("window", ["before-append", "after-append"])
+def test_stream_auc_crash_recovers_on_restart(spark, tmp_path, monkeypatch, window):
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.evaluation import roc_auc
+    from lion_parcel_etl_spark.streaming.jobs import (
+        read_auc,
+        stream_score_histograms,
+    )
+
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    b1 = [(0.9, 1), (0.8, 1), (0.5, 1), (0.5, 0), (0.2, 0)]
+    b2 = [(0.7, 1), (0.5, 0), (0.3, 0), (0.1, 0)]
+
+    def run():
+        stream = spark.readStream.schema("p double, y int").parquet(landing)
+        stream_score_histograms(stream, wh, "auc", "p", "y", ckpt)
+
+    spark.createDataFrame(b1, "p double, y int").coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    run()
+    spark.createDataFrame(b2, "p double, y int").coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    state = _crash_append(monkeypatch, window)
+    with pytest.raises(Exception, match="injected crash"):
+        run()
+    state["armed"] = False
+    run()
+
+    got = read_auc(spark, wh, "auc").collect()[0]
+    want = roc_auc(
+        spark.createDataFrame(b1 + b2, "p double, y int"), pred_col=None
+    ).collect()[0]
+    assert (got["n_pos"], got["n_neg"], got["auc"]) == (
+        want["n_pos"], want["n_neg"], want["auc"],
+    )
+    assert len(_batch_dirs(wh, "auc")) == 2
