@@ -166,6 +166,7 @@ HEADLINE = [
     # the correctness gate)
     "classifier_auc",
     "hybrid_rrf",
+    "retrieval_ndcg",
     "zipf_fit",
     "cluster_quality",
 ]

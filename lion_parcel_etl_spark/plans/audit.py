@@ -59,7 +59,9 @@ from pyspark.sql import DataFrame
 # centroid-pair join over the ≤clusters-row centroid table;
 # hybrid_rrf contains the bm25_rank chain verbatim (its broadcast
 # ONE-ROW corpus-stats crossJoin — the fusion itself is a hash
-# aggregate, not a join).
+# aggregate, not a join); retrieval_ndcg composes hybrid_rrf and adds
+# its own ONE-ROW dcg × idcg scalar crossJoin (the column_profile
+# pattern).
 BNLJ_ALLOWED = frozenset(
     {
         "cosine_topk",
@@ -88,6 +90,7 @@ BNLJ_ALLOWED = frozenset(
         "classifier_auc",
         "cluster_quality",
         "hybrid_rrf",
+        "retrieval_ndcg",
     }
 )
 

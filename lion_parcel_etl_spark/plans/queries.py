@@ -8105,6 +8105,107 @@ FROM top
 """
 
 
+NDCG_REL_CAP = 10
+
+
+def q_retrieval_ndcg(spark, sf_dir):
+    """nDCG@{RRF_TOPN} of the hybrid RRF ranking against a graded,
+    fully-deterministic relevance label: rel(doc) = total occurrences
+    of query terms in the doc, capped at {NDCG_REL_CAP} — the
+    standard offline-retrieval quality number (exponential gain
+    2^rel−1, log2(rank+1) discount) computed without human judgments,
+    so both engines derive the identical ground truth. Occurrence
+    counts (not mere containment — which saturates at the top grade
+    for common terms and pins nDCG to a vacuous 1.0) keep the ideal
+    ordering discriminative, so the statistic actually measures how
+    well the fused ranking surfaces term-dense documents. One row:
+    (dcg, idcg, ndcg).
+
+    Scale shape: relevance is a zero-shuffle token projection (tokens
+    staged in their own projection — the FOLD_IN_FILTER lesson); the
+    ideal ranking is a TakeOrderedAndProject top-{RRF_TOPN} by (rel
+    desc, id); DCG joins the {RRF_TOPN}-row fused list (broadcast) to
+    relevance; both gain sums act on {RRF_TOPN} rows."""
+    from lion_parcel_etl_spark.operators.dedup import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    from functools import reduce as _reduce
+
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    rel = toked.select(
+        "doc_id",
+        F.least(
+            F.size(
+                F.filter(
+                    F.col("__toks"),
+                    lambda w: _reduce(
+                        lambda a, b: a | b, [(w == t) for t in BM25_TERMS]
+                    ),
+                )
+            ),
+            F.lit(NDCG_REL_CAP),
+        ).alias("rel"),
+    )
+    fused = q_hybrid_rrf(spark, sf_dir).select("doc_id", "fused_rank")
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0)) / F.log2(
+        F.col("rnk") + F.lit(1.0)
+    )
+    dcg = (
+        rel.join(F.broadcast(fused), "doc_id")
+        .select("rel", F.col("fused_rank").alias("rnk"))
+        .agg(F.round(F.sum(gain), 6).alias("dcg"))
+    )
+    ideal = (
+        rel.orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+        .limit(RRF_TOPN)
+        .select(
+            "rel",
+            F.row_number()
+            .over(Window.orderBy(F.col("rel").desc(), F.col("doc_id").asc()))
+            .cast("long")
+            .alias("rnk"),
+        )
+    )
+    idcg = ideal.agg(F.round(F.sum(gain), 6).alias("idcg"))
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        "dcg",
+        "idcg",
+        F.round(
+            F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")), 6
+        ).alias("ndcg"),
+    )
+
+
+_N_BM25 = 4
+
+
+def _duck_retrieval_ndcg() -> str:
+    terms_in = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    rel_expr = (
+        f"least(len(list_filter({_DUCK_TOKS}, w -> w IN ({terms_in}))), "
+        f"{NDCG_REL_CAP})"
+    )
+    gain = "(pow(2.0, rel) - 1.0) / log2(rnk + 1.0)"
+    return f"""
+WITH rel AS MATERIALIZED (
+  SELECT doc_id, CAST({rel_expr} AS INTEGER) AS rel FROM documents
+),
+fused AS (SELECT doc_id, fused_rank FROM ({_duck_hybrid_rrf()})),
+dcg AS (
+  SELECT round(sum({gain}), 6) AS dcg
+  FROM (SELECT r.rel, f.fused_rank AS rnk FROM rel r JOIN fused f USING (doc_id))
+),
+ideal AS (
+  SELECT rel, CAST(row_number() OVER (ORDER BY rel DESC, doc_id ASC) AS BIGINT) AS rnk
+  FROM (SELECT doc_id, rel FROM rel ORDER BY rel DESC, doc_id ASC LIMIT {RRF_TOPN})
+),
+idcg AS (SELECT round(sum({gain}), 6) AS idcg FROM ideal)
+SELECT dcg, idcg,
+       round(CASE WHEN idcg > 0 THEN dcg / idcg END, 6) AS ndcg
+FROM dcg CROSS JOIN idcg
+"""
+
+
 ZIPF_TOPR = 500
 
 
@@ -8417,6 +8518,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "hybrid_rrf": (q_hybrid_rrf, _duck_hybrid_rrf()),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF),
     "cluster_quality": (q_cluster_quality, _duck_cluster_quality()),
+    "retrieval_ndcg": (q_retrieval_ndcg, _duck_retrieval_ndcg()),
 }
 
 # Round-4 registry head: the 32 entries that have never appeared in any
@@ -8468,6 +8570,7 @@ _R4_HEAD = [
     "hybrid_rrf",
     "zipf_fit",
     "cluster_quality",
+    "retrieval_ndcg",
 ]
 assert set(_R4_HEAD) <= set(QUERIES), sorted(set(_R4_HEAD) - set(QUERIES))
 QUERIES = {

@@ -169,3 +169,13 @@ def test_semantic_dedup_unchanged_by_assignment_refactor(spark):
     assert not any(out[i]["kept"] for i in range(2, 14))
     assert all(out[i]["cluster_id"] == 0 for i in range(2, 10))
     assert all(out[i]["cluster_id"] == 1 for i in range(10, 14))
+
+
+def test_retrieval_ndcg_bounds_and_gain_sanity(spark):
+    """nDCG of the hybrid ranking on the fixture corpus: bounded in
+    (0, 1], and IDCG ≥ DCG by construction (ideal ordering)."""
+    from lion_parcel_etl_spark.plans.queries import QUERIES
+
+    r = QUERIES["retrieval_ndcg"][0](spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["idcg"] >= r["dcg"] > 0
+    assert 0 < r["ndcg"] <= 1
