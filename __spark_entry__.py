@@ -32,7 +32,8 @@ deterministic, so even the ESTIMATES replay), graph analytics
 likewise fully oracle-checked: ``classifier_auc`` (Mann-Whitney
 mid-rank ROC-AUC + thresholded metrics over the replayed classifier
 fit), ``calibration_bins``, ``hybrid_rrf`` (reciprocal-rank fusion of
-BM25 and hashed-embedding cosine rankings), ``zipf_fit`` and
+BM25 and hashed-embedding cosine rankings), ``retrieval_ndcg``,
+``ann_recall``, ``zipf_fit`` and
 ``cluster_quality``. The registry iteration order leads with entries
 that have never appeared in a driver sample (plus stale-fail and
 brand-new ones) so a sampled scoreboard covers them first.

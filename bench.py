@@ -167,6 +167,7 @@ HEADLINE = [
     "classifier_auc",
     "hybrid_rrf",
     "retrieval_ndcg",
+    "ann_recall",
     "zipf_fit",
     "cluster_quality",
 ]

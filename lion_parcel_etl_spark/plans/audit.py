@@ -61,7 +61,9 @@ from pyspark.sql import DataFrame
 # ONE-ROW corpus-stats crossJoin — the fusion itself is a hash
 # aggregate, not a join); retrieval_ndcg composes hybrid_rrf and adds
 # its own ONE-ROW dcg × idcg scalar crossJoin (the column_profile
-# pattern).
+# pattern); ann_recall composes cosine_topk + lsh_topk +
+# ivf_topk_seeded (their allowlisted tiny-query-set / seed-table
+# fan-ins) and adds only a broadcast queries×k hit join.
 BNLJ_ALLOWED = frozenset(
     {
         "cosine_topk",
@@ -91,6 +93,7 @@ BNLJ_ALLOWED = frozenset(
         "cluster_quality",
         "hybrid_rrf",
         "retrieval_ndcg",
+        "ann_recall",
     }
 )
 

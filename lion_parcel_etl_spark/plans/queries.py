@@ -8105,6 +8105,68 @@ FROM top
 """
 
 
+ANN_RECALL_K = 5
+
+
+def q_ann_recall(spark, sf_dir):
+    """Recall@{ANN_RECALL_K} of the approximate ANN indexes against the
+    exact cosine baseline — the eval that decides whether an
+    approximate index is ADMISSIBLE before it replaces brute force at
+    scale: per (method, query) the fraction of the exact top-k the
+    index recovered. Methods: multi-table hyperplane LSH
+    (q_lsh_topk) and seeded IVF probing (q_ivf_topk_seeded); the
+    exact baseline is q_cosine_topk. All three constituent rankings
+    are themselves oracle-replayed, so the recall numbers replay too
+    (pytest asserts recall floors; this query puts the measurement in
+    the driver-checked registry).
+
+    Scale shape: all three rankings are bounded query-set top-k's
+    (≤ queries×k rows); the hit join broadcasts the exact list and
+    the per-(method, query) aggregate acts on ≤ 2×queries×k rows."""
+    exact = q_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    lsh = q_lsh_topk(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id"
+    )
+    ivf = q_ivf_topk_seeded(spark, sf_dir).select(
+        F.lit("ivf_seeded").alias("method"), "query_id", "neighbor_id"
+    )
+    u = lsh.unionByName(ivf)
+    return (
+        u.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
+        .groupBy("method", "query_id")
+        .agg(F.sum(F.coalesce("__hit", F.lit(0))).alias("hits"))
+        .select(
+            "method",
+            "query_id",
+            F.col("hits").cast("long").alias("hits"),
+            F.round(F.col("hits") / F.lit(float(ANN_RECALL_K)), 6).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+def _duck_ann_recall() -> str:
+    return f"""
+WITH exact AS MATERIALIZED ({SQL_COSINE}),
+lsh AS ({_duck_lsh_topk()}),
+ivf AS ({_duck_ivf_seeded()}),
+u AS (
+  SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+  UNION ALL
+  SELECT 'ivf_seeded' AS method, query_id, neighbor_id FROM ivf
+)
+SELECT u.method, u.query_id,
+       CAST(count(e.neighbor_id) AS BIGINT) AS hits,
+       round(count(e.neighbor_id) / {float(ANN_RECALL_K)}, 6) AS recall
+FROM u LEFT JOIN exact e
+  ON e.query_id = u.query_id AND e.neighbor_id = u.neighbor_id
+GROUP BY 1, 2
+"""
+
+
 NDCG_REL_CAP = 10
 
 
@@ -8519,6 +8581,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "zipf_fit": (q_zipf_fit, SQL_ZIPF),
     "cluster_quality": (q_cluster_quality, _duck_cluster_quality()),
     "retrieval_ndcg": (q_retrieval_ndcg, _duck_retrieval_ndcg()),
+    "ann_recall": (q_ann_recall, _duck_ann_recall()),
 }
 
 # Round-4 registry head: the 32 entries that have never appeared in any
@@ -8571,6 +8634,7 @@ _R4_HEAD = [
     "zipf_fit",
     "cluster_quality",
     "retrieval_ndcg",
+    "ann_recall",
 ]
 assert set(_R4_HEAD) <= set(QUERIES), sorted(set(_R4_HEAD) - set(QUERIES))
 QUERIES = {

@@ -179,3 +179,23 @@ def test_retrieval_ndcg_bounds_and_gain_sanity(spark):
     r = QUERIES["retrieval_ndcg"][0](spark, "/root/testdata/sf0.001").collect()[0]
     assert r["idcg"] >= r["dcg"] > 0
     assert 0 < r["ndcg"] <= 1
+
+
+def test_ann_recall_bounds_and_method_coverage(spark):
+    """Both index methods report per-query recall in [0, 1]; the
+    deterministic LSH/IVF configs recover a decent share of the exact
+    top-5 on the fixture corpus (floors mirror
+    tests/test_similarity.py's recall assertions)."""
+    from lion_parcel_etl_spark.plans.queries import QUERIES
+
+    rows = QUERIES["ann_recall"][0](spark, "/root/testdata/sf0.001").collect()
+    by_method = {}
+    for r in rows:
+        assert 0.0 <= r["recall"] <= 1.0
+        by_method.setdefault(r["method"], []).append(r["recall"])
+    assert set(by_method) == {"lsh", "ivf_seeded"}
+    # loose floor: the sf0.001 fixture corpus is tiny, so LSH buckets
+    # are sparse — the real recall bars live in tests/test_similarity
+    # at representative scale; here we pin non-degeneracy
+    for method, recs in by_method.items():
+        assert sum(recs) / len(recs) >= 0.2, (method, recs)
