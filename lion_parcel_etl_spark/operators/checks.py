@@ -573,6 +573,11 @@ def theil_sen_trend(
     )
     n_rows = base.count()  # cached by pin — no extra scan
     if n_rows > max_rows:
+        # release the pinned cache before failing: the gate rejects
+        # exactly the over-sized inputs whose cached partitions would
+        # otherwise squat on executor memory (outside any _PIN_TRACKERS
+        # context nothing else would ever unpersist them)
+        base.unpersist()
         raise ValueError(
             f"theil_sen_trend: input has {n_rows} rows after cleaning, over "
             f"the short-series contract's max_rows={max_rows}. The exact "

@@ -82,14 +82,24 @@ def roc_auc(
     precision as ``prec``, recall, f1) ride along from a second tiny
     aggregate. Degenerate inputs (a class absent) yield NULL for the
     undefined ratios rather than a division error.
+
+    NULL/NaN scores are excluded along with NULL labels: an unscored
+    row has no rank, and the two engines disagree on where NULLs sort
+    (Spark Window.orderBy puts them first, SQL engines typically
+    last), so keeping them would both skew n_pos/n_neg and silently
+    diverge the running-negatives window across engines.
     """
     cols = [
-        F.col(score_col).alias("s"),
+        F.col(score_col).cast("double").alias("s"),
         F.col(label_col).cast("long").alias("y"),
     ]
     if pred_col is not None:
         cols.append(F.col(pred_col).cast("long").alias("pred"))
-    s = scored.select(*cols).filter(F.col("y").isNotNull())
+    s = scored.select(*cols).filter(
+        F.col("y").isNotNull()
+        & F.col("s").isNotNull()
+        & ~F.isnan(F.col("s"))
+    )
 
     per_score = s.groupBy("s").agg(
         F.sum("y").alias("np_"),

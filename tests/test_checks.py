@@ -348,3 +348,23 @@ def test_theil_sen_short_series_contract_enforced(spark):
     )
     out = theil_sen_trend(dirty, "x", "y", "g", max_rows=10).collect()
     assert out[0]["n"] == 5
+
+
+def test_theil_sen_gate_failure_releases_pinned_cache(spark):
+    """The contract gate rejects exactly the inputs whose pinned
+    (persisted + counted) cleaning projection would otherwise squat on
+    executor storage forever — the raise path must unpersist it."""
+    import pytest
+
+    from lion_parcel_etl_spark.operators.checks import theil_sen_trend
+
+    sc = spark.sparkContext
+    before = {r.id for r in sc._jsc.sc().getRDDStorageInfo()}
+    df = spark.createDataFrame(
+        [("g", float(x), 2.0 * x) for x in range(30)],
+        "g string, x double, y double",
+    )
+    with pytest.raises(ValueError, match="ols_trend"):
+        theil_sen_trend(df, "x", "y", "g", max_rows=10)
+    leaked = {r.id for r in sc._jsc.sc().getRDDStorageInfo()} - before
+    assert not leaked, f"gate failure leaked cached RDDs: {leaked}"

@@ -49,6 +49,32 @@ def test_roc_auc_single_class_yields_null(spark):
     assert r["recall"] == 1.0
 
 
+def test_roc_auc_excludes_null_and_nan_scores(spark):
+    # an unscored row has no rank: NULL/NaN scores must drop from BOTH
+    # the rank sum and the class counts (Spark sorts NULLs first in a
+    # window, SQL engines last — keeping them would silently diverge
+    # the engines), exactly like NULL labels already did
+    clean = _scored(
+        spark, [(0.9, 1, 1), (0.8, 1, 1), (0.2, 0, 0), (0.1, 0, 0)]
+    )
+    noisy = _scored(
+        spark,
+        [
+            (0.9, 1, 1),
+            (0.8, 1, 1),
+            (0.2, 0, 0),
+            (0.1, 0, 0),
+            (None, 1, 1),
+            (float("nan"), 0, 0),
+            (0.7, None, 1),
+        ],
+    )
+    r_clean = roc_auc(clean).collect()[0]
+    r_noisy = roc_auc(noisy).collect()[0]
+    assert r_noisy == r_clean
+    assert r_noisy["n_pos"] == 2 and r_noisy["n_neg"] == 2
+
+
 def test_roc_auc_matches_sklearn_formula_on_random(spark):
     # hand-computed rank-sum on a fixed sample (no sklearn in sandbox)
     import random
