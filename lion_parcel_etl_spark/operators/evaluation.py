@@ -224,6 +224,65 @@ def rrf_fuse(
     )
 
 
+def rrf_fuse_keyed(
+    rank_a: DataFrame,
+    rank_b: DataFrame,
+    key_col: str,
+    id_col: str,
+    rank_col: str = "rnk",
+    k0: int = 60,
+    top_n: int = 20,
+) -> DataFrame:
+    """Per-KEY reciprocal-rank fusion — :func:`rrf_fuse` with a query
+    dimension, for fusing two per-query rankings of a whole eval query
+    set in one plan. Inputs carry (key, id, rank); output is the
+    per-key fused top-``top_n`` with per-list ranks preserved.
+
+    Same union + hash-aggregate alignment as the unkeyed form (a
+    keyed full-outer join could only plan as a sort-merge join; the
+    union aggregate stays a map-side-combined hash shape). Both the
+    top-n cut and the fused_rank window PARTITION BY the key, so each
+    runs over that key's ≤ |a|+|b| candidate rows — adding queries
+    adds partitions, never per-partition work."""
+    a = rank_a.select(
+        F.col(key_col),
+        F.col(id_col),
+        F.col(rank_col).alias("rank_a"),
+        F.lit(None).cast("long").alias("rank_b"),
+    )
+    b = rank_b.select(
+        F.col(key_col),
+        F.col(id_col),
+        F.lit(None).cast("long").alias("rank_a"),
+        F.col(rank_col).alias("rank_b"),
+    )
+    fused = (
+        a.unionByName(b)
+        .groupBy(key_col, id_col)
+        .agg(
+            F.max("rank_a").alias("rank_a"),
+            F.max("rank_b").alias("rank_b"),
+        )
+        .select(
+            key_col,
+            id_col,
+            "rank_a",
+            "rank_b",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("rank_a")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("rank_b")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("rrf").desc(), F.col(id_col).asc()
+    )
+    return fused.withColumn(
+        "fused_rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("fused_rank") <= top_n)
+
+
 def zipf_fit(
     token_counts: DataFrame,
     count_col: str = "n",

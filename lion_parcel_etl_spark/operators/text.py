@@ -342,6 +342,89 @@ def bm25_rank(
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
+def bm25_rank_keyed(
+    docs: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """Per-QUERY BM25 top-N over a fixed query SET — the shape a real
+    retrieval-eval harness has (one ranking per query, not one global
+    ranking): (query_id, doc_id, score, rnk ≤ top_n).
+
+    ``queries`` is a plan-time constant list of (query_id, terms);
+    repeated terms within a query are deduplicated (query term
+    frequency is 1 — the standard short-query simplification).
+
+    Scale shape: the per-(doc, term) BM25 contribution is computed
+    ONCE for the union of all query terms (the same
+    filter-before-aggregate pruning as :func:`bm25_rank` — scoring Q
+    queries costs one corpus pass, not Q), then a broadcast join to
+    the ≤ Σ|terms| (query_id, term) table fans each contribution out
+    to the queries containing that term, and one hash aggregate per
+    (query, doc) sums the score. The per-query top-N runs as a
+    row_number window PARTITIONED by query_id over candidate docs
+    only (docs sharing ≥1 term with that query) — the single-query
+    TakeOrderedAndProject becomes a per-key heap-equivalent sort, the
+    standard keyed-top-k trade."""
+    from pyspark.sql import Window
+
+    qt_rows = sorted(
+        {(qid, t.lower()) for qid, terms in queries for t in terms}
+    )
+    union_terms = sorted({t for _, t in qt_rows})
+    spark = docs.sparkSession
+    qt = spark.createDataFrame(qt_rows, "query_id string, term string")
+
+    toks = tokens_long(docs, id_col, text_col).filter(
+        F.col("term").isin(union_terms)
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(token_count(F.col(text_col)).cast("double")).alias("avgdl"),
+    )
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).cast("double").alias("dl"),
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    scores = (
+        contrib.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return scores.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).filter(F.col("rnk") <= top_n)
+
+
 # PII scrubbing patterns: (placeholder, regex). Deliberately simple,
 # deterministic, and identical in Spark (Java regex) and DuckDB (RE2):
 # no lookarounds, no backrefs — the intersection both engines compile

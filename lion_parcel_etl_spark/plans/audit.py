@@ -62,8 +62,14 @@ from pyspark.sql import DataFrame
 # aggregate, not a join); retrieval_ndcg composes hybrid_rrf and adds
 # its own ONE-ROW dcg × idcg scalar crossJoin (the column_profile
 # pattern); ann_recall composes cosine_topk + lsh_topk +
-# ivf_topk_seeded (their allowlisted tiny-query-set / seed-table
-# fan-ins) and adds only a broadcast queries×k hit join.
+# ivf_topk_seeded + pq_topk (their allowlisted tiny-query-set /
+# seed-table / codebook fan-ins) and adds only a broadcast queries×k
+# hit join; hybrid_rrf_multi contains the bm25_rank_keyed chain (the
+# same broadcast ONE-ROW corpus-stats crossJoin as bm25_rank — the
+# query dimension enters through broadcast hash joins on term/dim,
+# not through the cross); retrieval_ndcg_multi composes
+# hybrid_rrf_multi (its dcg/idcg/mean stages are hash aggregates and
+# ≤queries-row broadcast joins, no crosses of their own).
 BNLJ_ALLOWED = frozenset(
     {
         "cosine_topk",
@@ -92,7 +98,9 @@ BNLJ_ALLOWED = frozenset(
         "classifier_auc",
         "cluster_quality",
         "hybrid_rrf",
+        "hybrid_rrf_multi",
         "retrieval_ndcg",
+        "retrieval_ndcg_multi",
         "ann_recall",
     }
 )

@@ -8141,15 +8141,18 @@ def q_ann_recall(spark, sf_dir):
     approximate index is ADMISSIBLE before it replaces brute force at
     scale: per (method, query) the fraction of the exact top-k the
     index recovered. Methods: multi-table hyperplane LSH
-    (q_lsh_topk) and seeded IVF probing (q_ivf_topk_seeded); the
-    exact baseline is q_cosine_topk. All three constituent rankings
-    are themselves oracle-replayed, so the recall numbers replay too
-    (pytest asserts recall floors; this query puts the measurement in
-    the driver-checked registry).
+    (q_lsh_topk), seeded IVF probing (q_ivf_topk_seeded),
+    and product quantization (q_pq_topk — asymmetric-distance
+    ranking over 8-byte codes, the one index whose candidate set is
+    the WHOLE corpus ranked by a lossy distance, so its recall is the
+    one most worth watching); the exact baseline is q_cosine_topk.
+    All constituent rankings are themselves oracle-replayed, so the
+    recall numbers replay too (pytest asserts recall floors; this
+    query puts the measurement in the driver-checked registry).
 
-    Scale shape: all three rankings are bounded query-set top-k's
+    Scale shape: all four rankings are bounded query-set top-k's
     (≤ queries×k rows); the hit join broadcasts the exact list and
-    the per-(method, query) aggregate acts on ≤ 2×queries×k rows."""
+    the per-(method, query) aggregate acts on ≤ 3×queries×k rows."""
     exact = q_cosine_topk(spark, sf_dir).select(
         "query_id", "neighbor_id", F.lit(1).alias("__hit")
     )
@@ -8159,7 +8162,10 @@ def q_ann_recall(spark, sf_dir):
     ivf = q_ivf_topk_seeded(spark, sf_dir).select(
         F.lit("ivf_seeded").alias("method"), "query_id", "neighbor_id"
     )
-    u = lsh.unionByName(ivf)
+    pq = q_pq_topk(spark, sf_dir).select(
+        F.lit("pq").alias("method"), "query_id", "neighbor_id"
+    )
+    u = lsh.unionByName(ivf).unionByName(pq)
     return (
         u.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
         .groupBy("method", "query_id")
@@ -8180,10 +8186,13 @@ def _duck_ann_recall() -> str:
 WITH exact AS MATERIALIZED ({SQL_COSINE}),
 lsh AS ({_duck_lsh_topk()}),
 ivf AS ({_duck_ivf_seeded()}),
+pq AS ({_duck_pq_topk()}),
 u AS (
   SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
   UNION ALL
   SELECT 'ivf_seeded' AS method, query_id, neighbor_id FROM ivf
+  UNION ALL
+  SELECT 'pq' AS method, query_id, neighbor_id FROM pq
 )
 SELECT u.method, u.query_id,
        CAST(count(e.neighbor_id) AS BIGINT) AS hits,
@@ -8292,6 +8301,324 @@ idcg AS (SELECT round(sum({gain}), 6) AS idcg FROM ideal)
 SELECT dcg, idcg,
        round(CASE WHEN idcg > 0 THEN dcg / idcg END, 6) AS ndcg
 FROM dcg CROSS JOIN idcg
+"""
+
+
+# Deterministic retrieval-eval query set: 10 fixed bag-of-words
+# queries over the corpus vocabulary (distinct terms per query — query
+# term frequency 1, the standard short-query simplification). A real
+# offline retrieval eval runs a SET of queries, not one: per-query
+# numbers expose variance a single anecdote hides, and the query
+# dimension stresses the keyed rank-join shapes the way production
+# eval harnesses do. q01 is the original single-query BM25_TERMS so
+# the _multi twins subsume the anecdotal pair.
+RETRIEVAL_QUERY_SET: list[tuple[str, list[str]]] = [
+    ("q01", ["spark", "query", "merge", "window"]),
+    ("q02", ["hash", "join", "batch"]),
+    ("q03", ["stream", "window", "agg"]),
+    ("q04", ["sort", "merge", "join"]),
+    ("q05", ["scan", "filter", "column"]),
+    ("q06", ["vector", "batch", "fast"]),
+    ("q07", ["customer", "order", "table"]),
+    ("q08", ["group", "agg", "key"]),
+    ("q09", ["slow", "query", "scan"]),
+    ("q10", ["data", "dup", "row"]),
+]
+
+
+def q_hybrid_rrf_multi(spark, sf_dir):
+    """Hybrid retrieval over the {len(RETRIEVAL_QUERY_SET)}-query eval
+    set: per query, BM25 lexical top-{RRF_POOL}
+    (operators/text.py bm25_rank_keyed — ONE corpus pass scores all
+    queries) fused with a dense top-{RRF_POOL} (hashed-embedding
+    cosine against each query's own hashed vector — the corpus cell
+    table is built once and joined to a BROADCAST queries×dims cell
+    table) by per-key reciprocal-rank fusion
+    (operators/evaluation.py rrf_fuse_keyed). Output: each query's
+    fused top-{RRF_TOPN} with per-list ranks.
+
+    Scale shape: everything corpus-sized happens ONCE regardless of
+    query count — the query dimension only fans out bounded
+    per-(query, doc) candidate rows; every window partitions by
+    query_id, so per-partition work never grows with the query set."""
+    from lion_parcel_etl_spark.operators.evaluation import rrf_fuse_keyed
+
+    docs = _t(spark, sf_dir, "documents")
+    lex = TX.bm25_rank_keyed(
+        docs,
+        RETRIEVAL_QUERY_SET,
+        "doc_id",
+        "text",
+        k1=BM25_K1,
+        b=BM25_B,
+        top_n=RRF_POOL,
+    ).select("query_id", "doc_id", "rnk")
+
+    qdocs = spark.createDataFrame(
+        [(qid, " ".join(terms)) for qid, terms in RETRIEVAL_QUERY_SET],
+        "query_id string, text string",
+    )
+    qcells = TX.hashed_embedding(qdocs, id_col="query_id").select(
+        "query_id", "dim", F.col("value").alias("qv")
+    )
+    dots = (
+        TX.hashed_embedding(docs)
+        .join(F.broadcast(qcells), "dim")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(F.col("value") * F.col("qv")), 6).alias("dot"))
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("doc_id").asc()
+    )
+    dense = (
+        dots.withColumn("rnk", F.row_number().over(wd).cast("long"))
+        .filter(F.col("rnk") <= RRF_POOL)
+        .select("query_id", "doc_id", "rnk")
+    )
+    return rrf_fuse_keyed(
+        lex, dense, "query_id", "doc_id", "rnk", k0=RRF_K0, top_n=RRF_TOPN
+    )
+
+
+def _duck_qt_values() -> str:
+    return ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, terms in RETRIEVAL_QUERY_SET
+        for t in sorted(set(terms))
+    )
+
+
+def _duck_hybrid_rrf_multi() -> str:
+    dims = TX.HASHED_EMB_DIMS
+    union_terms = ", ".join(
+        f"'{t}'"
+        for t in sorted({t for _, ts in RETRIEVAL_QUERY_SET for t in ts})
+    )
+    return f"""
+WITH qt(query_id, term) AS (VALUES {_duck_qt_values()}),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+  FROM documents
+),
+qtoks AS (SELECT doc_id, term FROM toks WHERE term IN ({union_terms})),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM qtoks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         avg(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)) AS avgdl
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS dl
+       FROM documents),
+contrib AS (
+  SELECT tf.term, tf.doc_id,
+         ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({BM25_K1} + 1.0))
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+lexs AS (
+  SELECT qt.query_id, c.doc_id, round(SUM(c.c), 6) AS score
+  FROM contrib c JOIN qt USING (term) GROUP BY 1, 2
+),
+lex AS (
+  SELECT query_id, doc_id, rank_a FROM (
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank_a
+    FROM lexs
+  ) WHERE rank_a <= {RRF_POOL}
+),
+emb AS MATERIALIZED ({_duck_hashed_embedding()}),
+qraw AS (
+  SELECT query_id,
+         CAST(('0x' || substr(md5(term), 1, 15))::BIGINT % {dims} AS INTEGER) + 1 AS dim,
+         CASE WHEN ('0x' || substr(md5(term), 16, 1))::BIGINT % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM qt
+),
+qagg AS (SELECT query_id, dim, sum(s) AS v FROM qraw GROUP BY 1, 2),
+qspine AS (
+  SELECT q.query_id, d.dim, COALESCE(a.v, 0.0) AS v
+  FROM (SELECT DISTINCT query_id FROM qt) q
+  CROSS JOIN (SELECT unnest(generate_series(1, {dims})) AS dim) d
+  LEFT JOIN qagg a ON a.query_id = q.query_id AND a.dim = d.dim
+),
+qnorm AS (SELECT query_id, sqrt(sum(v * v)) AS nrm FROM qspine GROUP BY 1),
+qcells AS (
+  SELECT s.query_id, s.dim,
+         round(CASE WHEN n.nrm > 0 THEN s.v / n.nrm ELSE 0.0 END, 6) AS qv
+  FROM qspine s JOIN qnorm n USING (query_id)
+),
+dots AS (
+  SELECT q.query_id, e.doc_id, round(sum(e.value * q.qv), 6) AS dot
+  FROM emb e JOIN qcells q USING (dim) GROUP BY 1, 2
+),
+dense AS (
+  SELECT query_id, doc_id, rank_b FROM (
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY dot DESC, doc_id ASC) AS BIGINT) AS rank_b
+    FROM dots
+  ) WHERE rank_b <= {RRF_POOL}
+),
+fused AS (
+  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         COALESCE(l.doc_id, d.doc_id) AS doc_id, l.rank_a, d.rank_b,
+         round(COALESCE(1.0 / ({RRF_K0} + l.rank_a), 0.0)
+               + COALESCE(1.0 / ({RRF_K0} + d.rank_b), 0.0), 6) AS rrf
+  FROM lex l FULL OUTER JOIN dense d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+)
+SELECT query_id, doc_id, rank_a, rank_b, rrf, fused_rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= {RRF_TOPN}
+"""
+
+
+def q_retrieval_ndcg_multi(spark, sf_dir):
+    """nDCG@{RRF_TOPN} of the hybrid ranking PER QUERY over the
+    {len(RETRIEVAL_QUERY_SET)}-query eval set, plus a '__mean' summary
+    row — the statistically meaningful version of q_retrieval_ndcg
+    (same graded relevance: total occurrences of that query's terms,
+    capped at {NDCG_REL_CAP}; same exponential gain / log2 discount).
+
+    Scale shape: relevance for ALL queries comes from one pass over
+    the token stream (filter to the union of query terms, broadcast
+    join to the (query, term) table, one hash aggregate); the ideal
+    ranking is a per-query window over docs sharing ≥1 term with that
+    query (rel-0 docs contribute zero gain, so excluding them leaves
+    idcg exact); DCG INNER-joins relevance to the BROADCAST
+    queries×{RRF_TOPN} fused list — fused docs without a relevance
+    row would contribute zero gain, so the inner join is exact AND
+    keeps the big side streaming (a left join from the fused side
+    can't build-broadcast its left input and would shuffle the
+    relevance table instead); queries whose fused list has no
+    relevant doc rejoin with dcg 0 through the literal query-id
+    spine. The mean row aggregates {len(RETRIEVAL_QUERY_SET)} rows."""
+    from lion_parcel_etl_spark.operators.text import tokens_long
+
+    docs = _t(spark, sf_dir, "documents")
+    union_terms = sorted({t for _, ts in RETRIEVAL_QUERY_SET for t in ts})
+    qt = spark.createDataFrame(
+        sorted(
+            {(qid, t) for qid, ts in RETRIEVAL_QUERY_SET for t in ts}
+        ),
+        "query_id string, term string",
+    )
+    rel = (
+        tokens_long(docs, "doc_id", "text")
+        .filter(F.col("term").isin(union_terms))
+        .join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.least(F.count(F.lit(1)), F.lit(NDCG_REL_CAP))
+            .cast("int")
+            .alias("rel")
+        )
+    )
+    fused = q_hybrid_rrf_multi(spark, sf_dir).select(
+        "query_id", "doc_id", "fused_rank"
+    )
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0)) / F.log2(
+        F.col("rnk") + F.lit(1.0)
+    )
+    dcg = (
+        rel.join(F.broadcast(fused), ["query_id", "doc_id"])
+        .select("query_id", "rel", F.col("fused_rank").alias("rnk"))
+        .groupBy("query_id")
+        .agg(F.round(F.sum(gain), 6).alias("dcg"))
+    )
+    wi = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    idcg = (
+        rel.withColumn("rnk", F.row_number().over(wi).cast("long"))
+        .filter(F.col("rnk") <= RRF_TOPN)
+        .groupBy("query_id")
+        .agg(F.round(F.sum(gain), 6).alias("idcg"))
+    )
+    qids = spark.createDataFrame(
+        [(qid,) for qid, _ in RETRIEVAL_QUERY_SET], "query_id string"
+    )
+    per_q = (
+        qids.join(F.broadcast(dcg), "query_id", "left")
+        .join(F.broadcast(idcg), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("dcg", F.lit(0.0)).alias("dcg"),
+            "idcg",
+            F.round(
+                F.when(
+                    F.col("idcg") > 0,
+                    F.coalesce("dcg", F.lit(0.0)) / F.col("idcg"),
+                ),
+                6,
+            ).alias("ndcg"),
+        )
+    )
+    mean = per_q.agg(
+        F.lit("__mean").alias("query_id"),
+        F.round(F.avg("dcg"), 6).alias("dcg"),
+        F.round(F.avg("idcg"), 6).alias("idcg"),
+        F.round(F.avg("ndcg"), 6).alias("ndcg"),
+    )
+    return per_q.unionByName(mean)
+
+
+def _duck_retrieval_ndcg_multi() -> str:
+    union_terms = ", ".join(
+        f"'{t}'"
+        for t in sorted({t for _, ts in RETRIEVAL_QUERY_SET for t in ts})
+    )
+    gain = "(pow(2.0, rel) - 1.0) / log2(rnk + 1.0)"
+    return f"""
+WITH qt(query_id, term) AS (VALUES {_duck_qt_values()}),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+  FROM documents
+),
+rel AS MATERIALIZED (
+  SELECT qt.query_id, t.doc_id,
+         CAST(least(count(*), {NDCG_REL_CAP}) AS INTEGER) AS rel
+  FROM toks t JOIN qt USING (term)
+  WHERE t.term IN ({union_terms})
+  GROUP BY 1, 2
+),
+fused AS (
+  SELECT query_id, doc_id, fused_rank FROM ({_duck_hybrid_rrf_multi()})
+),
+dcg AS (
+  SELECT query_id, round(sum({gain}), 6) AS dcg
+  FROM (
+    SELECT r.query_id, r.rel, f.fused_rank AS rnk
+    FROM rel r JOIN fused f
+      ON f.query_id = r.query_id AND f.doc_id = r.doc_id
+  ) GROUP BY 1
+),
+ideal AS (
+  SELECT query_id, rel, rnk FROM (
+    SELECT query_id, rel,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY rel DESC, doc_id ASC) AS BIGINT) AS rnk
+    FROM rel
+  ) WHERE rnk <= {RRF_TOPN}
+),
+idcg AS (SELECT query_id, round(sum({gain}), 6) AS idcg FROM ideal GROUP BY 1),
+per_q AS (
+  SELECT q.query_id, COALESCE(d.dcg, 0.0) AS dcg, i.idcg,
+         round(CASE WHEN i.idcg > 0
+               THEN COALESCE(d.dcg, 0.0) / i.idcg END, 6) AS ndcg
+  FROM (SELECT DISTINCT query_id FROM qt) q
+  LEFT JOIN dcg d USING (query_id)
+  LEFT JOIN idcg i USING (query_id)
+)
+SELECT query_id, dcg, idcg, ndcg FROM per_q
+UNION ALL
+SELECT '__mean', round(avg(dcg), 6), round(avg(idcg), 6), round(avg(ndcg), 6)
+FROM per_q
 """
 
 
@@ -8605,66 +8932,38 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "classifier_auc": (q_classifier_auc, _duck_classifier_auc()),
     "calibration_bins": (q_calibration_bins, _duck_calibration_bins()),
     "hybrid_rrf": (q_hybrid_rrf, _duck_hybrid_rrf()),
+    "hybrid_rrf_multi": (q_hybrid_rrf_multi, _duck_hybrid_rrf_multi()),
+    "retrieval_ndcg_multi": (
+        q_retrieval_ndcg_multi,
+        _duck_retrieval_ndcg_multi(),
+    ),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF),
     "cluster_quality": (q_cluster_quality, _duck_cluster_quality()),
     "retrieval_ndcg": (q_retrieval_ndcg, _duck_retrieval_ndcg()),
     "ann_recall": (q_ann_recall, _duck_ann_recall()),
 }
 
-# Round-4 registry head: the 32 entries that have never appeared in any
-# driver CORRECTNESS_r* sample (they sat at positions 51-82 behind the
-# round-3 layer the r03 sample consumed), followed by the 3 entries whose
-# latest driver row is a stale fail (all since fixed and locally
-# hash-green) so each gets a fresh official green row. Everything else
-# keeps its prior relative order; lookup semantics are unaffected.
-_R4_HEAD = [
-    "source_mix",
-    "epoch_shuffle",
-    "interleave_sources",
-    "embedding_quantize",
-    "pii_redact",
-    "resize_images",
-    "frame_sample",
-    "curation_pipeline",
-    "minhash_incremental",
-    "tfidf_topk",
-    "bm25_rank",
-    "embedding_clusters",
-    "lsh_topk",
-    "pq_topk",
-    "ivf_topk_seeded",
-    "ivf_topk",
-    "scd2_timetravel",
-    "scd2_version_count",
-    "interval_arith",
-    "exists_subquery",
-    "scalar_subquery",
-    "having_agg",
-    "window_running",
-    "star_join_revenue",
-    "window_ranks",
-    "date_spine_fill",
-    "full_outer_join",
-    "token_frequency",
-    "doc_chunking",
-    "embedding_centroids",
-    "simhash_incremental",
-    "embedding_lsh_incremental",
-    # stale-fail entries needing a fresh green driver row:
-    "frequent_tokens",
-    "sessionize",
-    "dedup_embedding_lsh",
-    # new in round 4 (evaluation/retrieval layer) — need first rows:
-    "classifier_auc",
-    "calibration_bins",
-    "hybrid_rrf",
-    "zipf_fit",
-    "cluster_quality",
-    "retrieval_ndcg",
+# Round-5 registry head: the two structurally rows-only queries lead —
+# approx_stats' only official driver row is an r01 Traceback from the
+# era when it emitted array columns (it now emits scalar percentile
+# columns and passes the driver-sim pandas canonicalization), and
+# compression_ratio should get a current clean "no_oracle" row beside
+# it — followed by the queries whose OUTPUT changed or that are new
+# this round, so each gets a fresh official driver row. Everything
+# else keeps its prior relative order; lookup semantics are
+# unaffected.
+_R5_HEAD = [
+    # rows-only pair: close the last non-green official driver rows
+    "approx_stats",
+    "compression_ratio",
+    # output upgraded this round (pq method rows added):
     "ann_recall",
+    # new this round (multi-query retrieval eval layer):
+    "hybrid_rrf_multi",
+    "retrieval_ndcg_multi",
 ]
-assert set(_R4_HEAD) <= set(QUERIES), sorted(set(_R4_HEAD) - set(QUERIES))
+assert set(_R5_HEAD) <= set(QUERIES), sorted(set(_R5_HEAD) - set(QUERIES))
 QUERIES = {
-    **{name: QUERIES[name] for name in _R4_HEAD},
-    **{name: fn for name, fn in QUERIES.items() if name not in set(_R4_HEAD)},
+    **{name: QUERIES[name] for name in _R5_HEAD},
+    **{name: fn for name, fn in QUERIES.items() if name not in set(_R5_HEAD)},
 }

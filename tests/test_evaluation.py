@@ -128,6 +128,90 @@ def test_rrf_fuse_known_scores_and_missing_items(spark):
     assert len(out) == 4
 
 
+def test_rrf_fuse_keyed_matches_unkeyed_per_key(spark):
+    """The keyed fusion restricted to one key is exactly the unkeyed
+    fusion of that key's lists — the query dimension adds partitions,
+    never different math."""
+    from lion_parcel_etl_spark.operators.evaluation import rrf_fuse_keyed
+
+    a = spark.createDataFrame(
+        [("qa", "d1", 1), ("qa", "d2", 2), ("qb", "d3", 1)],
+        "q string, doc string, rnk long",
+    )
+    b = spark.createDataFrame(
+        [("qa", "d2", 1), ("qb", "d4", 1), ("qb", "d3", 2)],
+        "q string, doc string, rnk long",
+    )
+    keyed = rrf_fuse_keyed(a, b, "q", "doc", top_n=10).collect()
+    for key in ("qa", "qb"):
+        single = {
+            (r["doc"], r["rank_a"], r["rank_b"], r["rrf"], r["fused_rank"])
+            for r in rrf_fuse(
+                a.filter(F.col("q") == key).drop("q"),
+                b.filter(F.col("q") == key).drop("q"),
+                "doc",
+                top_n=10,
+            ).collect()
+        }
+        got = {
+            (r["doc"], r["rank_a"], r["rank_b"], r["rrf"], r["fused_rank"])
+            for r in keyed
+            if r["q"] == key
+        }
+        assert got == single, key
+
+
+def test_bm25_rank_keyed_matches_single_query(spark):
+    """bm25_rank_keyed restricted to one query reproduces bm25_rank's
+    scores and ranks exactly (the shared-corpus-pass factoring changes
+    the plan, not the statistic)."""
+    from lion_parcel_etl_spark.operators.text import bm25_rank, bm25_rank_keyed
+    from lion_parcel_etl_spark.plans.queries import BM25_TERMS
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    single = {
+        (r["doc_id"], r["score"], r["rnk"])
+        for r in bm25_rank(docs, BM25_TERMS, top_n=20).collect()
+    }
+    multi = {
+        (r["doc_id"], r["score"], r["rnk"])
+        for r in bm25_rank_keyed(
+            docs, [("q01", BM25_TERMS)], top_n=20
+        ).collect()
+    }
+    assert multi == single
+    # and inside the full eval set, q01's ranking is unchanged
+    from lion_parcel_etl_spark.plans.queries import RETRIEVAL_QUERY_SET
+
+    full = {
+        (r["doc_id"], r["score"], r["rnk"])
+        for r in bm25_rank_keyed(docs, RETRIEVAL_QUERY_SET, top_n=20).collect()
+        if r["query_id"] == "q01"
+    }
+    assert full == single
+
+
+def test_retrieval_ndcg_multi_bounds_and_mean(spark):
+    """Per-query nDCG in [0, 1]; the __mean row is the average of the
+    rounded per-query values."""
+    from lion_parcel_etl_spark.plans.queries import (
+        QUERIES,
+        RETRIEVAL_QUERY_SET,
+    )
+
+    rows = QUERIES["retrieval_ndcg_multi"][0](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    per_q = {r["query_id"]: r for r in rows if r["query_id"] != "__mean"}
+    assert set(per_q) == {qid for qid, _ in RETRIEVAL_QUERY_SET}
+    for r in per_q.values():
+        assert r["ndcg"] is None or 0.0 <= r["ndcg"] <= 1.0, r
+        assert r["dcg"] >= 0.0 and (r["idcg"] is None or r["idcg"] > 0)
+    mean = next(r for r in rows if r["query_id"] == "__mean")
+    vals = [r["ndcg"] for r in per_q.values() if r["ndcg"] is not None]
+    assert mean["ndcg"] == round(sum(vals) / len(vals), 6)
+
+
 def test_zipf_fit_recovers_planted_exponent(spark):
     # plant an exact power law n(r) = round(1e6 * r^-0.8): the log-log
     # fit must recover slope ≈ -0.8 with r2 ≈ 1
@@ -208,9 +292,9 @@ def test_retrieval_ndcg_bounds_and_gain_sanity(spark):
 
 
 def test_ann_recall_bounds_and_method_coverage(spark):
-    """Both index methods report per-query recall in [0, 1]; the
-    deterministic LSH/IVF configs recover a decent share of the exact
-    top-5 on the fixture corpus (floors mirror
+    """All three index methods report per-query recall in [0, 1]; the
+    deterministic LSH/IVF/PQ configs recover a decent share of the
+    exact top-5 on the fixture corpus (floors mirror
     tests/test_similarity.py's recall assertions)."""
     from lion_parcel_etl_spark.plans.queries import QUERIES
 
@@ -219,7 +303,7 @@ def test_ann_recall_bounds_and_method_coverage(spark):
     for r in rows:
         assert 0.0 <= r["recall"] <= 1.0
         by_method.setdefault(r["method"], []).append(r["recall"])
-    assert set(by_method) == {"lsh", "ivf_seeded"}
+    assert set(by_method) == {"lsh", "ivf_seeded", "pq"}
     # loose floor: the sf0.001 fixture corpus is tiny, so LSH buckets
     # are sparse — the real recall bars live in tests/test_similarity
     # at representative scale; here we pin non-degeneracy

@@ -71,11 +71,12 @@ def main() -> int:
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
+    import bench
+
+    machine_start = bench._machine_state()
     if args.queries:
         names = [n for n in args.queries.split(",") if n]
     else:
-        import bench
-
         names = list(bench.HEADLINE)
 
     child_src = _CHILD.format(repo=REPO)
@@ -126,6 +127,7 @@ def main() -> int:
         "cold": cold,
         "raw": raw,
         "errors": errors,
+        "machine": {"start": machine_start, "end": bench._machine_state()},
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
