@@ -249,3 +249,161 @@ def scd2_apply_partitioned(
         # this run's writes = the swapped current partition plus its
         # run-keyed history subdirectory (isolated per run by design)
         warehouse.metrics.record_dirs(table, [dst, run_dir])
+
+
+def bucket_of(key: list[str], n_buckets: int):
+    """Deterministic key→bucket column: pmod(hash(key cols), n) —
+    Spark's Murmur3 over the key tuple (NULL key values hash to a
+    fixed seed, consistent with the null-safe key joins)."""
+    return F.pmod(F.hash(*[F.col(k) for k in key]), F.lit(n_buckets))
+
+
+def scd2_apply_bucketed(
+    spark,
+    warehouse,
+    table: str,
+    snapshot: DataFrame,
+    key: list[str],
+    tracked: list[str],
+    snapshot_ts_col: str,
+    run_ts: str,
+    n_buckets: int = 16,
+) -> None:
+    """:func:`scd2_apply_partitioned` with a KEY-BUCKETED current
+    partition: ``state=current`` subdivides into ``bucket-<b>`` plain
+    nested directories (NOT hive ``k=v`` dirs, so the read schema is
+    unchanged), b = pmod(hash(key), n_buckets). Each run
+
+    - computes the snapshot's TOUCHED bucket set (≤ n_buckets ids —
+      the only thing collected),
+    - reads ONLY the touched buckets' current rows (directory-level
+      prune: a run whose snapshot touches 1% of the key space reads
+      and rewrites ~1% of the current partition, where
+      scd2_apply_partitioned rewrites it wholesale),
+    - per touched bucket, appends that bucket's newly-expired versions
+      to a run+bucket-keyed history subdirectory, THEN swaps that
+      bucket's current directory (history-before-current per bucket,
+      the same crash ordering as the unbucketed form).
+
+    Crash story (chaos-tested in tests/test_maintenance.py): every
+    mutation is a tmp+swap rename; a crash leaves at worst a
+    ``__tmp__`` orphan plus a prefix of buckets fully applied. A
+    retry with the SAME run_ts converges: already-applied buckets
+    detect no tracked change, produce zero expired rows, and —
+    because a bucket's history run-dir is only (re)written when the
+    retry produces >0 expired rows for it — their existing history
+    record is PRESERVED, not replaced with emptiness; a bucket that
+    crashed between its history swap and its current swap reproduces
+    the identical expired rows (its current dir is still the
+    predecessor state), replaces its run-dir with identical content,
+    and completes the current swap. Untouched buckets are never read,
+    written, or renamed.
+
+    The bucket count is a layout constant: changing ``n_buckets`` on
+    an existing table would strand rows in wrong-bucket directories,
+    so it is validated against a sidecar bucket-count marker written
+    at first load."""
+    import hashlib
+    import os
+    import uuid
+
+    from lion_parcel_etl_spark.catalog import swap_dir
+
+    if n_buckets < 1 or n_buckets > 4096:
+        raise ValueError(f"n_buckets={n_buckets} outside [1, 4096]")
+
+    STATE = "state"
+    bexpr = bucket_of(key, n_buckets)
+    table_dir = warehouse.table_path(table)
+    cur_root = os.path.join(table_dir, f"{STATE}=current")
+    # sidecar NEXT TO the table directory, not inside it: any stray
+    # non-parquet file under the partition tree breaks Spark's footer
+    # reads (even underscore-prefixed ones on the schema-merge path)
+    marker = f"{table_dir}.__buckets__"
+
+    def bucket_dir(b: int) -> str:
+        return os.path.join(cur_root, f"bucket-{b}")
+
+    def write_buckets(df: DataFrame, buckets: list[int]) -> list[str]:
+        """tmp-write + swap each bucket's rows; empty buckets are
+        skipped rather than written (a MISSING bucket dir reads as an
+        empty bucket, and an empty parquet dir would break later
+        schema inference). Non-emptiness comes from ONE aggregate, not
+        a count per bucket. Returns the swapped dirs."""
+        pinned = df.withColumn("__b", bexpr).persist()
+        swapped = []
+        try:
+            nonempty = {
+                r["__b"] for r in pinned.groupBy("__b").count().collect()
+            }
+            for b in buckets:
+                if b not in nonempty:
+                    continue
+                rows = pinned.filter(F.col("__b") == b).drop("__b")
+                tmp = f"{table_dir}.__tmp__{uuid.uuid4().hex[:8]}"
+                rows.write.parquet(tmp)
+                swap_dir(tmp, bucket_dir(b))
+                swapped.append(bucket_dir(b))
+        finally:
+            pinned.unpersist()
+        return swapped
+
+    if not os.path.isdir(cur_root):
+        full = scd2_apply(None, snapshot, key, tracked, snapshot_ts_col, run_ts)
+        os.makedirs(cur_root, exist_ok=True)
+        dirs = write_buckets(full, list(range(n_buckets)))
+        with open(marker, "w") as mf:
+            mf.write(str(n_buckets))
+        if getattr(warehouse, "metrics", None) is not None:
+            warehouse.metrics.record_dirs(table, dirs)
+        return
+    stored = None
+    if os.path.exists(marker):
+        with open(marker) as mf:
+            stored = mf.read().strip()
+    if stored != str(n_buckets):
+        raise ValueError(
+            f"{table!r} current partition exists with bucket marker "
+            f"{stored!r}, not the requested n_buckets={n_buckets} — it "
+            "was loaded with a different bucket count (or by "
+            "scd2_apply_partitioned); re-load before switching layouts"
+        )
+
+    touched = sorted(
+        r["__b"] for r in snapshot.select(bexpr.alias("__b")).distinct().collect()
+    )
+    have = [b for b in touched if os.path.isdir(bucket_dir(b))]
+    cur = (
+        spark.read.parquet(*[bucket_dir(b) for b in have]) if have else None
+    )
+    out = scd2_apply(
+        cur, snapshot, key, tracked, snapshot_ts_col, run_ts
+    ).withColumn("__b", bexpr).persist()
+    written: list[str] = []
+    run_digest = hashlib.md5(run_ts.encode()).hexdigest()[:12]
+    hist_root = os.path.join(table_dir, f"{STATE}=history")
+    try:
+        for b in touched:
+            expired_b = out.filter(~F.col("is_current") & (F.col("__b") == b)).drop(
+                "__b"
+            )
+            run_dir = os.path.join(hist_root, f"run-{run_digest}-b{b}")
+            # only (re)write the history record when THIS run produced
+            # expired rows for the bucket: a retry that already applied
+            # the bucket sees no changes and must not replace the
+            # existing record with an empty one
+            if expired_b.limit(1).count() > 0:
+                tmp = f"{table_dir}.__tmp__{uuid.uuid4().hex[:8]}"
+                expired_b.write.parquet(tmp)
+                os.makedirs(hist_root, exist_ok=True)
+                swap_dir(tmp, run_dir)
+                written.append(run_dir)
+            cur_b = out.filter(F.col("is_current") & (F.col("__b") == b)).drop("__b")
+            tmp = f"{table_dir}.__tmp__{uuid.uuid4().hex[:8]}"
+            cur_b.write.parquet(tmp)
+            swap_dir(tmp, bucket_dir(b))
+            written.append(bucket_dir(b))
+    finally:
+        out.unpersist()
+    if getattr(warehouse, "metrics", None) is not None:
+        warehouse.metrics.record_dirs(table, written)

@@ -1237,3 +1237,49 @@ def read_auc(spark: SparkSession, warehouse, table: str) -> DataFrame:
         F.sum("np_").alias("np_"), F.sum("nn_").alias("nn_")
     )
     return auc_from_score_counts(merged)
+
+
+def read_calibration(
+    spark: SparkSession, warehouse, table: str, n_bins: int = 10
+) -> DataFrame:
+    """(bin, n, mean_p, frac_pos, gap) reliability-diagram rows from
+    the SAME per-batch score-count log :func:`stream_score_histograms`
+    maintains for AUC — zero new streaming state: the per-score
+    (s, np_, nn_) table is a lossless sufficient statistic for
+    calibration too, since every row of a score bin contributes its
+    (already 1e-6-rounded) score and its 0/1 label, both of which the
+    count log preserves exactly. Merge the log, then per bin:
+    n = Σ(np_+nn_), mean_p = Σ s·(np_+nn_) / n (the exact row-mean —
+    scores are constant within a count group), frac_pos = Σ np_ / n,
+    gap = |mean_p − frac_pos| — the statistics batch calibration_bins
+    (operators/evaluation.py) computes over raw rows. n and frac_pos
+    are integer-exact; mean_p/gap involve real float sums whose
+    summation ORDER differs between the row stream and the count
+    table, so when the true value sits exactly on a 1e-6 rounding
+    boundary the last digit can differ by one — agreement within one
+    unit in the last rounded place is the contract
+    (tests/test_streaming.py), unlike read_auc whose
+    integers-and-halves arithmetic is bit-exact."""
+    log = warehouse.read(spark, table)
+    merged = log.groupBy("s").agg(
+        F.sum("np_").alias("np_"), F.sum("nn_").alias("nn_")
+    )
+    b = F.least(
+        F.floor(F.col("s") * n_bins).cast("long"), F.lit(n_bins - 1)
+    )
+    cnt = (F.col("np_") + F.col("nn_")).cast("double")
+    return (
+        merged.groupBy(b.alias("bin"))
+        .agg(
+            F.sum(F.col("np_") + F.col("nn_")).alias("n"),
+            F.round(F.sum(F.col("s") * cnt) / F.sum(cnt), 6).alias("mean_p"),
+            F.round(F.sum("np_") / F.sum(cnt), 6).alias("frac_pos"),
+            F.round(
+                F.abs(
+                    F.sum(F.col("s") * cnt) / F.sum(cnt)
+                    - F.sum("np_") / F.sum(cnt)
+                ),
+                6,
+            ).alias("gap"),
+        )
+    )

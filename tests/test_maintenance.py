@@ -295,6 +295,159 @@ def test_scd2_partitioned_same_run_retry_does_not_duplicate_history(
     assert hist.count() == 1
 
 
+def _bucket_ids_for(spark, n_buckets, want_distinct=2):
+    """First `want_distinct` ids (1..99) landing in distinct buckets,
+    as {id: bucket} — lets tests pick keys with known bucket homes."""
+    from lion_parcel_etl_spark.operators.scd2 import bucket_of
+
+    rows = (
+        spark.createDataFrame([(i,) for i in range(1, 100)], "id long")
+        .select("id", bucket_of(["id"], n_buckets).alias("b"))
+        .collect()
+    )
+    picked: dict[int, int] = {}
+    for r in rows:
+        if r["b"] not in picked.values():
+            picked[r["id"]] = r["b"]
+        if len(picked) == want_distinct:
+            break
+    return picked
+
+
+def test_scd2_bucketed_matches_twin_and_prunes_untouched_buckets(
+    spark, tmp_path
+):
+    """Two bucketed runs produce exactly the scd2_apply twin's state,
+    and a run whose snapshot touches ONE bucket leaves every other
+    bucket directory byte-untouched (the wholesale-rewrite fix)."""
+    import os
+
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.scd2 import (
+        scd2_apply,
+        scd2_apply_bucketed,
+    )
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    n_buckets = 4
+    picked = _bucket_ids_for(spark, n_buckets, want_distinct=2)
+    (id_a, b_a), (id_b, b_b) = list(picked.items())
+    snap1 = _scd_snap(
+        spark, [(id_a, "A"), (id_b, "A")], "2024-01-01 00:00:00"
+    )
+    # second snapshot touches ONLY id_a's bucket
+    snap2 = _scd_snap(spark, [(id_a, "B")], "2024-01-02 00:00:00")
+    rts1, rts2 = "2024-01-01 01:00:00", "2024-01-02 01:00:00"
+    scd2_apply_bucketed(
+        spark, wh, "dim", snap1, ["id"], ["status"], "snap_ts", rts1,
+        n_buckets=n_buckets,
+    )
+
+    def listing(b):
+        d = os.path.join(wh.table_path("dim"), "state=current", f"bucket-{b}")
+        if not os.path.isdir(d):
+            return None
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f))) for f in os.listdir(d)
+        )
+
+    before_b = listing(b_b)
+    scd2_apply_bucketed(
+        spark, wh, "dim", snap2, ["id"], ["status"], "snap_ts", rts2,
+        n_buckets=n_buckets,
+    )
+    assert listing(b_b) == before_b  # untouched bucket: not even renamed
+
+    twin = scd2_apply(
+        scd2_apply(None, snap1, ["id"], ["status"], "snap_ts", rts1),
+        snap2, ["id"], ["status"], "snap_ts", rts2,
+    )
+    assert _scd_canon(wh.read(spark, "dim").drop("state")) == _scd_canon(twin)
+
+
+@pytest.mark.parametrize("window", ["first-history", "second-bucket"])
+def test_scd2_bucketed_crash_windows_recover_on_rerun(
+    spark, tmp_path, monkeypatch, window
+):
+    """Crash (a) before the first bucket's history swap — table
+    untouched — and (b) before the SECOND touched bucket's current
+    swap — first bucket fully applied, second bucket in the
+    history-installed/current-stale anomaly window. Both retry to the
+    clean twin with exactly one expired version per changed key: the
+    >0-rows guard preserves the already-applied bucket's history
+    run-dir instead of replacing it with emptiness."""
+    import os
+
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.maintenance import vacuum
+    from lion_parcel_etl_spark.operators.scd2 import (
+        scd2_apply,
+        scd2_apply_bucketed,
+    )
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    n_buckets = 4
+    picked = _bucket_ids_for(spark, n_buckets, want_distinct=2)
+    (id_a, b_a), (id_b, b_b) = list(picked.items())
+    snap1 = _scd_snap(
+        spark, [(id_a, "A"), (id_b, "A")], "2024-01-01 00:00:00"
+    )
+    snap2 = _scd_snap(
+        spark, [(id_a, "B"), (id_b, "B")], "2024-01-02 00:00:00"
+    )
+    rts1, rts2 = "2024-01-01 01:00:00", "2024-01-02 01:00:00"
+    scd2_apply_bucketed(
+        spark, wh, "dim", snap1, ["id"], ["status"], "snap_ts", rts1,
+        n_buckets=n_buckets,
+    )
+    substr = (
+        "state=history" if window == "first-history"
+        else f"bucket-{max(b_a, b_b)}"
+    )
+    state = _crash_swap_on(monkeypatch, substr)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        scd2_apply_bucketed(
+            spark, wh, "dim", snap2, ["id"], ["status"], "snap_ts", rts2,
+            n_buckets=n_buckets,
+        )
+    # crashed state: table readable; debris confined to __tmp__ orphans
+    assert wh.read(spark, "dim").count() >= 2
+    assert all("__tmp__" in p for p in _orphans(wh))
+    vacuum(wh, min_age_seconds=0)
+
+    state["armed"] = False
+    scd2_apply_bucketed(
+        spark, wh, "dim", snap2, ["id"], ["status"], "snap_ts", rts2,
+        n_buckets=n_buckets,
+    )
+    twin = scd2_apply(
+        scd2_apply(None, snap1, ["id"], ["status"], "snap_ts", rts1),
+        snap2, ["id"], ["status"], "snap_ts", rts2,
+    )
+    got = wh.read(spark, "dim")
+    assert _scd_canon(got.drop("state")) == _scd_canon(twin)
+    # exactly one expired version per changed key — nothing duplicated,
+    # nothing lost across the partial application
+    assert got.filter(~_F.col("is_current")).count() == 2
+
+
+def test_scd2_bucketed_rejects_bucket_count_change(spark, tmp_path):
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.scd2 import scd2_apply_bucketed
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    snap1 = _scd_snap(spark, [(1, "A")], "2024-01-01 00:00:00")
+    scd2_apply_bucketed(
+        spark, wh, "dim", snap1, ["id"], ["status"], "snap_ts",
+        "2024-01-01 01:00:00", n_buckets=4,
+    )
+    with pytest.raises(ValueError, match="_buckets"):
+        scd2_apply_bucketed(
+            spark, wh, "dim", snap1, ["id"], ["status"], "snap_ts",
+            "2024-01-02 01:00:00", n_buckets=8,
+        )
+
+
 def test_merge_partitioned_crash_mid_swap_loop_recovers(spark, tmp_path, monkeypatch):
     """Crash after swapping the first of two touched partitions: each
     partition is individually consistent (one merged, one stale), the

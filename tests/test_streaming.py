@@ -1296,6 +1296,32 @@ def test_stream_auc_merged_equals_batch_statistic(spark, tmp_path):
     )
     assert 0.5 < got["auc"] < 1.0  # separable-but-overlapping by design
 
+    # the SAME state table answers calibration with zero new state:
+    # read_calibration's merged per-score view equals batch
+    # calibration_bins over the raw stream bin for bin — n/frac_pos
+    # integer-exact; mean_p/gap within one unit in the last rounded
+    # place (summation order differs, so a value landing exactly on a
+    # 1e-6 rounding boundary may flip its last digit)
+    from lion_parcel_etl_spark.operators.evaluation import calibration_bins
+    from lion_parcel_etl_spark.streaming.jobs import read_calibration
+
+    got_cal = {
+        r["bin"]: r for r in read_calibration(spark, wh, "auc").collect()
+    }
+    want_cal = {
+        r["bin"]: r
+        for r in calibration_bins(
+            spark.createDataFrame(b1 + b2, "p double, y int")
+        ).collect()
+    }
+    assert set(got_cal) == set(want_cal)
+    assert len(got_cal) >= 5  # scores span most deciles by design
+    for b in want_cal:
+        g, w2 = got_cal[b], want_cal[b]
+        assert (g["n"], g["frac_pos"]) == (w2["n"], w2["frac_pos"]), b
+        assert abs(g["mean_p"] - w2["mean_p"]) <= 1e-6 + 1e-12, b
+        assert abs(g["gap"] - w2["gap"]) <= 1e-6 + 1e-12, b
+
 
 @pytest.mark.parametrize("window", ["before-append", "after-append"])
 def test_stream_auc_crash_recovers_on_restart(spark, tmp_path, monkeypatch, window):

@@ -223,6 +223,9 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--classifier":
         classifier_main()
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--eval":
+        eval_main()
+        return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     spark = get_spark(
         app_name="scale-smoke",
@@ -338,6 +341,161 @@ def main() -> None:
         f"dsir_weights: {time.perf_counter() - t0:.2f}s, "
         f"shuffle {(_shuffle_bytes(spark) - sb0) / 1e6:.1f} MB"
     )
+
+
+def eval_main() -> None:
+    """Measure the round-4/5 evaluation layer at a replicated corpus:
+    AUC over the scored classifier output (the claim: the corpus
+    collapses to per-distinct-score counts before the only window),
+    the multi-query hybrid retrieval chain (the claim: corpus-sized
+    work happens once regardless of query count; the query dimension
+    only fans out bounded candidate rows), and the per-query nDCG on
+    top of it (the claim: relevance is one filtered token pass; gain
+    sums act on queries×top_n rows)."""
+    from pyspark.sql import Window
+
+    from lion_parcel_etl_spark.operators.classifier import (
+        doc_features,
+        logreg_fit,
+        logreg_score,
+    )
+    from lion_parcel_etl_spark.operators.dedup import pin
+    from lion_parcel_etl_spark.operators.evaluation import (
+        roc_auc,
+        rrf_fuse_keyed,
+    )
+    from lion_parcel_etl_spark.operators.text import (
+        bm25_rank_keyed,
+        hashed_embedding,
+        tokens_long,
+    )
+    from lion_parcel_etl_spark.plans.queries import (
+        NDCG_REL_CAP,
+        RETRIEVAL_QUERY_SET,
+        RRF_K0,
+        RRF_POOL,
+        RRF_TOPN,
+    )
+
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    spark = get_spark(
+        app_name="scale-smoke-eval",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.retainedStages": "100000"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_base = base.count()
+    big = (
+        base.withColumn(
+            "copy", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+        )
+        .select(
+            (F.col("doc_id") + F.col("copy") * (n_base * 10)).alias("doc_id"),
+            F.when(F.col("copy") == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" v"), F.col("copy")))
+            .alias("text"),
+        )
+        .repartition(32)
+        .persist()
+    )
+    n = big.count()
+    print(f"corpus: {n} docs ({mult}x)")
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # classifier_auc at scale: fit + score + rank-sum AUC
+    cond = F.lower(F.col("text")).contains("slow join") | F.lower(
+        F.col("text")
+    ).contains("join slow")
+    t0 = time.perf_counter()
+    sb0 = _shuffle_bytes(spark)
+    feats = pin(doc_features(big, cond))
+    w = logreg_fit(feats)
+    scored = logreg_score(feats, w)
+    row = roc_auc(scored).collect()[0]
+    print(
+        f"classifier_auc: auc {row['auc']}, n_pos {row['n_pos']}, "
+        f"{time.perf_counter() - t0:.2f}s, "
+        f"shuffle {(_shuffle_bytes(spark) - sb0) / 1e6:.1f} MB"
+    )
+
+    # hybrid_rrf_multi at scale: all queries through one corpus pass
+    t0 = time.perf_counter()
+    sb0 = _shuffle_bytes(spark)
+    lex = bm25_rank_keyed(
+        big, RETRIEVAL_QUERY_SET, top_n=RRF_POOL
+    ).select("query_id", "doc_id", "rnk")
+    qdocs = spark.createDataFrame(
+        [(qid, " ".join(ts)) for qid, ts in RETRIEVAL_QUERY_SET],
+        "query_id string, text string",
+    )
+    qcells = hashed_embedding(qdocs, id_col="query_id").select(
+        "query_id", "dim", F.col("value").alias("qv")
+    )
+    dots = (
+        hashed_embedding(big)
+        .join(F.broadcast(qcells), "dim")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(F.col("value") * F.col("qv")), 6).alias("dot"))
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("doc_id").asc()
+    )
+    dense = (
+        dots.withColumn("rnk", F.row_number().over(wd).cast("long"))
+        .filter(F.col("rnk") <= RRF_POOL)
+        .select("query_id", "doc_id", "rnk")
+    )
+    fused = rrf_fuse_keyed(
+        lex, dense, "query_id", "doc_id", "rnk", k0=RRF_K0, top_n=RRF_TOPN
+    ).persist()
+    n_fused = fused.count()
+    t_rrf = time.perf_counter() - t0
+    sb_rrf = (_shuffle_bytes(spark) - sb0) / 1e6
+    print(
+        f"hybrid_rrf_multi: {n_fused} fused rows "
+        f"({len(RETRIEVAL_QUERY_SET)} queries), {t_rrf:.2f}s, "
+        f"shuffle {sb_rrf:.1f} MB"
+    )
+
+    # retrieval_ndcg_multi on top: one more filtered token pass
+    t0 = time.perf_counter()
+    sb0 = _shuffle_bytes(spark)
+    union_terms = sorted({t for _, ts in RETRIEVAL_QUERY_SET for t in ts})
+    qt = spark.createDataFrame(
+        sorted({(q, t) for q, ts in RETRIEVAL_QUERY_SET for t in ts}),
+        "query_id string, term string",
+    )
+    rel = (
+        tokens_long(big, "doc_id", "text")
+        .filter(F.col("term").isin(union_terms))
+        .join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.least(F.count(F.lit(1)), F.lit(NDCG_REL_CAP)).cast("int").alias("rel")
+        )
+    )
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0)) / F.log2(
+        F.col("rnk") + F.lit(1.0)
+    )
+    dcg = (
+        rel.join(
+            F.broadcast(fused.select("query_id", "doc_id", "fused_rank")),
+            ["query_id", "doc_id"],
+        )
+        .select("query_id", "rel", F.col("fused_rank").alias("rnk"))
+        .groupBy("query_id")
+        .agg(F.round(F.sum(gain), 6).alias("dcg"))
+    )
+    noop(dcg)
+    print(
+        f"retrieval_ndcg_multi (dcg stage): {time.perf_counter() - t0:.2f}s, "
+        f"shuffle {(_shuffle_bytes(spark) - sb0) / 1e6:.1f} MB"
+    )
+    fused.unpersist()
 
 
 def classifier_main() -> None:
