@@ -576,8 +576,9 @@ def theil_sen_trend(
         # release the pinned cache before failing: the gate rejects
         # exactly the over-sized inputs whose cached partitions would
         # otherwise squat on executor memory (outside any _PIN_TRACKERS
-        # context nothing else would ever unpersist them)
-        base.unpersist()
+        # context nothing else would ever unpersist them); blocking so
+        # the storage is actually gone when the caller sees the error
+        base.unpersist(blocking=True)
         raise ValueError(
             f"theil_sen_trend: input has {n_rows} rows after cleaning, over "
             f"the short-series contract's max_rows={max_rows}. The exact "

@@ -359,12 +359,14 @@ def test_theil_sen_gate_failure_releases_pinned_cache(spark):
     from lion_parcel_etl_spark.operators.checks import theil_sen_trend
 
     sc = spark.sparkContext
-    before = {r.id for r in sc._jsc.sc().getRDDStorageInfo()}
+    # .id() CALLS the Java getter (bare .id is a JavaMember wrapper,
+    # unique per Python object — it would fake a diff on every run)
+    before = {r.id() for r in sc._jsc.sc().getRDDStorageInfo()}
     df = spark.createDataFrame(
         [("g", float(x), 2.0 * x) for x in range(30)],
         "g string, x double, y double",
     )
     with pytest.raises(ValueError, match="ols_trend"):
         theil_sen_trend(df, "x", "y", "g", max_rows=10)
-    leaked = {r.id for r in sc._jsc.sc().getRDDStorageInfo()} - before
+    leaked = {r.id() for r in sc._jsc.sc().getRDDStorageInfo()} - before
     assert not leaked, f"gate failure leaked cached RDDs: {leaked}"
