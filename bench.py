@@ -168,7 +168,10 @@ HEADLINE = [
     # the steady-state cost a shared session actually pays (see
     # BENCH_NOTES.md).
     "classifier_auc",
+    "classifier_pr_auc",
+    "classifier_kappa",
     "calibration_bins",
+    "calibration_ece",
     "hybrid_rrf",
     "retrieval_ndcg",
     "ann_recall",

@@ -139,6 +139,114 @@ def roc_auc(
     )
 
 
+def ap_from_score_counts(per_score: DataFrame) -> DataFrame:
+    """(n_pos, n_neg, ap) average precision from a per-DISTINCT-SCORE
+    count table (s, np_, nn_) — the PR-curve twin of
+    :func:`auc_from_score_counts`, sharing its input so the SAME
+    streaming state answers both metrics.
+
+    AP = Σ_thresholds ΔR(t)·P(t) over distinct scores DESCENDING
+    (every distinct score is a threshold): ΔR = np_/n_pos at that
+    score, P = cum_tp/(cum_tp+cum_fp) with cumulative counts INCLUSIVE
+    of the score's own group — the standard step-interpolated
+    definition (sklearn's average_precision_score), with a whole tied
+    group entering at its combined precision. The window runs over
+    distinct scores only; per-group divisions are single IEEE ops on
+    integer-valued doubles, so the statistic replays in SQL."""
+    w = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_score.select(
+        "np_",
+        "nn_",
+        F.sum("np_").over(w).cast("double").alias("cum_tp"),
+        F.sum("nn_").over(w).cast("double").alias("cum_fp"),
+    )
+    agg = cum.agg(
+        F.sum("np_").alias("n_pos"),
+        F.sum("nn_").alias("n_neg"),
+        F.sum(
+            F.col("np_") * F.col("cum_tp") / (F.col("cum_tp") + F.col("cum_fp"))
+        ).alias("u"),
+    )
+    ap = F.when(
+        F.col("n_pos") > 0, F.round(F.col("u") / F.col("n_pos"), 6)
+    )
+    return agg.select("n_pos", "n_neg", ap.alias("ap"))
+
+
+def pr_auc(
+    scored: DataFrame, score_col: str = "p", label_col: str = "y"
+) -> DataFrame:
+    """One-row (n_pos, n_neg, ap, prevalence): step-interpolated
+    average precision (PR-AUC) for a scored binary-labeled table —
+    the metric that stays informative under class imbalance where
+    ROC-AUC saturates (its random baseline is the prevalence, which
+    rides along for exactly that comparison). Same scale shape as
+    :func:`roc_auc`: the corpus collapses to per-distinct-score
+    counts before the only window; same NULL/NaN-score exclusion."""
+    s = scored.select(
+        F.col(score_col).cast("double").alias("s"),
+        F.col(label_col).cast("long").alias("y"),
+    ).filter(
+        F.col("y").isNotNull()
+        & F.col("s").isNotNull()
+        & ~F.isnan(F.col("s"))
+    )
+    per_score = s.groupBy("s").agg(
+        F.sum("y").alias("np_"),
+        F.sum(F.lit(1) - F.col("y")).alias("nn_"),
+    )
+    out = ap_from_score_counts(per_score)
+    return out.select(
+        "n_pos",
+        "n_neg",
+        "ap",
+        F.round(
+            F.col("n_pos") / (F.col("n_pos") + F.col("n_neg")), 6
+        ).alias("prevalence"),
+    )
+
+
+def agreement_kappa(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """One-row (n, po, pe, kappa) Cohen's κ chance-corrected agreement
+    between two BINARY (0/1) columns — the standard
+    annotator/model-agreement statistic (κ = (p_o − p_e)/(1 − p_e);
+    1 = perfect, 0 = chance, <0 = worse than chance). ONE hash-free
+    aggregate (four conditional sums); perfect-agreement-by-chance
+    degenerate inputs (p_e = 1) yield NULL rather than 0/0. Rows with
+    a NULL on either side are excluded — an unlabeled row has no
+    agreement to measure."""
+    a, b = F.col("col_a"), F.col("col_b")
+    s = df.select(
+        F.col(col_a).cast("long").alias("col_a"),
+        F.col(col_b).cast("long").alias("col_b"),
+    ).filter(F.col("col_a").isNotNull() & F.col("col_b").isNotNull())
+    agg = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(((a == 1) & (b == 1)).cast("long")).alias("n11"),
+        F.sum(((a == 1) & (b == 0)).cast("long")).alias("n10"),
+        F.sum(((a == 0) & (b == 1)).cast("long")).alias("n01"),
+        F.sum(((a == 0) & (b == 0)).cast("long")).alias("n00"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")) / n
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ) / (n * n)
+    return agg.select(
+        "n",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(
+            F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)), 6
+        ).alias("kappa"),
+    )
+
+
 def calibration_bins(
     scored: DataFrame,
     score_col: str = "p",

@@ -8031,6 +8031,118 @@ GROUP BY 1
 """
 
 
+def q_classifier_pr_auc(spark, sf_dir):
+    """Average precision (PR-AUC) of the quality classifier
+    (operators/evaluation.py pr_auc): the step-interpolated area
+    under the precision-recall curve, with the prevalence baseline
+    riding along — the metric that stays informative under class
+    imbalance where ROC-AUC saturates. Shares _qc_scored's fit memo
+    and roc_auc's scale shape: the corpus collapses to
+    per-distinct-score counts before the only window (which runs over
+    distinct scores descending, never corpus rows); per-group
+    precision divisions are single IEEE ops on integer-valued
+    doubles, so the statistic replays in the oracle."""
+    from lion_parcel_etl_spark.operators.evaluation import pr_auc
+
+    return pr_auc(_qc_scored(spark, sf_dir))
+
+
+def _duck_classifier_pr_auc() -> str:
+    return f"""
+WITH scored0 AS MATERIALIZED ({_duck_quality_classifier()}),
+scored AS (
+  SELECT * FROM scored0
+  WHERE y IS NOT NULL AND p IS NOT NULL AND NOT isnan(p)
+),
+per AS (
+  SELECT p AS s, sum(y) AS np_, sum(1 - y) AS nn_ FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT np_, nn_,
+         CAST(sum(np_) OVER (ORDER BY s DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_tp,
+         CAST(sum(nn_) OVER (ORDER BY s DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_fp
+  FROM per
+),
+agg AS (
+  SELECT CAST(sum(np_) AS BIGINT) AS n_pos, CAST(sum(nn_) AS BIGINT) AS n_neg,
+         sum(np_ * cum_tp / (cum_tp + cum_fp)) AS u
+  FROM cum
+)
+SELECT n_pos, n_neg,
+       CASE WHEN n_pos > 0 THEN round(u / n_pos, 6) END AS ap,
+       round(CAST(n_pos AS DOUBLE) / (n_pos + n_neg), 6) AS prevalence
+FROM agg
+"""
+
+
+def q_classifier_kappa(spark, sf_dir):
+    """Cohen's κ chance-corrected agreement between the classifier's
+    thresholded prediction and the rule label
+    (operators/evaluation.py agreement_kappa) — the
+    annotator-agreement statistic applied as a model sanity check
+    (accuracy alone flatters imbalanced labels; κ discounts the
+    agreement chance would produce). ONE aggregate over the scored
+    corpus."""
+    from lion_parcel_etl_spark.operators.evaluation import agreement_kappa
+
+    return agreement_kappa(_qc_scored(spark, sf_dir), "pred", "y")
+
+
+def _duck_classifier_kappa() -> str:
+    return f"""
+WITH scored AS MATERIALIZED ({_duck_quality_classifier()}),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         CAST(sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+  FROM scored WHERE pred IS NOT NULL AND y IS NOT NULL
+),
+k AS (
+  SELECT n,
+         (n11 + n00) / CAST(n AS DOUBLE) AS po,
+         ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+  FROM c
+)
+SELECT n, round(po, 6) AS po, round(pe, 6) AS pe,
+       round(CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END, 6) AS kappa
+FROM k
+"""
+
+
+def q_calibration_ece(spark, sf_dir):
+    """Expected Calibration Error — the one-number rollup of
+    q_calibration_bins: ECE = Σ_bins (n_b/N)·gap_b over the same
+    {CALIB_BINS}-decile reliability bins (gap = |mean confidence −
+    empirical rate| per bin), plus N and the non-empty bin count.
+    One extra ≤{CALIB_BINS}-row aggregate on top of the bins' single
+    corpus pass."""
+    from lion_parcel_etl_spark.operators.evaluation import calibration_bins
+
+    bins = calibration_bins(_qc_scored(spark, sf_dir), n_bins=CALIB_BINS)
+    return bins.agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_bins_nonempty"),
+        F.round(
+            F.sum(F.col("n") * F.col("gap")) / F.sum("n"), 6
+        ).alias("ece"),
+    )
+
+
+def _duck_calibration_ece() -> str:
+    return f"""
+WITH bins AS ({_duck_calibration_bins()})
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_bins_nonempty,
+       round(sum(n * gap) / sum(n), 6) AS ece
+FROM bins
+"""
+
+
 RRF_POOL = 50
 RRF_K0 = 60
 RRF_TOPN = 20
@@ -8930,7 +9042,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_embedding": (q_embedding_near_dup, _duck_embedding_near_dup()),
     "dedup_embedding_lsh": (q_embedding_near_dup_lsh, _duck_embedding_near_dup_lsh()),
     "classifier_auc": (q_classifier_auc, _duck_classifier_auc()),
+    "classifier_pr_auc": (q_classifier_pr_auc, _duck_classifier_pr_auc()),
+    "classifier_kappa": (q_classifier_kappa, _duck_classifier_kappa()),
     "calibration_bins": (q_calibration_bins, _duck_calibration_bins()),
+    "calibration_ece": (q_calibration_ece, _duck_calibration_ece()),
     "hybrid_rrf": (q_hybrid_rrf, _duck_hybrid_rrf()),
     "hybrid_rrf_multi": (q_hybrid_rrf_multi, _duck_hybrid_rrf_multi()),
     "retrieval_ndcg_multi": (
@@ -8961,6 +9076,10 @@ _R5_HEAD = [
     # new this round (multi-query retrieval eval layer):
     "hybrid_rrf_multi",
     "retrieval_ndcg_multi",
+    # new this round (classifier eval completions):
+    "classifier_pr_auc",
+    "classifier_kappa",
+    "calibration_ece",
 ]
 assert set(_R5_HEAD) <= set(QUERIES), sorted(set(_R5_HEAD) - set(QUERIES))
 QUERIES = {

@@ -1239,6 +1239,25 @@ def read_auc(spark: SparkSession, warehouse, table: str) -> DataFrame:
     return auc_from_score_counts(merged)
 
 
+def read_pr_auc(spark: SparkSession, warehouse, table: str) -> DataFrame:
+    """(n_pos, n_neg, ap) average precision from the stored per-batch
+    score-count log — the PR-curve twin of :func:`read_auc`, zero new
+    streaming state: per-score counts are the sufficient statistic
+    for the whole PR curve too (merge the log, then the identical
+    step-interpolation core the batch operator uses —
+    operators/evaluation.py ap_from_score_counts — so the streamed
+    statistic equals the batch answer over the full stream, tested)."""
+    from lion_parcel_etl_spark.operators.evaluation import (
+        ap_from_score_counts,
+    )
+
+    log = warehouse.read(spark, table)
+    merged = log.groupBy("s").agg(
+        F.sum("np_").alias("np_"), F.sum("nn_").alias("nn_")
+    )
+    return ap_from_score_counts(merged)
+
+
 def read_calibration(
     spark: SparkSession, warehouse, table: str, n_bins: int = 10
 ) -> DataFrame:

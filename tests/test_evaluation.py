@@ -94,6 +94,84 @@ def test_roc_auc_matches_sklearn_formula_on_random(spark):
     assert got["auc"] == want
 
 
+def test_pr_auc_hand_computed_with_ties_and_nulls(spark):
+    """Step-interpolated AP on a worked example: scores desc
+    .9(+) .8(−) .7(+) .6(+) .5(−) → AP = (1 + 2/3 + 3/4)/3; a
+    pos/neg TIE enters as one group at its combined precision; NULL
+    and NaN scores and NULL labels drop like roc_auc's."""
+    from lion_parcel_etl_spark.operators.evaluation import pr_auc
+
+    df = _scored(
+        spark,
+        [(0.9, 1, 1), (0.8, 0, 1), (0.7, 1, 1), (0.6, 1, 0), (0.5, 0, 0)],
+    )
+    r = pr_auc(df).collect()[0]
+    assert r["ap"] == round((1.0 + 2.0 / 3.0 + 3.0 / 4.0) / 3.0, 6)
+    assert (r["n_pos"], r["n_neg"]) == (3, 2)
+    assert r["prevalence"] == 0.6
+
+    # tie: one pos and one neg share 0.8 → single threshold group with
+    # cum_tp=2, cum_fp=1 → AP = (1/2)·(1·1/1 + 1·2/3)
+    tied = _scored(spark, [(0.9, 1, 1), (0.8, 1, 1), (0.8, 0, 1)])
+    rt = pr_auc(tied).collect()[0]
+    assert rt["ap"] == round((1.0 + 2.0 / 3.0) / 2.0, 6)
+
+    noisy = _scored(
+        spark,
+        [
+            (0.9, 1, 1), (0.8, 0, 1), (0.7, 1, 1), (0.6, 1, 0), (0.5, 0, 0),
+            (None, 1, 1), (float("nan"), 0, 0), (0.4, None, 0),
+        ],
+    )
+    assert pr_auc(noisy).collect()[0] == r
+
+    # degenerate: no positives → NULL ap, not a division error
+    negs = _scored(spark, [(0.9, 0, 0), (0.1, 0, 0)])
+    assert pr_auc(negs).collect()[0]["ap"] is None
+
+
+def test_agreement_kappa_known_values(spark):
+    """Textbook 2×2: n11=20 n10=5 n01=10 n00=15 → po=.7,
+    pe=(25·30+25·20)/50² = .5, κ = .4; perfect agreement κ=1;
+    constant columns (pe=1) → NULL."""
+    from lion_parcel_etl_spark.operators.evaluation import agreement_kappa
+
+    rows = (
+        [(1, 1)] * 20 + [(1, 0)] * 5 + [(0, 1)] * 10 + [(0, 0)] * 15
+    )
+    df = spark.createDataFrame(rows, "a int, b int")
+    r = agreement_kappa(df, "a", "b").collect()[0]
+    assert (r["n"], r["po"], r["pe"], r["kappa"]) == (50, 0.7, 0.5, 0.4)
+
+    perfect = spark.createDataFrame([(1, 1), (0, 0)], "a int, b int")
+    assert agreement_kappa(perfect, "a", "b").collect()[0]["kappa"] == 1.0
+
+    const = spark.createDataFrame([(1, 1), (1, 1)], "a int, b int")
+    assert agreement_kappa(const, "a", "b").collect()[0]["kappa"] is None
+
+    # NULL on either side drops the row
+    holey = spark.createDataFrame(
+        [(1, 1), (None, 1), (0, None), (0, 0)], "a int, b int"
+    )
+    assert agreement_kappa(holey, "a", "b").collect()[0]["n"] == 2
+
+
+def test_calibration_ece_is_weighted_gap_rollup(spark):
+    """The ECE query equals Σ (n/N)·gap over its own bins — pinned
+    against an independent recomputation from calibration_bins."""
+    from lion_parcel_etl_spark.operators.evaluation import calibration_bins
+    from lion_parcel_etl_spark.plans.queries import QUERIES, _qc_scored
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["calibration_ece"][0](spark, sf).collect()[0]
+    bins = calibration_bins(_qc_scored(spark, sf)).collect()
+    n_total = sum(b["n"] for b in bins)
+    want = round(sum(b["n"] * b["gap"] for b in bins) / n_total, 6)
+    assert got["ece"] == want
+    assert got["n_rows"] == n_total
+    assert got["n_bins_nonempty"] == len(bins)
+
+
 def test_calibration_bins_known_gaps(spark):
     rows = (
         [(0.95, 1)] * 9 + [(0.95, 0)]      # bin 9: conf .95, acc .9

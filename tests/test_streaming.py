@@ -1296,6 +1296,21 @@ def test_stream_auc_merged_equals_batch_statistic(spark, tmp_path):
     )
     assert 0.5 < got["auc"] < 1.0  # separable-but-overlapping by design
 
+    # the SAME state table answers PR-AUC with zero new state — the
+    # per-score counts are the sufficient statistic for the whole PR
+    # curve, and the step-interpolation arithmetic is identical, so
+    # equality is exact like read_auc's
+    from lion_parcel_etl_spark.operators.evaluation import pr_auc
+    from lion_parcel_etl_spark.streaming.jobs import read_pr_auc
+
+    got_ap = read_pr_auc(spark, wh, "auc").collect()[0]
+    want_ap = pr_auc(
+        spark.createDataFrame(b1 + b2, "p double, y int")
+    ).collect()[0]
+    assert (got_ap["n_pos"], got_ap["n_neg"], got_ap["ap"]) == (
+        want_ap["n_pos"], want_ap["n_neg"], want_ap["ap"],
+    )
+
     # the SAME state table answers calibration with zero new state:
     # read_calibration's merged per-score view equals batch
     # calibration_bins over the raw stream bin for bin — n/frac_pos
