@@ -302,7 +302,17 @@ def scd2_apply_bucketed(
     The bucket count is a layout constant: changing ``n_buckets`` on
     an existing table would strand rows in wrong-bucket directories,
     so it is validated against a sidecar bucket-count marker written
-    at first load."""
+    at first load.
+
+    WHEN TO USE (measured, tools/scale_smoke.py --scd2-bucketed, 150k
+    keys, 64 buckets): the layout wins for SPARSE updates — touched
+    keys comparable to or below n_buckets (corrections, GDPR deletes,
+    late-arriving fixes): a 10-key run rewrote 0.30 MB / 18.9k rows
+    vs the unbucketed swap's 1.54 MB / 150k rows (5× fewer bytes, 8×
+    fewer rows; the data term is what scales). A BROAD uniform
+    snapshot (1% of keys ≫ n_buckets) touches every hash bucket and
+    degenerates to the wholesale rewrite plus per-bucket job
+    overhead — use :func:`scd2_apply_partitioned` for that regime."""
     import hashlib
     import os
     import uuid
