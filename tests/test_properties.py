@@ -906,3 +906,60 @@ def test_bootstrap_ci_invariant_under_row_order(spark, vals):
         r2["ci_hi"],
         r2["mean"],
     )
+
+
+SCORE_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),  # score grid → ties likely
+        st.integers(min_value=0, max_value=1),
+    ),
+    min_size=2,
+    max_size=30,
+)
+
+
+@SLOW_OK
+@given(rows=SCORE_ROWS)
+def test_rank_metrics_invariant_under_monotone_score_transform(spark, rows):
+    """ROC-AUC and average precision are RANK statistics: any strictly
+    increasing transform of the scores (here exp(s/10)) must leave
+    both unchanged, as must row order/partitioning."""
+    from lion_parcel_etl_spark.operators.evaluation import pr_auc, roc_auc
+
+    import math
+
+    base = [(s / 40.0, y) for s, y in rows]
+    warped = [(round(math.exp(s * 2.5), 9), y) for s, y in base]
+    d1 = spark.createDataFrame(base, "p double, y int")
+    d2 = spark.createDataFrame(warped[::-1], "p double, y int").repartition(5)
+    a1 = roc_auc(d1, pred_col=None).collect()[0]
+    a2 = roc_auc(d2, pred_col=None).collect()[0]
+    assert (a1["auc"], a1["n_pos"], a1["n_neg"]) == (
+        a2["auc"], a2["n_pos"], a2["n_neg"],
+    )
+    p1 = pr_auc(d1).collect()[0]
+    p2 = pr_auc(d2).collect()[0]
+    assert (p1["ap"], p1["n_pos"], p1["n_neg"]) == (
+        p2["ap"], p2["n_pos"], p2["n_neg"],
+    )
+    if p1["ap"] is not None:
+        # AP is bounded by [prevalence-floor, 1]; loose sanity bound
+        assert 0.0 <= p1["ap"] <= 1.0
+
+
+@SLOW_OK
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 1)), min_size=1, max_size=30
+))
+def test_agreement_kappa_symmetric_and_bounded(spark, rows):
+    """κ(a, b) = κ(b, a) (the statistic is symmetric in its two
+    raters) and κ ≤ 1 with po/pe in [0, 1]."""
+    from lion_parcel_etl_spark.operators.evaluation import agreement_kappa
+
+    df = spark.createDataFrame(rows, "a int, b int")
+    r1 = agreement_kappa(df, "a", "b").collect()[0]
+    r2 = agreement_kappa(df, "b", "a").collect()[0]
+    assert (r1["po"], r1["pe"], r1["kappa"]) == (r2["po"], r2["pe"], r2["kappa"])
+    assert 0.0 <= r1["po"] <= 1.0 and 0.0 <= r1["pe"] <= 1.0
+    if r1["kappa"] is not None:
+        assert r1["kappa"] <= 1.0

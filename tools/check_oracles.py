@@ -74,6 +74,10 @@ def build_session(driver_sim: bool):
             .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
             .config("spark.sql.shuffle.partitions", "8")
             .config("spark.ui.enabled", "false")
+            # progress bars interleave \r fragments into the ok/FAIL
+            # lines, mangling piped logs (a conf, not a driver behavior
+            # difference — doesn't weaken the simulation)
+            .config("spark.ui.showConsoleProgress", "false")
             .getOrCreate()
         )
     from lion_parcel_etl_spark.session import get_spark
