@@ -182,6 +182,43 @@ HEADLINE = [
     "retrieval_ndcg_multi",
 ]
 
+# FROZEN anchor set (round 6, per the r05 verdict): cross-round
+# headline totals drown in registry growth (85→96→112→129→135 queries)
+# plus ±17% same-day machine drift, so round-over-round comparisons
+# track THIS fixed subtotal instead. Composition: the §2 reference
+# core (7) + one representative per operator family (17). DO NOT
+# EDIT — additions go to HEADLINE; the whole point of the anchor is
+# that its membership never changes (BENCH_NOTES.md round-6 row).
+ANCHOR = [
+    # §2 reference core
+    "pricing_summary",
+    "merge_upsert",
+    "scd2_events",
+    "softdelete_mart",
+    "string_set_agg",
+    "weighted_avg",
+    "exclusive_returns",
+    # one per family
+    "window_running",      # window functions
+    "minhash_near_dup",    # batch dedup
+    "simhash_incremental", # incremental dedup
+    "cosine_topk",         # exact similarity
+    "ivf_topk",            # approximate ANN
+    "text_analysis",       # text metrics
+    "gopher_audit",        # quality rules
+    "bpe_encode",          # tokenization
+    "dsir_select",         # data selection
+    "classifier_auc",      # model eval
+    "hybrid_rrf",          # retrieval
+    "kmv_overlap",         # sketches
+    "triangle_count",      # graph
+    "mad_outliers",        # robust stats / checks
+    "resample_interpolate",# time series
+    "token_budget_mix",    # sampling / mixing
+    "curation_pipeline",   # end-to-end pipelines
+]
+assert set(ANCHOR) <= set(HEADLINE), "anchor must be a headline subset"
+
 
 def _machine_state() -> dict:
     """Telemetry snapshot (timestamp + /proc/loadavg + meminfo free)
@@ -291,10 +328,15 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    anchor_total = round(sum(timings[n] for n in ANCHOR), 3)
+    anchor_cold = round(sum(cold[n] for n in ANCHOR), 3)
     full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "anchor_total": anchor_total,
+        "anchor_cold_total": anchor_cold,
+        "anchor_queries": ANCHOR,
         "queries": timings,
         "cold": cold,
         "warm_runs": retimes,
@@ -324,6 +366,7 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "anchor_total": anchor_total,
         "queries": {},
         "sf": sf,
         "n_queries": len(timings),

@@ -251,11 +251,53 @@ def scd2_apply_partitioned(
         warehouse.metrics.record_dirs(table, [dst, run_dir])
 
 
-def bucket_of(key: list[str], n_buckets: int):
+def bucket_of(key: list[str], n_buckets: int, key_types: list[str] | None = None):
     """Deterministic key→bucket column: pmod(hash(key cols), n) —
     Spark's Murmur3 over the key tuple (NULL key values hash to a
-    fixed seed, consistent with the null-safe key joins)."""
-    return F.pmod(F.hash(*[F.col(k) for k in key]), F.lit(n_buckets))
+    fixed seed, consistent with the null-safe key joins).
+
+    ``key_types`` (the CANONICAL dtypes recorded at first load) is
+    applied as a cast before hashing: Murmur3 hashes ``int`` and
+    ``bigint`` representations of the same value differently, so a
+    later snapshot arriving with a widened/narrowed numeric key would
+    otherwise compute a wrong touched-bucket set, never read the keys'
+    real current bucket, and silently insert duplicate current
+    versions into a second bucket."""
+    cols = [
+        F.col(k).cast(t) if key_types else F.col(k)
+        for k, t in zip(key, key_types or key)
+    ]
+    return F.pmod(F.hash(*cols), F.lit(n_buckets))
+
+
+def _write_marker(marker: str, n_buckets: int, key_types: list[str]) -> None:
+    """Atomically (tmp + rename, matching the swap protocol) write the
+    bucket-layout sidecar: line 1 = bucket count, line 2 = JSON list of
+    the key columns' canonical Spark dtypes (simpleString form)."""
+    import json
+    import os
+    import uuid
+
+    tmp = f"{marker}.__tmp__{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as mf:
+        mf.write(f"{n_buckets}\n{json.dumps(key_types)}\n")
+    os.replace(tmp, marker)
+
+
+def _read_marker(marker: str) -> tuple[str | None, list[str] | None]:
+    """Read (bucket-count string, key dtypes or None). Tolerates the
+    pre-round-6 single-line format (no dtype line)."""
+    import json
+    import os
+
+    if not os.path.exists(marker):
+        return None, None
+    with open(marker) as mf:
+        lines = mf.read().splitlines()
+    if not lines:
+        return None, None
+    types = json.loads(lines[1]) if len(lines) > 1 and lines[1].strip() else None
+    return lines[0].strip(), types
 
 
 def scd2_apply_bucketed(
@@ -297,12 +339,19 @@ def scd2_apply_bucketed(
     the identical expired rows (its current dir is still the
     predecessor state), replaces its run-dir with identical content,
     and completes the current swap. Untouched buckets are never read,
-    written, or renamed.
+    written, or renamed. The FIRST load stages every bucket under one
+    ``__tmp__`` root and installs ``state=current`` with a single
+    rename (marker written atomically just before it), so a crashed
+    first load leaves cur_root absent and the retry re-enters the
+    first-load branch — never a partial current partition.
 
     The bucket count is a layout constant: changing ``n_buckets`` on
     an existing table would strand rows in wrong-bucket directories,
-    so it is validated against a sidecar bucket-count marker written
-    at first load.
+    so it is validated against a sidecar marker written at first load
+    (which also records the key columns' canonical dtypes — later
+    snapshots are cast to them before hashing, because Murmur3 hashes
+    int vs bigint values differently). Use :func:`rebucket` to migrate
+    an existing table to a new bucket count.
 
     WHEN TO USE (measured, tools/scale_smoke.py --scd2-bucketed, 150k
     keys, 64 buckets): the layout wins for SPARSE updates — touched
@@ -323,7 +372,6 @@ def scd2_apply_bucketed(
         raise ValueError(f"n_buckets={n_buckets} outside [1, 4096]")
 
     STATE = "state"
-    bexpr = bucket_of(key, n_buckets)
     table_dir = warehouse.table_path(table)
     cur_root = os.path.join(table_dir, f"{STATE}=current")
     # sidecar NEXT TO the table directory, not inside it: any stray
@@ -334,43 +382,42 @@ def scd2_apply_bucketed(
     def bucket_dir(b: int) -> str:
         return os.path.join(cur_root, f"bucket-{b}")
 
-    def write_buckets(df: DataFrame, buckets: list[int]) -> list[str]:
-        """tmp-write + swap each bucket's rows; empty buckets are
-        skipped rather than written (a MISSING bucket dir reads as an
-        empty bucket, and an empty parquet dir would break later
-        schema inference). Non-emptiness comes from ONE aggregate, not
-        a count per bucket. Returns the swapped dirs."""
-        pinned = df.withColumn("__b", bexpr).persist()
-        swapped = []
+    if not os.path.isdir(cur_root):
+        # FIRST LOAD — crash-convergent by construction: every bucket
+        # is staged under ONE __tmp__ root, the marker is written
+        # (atomically) BEFORE the swap, and state=current is installed
+        # with a single rename. A crash anywhere before that rename
+        # leaves cur_root absent, so a retry simply re-enters this
+        # branch (a marker left by the crashed attempt is overwritten);
+        # a crash after it leaves a complete, marker-described table.
+        key_types = [snapshot.schema[k].dataType.simpleString() for k in key]
+        bexpr = bucket_of(key, n_buckets, key_types)
+        full = scd2_apply(
+            None, snapshot, key, tracked, snapshot_ts_col, run_ts
+        ).withColumn("__b", bexpr).persist()
+        tmp_root = f"{table_dir}.__tmp__{uuid.uuid4().hex[:8]}"
         try:
-            nonempty = {
-                r["__b"] for r in pinned.groupBy("__b").count().collect()
-            }
-            for b in buckets:
+            nonempty = {r["__b"] for r in full.groupBy("__b").count().collect()}
+            os.makedirs(tmp_root, exist_ok=True)
+            for b in range(n_buckets):
+                # empty buckets are skipped rather than written (a
+                # MISSING bucket dir reads as an empty bucket; an empty
+                # parquet dir would break later schema inference)
                 if b not in nonempty:
                     continue
-                rows = pinned.filter(F.col("__b") == b).drop("__b")
-                tmp = f"{table_dir}.__tmp__{uuid.uuid4().hex[:8]}"
-                rows.write.parquet(tmp)
-                swap_dir(tmp, bucket_dir(b))
-                swapped.append(bucket_dir(b))
+                full.filter(F.col("__b") == b).drop("__b").write.parquet(
+                    os.path.join(tmp_root, f"bucket-{b}")
+                )
         finally:
-            pinned.unpersist()
-        return swapped
-
-    if not os.path.isdir(cur_root):
-        full = scd2_apply(None, snapshot, key, tracked, snapshot_ts_col, run_ts)
-        os.makedirs(cur_root, exist_ok=True)
-        dirs = write_buckets(full, list(range(n_buckets)))
-        with open(marker, "w") as mf:
-            mf.write(str(n_buckets))
+            full.unpersist()
+        _write_marker(marker, n_buckets, key_types)
+        os.makedirs(os.path.dirname(cur_root), exist_ok=True)
+        swap_dir(tmp_root, cur_root)
         if getattr(warehouse, "metrics", None) is not None:
-            warehouse.metrics.record_dirs(table, dirs)
+            warehouse.metrics.record_dirs(table, [cur_root])
         return
-    stored = None
-    if os.path.exists(marker):
-        with open(marker) as mf:
-            stored = mf.read().strip()
+
+    stored, key_types = _read_marker(marker)
     if stored != str(n_buckets):
         raise ValueError(
             f"{table!r} current partition exists with bucket marker "
@@ -378,6 +425,24 @@ def scd2_apply_bucketed(
             "was loaded with a different bucket count (or by "
             "scd2_apply_partitioned); re-load before switching layouts"
         )
+    if key_types is None:
+        # pre-round-6 marker without a dtype line: recover the
+        # canonical types from any existing bucket's footer (schema
+        # read only) and upgrade the marker in place.
+        existing = sorted(
+            d for d in os.listdir(cur_root) if d.startswith("bucket-")
+        )
+        sch = spark.read.parquet(os.path.join(cur_root, existing[0])).schema
+        key_types = [sch[k].dataType.simpleString() for k in key]
+        _write_marker(marker, n_buckets, key_types)
+    # Canonicalize the snapshot's key dtypes BEFORE anything hashes or
+    # joins on them: Murmur3 hashes int vs bigint differently, so an
+    # uncast drifted snapshot would compute a wrong touched-bucket set
+    # and duplicate current versions into a second bucket.
+    for k, t in zip(key, key_types):
+        if snapshot.schema[k].dataType.simpleString() != t:
+            snapshot = snapshot.withColumn(k, F.col(k).cast(t))
+    bexpr = bucket_of(key, n_buckets, key_types)
 
     touched = sorted(
         r["__b"] for r in snapshot.select(bexpr.alias("__b")).distinct().collect()
@@ -417,3 +482,78 @@ def scd2_apply_bucketed(
         out.unpersist()
     if getattr(warehouse, "metrics", None) is not None:
         warehouse.metrics.record_dirs(table, written)
+
+
+def rebucket(
+    spark,
+    warehouse,
+    table: str,
+    key: list[str],
+    n_new: int,
+) -> dict:
+    """Migrate a :func:`scd2_apply_bucketed` table's current partition
+    to a new bucket count — the operation the bucket-count guard
+    refuses to do implicitly (a growing dimension eventually outgrows
+    its layout constant). One full read + one full rewrite of the
+    CURRENT partition only (history is bucket-agnostic and untouched),
+    staged under a single ``__tmp__`` root and installed with one
+    rename, then the marker is updated atomically.
+
+    Crash windows (chaos-tested in tests/test_maintenance.py):
+
+    - before the swap: old layout + old marker intact; at worst a
+      ``__tmp__`` orphan for operators/maintenance.vacuum. Retry
+      redoes the staging — convergent.
+    - between the swap and the marker write: cur_root is the NEW
+      layout but the marker still says the old count. This window is
+      FAIL-STOP by design: the next ``scd2_apply_bucketed`` raises the
+      marker-mismatch ValueError (loud), and re-running ``rebucket``
+      converges (it re-reads whatever layout exists — bucket dirs are
+      read explicitly, so the count on disk doesn't matter — and
+      rewrites it to ``n_new``). The opposite ordering (marker first)
+      would instead leave a SILENT corruption window where an apply
+      hashes against the new count over old-layout directories.
+
+    Returns ``{"rows": n, "n_old": old_count, "n_new": n_new}`` for
+    the SCALE.md migration-cost ledger."""
+    import os
+    import uuid
+
+    from lion_parcel_etl_spark.catalog import swap_dir
+
+    if n_new < 1 or n_new > 4096:
+        raise ValueError(f"n_new={n_new} outside [1, 4096]")
+    STATE = "state"
+    table_dir = warehouse.table_path(table)
+    cur_root = os.path.join(table_dir, f"{STATE}=current")
+    marker = f"{table_dir}.__buckets__"
+    if not os.path.isdir(cur_root):
+        raise ValueError(f"{table!r} has no current partition to rebucket")
+    stored, key_types = _read_marker(marker)
+    if stored is None:
+        raise ValueError(
+            f"{table!r} has no bucket marker — it was not loaded by "
+            "scd2_apply_bucketed; nothing to rebucket"
+        )
+    existing = sorted(d for d in os.listdir(cur_root) if d.startswith("bucket-"))
+    if key_types is None:
+        sch = spark.read.parquet(os.path.join(cur_root, existing[0])).schema
+        key_types = [sch[k].dataType.simpleString() for k in key]
+    cur = spark.read.parquet(*[os.path.join(cur_root, d) for d in existing])
+    bexpr = bucket_of(key, n_new, key_types)
+    pinned = cur.withColumn("__b", bexpr).persist()
+    tmp_root = f"{table_dir}.__tmp__{uuid.uuid4().hex[:8]}"
+    try:
+        counts = {r["__b"]: r["count"] for r in pinned.groupBy("__b").count().collect()}
+        os.makedirs(tmp_root, exist_ok=True)
+        for b in sorted(counts):
+            pinned.filter(F.col("__b") == b).drop("__b").write.parquet(
+                os.path.join(tmp_root, f"bucket-{b}")
+            )
+    finally:
+        pinned.unpersist()
+    swap_dir(tmp_root, cur_root)
+    _write_marker(marker, n_new, key_types)
+    if getattr(warehouse, "metrics", None) is not None:
+        warehouse.metrics.record_dirs(table, [cur_root])
+    return {"rows": int(sum(counts.values())), "n_old": int(stored), "n_new": n_new}

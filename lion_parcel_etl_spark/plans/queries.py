@@ -8416,6 +8416,26 @@ FROM dcg CROSS JOIN idcg
 """
 
 
+def _normalize_query_terms(
+    qset: list[tuple[str, list[str]]]
+) -> list[tuple[str, list[str]]]:
+    """Lowercase + order-preserving dedupe of every query's terms,
+    applied ONCE at definition so every consumer — Spark's
+    bm25_rank_keyed (which lowercases corpus tokens), the dense side's
+    ``" ".join(terms)`` query embedding, and the DuckDB twins' ``qt``
+    VALUES / signed-hash query vector — sees the SAME term multiset.
+    Without this, an uppercase or repeated term silently diverges the
+    engines (Spark would double-count the dense contribution and miss
+    the lexical match; Duck would not)."""
+    out = []
+    for qid, terms in qset:
+        seen: dict[str, None] = {}
+        for t in terms:
+            seen.setdefault(t.lower())
+        out.append((qid, list(seen)))
+    return out
+
+
 # Deterministic retrieval-eval query set: 10 fixed bag-of-words
 # queries over the corpus vocabulary (distinct terms per query — query
 # term frequency 1, the standard short-query simplification). A real
@@ -8423,8 +8443,9 @@ FROM dcg CROSS JOIN idcg
 # numbers expose variance a single anecdote hides, and the query
 # dimension stresses the keyed rank-join shapes the way production
 # eval harnesses do. q01 is the original single-query BM25_TERMS so
-# the _multi twins subsume the anecdotal pair.
-RETRIEVAL_QUERY_SET: list[tuple[str, list[str]]] = [
+# the _multi twins subsume the anecdotal pair. Normalized (lowercase,
+# deduped) at definition — see _normalize_query_terms.
+RETRIEVAL_QUERY_SET: list[tuple[str, list[str]]] = _normalize_query_terms([
     ("q01", ["spark", "query", "merge", "window"]),
     ("q02", ["hash", "join", "batch"]),
     ("q03", ["stream", "window", "agg"]),
@@ -8435,7 +8456,7 @@ RETRIEVAL_QUERY_SET: list[tuple[str, list[str]]] = [
     ("q08", ["group", "agg", "key"]),
     ("q09", ["slow", "query", "scan"]),
     ("q10", ["data", "dup", "row"]),
-]
+])
 
 
 def q_hybrid_rrf_multi(spark, sf_dir):

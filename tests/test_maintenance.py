@@ -448,6 +448,169 @@ def test_scd2_bucketed_rejects_bucket_count_change(spark, tmp_path):
         )
 
 
+def test_scd2_bucketed_first_load_crash_converges(spark, tmp_path, monkeypatch):
+    """Crash during the FIRST load's single current-partition swap:
+    no partial current partition is ever visible (cur_root absent —
+    the round-5 layout swapped buckets one-by-one and could serve a
+    prefix as complete), and the retry re-enters the first-load branch
+    and completes instead of tripping the marker guard."""
+    import os
+
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.maintenance import vacuum
+    from lion_parcel_etl_spark.operators.scd2 import scd2_apply, scd2_apply_bucketed
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    snap1 = _scd_snap(spark, [(1, "A"), (2, "A"), (3, "A")], "2024-01-01 00:00:00")
+    rts1 = "2024-01-01 01:00:00"
+    state = _crash_swap_on(monkeypatch, "state=current")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        scd2_apply_bucketed(
+            spark, wh, "dim", snap1, ["id"], ["status"], "snap_ts", rts1,
+            n_buckets=4,
+        )
+    cur_root = os.path.join(wh.table_path("dim"), "state=current")
+    assert not os.path.isdir(cur_root)  # never a partial current partition
+    vacuum(wh, min_age_seconds=0)
+
+    state["armed"] = False
+    scd2_apply_bucketed(
+        spark, wh, "dim", snap1, ["id"], ["status"], "snap_ts", rts1,
+        n_buckets=4,
+    )
+    twin = scd2_apply(None, snap1, ["id"], ["status"], "snap_ts", rts1)
+    assert _scd_canon(wh.read(spark, "dim").drop("state")) == _scd_canon(twin)
+
+
+def test_scd2_bucketed_key_dtype_drift_no_duplicate_current(spark, tmp_path):
+    """A later snapshot whose key column arrives as int (first load
+    was long) must hash to the SAME buckets: the marker's recorded key
+    dtypes are cast onto the snapshot before bucket_of, so the changed
+    key gets exactly one current version and one expired version — not
+    a silent duplicate in a second bucket."""
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.scd2 import scd2_apply_bucketed
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    snap1 = _scd_snap(spark, [(1, "A"), (2, "A")], "2024-01-01 00:00:00")
+    scd2_apply_bucketed(
+        spark, wh, "dim", snap1, ["id"], ["status"], "snap_ts",
+        "2024-01-01 01:00:00", n_buckets=8,
+    )
+    snap2 = spark.createDataFrame([(1, "B")], "id int, status string").withColumn(
+        "snap_ts", _F.to_timestamp(_F.lit("2024-01-02 00:00:00"))
+    )
+    scd2_apply_bucketed(
+        spark, wh, "dim", snap2, ["id"], ["status"], "snap_ts",
+        "2024-01-02 01:00:00", n_buckets=8,
+    )
+    got = wh.read(spark, "dim")
+    cur1 = got.filter(_F.col("is_current") & (_F.col("id") == 1)).collect()
+    assert len(cur1) == 1 and cur1[0]["status"] == "B"
+    assert got.filter(~_F.col("is_current")).count() == 1
+
+
+def test_rebucket_preserves_state_and_scd2_straddles_migration(spark, tmp_path):
+    """Migrate 4→8 buckets mid-stream: state after
+    run1(4) → rebucket(8) → run2(8) equals the plain twin of the two
+    runs, and the marker now enforces the new count."""
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.scd2 import (
+        rebucket,
+        scd2_apply,
+        scd2_apply_bucketed,
+    )
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    snap1 = _scd_snap(
+        spark, [(i, "A") for i in range(1, 13)], "2024-01-01 00:00:00"
+    )
+    snap2 = _scd_snap(spark, [(1, "B"), (7, "B")], "2024-01-02 00:00:00")
+    rts1, rts2 = "2024-01-01 01:00:00", "2024-01-02 01:00:00"
+    scd2_apply_bucketed(
+        spark, wh, "dim", snap1, ["id"], ["status"], "snap_ts", rts1, n_buckets=4
+    )
+    stats = rebucket(spark, wh, "dim", ["id"], 8)
+    assert stats == {"rows": 12, "n_old": 4, "n_new": 8}
+    with pytest.raises(ValueError, match="_buckets"):
+        scd2_apply_bucketed(
+            spark, wh, "dim", snap2, ["id"], ["status"], "snap_ts", rts2,
+            n_buckets=4,
+        )
+    scd2_apply_bucketed(
+        spark, wh, "dim", snap2, ["id"], ["status"], "snap_ts", rts2, n_buckets=8
+    )
+    twin = scd2_apply(
+        scd2_apply(None, snap1, ["id"], ["status"], "snap_ts", rts1),
+        snap2, ["id"], ["status"], "snap_ts", rts2,
+    )
+    assert _scd_canon(wh.read(spark, "dim").drop("state")) == _scd_canon(twin)
+
+
+def test_rebucket_crash_windows(spark, tmp_path, monkeypatch):
+    """(a) Crash before the layout swap: old layout + old marker
+    intact, debris vacuums, retry converges. (b) Crash between the
+    swap and the marker write: FAIL-STOP — apply raises the marker
+    mismatch loudly (never silent corruption), and re-running rebucket
+    converges."""
+    import lion_parcel_etl_spark.operators.scd2 as scd2mod
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.maintenance import vacuum
+    from lion_parcel_etl_spark.operators.scd2 import (
+        rebucket,
+        scd2_apply,
+        scd2_apply_bucketed,
+    )
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    snap1 = _scd_snap(
+        spark, [(i, "A") for i in range(1, 13)], "2024-01-01 00:00:00"
+    )
+    rts1 = "2024-01-01 01:00:00"
+    scd2_apply_bucketed(
+        spark, wh, "dim", snap1, ["id"], ["status"], "snap_ts", rts1, n_buckets=4
+    )
+
+    # window (a): before the swap
+    state = _crash_swap_on(monkeypatch, "state=current")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        rebucket(spark, wh, "dim", ["id"], 8)
+    assert wh.read(spark, "dim").count() == 12  # old layout serves fine
+    vacuum(wh, min_age_seconds=0)
+    state["armed"] = False
+
+    # window (b): between the swap and the marker write
+    real_write = scd2mod._write_marker
+    armed = {"on": True}
+
+    def crashy_marker(marker, n, types):
+        if armed["on"]:
+            raise RuntimeError("injected crash before marker write")
+        real_write(marker, n, types)
+
+    monkeypatch.setattr(scd2mod, "_write_marker", crashy_marker)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        rebucket(spark, wh, "dim", ["id"], 8)
+    snap2 = _scd_snap(spark, [(1, "B")], "2024-01-02 00:00:00")
+    with pytest.raises(ValueError, match="_buckets"):  # loud, not silent
+        scd2_apply_bucketed(
+            spark, wh, "dim", snap2, ["id"], ["status"], "snap_ts",
+            "2024-01-02 01:00:00", n_buckets=8,
+        )
+    armed["on"] = False
+    stats = rebucket(spark, wh, "dim", ["id"], 8)
+    assert stats["n_new"] == 8 and stats["rows"] == 12
+    scd2_apply_bucketed(
+        spark, wh, "dim", snap2, ["id"], ["status"], "snap_ts",
+        "2024-01-02 01:00:00", n_buckets=8,
+    )
+    twin = scd2_apply(
+        scd2_apply(None, snap1, ["id"], ["status"], "snap_ts", rts1),
+        snap2, ["id"], ["status"], "snap_ts", "2024-01-02 01:00:00",
+    )
+    assert _scd_canon(wh.read(spark, "dim").drop("state")) == _scd_canon(twin)
+
+
 def test_merge_partitioned_crash_mid_swap_loop_recovers(spark, tmp_path, monkeypatch):
     """Crash after swapping the first of two touched partitions: each
     partition is individually consistent (one merged, one stale), the
