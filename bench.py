@@ -180,6 +180,8 @@ HEADLINE = [
     # round-5 multi-query retrieval eval layer
     "hybrid_rrf_multi",
     "retrieval_ndcg_multi",
+    # round-6 real-decode multimodal path
+    "multimodal_decode",
 ]
 
 # FROZEN anchor set (round 6, per the r05 verdict): cross-round

@@ -24,9 +24,144 @@ def media(spark):
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def test_decode_is_explicit_stub():
+def test_decode_codec_formats_still_raise():
+    # codec formats (no in-sandbox decoder) keep the honest raise
     with pytest.raises(NotImplementedError):
         decode_media(b"abc", "image")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64, "image")
+
+
+def _bmp_2x2_fixture():
+    """Hand-derived 2×2 24-bit BMP — header via struct, PIXEL ARRAY
+    spelled byte-for-byte from the spec (bottom-up rows, BGR order,
+    rows padded to 4 bytes) so the decoder is pinned against the
+    FORMAT, not against our own encoder."""
+    import struct
+
+    header = struct.pack("<2sIHHI", b"BM", 70, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16, 2835, 2835, 0, 0
+    )
+    body = bytes(
+        [
+            # bottom row first: blue(0,0,255)->BGR FF 00 00; white FF FF FF; pad
+            0xFF, 0x00, 0x00, 0xFF, 0xFF, 0xFF, 0x00, 0x00,
+            # top row: red(255,0,0)->BGR 00 00 FF; green(0,255,0)->00 FF 00; pad
+            0x00, 0x00, 0xFF, 0x00, 0xFF, 0x00, 0x00, 0x00,
+        ]
+    )
+    import numpy as np
+
+    expected = np.array(
+        [
+            [[255, 0, 0], [0, 255, 0]],
+            [[0, 0, 255], [255, 255, 255]],
+        ],
+        dtype=np.uint8,
+    )
+    return header + body, expected
+
+
+def test_decode_bmp_pinned_layout():
+    import numpy as np
+
+    from lion_parcel_etl_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    payload, expected = _bmp_2x2_fixture()
+    assert np.array_equal(decode_bmp(payload), expected)
+    # the encoder produces the identical spec layout
+    assert encode_bmp(expected) == payload
+
+
+def test_decode_ppm_pinned_layout_and_comments():
+    import numpy as np
+
+    from lion_parcel_etl_spark.operators.multimodal import decode_ppm
+
+    body = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 8, 7])
+    payload = b"P6\n# a comment\n2 2\n255\n" + body
+    got = decode_ppm(payload)
+    assert np.array_equal(got.reshape(-1), np.frombuffer(body, np.uint8))
+    assert got.shape == (2, 2, 3)
+
+
+def test_decode_wav_pinned_layout_chunk_walk_and_signs():
+    import struct
+
+    import numpy as np
+
+    from lion_parcel_etl_spark.operators.multimodal import decode_wav
+
+    # 16-bit: samples [0, 1, -2, 32767] as signed LE; a LIST chunk
+    # precedes data to exercise the chunk walk
+    data = bytes([0x00, 0x00, 0x01, 0x00, 0xFE, 0xFF, 0xFF, 0x7F])
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    junk = b"junkdata"
+    payload = (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(junk) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"LIST", len(junk)) + junk
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+    samples, rate = decode_wav(payload)
+    assert rate == 8000
+    assert samples.tolist() == [0, 1, -2, 32767]
+    # 8-bit samples are UNSIGNED
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 4000, 4000, 1, 8)
+    data8 = bytes([0, 128, 255])
+    p8 = (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt8) + 8 + len(data8), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt8)) + fmt8
+        + struct.pack("<4sI", b"data", len(data8)) + data8
+    )
+    s8, r8 = decode_wav(p8)
+    assert r8 == 4000 and s8.tolist() == [0, 128, 255]
+
+
+def test_codec_roundtrips_random_shapes():
+    import numpy as np
+
+    from lion_parcel_etl_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(7)
+    # odd widths exercise BMP row padding (3*3=9 -> pad 3, 5*3=15 -> pad 1)
+    for h, w in [(1, 1), (3, 3), (2, 5), (4, 4), (7, 2)]:
+        img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    for n in [1, 16, 33]:
+        samples = rng.randint(-32768, 32768, size=n).astype(np.int16)
+        got, rate = decode_wav(encode_wav(samples, 44100))
+        assert rate == 44100 and got.tolist() == samples.tolist()
+
+
+def test_media_features_uses_decoded_values():
+    import numpy as np
+
+    from lion_parcel_etl_spark.operators.multimodal import (
+        _chunk_features,
+        encode_ppm,
+        fake_features,
+        media_features,
+    )
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    payload = encode_ppm(img)
+    feats, decoded = media_features(payload)
+    assert decoded is True
+    assert feats == _chunk_features(img.reshape(-1).astype(np.int64), 8)
+    # and NOT the raw-container-bytes fold (header would pollute it)
+    assert feats != fake_features(payload)
+    # codec-format payloads fall back with decoded=False
+    f2, d2 = media_features(b"\x89PNG\r\n\x1a\n" + bytes(64))
+    assert d2 is False and f2 == fake_features(b"\x89PNG\r\n\x1a\n" + bytes(64))
 
 
 def test_extract_features_shapes(spark, media):

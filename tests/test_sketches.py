@@ -387,3 +387,32 @@ def test_kmv_prefilter_keeps_small_groups(spark):
     )
     rows = kmv_sketch(df, "k", ["g"], k=256, prefilter_rsd=0.05).collect()
     assert len(rows) == 1 and len(rows[0]["kmv"]) == 50
+
+
+def test_approx_stats_estimates_close_to_exact(spark):
+    """The round-6 deterministic approx_stats (KMV distinct + md5
+    row-sample percentiles) must land near the exact answers: KMV
+    k=256 ⇒ ~6% standard error on distinct orders; a 1/16 sample of
+    ~60k lineitem rows ⇒ small rank error on p50/p95. Tolerances are
+    ~3σ. (Exactness vs the DuckDB oracle is the driver's check; this
+    pins the estimator's ACCURACY, which the oracle can't see.)"""
+    from lion_parcel_etl_spark.plans.queries import _t, q_approx_stats
+
+    sf = "/root/testdata/sf0.001"
+    approx = {r["l_returnflag"]: r for r in q_approx_stats(spark, sf).collect()}
+    li = _t(spark, sf, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("orders"),
+            F.expr("percentile(l_extendedprice, array(0.5D, 0.95D))").alias("p"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert abs(a["approx_orders"] - e["orders"]) / e["orders"] < 0.2
+        assert abs(a["approx_p50"] - e["p"][0]) / e["p"][0] < 0.15
+        assert abs(a["approx_p95"] - e["p"][1]) / e["p"][1] < 0.15
