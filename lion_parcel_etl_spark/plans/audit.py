@@ -69,7 +69,12 @@ from pyspark.sql import DataFrame
 # query dimension enters through broadcast hash joins on term/dim,
 # not through the cross); retrieval_ndcg_multi composes
 # hybrid_rrf_multi (its dcg/idcg/mean stages are hash aggregates and
-# ≤queries-row broadcast joins, no crosses of their own).
+# ≤queries-row broadcast joins, no crosses of their own);
+# domain_reweight contains the lm_surprisal chain verbatim (the same
+# broadcast ONE-ROW vocabulary scalar) plus its own ONE-ROW reference-
+# loss and token-total crossJoins (the column_profile pattern) — every
+# iteration after the corpus aggregate runs on the |domains|-sized
+# table.
 BNLJ_ALLOWED = frozenset(
     {
         "cosine_topk",
@@ -102,6 +107,7 @@ BNLJ_ALLOWED = frozenset(
         "retrieval_ndcg",
         "retrieval_ndcg_multi",
         "ann_recall",
+        "domain_reweight",
     }
 )
 

@@ -4397,6 +4397,130 @@ GROUP BY doc_id
 """
 
 
+#: domain_reweight: multiplicative-weights iterations and step size.
+DOREMI_ITERS = 8
+DOREMI_ETA = 0.5
+
+
+def q_domain_reweight(spark, sf_dir):
+    """Learned domain mixture weights, DoReMi-shape (Xie et al. 2023,
+    public): fixed-count multiplicative-weights updates over per-domain
+    EXCESS LOSS, reusing the lm_surprisal statistic as the loss signal
+    (completes the mixing family next to the static source_mix /
+    temperature_mix / token_budget_mix weights).
+
+    Spec: L(d) = mean per-doc bigram surprisal in domain d; reference
+    loss = the corpus-wide mean (the deterministic stand-in for
+    DoReMi's reference model); excess(d) = max(L(d) − Lref, 0). Start
+    from the token-share baseline w₀ and iterate
+    w_t ∝ w_{t−1}·exp(η·excess) with per-step normalization for
+    {DOREMI_ITERS} steps (η={DOREMI_ETA}); the output weight is the
+    per-step AVERAGE (1/T)Σ w_t — the per-step normalization is what
+    makes the average non-degenerate (the unnormalized product has a
+    closed form; the normalized trajectory does not).
+
+    Scale shape: ONE corpus-sized aggregate (the surprisal chain per
+    doc → per domain); everything after is |domains|-sized — each
+    iteration is one tiny window-sum normalize, exactly pagerank's
+    unrolled-iteration pattern. Cross-engine float discipline: the
+    per-domain loss rounds at 1e-6 before the iteration, the exp
+    multiplier and each normalized w_t round at 1e-12 (libm exp may
+    differ by an ulp between engines; rounding re-synchronizes every
+    step so drift cannot compound), outputs at 1e-6."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = _lm_surprisal_frame(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    dom = per_doc.groupBy("source").agg(
+        F.sum("n_bigrams").alias("toks"),
+        F.round(F.avg("avg_surprisal"), 6).alias("loss"),
+    )
+    ref = per_doc.agg(F.round(F.avg("avg_surprisal"), 6).alias("ref_loss"))
+    tt = dom.agg(F.sum("toks").alias("tt"))
+    cur = (
+        dom.crossJoin(F.broadcast(ref))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "source",
+            "toks",
+            "loss",
+            F.round(
+                F.greatest(F.col("loss") - F.col("ref_loss"), F.lit(0.0)), 6
+            ).alias("excess"),
+            F.round(F.col("toks") / F.col("tt"), 6).alias("baseline_w"),
+            F.round(F.col("toks") / F.col("tt"), 12).alias("w"),
+            F.lit(0.0).alias("acc"),
+        )
+        .withColumn(
+            "m",
+            F.round(F.exp(F.lit(DOREMI_ETA) * F.col("excess")), 12),
+        )
+    )
+    win = Window.partitionBy()
+    for _ in range(DOREMI_ITERS):
+        u = F.col("w") * F.col("m")
+        w_t = F.round(u / F.sum(u).over(win), 12)
+        cur = cur.select(
+            "source",
+            "toks",
+            "loss",
+            "excess",
+            "baseline_w",
+            "m",
+            w_t.alias("w"),
+            (F.col("acc") + w_t).alias("acc"),
+        )
+    return cur.select(
+        "source",
+        "toks",
+        "loss",
+        "excess",
+        "baseline_w",
+        F.round(F.col("acc") / F.lit(float(DOREMI_ITERS)), 6).alias("doremi_w"),
+    ).orderBy("source")
+
+
+def _duck_domain_reweight() -> str:
+    steps = ""
+    prev = "w0"
+    for t in range(1, DOREMI_ITERS + 1):
+        steps += f""",
+it{t} AS (
+  SELECT source, toks, loss, excess, baseline_w, m,
+         round(w * m / (sum(w * m) OVER ()), 12) AS w,
+         acc + round(w * m / (sum(w * m) OVER ()), 12) AS acc
+  FROM {prev}
+)"""
+        prev = f"it{t}"
+    return f"""
+WITH sur AS MATERIALIZED ({SQL_LM_SURPRISAL}),
+pd AS (
+  SELECT s.doc_id, d.source, s.n_bigrams, s.avg_surprisal
+  FROM sur s JOIN documents d USING (doc_id)
+),
+dom AS (
+  SELECT source, CAST(sum(n_bigrams) AS BIGINT) AS toks,
+         round(avg(avg_surprisal), 6) AS loss
+  FROM pd GROUP BY 1
+),
+ref AS (SELECT round(avg(avg_surprisal), 6) AS ref_loss FROM pd),
+tt AS (SELECT sum(toks) AS tt FROM dom),
+w0 AS (
+  SELECT source, toks, loss,
+         round(greatest(loss - ref_loss, 0.0), 6) AS excess,
+         round(toks * 1.0 / tt, 6) AS baseline_w,
+         round(exp({DOREMI_ETA} * round(greatest(loss - ref_loss, 0.0), 6)), 12) AS m,
+         round(toks * 1.0 / tt, 12) AS w,
+         CAST(0.0 AS DOUBLE) AS acc
+  FROM dom CROSS JOIN ref CROSS JOIN tt
+){steps}
+SELECT source, toks, loss, excess, baseline_w,
+       round(acc / {DOREMI_ITERS}.0, 6) AS doremi_w
+FROM {prev}
+ORDER BY source
+"""
+
+
 def q_ivf_topk_seeded(spark, sf_dir):
     """Declarative IVF ANN (similarity.ivf_topk_seeded): inverted-list
     probing with the coarse quantizer fixed at the deterministic seed
@@ -9227,6 +9351,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "fuzzy_join": (q_fuzzy_join, SQL_FUZZY),
     "nested_semi_join": (q_nested_semi_join, SQL_NESTED_SEMI),
     "lm_surprisal": (q_lm_surprisal, SQL_LM_SURPRISAL),
+    "domain_reweight": (q_domain_reweight, _duck_domain_reweight()),
     "event_transitions": (q_event_transitions, SQL_TRANSITIONS),
     "cohort_retention": (q_cohort_retention, SQL_COHORT),
     "pagerank": (q_pagerank, _duck_pagerank()),
@@ -9316,31 +9441,23 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_recall": (q_ann_recall, _duck_ann_recall()),
 }
 
-# Round-5 registry head: the two structurally rows-only queries lead —
-# approx_stats' only official driver row is an r01 Traceback from the
-# era when it emitted array columns (it now emits scalar percentile
-# columns and passes the driver-sim pandas canonicalization), and
-# compression_ratio should get a current clean "no_oracle" row beside
-# it — followed by the queries whose OUTPUT changed or that are new
-# this round, so each gets a fresh official driver row. Everything
+# Round-6 registry head: queries whose OUTPUT changed or that are new
+# this round lead, so each gets a fresh official driver row.
+# approx_stats graduated from rows-only to an exact oracle (KMV +
+# deterministic sample percentiles — new columns AND new values);
+# multimodal_decode and domain_reweight are new; compression_ratio is
+# now the single remaining rows-only query (zlib is honestly not SQL)
+# and stays at the head for a current clean no-oracle row. Everything
 # else keeps its prior relative order; lookup semantics are
 # unaffected.
-_R5_HEAD = [
-    # rows-only pair: close the last non-green official driver rows
+_R6_HEAD = [
     "approx_stats",
+    "multimodal_decode",
+    "domain_reweight",
     "compression_ratio",
-    # output upgraded this round (pq method rows added):
-    "ann_recall",
-    # new this round (multi-query retrieval eval layer):
-    "hybrid_rrf_multi",
-    "retrieval_ndcg_multi",
-    # new this round (classifier eval completions):
-    "classifier_pr_auc",
-    "classifier_kappa",
-    "calibration_ece",
 ]
-assert set(_R5_HEAD) <= set(QUERIES), sorted(set(_R5_HEAD) - set(QUERIES))
+assert set(_R6_HEAD) <= set(QUERIES), sorted(set(_R6_HEAD) - set(QUERIES))
 QUERIES = {
-    **{name: QUERIES[name] for name in _R5_HEAD},
-    **{name: fn for name, fn in QUERIES.items() if name not in set(_R5_HEAD)},
+    **{name: QUERIES[name] for name in _R6_HEAD},
+    **{name: fn for name, fn in QUERIES.items() if name not in set(_R6_HEAD)},
 }

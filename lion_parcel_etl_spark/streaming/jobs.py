@@ -431,7 +431,52 @@ def stream_scd2(
     """
     from lion_parcel_etl_spark.operators.scd2 import scd2_apply_partitioned
 
-    order_col = run_ts_col or snapshot_ts_col
+    def materialize(spark, snap, run_ts):
+        scd2_apply_partitioned(
+            spark, warehouse, table, snap, key, tracked, snapshot_ts_col, run_ts
+        )
+
+    _run_scd2_stream(df, key, run_ts_col or snapshot_ts_col, checkpoint, materialize)
+
+
+def stream_scd2_bucketed(
+    df: DataFrame,
+    warehouse,
+    table: str,
+    key: list[str],
+    tracked: list[str],
+    snapshot_ts_col: str,
+    checkpoint: str,
+    n_buckets: int = 16,
+    run_ts_col: str | None = None,
+) -> None:
+    """:func:`stream_scd2` through the KEY-BUCKETED current partition
+    (``scd2_apply_bucketed``): each micro-batch reads and rewrites ONLY
+    the buckets its keys hash into — the continuous-ingest twin of the
+    sparse-update regime the bucketed layout exists for (a micro-batch
+    touching 10 keys rewrites ~10 buckets' worth of current rows, not
+    the whole current partition per batch). Same determinism contract
+    as stream_scd2 (run_ts = batch max of the order column), and the
+    same per-bucket crash convergence as the batch operator — a replay
+    of the same batch detects no tracked change and leaves every
+    bucket's history record intact (chaos-tested in
+    tests/test_streaming_maintenance.py)."""
+    from lion_parcel_etl_spark.operators.scd2 import scd2_apply_bucketed
+
+    def materialize(spark, snap, run_ts):
+        scd2_apply_bucketed(
+            spark, warehouse, table, snap, key, tracked, snapshot_ts_col,
+            run_ts, n_buckets=n_buckets,
+        )
+
+    _run_scd2_stream(df, key, run_ts_col or snapshot_ts_col, checkpoint, materialize)
+
+
+def _run_scd2_stream(df, key, order_col, checkpoint, materialize) -> None:
+    """Shared foreachBatch driver for the SCD2 streaming twins: dedupe
+    the micro-batch to one snapshot row per key (latest by the order
+    column), derive the deterministic run_ts, hand off to the batch
+    materializer."""
 
     def _batch(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
@@ -456,9 +501,7 @@ def stream_scd2(
                 "cannot order snapshot rows or derive run_ts"
             )
         run_ts = str(max_ord)
-        scd2_apply_partitioned(
-            spark, warehouse, table, snap, key, tracked, snapshot_ts_col, run_ts
-        )
+        materialize(spark, snap, run_ts)
 
     q = (
         df.writeStream.foreachBatch(_batch)

@@ -342,6 +342,86 @@ def test_stream_scd2_matches_batch_two_runs(spark, tmp_path):
     assert got.filter("user_id = 2").count() == 1
 
 
+def test_stream_scd2_bucketed_matches_batch_and_recovers_from_crash(
+    spark, tmp_path, monkeypatch
+):
+    """The bucketed streaming twin: (1) two micro-batches leave the
+    dimension in the batch twin's exact state; (2) a crash injected at
+    the second touched bucket's current swap mid-batch fails the query
+    loudly, and re-running the stream on the SAME checkpoint replays
+    the batch and converges — one expired version per changed key,
+    nothing duplicated (the batch operator's per-bucket convergence
+    carried through foreachBatch)."""
+    import datetime as dt
+
+    import lion_parcel_etl_spark.catalog as cat
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.scd2 import bucket_of, scd2_apply
+    from lion_parcel_etl_spark.streaming import stream_scd2_bucketed
+
+    n_buckets = 4
+    # two user ids in DIFFERENT buckets so the crash window "second
+    # touched bucket" exists
+    rows = spark.createDataFrame(
+        [(i,) for i in range(1, 50)], "user_id long"
+    ).select("user_id", bucket_of(["user_id"], n_buckets).alias("b")).collect()
+    picked: dict[int, int] = {}
+    for r in rows:
+        if r["b"] not in picked.values():
+            picked[r["user_id"]] = r["b"]
+        if len(picked) == 2:
+            break
+    (id_a, b_a), (id_b, b_b) = list(picked.items())
+
+    schema = "user_id long, status string, ts timestamp"
+    t1, t2 = dt.datetime(2024, 1, 1, 10), dt.datetime(2024, 1, 2, 10)
+    b1 = [(id_a, "new", t1), (id_b, "new", t1)]
+    b2 = [(id_a, "active", t2), (id_b, "active", t2)]
+
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        stream_scd2_bucketed(
+            stream, wh, "dim", ["user_id"], ["status"], "ts", ckpt,
+            n_buckets=n_buckets,
+        )
+
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(landing)
+    run()
+
+    # arm a crash on the LATER touched bucket's current swap
+    real = cat.swap_dir
+    state = {"armed": True}
+    crash_sub = f"bucket-{max(b_a, b_b)}"
+
+    def chaotic(tmp, dst):
+        if state["armed"] and crash_sub in dst:
+            raise RuntimeError("injected crash before swap")
+        real(tmp, dst)
+
+    monkeypatch.setattr(cat, "swap_dir", chaotic)
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(landing)
+    with pytest.raises(Exception, match="injected crash"):
+        run()
+    state["armed"] = False
+    run()  # same checkpoint: the uncommitted batch replays and converges
+
+    got = wh.read(spark, "dim").drop("state")
+    want1 = scd2_apply(
+        None, spark.createDataFrame(b1, schema), ["user_id"], ["status"], "ts", str(t1)
+    )
+    want = scd2_apply(
+        want1, spark.createDataFrame(b2, schema), ["user_id"], ["status"], "ts", str(t2)
+    )
+    cols = ["user_id", "status", "valid_from", "valid_to", "is_current"]
+    canon = lambda df: sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+    assert canon(got) == canon(want)
+    assert got.filter(~F.col("is_current")).count() == 2  # exactly one per key
+
+
 def test_stream_rollup_matches_batch_single_shot(spark, tmp_path):
     from lion_parcel_etl_spark.catalog import Warehouse
     from lion_parcel_etl_spark.operators.rollup import rollup_finalize, rollup_state
