@@ -65,6 +65,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--queries", default=None, help="comma list; default: bench.py HEADLINE")
+    ap.add_argument(
+        "--all",
+        action="store_true",
+        help="sweep the FULL registry (every QUERIES entry), not just "
+        "the headline set — makes every future floor regression "
+        "decidable (r05 verdict item 6)",
+    )
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_ISOLATED.json"))
     ap.add_argument("--timeout", type=int, default=600, help="per-query child timeout (s)")
@@ -76,6 +83,10 @@ def main() -> int:
     machine_start = bench._machine_state()
     if args.queries:
         names = [n for n in args.queries.split(",") if n]
+    elif args.all:
+        from lion_parcel_etl_spark.plans.queries import QUERIES
+
+        names = list(QUERIES)
     else:
         names = list(bench.HEADLINE)
 
