@@ -182,6 +182,10 @@ HEADLINE = [
     "retrieval_ndcg_multi",
     # round-6 real-decode multimodal path
     "multimodal_decode",
+    # round-6 eval additions
+    "domain_reweight",
+    "retrieval_mrr",
+    "mrl_recall",
 ]
 
 # FROZEN anchor set (round 6, per the r05 verdict): cross-round

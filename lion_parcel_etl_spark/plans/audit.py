@@ -70,6 +70,11 @@ from pyspark.sql import DataFrame
 # not through the cross); retrieval_ndcg_multi composes
 # hybrid_rrf_multi (its dcg/idcg/mean stages are hash aggregates and
 # ≤queries-row broadcast joins, no crosses of their own);
+# retrieval_mrr composes hybrid_rrf_multi (the same bm25_rank_keyed
+# ONE-ROW corpus-stats crossJoin; its own stages are hash aggregates
+# and ≤queries-row broadcast joins); mrl_recall is three truncated
+# cosine_topk rankings plus the exact baseline — the cosine_topk
+# broadcast tiny-query-set pair join, four times, never corpus×corpus;
 # domain_reweight contains the lm_surprisal chain verbatim (the same
 # broadcast ONE-ROW vocabulary scalar) plus its own ONE-ROW reference-
 # loss and token-total crossJoins (the column_profile pattern) — every
@@ -108,6 +113,8 @@ BNLJ_ALLOWED = frozenset(
         "retrieval_ndcg_multi",
         "ann_recall",
         "domain_reweight",
+        "retrieval_mrr",
+        "mrl_recall",
     }
 )
 

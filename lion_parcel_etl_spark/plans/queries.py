@@ -8607,6 +8607,97 @@ FROM top
 ANN_RECALL_K = 5
 
 
+def q_retrieval_mrr(spark, sf_dir):
+    """MRR over the {len(RETRIEVAL_QUERY_SET)}-query eval set — the
+    third standard offline retrieval metric next to nDCG (graded) and
+    recall: per query, the reciprocal rank of the FIRST relevant doc
+    (relevance = shares ≥1 query term, the binary view of the nDCG
+    ground truth) in the hybrid fused ranking, plus a '__mean' row
+    (the MRR proper).
+
+    Scale shape: relevance reuses the one-pass token-stream join from
+    retrieval_ndcg_multi; the first-relevant rank is a min over the
+    BROADCAST queries×{RRF_TOPN} fused list inner-joined to relevance
+    (fused docs without a relevance row can't be first-relevant, so
+    the inner join is exact); queries with no relevant doc in their
+    list rejoin with rr=0 through the literal query-id spine."""
+    from lion_parcel_etl_spark.operators.text import tokens_long
+
+    docs = _t(spark, sf_dir, "documents")
+    union_terms = sorted({t for _, ts in RETRIEVAL_QUERY_SET for t in ts})
+    qt = spark.createDataFrame(
+        sorted({(qid, t) for qid, ts in RETRIEVAL_QUERY_SET for t in ts}),
+        "query_id string, term string",
+    )
+    rel = (
+        tokens_long(docs, "doc_id", "text")
+        .filter(F.col("term").isin(union_terms))
+        .join(F.broadcast(qt), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    fused = q_hybrid_rrf_multi(spark, sf_dir).select(
+        "query_id", "doc_id", "fused_rank"
+    )
+    first = (
+        rel.join(F.broadcast(fused), ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.min("fused_rank").alias("first_rel_rank"))
+    )
+    qids = spark.createDataFrame(
+        [(qid,) for qid, _ in RETRIEVAL_QUERY_SET], "query_id string"
+    )
+    per_q = qids.join(F.broadcast(first), "query_id", "left").select(
+        "query_id",
+        "first_rel_rank",
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("first_rel_rank"), F.lit(0.0)), 6
+        ).alias("rr"),
+    )
+    mean = per_q.agg(
+        F.lit("__mean").alias("query_id"),
+        F.lit(None).cast("long").alias("first_rel_rank"),
+        F.round(F.avg("rr"), 6).alias("rr"),
+    )
+    return per_q.unionByName(mean)
+
+
+def _duck_retrieval_mrr() -> str:
+    union_terms = ", ".join(
+        f"'{t}'"
+        for t in sorted({t for _, ts in RETRIEVAL_QUERY_SET for t in ts})
+    )
+    return f"""
+WITH qt(query_id, term) AS (VALUES {_duck_qt_values()}),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+  FROM documents
+),
+rel AS (
+  SELECT DISTINCT qt.query_id, t.doc_id
+  FROM toks t JOIN qt USING (term)
+  WHERE t.term IN ({union_terms})
+),
+fused AS (
+  SELECT query_id, doc_id, fused_rank FROM ({_duck_hybrid_rrf_multi()})
+),
+first_rel AS (
+  SELECT r.query_id, CAST(min(f.fused_rank) AS BIGINT) AS first_rel_rank
+  FROM rel r JOIN fused f ON f.query_id = r.query_id AND f.doc_id = r.doc_id
+  GROUP BY 1
+),
+per_q AS (
+  SELECT q.query_id, fr.first_rel_rank,
+         round(COALESCE(1.0 / fr.first_rel_rank, 0.0), 6) AS rr
+  FROM (SELECT DISTINCT query_id FROM qt) q
+  LEFT JOIN first_rel fr USING (query_id)
+)
+SELECT query_id, first_rel_rank, rr FROM per_q
+UNION ALL
+SELECT '__mean', NULL, round(avg(rr), 6) FROM per_q
+"""
+
+
 def q_ann_recall(spark, sf_dir):
     """Recall@{ANN_RECALL_K} of the approximate ANN indexes against the
     exact cosine baseline — the eval that decides whether an
@@ -8666,6 +8757,94 @@ u AS (
   UNION ALL
   SELECT 'pq' AS method, query_id, neighbor_id FROM pq
 )
+SELECT u.method, u.query_id,
+       CAST(count(e.neighbor_id) AS BIGINT) AS hits,
+       round(count(e.neighbor_id) / {float(ANN_RECALL_K)}, 6) AS recall
+FROM u LEFT JOIN exact e
+  ON e.query_id = u.query_id AND e.neighbor_id = u.neighbor_id
+GROUP BY 1, 2
+"""
+
+
+#: mrl_recall truncation levels (prefix dims of the 64-d embeddings).
+MRL_DIMS = [8, 16, 32]
+
+
+def q_mrl_recall(spark, sf_dir):
+    """Matryoshka-style dimension-truncation admissibility (MRL,
+    Kusupati et al. 2022, public): recall@{ANN_RECALL_K} of exact
+    cosine top-k computed over PREFIX dims {MRL_DIMS} vs the full-64-d
+    baseline — the eval that decides how far an embedding column can
+    be truncated (4×/8× cheaper distance math, smaller ANN index)
+    before neighbor quality degrades. Same admissibility pattern as
+    ann_recall: every constituent ranking is oracle-replayed, so the
+    recall numbers replay too.
+
+    Scale shape: each truncation is the same bounded query-set top-k
+    as cosine_topk (queries broadcast, corpus never shuffles), with
+    the slice applied BEFORE the distance fold — at a real corpus the
+    truncated variant reads |dims|/64 of the vector bytes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = q_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    parts = []
+    for d in MRL_DIMS:
+        emb_d = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        parts.append(
+            SIM.cosine_topk(emb_d, emb_d.filter(F.col("vec_id") < 5), k=5)
+            .select(
+                F.lit(f"mrl{d}").alias("method"), "query_id", "neighbor_id"
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
+        .groupBy("method", "query_id")
+        .agg(F.sum(F.coalesce("__hit", F.lit(0))).alias("hits"))
+        .select(
+            "method",
+            "query_id",
+            F.col("hits").cast("long").alias("hits"),
+            F.round(F.col("hits") / F.lit(float(ANN_RECALL_K)), 6).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+def _duck_mrl_recall() -> str:
+    def sliced(d: int) -> str:
+        a, b = f"q.qv[1:{d}]", f"e.embedding[1:{d}]"
+        return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({_duck_cos(a, b)}, 6) AS cosine_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5
+"""
+
+    unions = "\nUNION ALL\n".join(
+        f"SELECT 'mrl{d}' AS method, query_id, neighbor_id FROM t{d}"
+        for d in MRL_DIMS
+    )
+    ctes = ",\n".join(f"t{d} AS ({sliced(d)})" for d in MRL_DIMS)
+    return f"""
+WITH exact AS MATERIALIZED ({SQL_COSINE}),
+{ctes},
+u AS ({unions})
 SELECT u.method, u.query_id,
        CAST(count(e.neighbor_id) AS BIGINT) AS hits,
        round(count(e.neighbor_id) / {float(ANN_RECALL_K)}, 6) AS recall
@@ -9438,7 +9617,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "zipf_fit": (q_zipf_fit, SQL_ZIPF),
     "cluster_quality": (q_cluster_quality, _duck_cluster_quality()),
     "retrieval_ndcg": (q_retrieval_ndcg, _duck_retrieval_ndcg()),
+    "retrieval_mrr": (q_retrieval_mrr, _duck_retrieval_mrr()),
     "ann_recall": (q_ann_recall, _duck_ann_recall()),
+    "mrl_recall": (q_mrl_recall, _duck_mrl_recall()),
 }
 
 # Round-6 registry head: queries whose OUTPUT changed or that are new
@@ -9454,6 +9635,8 @@ _R6_HEAD = [
     "approx_stats",
     "multimodal_decode",
     "domain_reweight",
+    "retrieval_mrr",
+    "mrl_recall",
     "compression_ratio",
 ]
 assert set(_R6_HEAD) <= set(QUERIES), sorted(set(_R6_HEAD) - set(QUERIES))
