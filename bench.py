@@ -186,6 +186,10 @@ HEADLINE = [
     "domain_reweight",
     "retrieval_mrr",
     "mrl_recall",
+    "quant_recall",
+    "dedup_pr_eval",
+    "acf_lags",
+    "vocab_kl",
 ]
 
 # FROZEN anchor set (round 6, per the r05 verdict): cross-round

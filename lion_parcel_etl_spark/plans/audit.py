@@ -79,7 +79,13 @@ from pyspark.sql import DataFrame
 # broadcast ONE-ROW vocabulary scalar) plus its own ONE-ROW reference-
 # loss and token-total crossJoins (the column_profile pattern) — every
 # iteration after the corpus aggregate runs on the |domains|-sized
-# table.
+# table; quant_recall is the cosine_topk broadcast tiny-query-set pair
+# join three times (two quantized variants + the exact baseline — the
+# mrl_recall shape); dedup_pr_eval crosses its per-config counts with
+# the broadcast ONE-ROW ground-truth total (the column_profile
+# pattern); vocab_kl crosses the vocabulary-sized KL stream with its
+# broadcast ONE-ROW corpus-token total (the lm_surprisal scalar
+# pattern).
 BNLJ_ALLOWED = frozenset(
     {
         "cosine_topk",
@@ -115,6 +121,9 @@ BNLJ_ALLOWED = frozenset(
         "domain_reweight",
         "retrieval_mrr",
         "mrl_recall",
+        "quant_recall",
+        "dedup_pr_eval",
+        "vocab_kl",
     }
 )
 

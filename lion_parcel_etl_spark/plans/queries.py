@@ -9422,6 +9422,471 @@ FROM coh LEFT JOIN sep s ON s.code = coh.code
 # appeared in a driver CORRECTNESS_r* sample (plus freshly-oracled
 # ones) lead, so a sampled scoreboard covers them first; the rest
 # follow in their original order. Lookup semantics are unaffected.
+#: quant_recall bit widths: int8 (the production storage width,
+#: 4× smaller than float32) and int4 (the stress point where scalar
+#: quantization starts to bite).
+QUANT_BITS = [8, 4]
+
+
+def q_quant_recall(spark, sf_dir):
+    """Scalar-quantization admissibility — the storage-side twin of
+    mrl_recall's dimension truncation: recall@5 of exact cosine top-k
+    computed over int8- and int4-quantized vectors
+    (similarity.quantize_embeddings) against the float32 baseline,
+    the eval that decides whether the 4× (8×) smaller stored vectors
+    can serve neighbor queries directly. Per-vector symmetric scaling
+    cancels inside the cosine (scale is a positive per-vector scalar),
+    so ranking the quantized vectors needs no dequantization — the
+    integer codes ARE the ranking input, every distance is arithmetic
+    over exact small integers, and the whole eval replays in SQL.
+
+    Scale shape: each variant is the same bounded query-set top-k as
+    cosine_topk (queries broadcast, corpus never shuffles); at a real
+    corpus the int8 variant reads 1/4 of the vector bytes and the
+    recall number printed here is what justifies that read."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = q_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    parts = []
+    for b in QUANT_BITS:
+        qd = SIM.quantize_embeddings(emb, "vec_id", "embedding", bits=b)
+        # drop zero/empty vectors by the scale ATTRIBUTE, not by
+        # isNotNull on the transform fold — a filter over the folded
+        # array would re-evaluate the whole fold per row on top of the
+        # projection (the FOLD_IN_FILTER hazard); scale > 0 is the
+        # same predicate over a plain column
+        dq = qd.filter(F.col("scale") > 0).select(
+            "vec_id",
+            F.transform("qvec", lambda x: x.cast("double")).alias("embedding"),
+        )
+        parts.append(
+            SIM.cosine_topk(
+                dq, dq.filter(F.col("vec_id") < 5), k=ANN_RECALL_K
+            ).select(
+                F.lit(f"int{b}").alias("method"), "query_id", "neighbor_id"
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
+        .groupBy("method", "query_id")
+        .agg(F.sum(F.coalesce("__hit", F.lit(0))).alias("hits"))
+        .select(
+            "method",
+            "query_id",
+            F.col("hits").cast("long").alias("hits"),
+            F.round(F.col("hits") / F.lit(float(ANN_RECALL_K)), 6).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+def _duck_quant_recall() -> str:
+    def variant(bits: int) -> str:
+        qmax = (1 << (bits - 1)) - 1
+        qlist = (
+            "CASE WHEN scale > 0 THEN list_transform(embedding, "
+            f"x -> CAST(CAST(round(CAST(x AS DOUBLE) / scale * {qmax}.0) "
+            "AS INTEGER) AS DOUBLE)) END"
+        )
+        return f"""
+WITH qv AS (
+  SELECT vec_id, {qlist} AS embedding
+  FROM (
+    SELECT vec_id, embedding,
+           COALESCE(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 0.0) AS scale
+    FROM embeddings
+  )
+), qvn AS (SELECT vec_id, embedding FROM qv WHERE embedding IS NOT NULL),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM qvn WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({_duck_cos("q.qv", "e.embedding")}, 6) AS cosine_sim
+  FROM qvn e CROSS JOIN q WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id FROM ranked WHERE rank <= {ANN_RECALL_K}
+"""
+
+    unions = "\nUNION ALL\n".join(
+        f"SELECT 'int{b}' AS method, query_id, neighbor_id FROM t{b}"
+        for b in QUANT_BITS
+    )
+    ctes = ",\n".join(f"t{b} AS ({variant(b)})" for b in QUANT_BITS)
+    return f"""
+WITH exact AS MATERIALIZED ({SQL_COSINE}),
+{ctes},
+u AS ({unions})
+SELECT u.method, u.query_id,
+       CAST(count(e.neighbor_id) AS BIGINT) AS hits,
+       round(count(e.neighbor_id) / {float(ANN_RECALL_K)}, 6) AS recall
+FROM u LEFT JOIN exact e
+  ON e.query_id = u.query_id AND e.neighbor_id = u.neighbor_id
+GROUP BY 1, 2
+"""
+
+
+#: dedup_pr_eval LSH configurations: (k, bands) — the oracle-checked
+#: default and the corpus shape (same r = k/bands = 4, 4× the bands).
+LSH_PR_CONFIGS = [
+    (DD.MINHASH_K, 4),
+    (DD.MINHASH_K_CORPUS, DD.MINHASH_BANDS_CORPUS),
+]
+
+
+def q_dedup_pr_eval(spark, sf_dir):
+    """LSH candidate-set quality eval: precision/recall/F1 of the RAW
+    banded MinHash candidate pairs (pre-verification) against the
+    exact n-gram-Jaccard ground truth at the dedup family's threshold
+    — the measured counterpart of the 1-(1-s^r)^bands design curve
+    that picks k/bands at corpus scale. The verified pipeline's
+    precision is 1.0 by construction (minhash_near_dup Jaccard-checks
+    every candidate), so what this eval measures is the candidate
+    stage itself: its recall bounds what the verified pipeline can
+    ever return, and its precision is the verification bill (each
+    false candidate is one wasted exact-Jaccard check). Two configs:
+    k=16/bands=4 (the default) and k=64/bands=16 (the corpus shape;
+    same rows-per-band, so strictly more recall for 4× the bands).
+
+    Scale shape: ground truth is ngram_jaccard_pairs' shingle-equality
+    join (never all-pairs — same verifier the dedup family already
+    trusts); each candidate set is the band bucket join; the P/R
+    arithmetic acts on three counts per config."""
+    docs = _t(spark, sf_dir, "documents")
+    truth = DD.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD
+    ).select("id_a", "id_b", F.lit(1).alias("__t"))
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    parts = []
+    for k, bands in LSH_PR_CONFIGS:
+        sig = DD.minhash_signatures(docs, "doc_id", "text", n=3, k=k)
+        banded = DD._banded(sig.filter(F.size("shingles") > 0), k, bands)
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        parts.append(
+            cand.select(
+                F.lit(f"k{k}_b{bands}").alias("config"), "id_a", "id_b"
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    # the ground truth is the eval's LABELED SET — bounded by
+    # construction (at a real corpus you'd label a sample; exact
+    # all-corpus Jaccard doesn't exist at 100 TB) — so broadcast it,
+    # exactly as ann_recall broadcasts its exact baseline
+    per = (
+        u.join(F.broadcast(truth), ["id_a", "id_b"], "left")
+        .groupBy("config")
+        .agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.sum(F.coalesce("__t", F.lit(0))).cast("long").alias("tp"),
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(n_true))
+        .select(
+            "config",
+            "n_true",
+            "n_cand",
+            "tp",
+            F.round(
+                F.when(
+                    F.col("n_cand") > 0,
+                    F.col("tp").cast("double") / F.col("n_cand"),
+                ),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.when(
+                    F.col("n_true") > 0,
+                    F.col("tp").cast("double") / F.col("n_true"),
+                ),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.when(
+                    (F.col("n_cand") + F.col("n_true")) > 0,
+                    (F.lit(2.0) * F.col("tp"))
+                    / (F.col("n_cand") + F.col("n_true")),
+                ),
+                6,
+            ).alias("f1"),
+        )
+        .orderBy("config")
+    )
+
+
+def _duck_sig_k(k: int) -> str:
+    """_duck_minhash_sig generalized to any k (prefix-stable coeff
+    stream, so k=16 reproduces the original)."""
+    base = (
+        f"list_transform({_DUCK_SHINGLES}, "
+        "s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)"
+    )
+    mins = ", ".join(
+        f"coalesce(list_min(list_transform({base}, h -> ({a} * h + {b}) % {DD.MINHASH_PRIME})), {DD.MINHASH_PRIME})"
+        for a, b in DD.minhash_coeffs(k)
+    )
+    return f"[{mins}]"
+
+
+def _duck_dedup_pr_eval() -> str:
+    def cand_cte(k: int, bands: int) -> str:
+        rows = k // bands
+        band_selects = []
+        for band in range(bands):
+            cells = " || ',' || ".join(
+                f"CAST(sig[{band * rows + j + 1}] AS VARCHAR)"
+                for j in range(rows)
+            )
+            band_selects.append(
+                f"SELECT doc, {band} AS band, md5({cells}) AS bh "
+                f"FROM sigs{k} WHERE n_sh > 0"
+            )
+        bands_sql = " UNION ALL ".join(band_selects)
+        return f"""
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+  FROM ({bands_sql}) a JOIN ({bands_sql}) b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+"""
+
+    sig_ctes = ",\n".join(
+        f"sigs{k} AS MATERIALIZED (SELECT doc_id AS doc, "
+        f"len({_DUCK_SHINGLES}) AS n_sh, {_duck_sig_k(k)} AS sig "
+        "FROM documents)"
+        for k, _ in LSH_PR_CONFIGS
+    )
+    cand_ctes = ",\n".join(
+        f"cand{k} AS ({cand_cte(k, bands)})" for k, bands in LSH_PR_CONFIGS
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT 'k{k}_b{bands}' AS config, id_a, id_b FROM cand{k}"
+        for k, bands in LSH_PR_CONFIGS
+    )
+    return f"""
+WITH truth AS MATERIALIZED (SELECT id_a, id_b FROM ({SQL_DEDUP_JACCARD})),
+nt AS (SELECT COUNT(*) AS n_true FROM truth),
+{sig_ctes},
+{cand_ctes},
+u AS ({unions}),
+per AS (
+  SELECT config, CAST(COUNT(*) AS BIGINT) AS n_cand,
+         CAST(SUM(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM u LEFT JOIN truth t ON t.id_a = u.id_a AND t.id_b = u.id_b
+  GROUP BY 1
+)
+SELECT config, CAST(n_true AS BIGINT) AS n_true, n_cand, tp,
+       round(CASE WHEN n_cand > 0 THEN CAST(tp AS DOUBLE) / n_cand END, 6) AS precision,
+       round(CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / n_true END, 6) AS recall,
+       round(CASE WHEN (n_cand + n_true) > 0 THEN (2.0 * tp) / (n_cand + n_true) END, 6) AS f1
+FROM per CROSS JOIN nt
+ORDER BY config
+"""
+
+
+#: acf_lags maximum lag (days).
+ACF_MAX_LAG = 7
+
+
+def q_acf_lags(spark, sf_dir):
+    """Per-series autocorrelation function at lags 1..{ACF_MAX_LAG}
+    over the daily event volumes (the trend_ols series) — the
+    seasonality/burstiness diagnostic for event streams (a weekly
+    cycle shows up as a lag-7 peak). r_k = Σ(x_t−μ)(x_{t−k}−μ) /
+    Σ(x_t−μ)², expanded into EXACT integer sufficient statistics —
+    per-lag Σ x_t·x_{t−k}, the two partial sums and the pair count,
+    plus the global N/Σx/Σx² (trend_ols's moment-sum discipline) — so
+    every pre-division sum is a long and the float arithmetic happens
+    once per (series, lag) scalar in a fixed expression order both
+    engines share.
+
+    Plan: one hash aggregate builds the daily series (events-sized,
+    map-side combined); the lag columns come from ONE window sort per
+    series over the |days|-sized aggregate; the final aggregate is
+    |series|-sized and the per-lag explode is a {ACF_MAX_LAG}-element
+    literal array — nothing after the first aggregate scales with the
+    event count."""
+    lags = range(1, ACF_MAX_LAG + 1)
+    d = _daily_volumes(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("x")
+    staged = d.select(
+        "event_type",
+        F.col("y").cast("long").alias("y"),
+        *[
+            F.lag(F.col("y").cast("long"), k).over(w).alias(f"l{k}")
+            for k in lags
+        ],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("ss"),
+    ]
+    for k in lags:
+        aggs += [
+            F.sum(F.col("y") * F.col(f"l{k}")).alias(f"sxy{k}"),
+            F.sum(F.when(F.col(f"l{k}").isNotNull(), F.col("y"))).alias(
+                f"sh{k}"
+            ),
+            F.sum(f"l{k}").alias(f"st{k}"),
+            F.count(f"l{k}").alias(f"nk{k}"),
+        ]
+    g = staged.groupBy("event_type").agg(*aggs)
+    mu = F.col("s").cast("double") / F.col("n")
+    den = F.col("ss").cast("double") - F.col("s").cast("double") * F.col(
+        "s"
+    ) / F.col("n")
+    per_lag = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).cast("long").alias("lag"),
+                    F.col(f"nk{k}").alias("n_pairs"),
+                    (
+                        F.col(f"sxy{k}").cast("double")
+                        - mu * (F.col(f"sh{k}") + F.col(f"st{k}"))
+                        + F.col(f"nk{k}") * mu * mu
+                    ).alias("num"),
+                )
+                for k in lags
+            ]
+        )
+    )
+    return (
+        g.select("event_type", per_lag.alias("r"), den.alias("den"))
+        .select(
+            "event_type",
+            F.col("r.lag").alias("lag"),
+            F.col("r.n_pairs").alias("n_pairs"),
+            F.round(
+                F.when(F.col("den") > 0, F.col("r.num") / F.col("den")), 6
+            ).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+def _duck_acf_lags() -> str:
+    lags = range(1, ACF_MAX_LAG + 1)
+    lag_cols = ", ".join(f"lag(y, {k}) OVER w AS l{k}" for k in lags)
+    sums = ", ".join(
+        f"SUM(y * l{k}) AS sxy{k}, "
+        f"SUM(CASE WHEN l{k} IS NOT NULL THEN y END) AS sh{k}, "
+        f"SUM(l{k}) AS st{k}, COUNT(l{k}) AS nk{k}"
+        for k in lags
+    )
+    mu = "CAST(s AS DOUBLE) / n"
+    per_lag = "\nUNION ALL\n".join(
+        f"SELECT event_type, CAST({k} AS BIGINT) AS lag, "
+        f"CAST(nk{k} AS BIGINT) AS n_pairs, "
+        f"CAST(sxy{k} AS DOUBLE) - {mu} * (sh{k} + st{k}) + nk{k} * {mu} * {mu} AS num, "
+        f"CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n AS den FROM g"
+        for k in lags
+    )
+    return f"""
+WITH daily AS ({_DUCK_DAILY}),
+lagged AS (
+  SELECT event_type, y, {lag_cols}
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY x)
+),
+g AS (
+  SELECT event_type, COUNT(*) AS n, SUM(y) AS s, SUM(y * y) AS ss, {sums}
+  FROM lagged GROUP BY 1
+)
+SELECT event_type, lag, n_pairs,
+       round(CASE WHEN den > 0 THEN num / den END, 6) AS acf
+FROM ({per_lag})
+ORDER BY event_type, lag
+"""
+
+
+def q_vocab_kl(spark, sf_dir):
+    """Per-source unigram-distribution shift vs the whole corpus:
+    KL(source ‖ corpus) in bits over token unigrams — the TEXT-level
+    drift/mixture diagnostic next to the numeric psi_drift (which
+    bins metric values; this compares vocabularies — the statistic a
+    training-mix owner watches when a new crawl slice arrives). The
+    log argument is a ratio of exact integer counts
+    ((c_st·N)/(n_s·c_t)), so both engines feed log2 identical doubles
+    (the lm_surprisal discipline); the per-source sum is vocabulary-
+    bounded and rounds at 1e-6.
+
+    Plan: tokens explode into ONE (source, token) hash aggregate
+    (map-side combined) that is pinned and re-aggregated for the
+    corpus-token and per-source totals — the corpus is scanned ONCE;
+    the KL join is vocabulary-sized; the output is |sources| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    st = DD.pin(
+        docs.select(
+            "source", F.explode(DD.tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    ct = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    ns = st.groupBy("source").agg(
+        F.sum("c_st").alias("n_s"), F.count(F.lit(1)).alias("v_s")
+    )
+    nn = ct.agg(F.sum("c_t").alias("nn"))
+    term = (F.col("c_st").cast("double") / F.col("n_s")) * F.log2(
+        (F.col("c_st").cast("double") * F.col("nn"))
+        / (F.col("n_s").cast("double") * F.col("c_t"))
+    )
+    return (
+        st.join(ct, "token")
+        .join(ns, "source")
+        .crossJoin(F.broadcast(nn))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.max("v_s").alias("vocab"),
+            F.round(F.sum(term), 6).alias("kl_bits"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_VOCAB_KL = f"""
+WITH st AS MATERIALIZED (
+  SELECT source, token, COUNT(*) AS c_st
+  FROM (SELECT source, unnest({_DUCK_TOKS}) AS token FROM documents)
+  GROUP BY 1, 2
+),
+ct AS (SELECT token, SUM(c_st) AS c_t FROM st GROUP BY 1),
+ns AS (SELECT source, SUM(c_st) AS n_s, COUNT(*) AS v_s FROM st GROUP BY 1),
+nn AS (SELECT SUM(c_t) AS nn FROM ct)
+SELECT st.source,
+       CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+       CAST(MAX(v_s) AS BIGINT) AS vocab,
+       round(SUM((CAST(c_st AS DOUBLE) / n_s)
+                 * log2((CAST(c_st AS DOUBLE) * nn) / (CAST(n_s AS DOUBLE) * c_t))), 6) AS kl_bits
+FROM st
+JOIN ct USING (token)
+JOIN ns USING (source)
+CROSS JOIN nn
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_classifier": (q_quality_classifier, _duck_quality_classifier()),
     "kmv_distinct": (q_kmv_distinct, _duck_kmv_distinct()),
@@ -9620,6 +10085,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "retrieval_mrr": (q_retrieval_mrr, _duck_retrieval_mrr()),
     "ann_recall": (q_ann_recall, _duck_ann_recall()),
     "mrl_recall": (q_mrl_recall, _duck_mrl_recall()),
+    "quant_recall": (q_quant_recall, _duck_quant_recall()),
+    "dedup_pr_eval": (q_dedup_pr_eval, _duck_dedup_pr_eval()),
+    "acf_lags": (q_acf_lags, _duck_acf_lags()),
+    "vocab_kl": (q_vocab_kl, SQL_VOCAB_KL),
 }
 
 # Round-6 registry head: queries whose OUTPUT changed or that are new
@@ -9637,6 +10106,10 @@ _R6_HEAD = [
     "domain_reweight",
     "retrieval_mrr",
     "mrl_recall",
+    "quant_recall",
+    "dedup_pr_eval",
+    "acf_lags",
+    "vocab_kl",
     "compression_ratio",
 ]
 assert set(_R6_HEAD) <= set(QUERIES), sorted(set(_R6_HEAD) - set(QUERIES))

@@ -1,0 +1,95 @@
+"""Invariant tests for the round-6 eval/diagnostic queries
+(quant_recall, dedup_pr_eval, acf_lags, vocab_kl). Value-level
+equality vs DuckDB is covered by tools/check_oracles.py; these assert
+the structural/semantic properties the oracles can't express —
+admissibility orderings, estimator bounds, conservation laws.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lion_parcel_etl_spark.operators import dedup as DD
+from lion_parcel_etl_spark.plans.queries import (
+    ACF_MAX_LAG,
+    ANN_RECALL_K,
+    QUANT_BITS,
+    _t,
+    q_acf_lags,
+    q_dedup_pr_eval,
+    q_quant_recall,
+    q_vocab_kl,
+)
+
+
+def test_quant_recall_shape_and_monotone(spark, sf_dir):
+    rows = q_quant_recall(spark, sf_dir).collect()
+    # one row per (bit width, query)
+    assert len(rows) == len(QUANT_BITS) * 5
+    by_method = {}
+    for r in rows:
+        assert 0 <= r.hits <= ANN_RECALL_K
+        assert abs(r.recall - r.hits / ANN_RECALL_K) < 1e-9
+        by_method.setdefault(r.method, []).append(r.recall)
+    # more bits keep more of the float ranking: int8 mean recall must
+    # dominate int4 (the whole point of the admissibility readout)
+    mean = {m: sum(v) / len(v) for m, v in by_method.items()}
+    assert mean["int8"] >= mean["int4"]
+    # int8 is the production storage width — it must be admissible
+    assert mean["int8"] >= 0.8
+
+
+def test_dedup_pr_eval_counting_identities(spark, sf_dir):
+    rows = {r.config: r for r in q_dedup_pr_eval(spark, sf_dir).collect()}
+    assert set(rows) == {
+        f"k{k}_b{b}" for k, b in [(DD.MINHASH_K, 4), (DD.MINHASH_K_CORPUS, DD.MINHASH_BANDS_CORPUS)]
+    }
+    for r in rows.values():
+        assert r.tp <= min(r.n_cand, r.n_true)
+        if r.n_cand:
+            assert abs(r.precision - r.tp / r.n_cand) < 1e-9
+        if r.n_true:
+            assert abs(r.recall - r.tp / r.n_true) < 1e-9
+    # same rows-per-band, 4x the bands => candidate set is a superset,
+    # so recall cannot go down
+    small = rows[f"k{DD.MINHASH_K}_b4"]
+    big = rows[f"k{DD.MINHASH_K_CORPUS}_b{DD.MINHASH_BANDS_CORPUS}"]
+    if small.n_true:
+        assert big.recall >= small.recall
+
+
+def test_acf_bounded_and_pair_counts(spark, sf_dir):
+    df = q_acf_lags(spark, sf_dir).cache()
+    rows = df.collect()
+    assert rows
+    # Cauchy-Schwarz: the expanded estimator never leaves [-1, 1]
+    for r in rows:
+        assert 1 <= r.lag <= ACF_MAX_LAG
+        if r.acf is not None:
+            assert -1.0 - 1e-9 <= r.acf <= 1.0 + 1e-9
+    # a dense daily series loses exactly one pair per extra lag
+    per = {}
+    for r in rows:
+        per.setdefault(r.event_type, {})[r.lag] = r.n_pairs
+    for lags in per.values():
+        for k in range(2, ACF_MAX_LAG + 1):
+            assert lags[k] <= lags[k - 1]
+    df.unpersist()
+
+
+def test_vocab_kl_nonnegative_and_conserves_tokens(spark, sf_dir):
+    df = q_vocab_kl(spark, sf_dir).cache()
+    rows = df.collect()
+    assert rows
+    # KL(P || Q) >= 0, and source support is a subset of corpus
+    # support so it is always finite
+    for r in rows:
+        assert r.kl_bits >= 0.0
+        assert 0 < r.vocab <= r.n_tokens
+    # per-source token counts add up to the corpus token count
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.select(
+        F.sum(F.size(DD.tokens(F.col("text")))).alias("t")
+    ).first()[0]
+    assert sum(r.n_tokens for r in rows) == total
+    df.unpersist()
