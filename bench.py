@@ -190,6 +190,9 @@ HEADLINE = [
     "dedup_pr_eval",
     "acf_lags",
     "vocab_kl",
+    "seasonal_dow",
+    "market_basket",
+    "kcenter_select",
 ]
 
 # FROZEN anchor set (round 6, per the r05 verdict): cross-round

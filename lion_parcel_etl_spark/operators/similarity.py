@@ -1258,3 +1258,88 @@ def jl_project(
         ),
     )
     return vecs.select(F.col(id_col), proj.alias("proj"))
+
+
+def sqdist(a: Column, b: Column) -> Column:
+    """Squared euclidean distance as an ordered JVM fold (the dot/norm
+    discipline: left-to-right accumulation, so a SQL oracle's
+    sequential list functions reproduce the value bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kcenter_select(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+) -> list[tuple[int, int, float]]:
+    """Greedy farthest-point (k-center / coreset) selection: pick ``m``
+    maximally-diverse vectors — the classic 2-approximation for the
+    k-center objective (Gonzalez 1985, public) and the
+    diversity-sampling step of coreset-based training-data selection.
+    Deterministic: the seed is the minimum id; each step adds the
+    vector with the LARGEST distance to its nearest already-selected
+    center (squared euclidean rounded at 1e-6, ties by minimum id), so
+    the whole trajectory replays in SQL.
+
+    Returns ``[(step, id, radius)]`` where ``radius`` is the selected
+    vector's distance-to-selected-set at selection time — step t's
+    radius is a certified upper bound on twice the optimal t-center
+    covering radius, and the sequence is non-increasing (the knee says
+    how many diverse exemplars the corpus actually has).
+
+    Scale shape: m linear scans. Each step keeps a running
+    min-distance column (one fold against the SINGLE newest center,
+    folded with ``least`` into the previous step's column — never
+    re-scanning all selected centers) and takes a global argmax via a
+    1-row TakeOrderedAndProject; the only driver data is the m
+    selected (id, vector) rows, the same bounded-model-collect
+    contract as the classifier fit. The corpus is never shuffled. At
+    a real corpus, persist the running min-distance column between
+    steps instead of recomputing the lineage (here m·scan is measured
+    fine at bench scale)."""
+    first = (
+        vecs.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col).asc())
+        .limit(1)
+        .collect()[0]
+    )
+    selected = [(0, first[0], 0.0)]
+    center_vecs = [list(first[1])]
+    cur = vecs.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.round(
+            sqdist(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in center_vecs[0]]),
+            ),
+            6,
+        ).alias("__md"),
+    )
+    for step in range(1, m):
+        far = (
+            cur.orderBy(F.col("__md").desc(), F.col("__id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append((step, far["__id"], float(far["__md"])))
+        center_vecs.append(list(far["__v"]))
+        newc = F.array(*[F.lit(float(x)) for x in center_vecs[-1]])
+        cur = cur.select(
+            "__id",
+            "__v",
+            F.least(
+                F.col("__md"), F.round(sqdist(F.col("__v"), newc), 6)
+            ).alias("__md"),
+        )
+    return selected

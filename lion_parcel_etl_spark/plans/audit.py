@@ -85,7 +85,8 @@ from pyspark.sql import DataFrame
 # the broadcast ONE-ROW ground-truth total (the column_profile
 # pattern); vocab_kl crosses the vocabulary-sized KL stream with its
 # broadcast ONE-ROW corpus-token total (the lm_surprisal scalar
-# pattern).
+# pattern); market_basket crosses the rule stream with its broadcast
+# ONE-ROW order total (the same scalar pattern).
 BNLJ_ALLOWED = frozenset(
     {
         "cosine_topk",
@@ -124,6 +125,7 @@ BNLJ_ALLOWED = frozenset(
         "quant_recall",
         "dedup_pr_eval",
         "vocab_kl",
+        "market_basket",
     }
 )
 

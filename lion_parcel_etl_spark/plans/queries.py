@@ -9887,6 +9887,280 @@ ORDER BY 1
 """
 
 
+def q_seasonal_dow(spark, sf_dir):
+    """Detrended day-of-week seasonal profile of the daily event
+    volumes: per (series, weekday) the mean OLS residual — the
+    statistic that turns acf_lags' "there is a lag-7 peak" into "which
+    weekdays run hot/cold and by how many events/day", with the linear
+    trend removed first so growth doesn't masquerade as seasonality.
+    Everything reduces to exact integer-valued moment sums: the OLS
+    fit reuses trend_ols's closed form, and the per-dow mean residual
+    expands to (Σy_dow − n_dow·intercept − slope·Σx_dow)/n_dow — the
+    float arithmetic runs once per (series, weekday) scalar in an
+    expression order both engines share. Weekday is pure integer
+    arithmetic on the epoch day ((x+4) % 7: 0=Monday … 6=Sunday —
+    engine-calendar-free).
+
+    Plan: ONE events-sized hash aggregate (map-side combined) feeds
+    both the |series|-sized fit and the |series×7|-sized dow sums;
+    the final join is |series×7| vs |series| — broadcast."""
+    d = _daily_volumes(spark, sf_dir).select(
+        "event_type",
+        F.col("x").cast("double").alias("x"),
+        F.col("y").cast("double").alias("y"),
+        ((F.col("x") + 4) % 7).cast("long").alias("dow"),
+    )
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = g.select(
+        "event_type",
+        F.when(
+            (F.col("n") >= 2)
+            & ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) > 0),
+            slope,
+        ).alias("slope"),
+        "n",
+        "sx",
+        "sy",
+    ).select(
+        "event_type",
+        "slope",
+        ((F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n")).alias(
+            "intercept"
+        ),
+    )
+    byd = d.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("y").alias("syd"),
+        F.sum("x").alias("sxd"),
+    )
+    seasonal = (
+        F.col("syd")
+        - F.col("n_days") * F.col("intercept")
+        - F.col("slope") * F.col("sxd")
+    ) / F.col("n_days")
+    return (
+        byd.join(fit, "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n_days",
+            F.round(seasonal, 6).alias("seasonal"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+SQL_SEASONAL_DOW = f"""
+WITH daily AS ({_DUCK_DAILY}),
+d AS (
+  SELECT event_type, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y,
+         CAST((x + 4) % 7 AS BIGINT) AS dow
+  FROM daily
+),
+g AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM d GROUP BY 1
+),
+fit0 AS (
+  SELECT event_type,
+         CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+              THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+         n, sx, sy
+  FROM g
+),
+fit AS (
+  SELECT event_type, slope, (sy - slope * sx) / n AS intercept FROM fit0
+),
+byd AS (
+  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_days,
+         sum(y) AS syd, sum(x) AS sxd
+  FROM d GROUP BY 1, 2
+)
+SELECT b.event_type, b.dow, b.n_days,
+       round((syd - n_days * intercept - slope * sxd) / n_days, 6) AS seasonal
+FROM byd b JOIN fit USING (event_type)
+ORDER BY 1, 2
+"""
+
+
+#: market_basket thresholds: pairs seen in at least MB_MIN_PAIRS
+#: orders, top MB_TOP rules by lift.
+MB_MIN_PAIRS = 2
+MB_TOP = 100
+
+
+def q_market_basket(spark, sf_dir):
+    """Association rules over order baskets (the reference's retail
+    domain): for part pairs co-purchased in ≥ {MB_MIN_PAIRS} orders,
+    support / directional confidence / lift, top {MB_TOP} by lift —
+    the classic market-basket readout, all from exact integer counts
+    (pair count, per-item order counts, total orders), so every ratio
+    replays bit-for-bit in SQL.
+
+    Scale shape: the basket table (distinct order→part) is pinned and
+    reused by all four consumers; the pair stage is a self-join on the
+    ORDER key — per-key fanout is the basket size (≈4 lines/order in
+    this schema, bounded by how many distinct parts one order can
+    hold), so the join output is Σ basket² ≈ corpus-linear, never
+    |parts|². Item counts join back vocabulary-sized (AQE broadcasts);
+    the order total is a broadcast 1-row scalar; top-k is a rounded
+    total order (lift, pa, pb) so the LIMIT is deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = DD.pin(
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        ).distinct()
+    )
+    item = b.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    no = b.agg(F.count_distinct("o").alias("n_orders"))
+    a, c = b.alias("a"), b.alias("c")
+    pairs = (
+        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.p") < F.col("c.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("c.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("pc"))
+        .filter(F.col("pc") >= MB_MIN_PAIRS)
+    )
+    j = (
+        pairs.join(
+            item.select(F.col("p").alias("pa"), F.col("cnt").alias("cnt_a")),
+            "pa",
+        )
+        .join(
+            item.select(F.col("p").alias("pb"), F.col("cnt").alias("cnt_b")),
+            "pb",
+        )
+        .crossJoin(F.broadcast(no))
+    )
+    return (
+        j.select(
+            "pa",
+            "pb",
+            "pc",
+            "cnt_a",
+            "cnt_b",
+            F.round(F.col("pc").cast("double") / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("pc").cast("double") / F.col("cnt_a"), 6).alias(
+                "conf_ab"
+            ),
+            F.round(F.col("pc").cast("double") / F.col("cnt_b"), 6).alias(
+                "conf_ba"
+            ),
+            F.round(
+                (F.col("pc").cast("double") * F.col("n_orders"))
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("pa").asc(), F.col("pb").asc())
+        .limit(MB_TOP)
+    )
+
+
+SQL_MARKET_BASKET = f"""
+WITH b AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+item AS (SELECT p, COUNT(*) AS cnt FROM b GROUP BY 1),
+no AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM b),
+pairs AS (
+  SELECT a.p AS pa, c.p AS pb, CAST(COUNT(*) AS BIGINT) AS pc
+  FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= {MB_MIN_PAIRS}
+)
+SELECT pa, pb, pc,
+       CAST(ia.cnt AS BIGINT) AS cnt_a, CAST(ib.cnt AS BIGINT) AS cnt_b,
+       round(CAST(pc AS DOUBLE) / n_orders, 6) AS support,
+       round(CAST(pc AS DOUBLE) / ia.cnt, 6) AS conf_ab,
+       round(CAST(pc AS DOUBLE) / ib.cnt, 6) AS conf_ba,
+       round((CAST(pc AS DOUBLE) * n_orders) / (CAST(ia.cnt AS DOUBLE) * ib.cnt), 6) AS lift
+FROM pairs JOIN item ia ON ia.p = pa JOIN item ib ON ib.p = pb
+CROSS JOIN no
+ORDER BY lift DESC, pa ASC, pb ASC
+LIMIT {MB_TOP}
+"""
+
+
+#: kcenter_select subset size.
+KCENTER_M = 8
+
+
+def q_kcenter_select(spark, sf_dir):
+    """Diversity-maximizing subset selection (similarity.
+    kcenter_select): greedy farthest-point traversal over the
+    embedding table — the k-center 2-approximation (Gonzalez 1985)
+    that coreset-style training-data selection uses to pick maximally
+    diverse exemplars. Output: the {KCENTER_M} selected vectors in
+    selection order with their covering radius at selection time
+    (squared euclidean, non-increasing — the knee of this curve says
+    how many genuinely distinct exemplar modes the corpus has).
+
+    The trajectory is fully deterministic (min-id seed, round-at-1e-6
+    distances, min-id tie-breaks), so the DuckDB oracle replays the
+    ENTIRE greedy loop as {KCENTER_M} unrolled argmax CTEs — the
+    pagerank/classifier-fit pattern for iterative algorithms. Driver
+    data is the {KCENTER_M}-row selection itself (the bounded
+    model-collect contract)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = SIM.kcenter_select(emb, "vec_id", "embedding", m=KCENTER_M)
+    return spark.createDataFrame(
+        [(int(s), int(v), float(r)) for s, v, r in rows],
+        "step bigint, vec_id bigint, radius double",
+    )
+
+
+def _duck_sqdist(a: str, b: str) -> str:
+    """DuckDB squared-euclidean expression textually mirroring
+    similarity.sqdist (sequential fold of per-element casts)."""
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+
+
+def _duck_kcenter() -> str:
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding AS v FROM embeddings)",
+        "c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+        f"d0 AS (SELECT e.vec_id, e.v, round({_duck_sqdist('e.v', 'c.v')}, 6) AS md FROM e CROSS JOIN c0 c)",
+    ]
+    sels = ["SELECT CAST(0 AS BIGINT) AS step, vec_id, 0.0 AS radius FROM c0"]
+    for t in range(1, KCENTER_M):
+        ctes.append(
+            f"s{t} AS (SELECT vec_id, v, md FROM d{t - 1} "
+            "ORDER BY md DESC, vec_id ASC LIMIT 1)"
+        )
+        if t < KCENTER_M - 1:
+            ctes.append(
+                f"d{t} AS (SELECT d.vec_id, d.v, least(d.md, "
+                f"round({_duck_sqdist('d.v', 's.v')}, 6)) AS md "
+                f"FROM d{t - 1} d CROSS JOIN s{t} s)"
+            )
+        sels.append(
+            f"SELECT CAST({t} AS BIGINT) AS step, vec_id, md AS radius FROM s{t}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(sels)
+        + "\nORDER BY step"
+    )
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_classifier": (q_quality_classifier, _duck_quality_classifier()),
     "kmv_distinct": (q_kmv_distinct, _duck_kmv_distinct()),
@@ -10089,6 +10363,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_pr_eval": (q_dedup_pr_eval, _duck_dedup_pr_eval()),
     "acf_lags": (q_acf_lags, _duck_acf_lags()),
     "vocab_kl": (q_vocab_kl, SQL_VOCAB_KL),
+    "seasonal_dow": (q_seasonal_dow, SQL_SEASONAL_DOW),
+    "market_basket": (q_market_basket, SQL_MARKET_BASKET),
+    "kcenter_select": (q_kcenter_select, _duck_kcenter()),
 }
 
 # Round-6 registry head: queries whose OUTPUT changed or that are new
@@ -10110,6 +10387,9 @@ _R6_HEAD = [
     "dedup_pr_eval",
     "acf_lags",
     "vocab_kl",
+    "seasonal_dow",
+    "market_basket",
+    "kcenter_select",
     "compression_ratio",
 ]
 assert set(_R6_HEAD) <= set(QUERIES), sorted(set(_R6_HEAD) - set(QUERIES))

@@ -93,3 +93,48 @@ def test_vocab_kl_nonnegative_and_conserves_tokens(spark, sf_dir):
     ).first()[0]
     assert sum(r.n_tokens for r in rows) == total
     df.unpersist()
+
+
+def test_seasonal_dow_residuals_sum_to_zero(spark, sf_dir):
+    from lion_parcel_etl_spark.plans.queries import q_seasonal_dow
+
+    rows = q_seasonal_dow(spark, sf_dir).collect()
+    assert rows
+    per = {}
+    for r in rows:
+        assert 0 <= r.dow <= 6
+        per.setdefault(r.event_type, []).append((r.n_days, r.seasonal))
+    # OLS with an intercept: residuals sum to zero, so the
+    # day-count-weighted seasonal offsets must cancel per series
+    for series in per.values():
+        assert abs(sum(n * s for n, s in series)) < 1e-2
+
+
+def test_market_basket_rule_bounds(spark, sf_dir):
+    from lion_parcel_etl_spark.plans.queries import MB_TOP, q_market_basket
+
+    rows = q_market_basket(spark, sf_dir).collect()
+    assert 0 < len(rows) <= MB_TOP
+    prev = None
+    for r in rows:
+        assert r.pa < r.pb
+        assert r.pc <= min(r.cnt_a, r.cnt_b)
+        assert 0 < r.support <= r.conf_ab <= 1.0
+        assert 0 < r.conf_ba <= 1.0
+        assert r.lift > 0
+        if prev is not None:
+            assert r.lift <= prev  # ordered by lift desc
+        prev = r.lift
+
+
+def test_kcenter_radius_non_increasing(spark, sf_dir):
+    from lion_parcel_etl_spark.plans.queries import KCENTER_M, q_kcenter_select
+
+    rows = sorted(q_kcenter_select(spark, sf_dir).collect(), key=lambda r: r.step)
+    assert len(rows) == KCENTER_M
+    assert rows[0].radius == 0.0
+    assert len({r.vec_id for r in rows}) == KCENTER_M
+    # greedy farthest-point: each new center is at most as far from the
+    # selected set as the previous one was
+    for a, b in zip(rows[1:], rows[2:]):
+        assert b.radius <= a.radius + 1e-9
