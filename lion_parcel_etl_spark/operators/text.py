@@ -236,6 +236,64 @@ def tokens_long(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def source_token_counts(
+    docs: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """(source, token, c_st) unigram counts per source — the exact,
+    trivially-mergeable sufficient statistic of the vocab-KL drift
+    diagnostic (counts are a sum-monoid, so per-batch tables merge by
+    addition: the streaming twin stores these and never rescans the
+    raw stream). One scan, one partial-aggregated exchange."""
+    return (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0
+                )
+            ).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+
+
+def vocab_kl_from_counts(st: DataFrame) -> DataFrame:
+    """KL(source ‖ corpus) in bits from a (source, token, c_st) count
+    table — the math shared by the batch query (plans/queries.
+    q_vocab_kl) and the streaming monitor (streaming/jobs.
+    read_vocab_kl), so stream-merged counts provably yield the
+    identical statistic. The log argument is a ratio of exact integer
+    counts, so engines (and the batch/stream twins) feed log2
+    identical doubles; per-source sums round at 1e-6.
+
+    Scale shape: everything re-aggregates from the count table —
+    corpus token totals, per-source totals — and the KL join is
+    vocabulary-sized; the corpus-token total is a broadcast 1-row
+    scalar."""
+    ct = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    ns = st.groupBy("source").agg(
+        F.sum("c_st").alias("n_s"), F.count(F.lit(1)).alias("v_s")
+    )
+    nn = ct.agg(F.sum("c_t").alias("nn"))
+    term = (F.col("c_st").cast("double") / F.col("n_s")) * F.log2(
+        (F.col("c_st").cast("double") * F.col("nn"))
+        / (F.col("n_s").cast("double") * F.col("c_t"))
+    )
+    return (
+        st.join(ct, "token")
+        .join(ns, "source")
+        .crossJoin(F.broadcast(nn))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.max("v_s").alias("vocab"),
+            F.round(F.sum(term), 6).alias("kl_bits"),
+        )
+        .orderBy("source")
+    )
+
+
 def tfidf_topk(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -9832,36 +9832,13 @@ def q_vocab_kl(spark, sf_dir):
     Plan: tokens explode into ONE (source, token) hash aggregate
     (map-side combined) that is pinned and re-aggregated for the
     corpus-token and per-source totals — the corpus is scanned ONCE;
-    the KL join is vocabulary-sized; the output is |sources| rows."""
+    the KL join is vocabulary-sized; the output is |sources| rows.
+    The count stage and the KL math live in operators/text.py
+    (source_token_counts / vocab_kl_from_counts) so the streaming
+    monitor twin (streaming/jobs.read_vocab_kl) provably computes the
+    identical statistic from merged per-batch counts."""
     docs = _t(spark, sf_dir, "documents")
-    st = DD.pin(
-        docs.select(
-            "source", F.explode(DD.tokens(F.col("text"))).alias("token")
-        )
-        .groupBy("source", "token")
-        .agg(F.count(F.lit(1)).alias("c_st"))
-    )
-    ct = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
-    ns = st.groupBy("source").agg(
-        F.sum("c_st").alias("n_s"), F.count(F.lit(1)).alias("v_s")
-    )
-    nn = ct.agg(F.sum("c_t").alias("nn"))
-    term = (F.col("c_st").cast("double") / F.col("n_s")) * F.log2(
-        (F.col("c_st").cast("double") * F.col("nn"))
-        / (F.col("n_s").cast("double") * F.col("c_t"))
-    )
-    return (
-        st.join(ct, "token")
-        .join(ns, "source")
-        .crossJoin(F.broadcast(nn))
-        .groupBy("source")
-        .agg(
-            F.max("n_s").alias("n_tokens"),
-            F.max("v_s").alias("vocab"),
-            F.round(F.sum(term), 6).alias("kl_bits"),
-        )
-        .orderBy("source")
-    )
+    return TX.vocab_kl_from_counts(DD.pin(TX.source_token_counts(docs)))
 
 
 SQL_VOCAB_KL = f"""

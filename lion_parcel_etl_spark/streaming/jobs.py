@@ -1153,6 +1153,57 @@ def read_psi(
     return psi_from_histogram(merged, group_col, n_bins, smooth)
 
 
+def stream_token_counts(
+    df: DataFrame,
+    warehouse,
+    table: str,
+    checkpoint: str,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> None:
+    """Continuously-maintained text-drift counts: each micro-batch's
+    (source, token) unigram counts land in the batch's own
+    ``__batch_id`` partition (exactly-once-by-layout, the
+    stream_rollup_into contract). Counts are a sum-monoid, so
+    :func:`read_vocab_kl` merges the stored log by addition and
+    computes the IDENTICAL vocab-KL statistic as the batch operator —
+    the text-level monitoring twin of stream_psi_histograms (which
+    watches numeric drift; this watches what the corpus is saying).
+    Per-batch state is O(batch vocabulary); the raw stream is never
+    rescanned."""
+    from lion_parcel_etl_spark.operators.text import source_token_counts
+
+    def _batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        warehouse.append_batch(
+            source_token_counts(batch, source_col, text_col),
+            table,
+            batch_id,
+        )
+
+    q = (
+        df.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_vocab_kl(spark: SparkSession, warehouse, table: str) -> DataFrame:
+    """Per-source KL(source ‖ corpus) from the stored count log —
+    merge (sum matching counters), then the identical
+    vocab_kl_from_counts math the batch query runs. Merged integer
+    counts equal the full-corpus counts exactly, so batch equality is
+    a theorem, not a tolerance (asserted in tests)."""
+    from lion_parcel_etl_spark.operators.text import vocab_kl_from_counts
+
+    log = warehouse.read(spark, table)
+    merged = log.groupBy("source", "token").agg(F.sum("c_st").alias("c_st"))
+    return vocab_kl_from_counts(merged)
+
+
 def stream_daily_counts(
     df: DataFrame,
     warehouse,

@@ -1458,3 +1458,89 @@ def test_stream_auc_crash_recovers_on_restart(spark, tmp_path, monkeypatch, wind
         want["n_pos"], want["n_neg"], want["auc"],
     )
     assert len(_batch_dirs(wh, "auc")) == 2
+
+
+def test_stream_vocab_kl_merged_equals_batch_statistic(spark, tmp_path):
+    """Two micro-batches of stored (source, token) counts merge
+    (read_vocab_kl) into exactly the batch vocab-KL of the full
+    stream — integer counts merge losslessly, so equality is exact."""
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.text import (
+        source_token_counts,
+        vocab_kl_from_counts,
+    )
+    from lion_parcel_etl_spark.streaming.jobs import (
+        read_vocab_kl,
+        stream_token_counts,
+    )
+
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    b1 = [("web", "the cat sat on the mat"), ("web", "dogs and cats"),
+          ("wiki", "the theory of computation")]
+    b2 = [("wiki", "computation and automata theory"),
+          ("web", "the mat the cat the hat")]
+
+    def run():
+        stream = spark.readStream.schema("source string, text string").parquet(landing)
+        stream_token_counts(stream, wh, "tok", ckpt)
+
+    for batch in (b1, b2):
+        spark.createDataFrame(batch, "source string, text string").coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+        run()
+
+    got = {tuple(r) for r in read_vocab_kl(spark, wh, "tok").collect()}
+    full = spark.createDataFrame(b1 + b2, "source string, text string")
+    want = {
+        tuple(r)
+        for r in vocab_kl_from_counts(source_token_counts(full)).collect()
+    }
+    assert got == want and got
+
+
+@pytest.mark.parametrize("window", ["before-append", "after-append"])
+def test_stream_vocab_kl_crash_recovers_on_restart(spark, tmp_path, monkeypatch, window):
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.text import (
+        source_token_counts,
+        vocab_kl_from_counts,
+    )
+    from lion_parcel_etl_spark.streaming.jobs import (
+        read_vocab_kl,
+        stream_token_counts,
+    )
+
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    b1 = [("web", "the cat sat on the mat"), ("wiki", "the theory of computation")]
+    b2 = [("web", "dogs and cats and dogs"), ("wiki", "automata theory")]
+
+    def run():
+        stream = spark.readStream.schema("source string, text string").parquet(landing)
+        stream_token_counts(stream, wh, "tok", ckpt)
+
+    spark.createDataFrame(b1, "source string, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    run()
+    spark.createDataFrame(b2, "source string, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    state = _crash_append(monkeypatch, window)
+    with pytest.raises(Exception, match="injected crash"):
+        run()
+    state["armed"] = False
+    run()
+
+    got = {tuple(r) for r in read_vocab_kl(spark, wh, "tok").collect()}
+    full = spark.createDataFrame(b1 + b2, "source string, text string")
+    want = {
+        tuple(r)
+        for r in vocab_kl_from_counts(source_token_counts(full)).collect()
+    }
+    assert got == want
+    assert len(_batch_dirs(wh, "tok")) == 2
