@@ -193,6 +193,7 @@ HEADLINE = [
     "seasonal_dow",
     "market_basket",
     "kcenter_select",
+    "rfm_segments",
 ]
 
 # FROZEN anchor set (round 6, per the r05 verdict): cross-round

@@ -86,7 +86,9 @@ from pyspark.sql import DataFrame
 # pattern); vocab_kl crosses the vocabulary-sized KL stream with its
 # broadcast ONE-ROW corpus-token total (the lm_surprisal scalar
 # pattern); market_basket crosses the rule stream with its broadcast
-# ONE-ROW order total (the same scalar pattern).
+# ONE-ROW order total (the same scalar pattern); rfm_segments crosses
+# the |customers|-sized RFM aggregate with its broadcast ONE-ROW
+# reference date (the same scalar pattern).
 BNLJ_ALLOWED = frozenset(
     {
         "cosine_topk",
@@ -126,6 +128,7 @@ BNLJ_ALLOWED = frozenset(
         "dedup_pr_eval",
         "vocab_kl",
         "market_basket",
+        "rfm_segments",
     }
 )
 

@@ -10138,6 +10138,121 @@ def _duck_kcenter() -> str:
     )
 
 
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation (the classic retail-mart readout the
+    reference's domain implies, next to softdelete_mart /
+    dormant_customers): per customer, days-since-last-order (R),
+    order count (F), lifetime spend (M), each scored into exact
+    quintiles with a deterministic tie-break, then a fixed rule table
+    maps (r,f,m) scores to a segment label. Score convention: 5 is
+    always best (most recent / most frequent / biggest spender). All
+    inputs are exact (integer day diffs, counts, cents), so the whole
+    segmentation replays in SQL.
+
+    Plan: one orders-sized hash aggregate; the reference date is a
+    broadcast 1-row scalar; then three exact global NTILE(5)s — a
+    total order each, the honest cost of exact quintiles over the
+    |customers|-sized aggregate (the ntile_quartiles cliff note: the
+    100 TB path is width_bucket over approx_percentile boundaries,
+    and the RFM aggregate itself is already |customers|-sized, tiny
+    next to the orders scan)."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents(F.col("o_totalprice"))).alias("monetary_cents"),
+    )
+    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
+    per = per.crossJoin(F.broadcast(ref)).select(
+        "custkey",
+        F.datediff("ref_date", "last_order").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    r = F.ntile(5).over(
+        Window.orderBy(F.col("recency_days").desc(), F.col("custkey").asc())
+    )
+    f = F.ntile(5).over(
+        Window.orderBy(F.col("frequency").asc(), F.col("custkey").asc())
+    )
+    m = F.ntile(5).over(
+        Window.orderBy(F.col("monetary_cents").asc(), F.col("custkey").asc())
+    )
+    scored = per.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        (F.col("monetary_cents") / 100.0).alias("monetary"),
+        r.cast("long").alias("r_score"),
+        f.cast("long").alias("f_score"),
+        m.cast("long").alias("m_score"),
+    )
+    label = (
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            F.lit("champion"),
+        )
+        .when(F.col("f_score") >= 4, F.lit("loyal"))
+        .when(F.col("m_score") >= 4, F.lit("big_spender"))
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") >= 3),
+            F.lit("at_risk"),
+        )
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2),
+            F.lit("hibernating"),
+        )
+        .otherwise(F.lit("regular"))
+    )
+    return scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        label.alias("segment"),
+    ).orderBy("custkey")
+
+
+SQL_RFM = """
+WITH per AS (
+  SELECT o_custkey AS custkey,
+         MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+  FROM orders GROUP BY 1
+),
+ref AS (SELECT MAX(o_orderdate) AS ref_date FROM orders),
+base AS (
+  SELECT custkey,
+         CAST(date_diff('day', CAST(last_order AS DATE), CAST(ref_date AS DATE)) AS BIGINT) AS recency_days,
+         frequency, monetary_cents
+  FROM per CROSS JOIN ref
+),
+scored AS (
+  SELECT custkey, recency_days, frequency,
+         monetary_cents / 100.0 AS monetary,
+         CAST(ntile(5) OVER (ORDER BY recency_days DESC, custkey ASC) AS BIGINT) AS r_score,
+         CAST(ntile(5) OVER (ORDER BY frequency ASC, custkey ASC) AS BIGINT) AS f_score,
+         CAST(ntile(5) OVER (ORDER BY monetary_cents ASC, custkey ASC) AS BIGINT) AS m_score
+  FROM base
+)
+SELECT custkey, recency_days, frequency, monetary, r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+            WHEN f_score >= 4 THEN 'loyal'
+            WHEN m_score >= 4 THEN 'big_spender'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+            ELSE 'regular' END AS segment
+FROM scored
+ORDER BY custkey
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_classifier": (q_quality_classifier, _duck_quality_classifier()),
     "kmv_distinct": (q_kmv_distinct, _duck_kmv_distinct()),
@@ -10343,6 +10458,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "seasonal_dow": (q_seasonal_dow, SQL_SEASONAL_DOW),
     "market_basket": (q_market_basket, SQL_MARKET_BASKET),
     "kcenter_select": (q_kcenter_select, _duck_kcenter()),
+    "rfm_segments": (q_rfm_segments, SQL_RFM),
 }
 
 # Round-6 registry head: queries whose OUTPUT changed or that are new
@@ -10367,6 +10483,7 @@ _R6_HEAD = [
     "seasonal_dow",
     "market_basket",
     "kcenter_select",
+    "rfm_segments",
     "compression_ratio",
 ]
 assert set(_R6_HEAD) <= set(QUERIES), sorted(set(_R6_HEAD) - set(QUERIES))

@@ -138,3 +138,25 @@ def test_kcenter_radius_non_increasing(spark, sf_dir):
     # selected set as the previous one was
     for a, b in zip(rows[1:], rows[2:]):
         assert b.radius <= a.radius + 1e-9
+
+
+def test_rfm_segments_quintiles_and_labels(spark, sf_dir):
+    from lion_parcel_etl_spark.plans.queries import q_rfm_segments
+
+    rows = q_rfm_segments(spark, sf_dir).collect()
+    assert rows
+    n = len(rows)
+    for dim in ("r_score", "f_score", "m_score"):
+        per = {}
+        for r in rows:
+            per[getattr(r, dim)] = per.get(getattr(r, dim), 0) + 1
+        assert set(per) == {1, 2, 3, 4, 5}
+        # ntile balance: bucket sizes differ by at most one
+        assert max(per.values()) - min(per.values()) <= 1
+        assert sum(per.values()) == n
+    for r in rows:
+        assert r.recency_days >= 0 and r.frequency >= 1 and r.monetary > 0
+        if r.segment == "champion":
+            assert r.r_score >= 4 and r.f_score >= 4 and r.m_score >= 4
+        if r.segment == "hibernating":
+            assert r.r_score <= 2 and r.f_score <= 2
