@@ -10533,11 +10533,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 # this round lead, so each gets a fresh official driver row.
 # approx_stats graduated from rows-only to an exact oracle (KMV +
 # deterministic sample percentiles — new columns AND new values);
-# multimodal_decode and domain_reweight are new; compression_ratio is
-# now the single remaining rows-only query (zlib is honestly not SQL)
-# and stays at the head for a current clean no-oracle row. Everything
-# else keeps its prior relative order; lookup semantics are
-# unaffected.
+# multimodal_decode, domain_reweight, retrieval_mrr, mrl_recall and
+# the session's eval/analytics additions (quant_recall, dedup_pr_eval,
+# acf_lags, vocab_kl, seasonal_dow, market_basket, kcenter_select,
+# rfm_segments) are new; compression_ratio is now the single remaining
+# rows-only query (zlib is honestly not SQL) and stays at the head for
+# a current clean no-oracle row. Everything else keeps its prior
+# relative order; lookup semantics are unaffected.
 _R6_HEAD = [
     "approx_stats",
     "multimodal_decode",
