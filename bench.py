@@ -194,6 +194,7 @@ HEADLINE = [
     "market_basket",
     "kcenter_select",
     "rfm_segments",
+    "revenue_gini",
 ]
 
 # FROZEN anchor set (round 6, per the r05 verdict): cross-round

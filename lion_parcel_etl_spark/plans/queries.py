@@ -10321,6 +10321,84 @@ ORDER BY custkey
 """
 
 
+def q_revenue_gini(spark, sf_dir):
+    """Per-nation Gini coefficient of customer lifetime spend — the
+    concentration/inequality statistic (how much of a market a few
+    customers carry; the same readout a training-mix owner uses for
+    "is this source dominated by a few documents"). Computed from the
+    exact rank formula G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over spend
+    in integer cents with a deterministic (spend, custkey) rank, so
+    every pre-division term is an exact integer and the single float
+    division replays bit-for-bit in SQL.
+
+    Plan: one orders-sized hash aggregate → broadcast dim joins
+    (customer, nation) → ONE window sort per nation over the
+    |customers|-sized table → a |nations|-sized aggregate. Nothing
+    after the first aggregate scales with the order count."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    per = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(cents(F.col("o_totalprice"))).alias("spend")
+    )
+    joined = per.join(
+        F.broadcast(c.select(F.col("c_custkey").alias("custkey"), "c_nationkey")),
+        "custkey",
+    ).join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("c_nationkey"), "n_name")),
+        "c_nationkey",
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("spend").asc(), F.col("custkey").asc()
+    )
+    ranked = joined.select(
+        "n_name", "spend", F.row_number().over(w).cast("long").alias("i")
+    )
+    g = ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("spend").alias("sx"),
+        F.sum(F.col("i") * F.col("spend")).alias("swx"),
+    )
+    gini = (F.lit(2.0) * F.col("swx") - (F.col("n") + 1) * F.col("sx")) / (
+        F.col("n").cast("double") * F.col("sx")
+    )
+    return g.select(
+        F.col("n_name").alias("nation"),
+        F.col("n").alias("n_customers"),
+        (F.col("sx") / 100.0).alias("total_revenue"),
+        F.round(F.when(F.col("sx") > 0, gini), 6).alias("gini"),
+    ).orderBy("nation")
+
+
+SQL_REVENUE_GINI = """
+WITH per AS (
+  SELECT o_custkey AS custkey,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT n.n_name, p.spend,
+         CAST(row_number() OVER (PARTITION BY n.n_name
+              ORDER BY p.spend ASC, p.custkey ASC) AS BIGINT) AS i
+  FROM per p
+  JOIN customer c ON c.c_custkey = p.custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+g AS (
+  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(spend) AS sx, SUM(i * spend) AS swx
+  FROM ranked GROUP BY 1
+)
+SELECT n_name AS nation, n AS n_customers,
+       sx / 100.0 AS total_revenue,
+       round(CASE WHEN sx > 0
+                  THEN (2.0 * swx - (n + 1) * sx) / (CAST(n AS DOUBLE) * sx)
+             END, 6) AS gini
+FROM g
+ORDER BY nation
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_classifier": (q_quality_classifier, _duck_quality_classifier()),
     "kmv_distinct": (q_kmv_distinct, _duck_kmv_distinct()),
@@ -10527,6 +10605,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "market_basket": (q_market_basket, SQL_MARKET_BASKET),
     "kcenter_select": (q_kcenter_select, _duck_kcenter()),
     "rfm_segments": (q_rfm_segments, SQL_RFM),
+    "revenue_gini": (q_revenue_gini, SQL_REVENUE_GINI),
 }
 
 # Round-6 registry head: queries whose OUTPUT changed or that are new
@@ -10554,6 +10633,7 @@ _R6_HEAD = [
     "market_basket",
     "kcenter_select",
     "rfm_segments",
+    "revenue_gini",
     "compression_ratio",
 ]
 assert set(_R6_HEAD) <= set(QUERIES), sorted(set(_R6_HEAD) - set(QUERIES))

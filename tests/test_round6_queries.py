@@ -160,3 +160,40 @@ def test_rfm_segments_quintiles_and_labels(spark, sf_dir):
             assert r.r_score >= 4 and r.f_score >= 4 and r.m_score >= 4
         if r.segment == "hibernating":
             assert r.r_score <= 2 and r.f_score <= 2
+
+
+def test_revenue_gini_bounds_and_degenerate_case(spark, sf_dir):
+    from pyspark.sql import functions as F2
+
+    from lion_parcel_etl_spark.plans.queries import q_revenue_gini
+
+    rows = q_revenue_gini(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # Gini of non-negative values lies in [0, 1); equal spends -> 0
+        assert 0.0 <= r.gini < 1.0
+        assert r.n_customers > 0 and r.total_revenue > 0
+    # degenerate check against a hand-built frame: perfectly equal
+    # spend must yield gini == 0 via the same rank formula
+    eq = spark.createDataFrame(
+        [(i, 500) for i in range(1, 6)], "custkey long, spend long"
+    )
+    from pyspark.sql import Window as W2
+
+    w = W2.orderBy(F2.col("spend").asc(), F2.col("custkey").asc())
+    g = (
+        eq.select("spend", F2.row_number().over(w).cast("long").alias("i"))
+        .agg(
+            F2.count(F2.lit(1)).alias("n"),
+            F2.sum("spend").alias("sx"),
+            F2.sum(F2.col("i") * F2.col("spend")).alias("swx"),
+        )
+        .select(
+            (
+                (F2.lit(2.0) * F2.col("swx") - (F2.col("n") + 1) * F2.col("sx"))
+                / (F2.col("n").cast("double") * F2.col("sx"))
+            ).alias("gini")
+        )
+        .first()
+    )
+    assert abs(g.gini) < 1e-12
