@@ -195,6 +195,7 @@ HEADLINE = [
     "kcenter_select",
     "rfm_segments",
     "revenue_gini",
+    "seasonal_naive_eval",
 ]
 
 # FROZEN anchor set (round 6, per the r05 verdict): cross-round

@@ -10399,6 +10399,69 @@ ORDER BY nation
 """
 
 
+def q_seasonal_naive_eval(spark, sf_dir):
+    """Forecast-accuracy backtest of the seasonal-naive baseline
+    (ŷ_t = y_{t−7}) on the daily event volumes — the standard
+    yardstick every real forecasting model must beat, and the
+    closing piece of the series-diagnostics arc (acf_lags says there
+    is weekly structure, seasonal_dow says where, this says how much
+    of tomorrow it predicts). Reports per series: MAE (exact — sums
+    of |integer − integer|), MAPE on y>0 days, and sMAPE — each
+    reduced to exact-integer sufficient sums or per-row ratios of
+    integers before the one rounded division, the trend_ols
+    discipline.
+
+    Plan: one events-sized hash aggregate; the lag-7 column is ONE
+    window sort per series over the |days|-sized aggregate; the final
+    aggregate is |series|-sized."""
+    d = _daily_volumes(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("x")
+    staged = d.select(
+        "event_type",
+        F.col("y").cast("long").alias("y"),
+        F.lag(F.col("y").cast("long"), 7).over(w).alias("p"),
+    ).filter(F.col("p").isNotNull())
+    err = F.abs(F.col("y") - F.col("p"))
+    return (
+        staged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg(err), 6).alias("mae"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("y") > 0,
+                        err.cast("double") / F.col("y"),
+                    )
+                ),
+                6,
+            ).alias("mape"),
+            F.round(
+                F.avg(
+                    (F.lit(2.0) * err) / (F.col("y") + F.col("p"))
+                ),
+                6,
+            ).alias("smape"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SEASONAL_NAIVE = f"""
+WITH daily AS ({_DUCK_DAILY}),
+staged AS (
+  SELECT event_type, y, lag(y, 7) OVER (PARTITION BY event_type ORDER BY x) AS p
+  FROM daily
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       round(AVG(abs(y - p)), 6) AS mae,
+       round(AVG(CASE WHEN y > 0 THEN CAST(abs(y - p) AS DOUBLE) / y END), 6) AS mape,
+       round(AVG((2.0 * abs(y - p)) / (y + p)), 6) AS smape
+FROM staged WHERE p IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_classifier": (q_quality_classifier, _duck_quality_classifier()),
     "kmv_distinct": (q_kmv_distinct, _duck_kmv_distinct()),
@@ -10606,6 +10669,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kcenter_select": (q_kcenter_select, _duck_kcenter()),
     "rfm_segments": (q_rfm_segments, SQL_RFM),
     "revenue_gini": (q_revenue_gini, SQL_REVENUE_GINI),
+    "seasonal_naive_eval": (q_seasonal_naive_eval, SQL_SEASONAL_NAIVE),
 }
 
 # Round-6 registry head: queries whose OUTPUT changed or that are new
@@ -10634,6 +10698,7 @@ _R6_HEAD = [
     "kcenter_select",
     "rfm_segments",
     "revenue_gini",
+    "seasonal_naive_eval",
     "compression_ratio",
 ]
 assert set(_R6_HEAD) <= set(QUERIES), sorted(set(_R6_HEAD) - set(QUERIES))

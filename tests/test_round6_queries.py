@@ -197,3 +197,16 @@ def test_revenue_gini_bounds_and_degenerate_case(spark, sf_dir):
         .first()
     )
     assert abs(g.gini) < 1e-12
+
+
+def test_seasonal_naive_eval_metric_bounds(spark, sf_dir):
+    from lion_parcel_etl_spark.plans.queries import q_seasonal_naive_eval
+
+    rows = q_seasonal_naive_eval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_days > 0
+        assert r.mae >= 0.0
+        assert r.mape is None or r.mape >= 0.0
+        # sMAPE is bounded in [0, 2] by construction
+        assert 0.0 <= r.smape <= 2.0
