@@ -535,14 +535,28 @@ def embedding_lsh_index(
     ``store_index`` to :func:`embedding_near_dup_lsh_incremental` so
     per-batch runs scan the index instead of re-running the bucket
     matmul over the historical corpus. Parameters must match the
-    incremental call's."""
+    incremental call's — enforced: the index is stamped with its build
+    parameters via the NAME of a constant marker column
+    (``_lsh_d{dims}_p{planes}_t{tables}``), so the incremental reader
+    validates the contract from the schema alone (no data read, no
+    job) and fails fast on mismatch instead of silently bucketing the
+    batch under different hyperplanes than the persisted rows."""
     buckets = lsh_buckets_udf(dims, planes, tables)
     return vecs.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.lit(False).alias("new"),
         F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bkt"),
+        F.lit(True).alias(_lsh_stamp(dims, planes, tables)),
     )
+
+
+def _lsh_stamp(dims: int, planes: int, tables: int) -> str:
+    """Schema-level parameter stamp for a persisted LSH index: the
+    marker column's name carries (dims, planes, tables), surviving any
+    parquet round-trip for free (a constant column RLE-compresses to
+    nothing, and validation needs only the schema)."""
+    return f"_lsh_d{dims}_p{planes}_t{tables}"
 
 
 def embedding_near_dup_lsh_incremental(
@@ -576,7 +590,24 @@ def embedding_near_dup_lsh_incremental(
     Pass ``store_index`` (a persisted :func:`embedding_lsh_index`
     table; ``store`` is then ignored) to skip re-running the bucket
     matmul over the historical corpus — the production shape: the
-    index is computed once at ingest and each batch only scans it."""
+    index is computed once at ingest and each batch only scans it.
+    The index's parameter stamp (see :func:`embedding_lsh_index`) is
+    validated against this call's (dims, planes, tables) before any
+    join — a mismatch raises ``ValueError`` instead of silently
+    producing wrong pairs; an unstamped (pre-stamp) index is accepted
+    as-is for back-compat."""
+    if store_index is not None:
+        found = [c for c in store_index.columns if c.startswith("_lsh_d")]
+        want = _lsh_stamp(dims, planes, tables)
+        if found and found != [want]:
+            raise ValueError(
+                f"store_index was built with parameters {found[0]!r} but "
+                f"this call uses {want!r} (dims={dims}, planes={planes}, "
+                f"tables={tables}); batch vectors would be bucketed under "
+                "different hyperplanes than the persisted store rows. "
+                "Rebuild the index or match the parameters."
+            )
+        store_index = store_index.drop(*found)
     buckets = lsh_buckets_udf(dims, planes, tables)
 
     def exploded(df: DataFrame, new: bool) -> DataFrame:
@@ -1324,10 +1355,13 @@ def kcenter_select(
     the whole trajectory replays in SQL.
 
     Returns ``[(step, id, radius)]`` where ``radius`` is the selected
-    vector's distance-to-selected-set at selection time — step t's
-    radius is a certified upper bound on twice the optimal t-center
-    covering radius, and the sequence is non-increasing (the knee says
-    how many diverse exemplars the corpus actually has).
+    vector's SQUARED euclidean distance-to-selected-set at selection
+    time. The Gonzalez 2-approximation certificate holds for the
+    metric distance, i.e. ``sqrt(radius)`` at step t is a certified
+    upper bound on TWICE the optimal t-center metric covering radius
+    (equivalently: ``radius`` <= 4x the optimal squared radius). The
+    sequence is non-increasing (the knee says how many diverse
+    exemplars the corpus actually has).
 
     Scale shape: m linear scans. Each step keeps a running
     min-distance column (one fold against the SINGLE newest center,

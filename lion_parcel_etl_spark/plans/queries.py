@@ -1695,17 +1695,44 @@ def _session_store(spark, sf_dir, name: str, build) -> DataFrame:
     key = (spark.sparkContext.applicationId, str(sf_dir), name)
     path = _SIG_STORE_MEMO.get(key)
     if path is None:
+        import hashlib
         import os
         import tempfile
 
+        # stable digest (not PYTHONHASHSEED-randomized builtin hash) so
+        # the on-disk name is identifiable across processes; atexit
+        # removal below keeps repeated bench/test sessions from
+        # accumulating orphaned stores under the temp dir.
+        sfd = hashlib.md5(str(sf_dir).encode()).hexdigest()[:8]
         path = os.path.join(
             tempfile.gettempdir(),
-            f"lpe_store_{spark.sparkContext.applicationId}_{name}_"
-            f"{abs(hash(str(sf_dir)))}",
+            f"lpe_store_{spark.sparkContext.applicationId}_{name}_{sfd}",
         )
         build().write.mode("overwrite").parquet(path)
         _SIG_STORE_MEMO[key] = path
+        _register_store_cleanup(path)
     return spark.read.parquet(path)
+
+
+_STORE_CLEANUP_PATHS: list = []
+
+
+def _register_store_cleanup(path: str) -> None:
+    """atexit-remove every session store this process created (ADVICE
+    r06: stores leaked under tempfile.gettempdir() across sessions).
+    Registered once per process; a store that survives an unclean exit
+    is at least identifiable now (stable md5 suffix instead of a
+    hash-seed-randomized one) for manual or harness sweeps."""
+    import atexit
+    import shutil
+
+    if not _STORE_CLEANUP_PATHS:
+        def _cleanup():
+            for p in _STORE_CLEANUP_PATHS:
+                shutil.rmtree(p, ignore_errors=True)
+
+        atexit.register(_cleanup)
+    _STORE_CLEANUP_PATHS.append(path)
 
 
 def q_minhash_incremental(spark, sf_dir):
@@ -8260,7 +8287,14 @@ GROUP BY event_type ORDER BY event_type
 
 def _daily_volumes(spark, sf_dir):
     """(event_type, x=epoch-day, y=count) — the shared series both
-    trend queries fit."""
+    trend queries fit.
+
+    CONTRACT: no gap-filling — a day with zero events yields no row.
+    Lag-based consumers (acf_lags, seasonal_naive_eval) therefore
+    compute row-lags, which equal day-lags only while every series is
+    dense over its span; tests/test_round6_queries.py pins that
+    density so a sparse-series regression fails loudly instead of
+    silently changing lag semantics in both engines at once."""
     ev = _t(spark, sf_dir, "events")
     return ev.filter(F.col("ts").isNotNull()).groupBy(
         F.col("event_type"),

@@ -460,7 +460,7 @@ def stream_scd2_bucketed(
     same per-bucket crash convergence as the batch operator — a replay
     of the same batch detects no tracked change and leaves every
     bucket's history record intact (chaos-tested in
-    tests/test_streaming_maintenance.py)."""
+    tests/test_streaming.py)."""
     from lion_parcel_etl_spark.operators.scd2 import scd2_apply_bucketed
 
     def materialize(spark, snap, run_ts):

@@ -210,3 +210,31 @@ def test_seasonal_naive_eval_metric_bounds(spark, sf_dir):
         assert r.mape is None or r.mape >= 0.0
         # sMAPE is bounded in [0, 2] by construction
         assert 0.0 <= r.smape <= 2.0
+
+
+def test_daily_volumes_dense_per_series(spark, sf_dir):
+    """ADVICE r06: q_acf_lags and q_seasonal_naive_eval document
+    DAY-lag semantics (lag-7 = weekly) but compute row-based lag(y, k)
+    over _daily_volumes, which does no gap-filling — the two coincide
+    only while every series covers every day in its span. That holds
+    in the shipped data; this assertion makes a sparse-series
+    regression LOUD (both engines would silently drift to
+    lag-in-observations together, so the oracle cannot catch it)."""
+    from lion_parcel_etl_spark.plans.queries import _daily_volumes
+
+    gaps = (
+        _daily_volumes(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            (F.max("x") - F.min("x") + F.lit(1)).alias("span_days"),
+        )
+        .filter(F.col("n_days") != F.col("span_days"))
+        .collect()
+    )
+    assert not gaps, (
+        "sparse daily series detected — row-lag no longer equals "
+        f"day-lag for: {gaps}. Densify _daily_volumes with a day "
+        "spine (sequence(min_x, max_x) + zero-fill) in BOTH engines "
+        "before trusting acf_lags / seasonal_naive_eval / seasonal_dow."
+    )

@@ -506,3 +506,42 @@ def test_embedding_lsh_index_path_equals_recompute(spark, emb, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_embedding_lsh_index_stamp_rejects_mismatch(spark, emb, tmp_path):
+    """ADVICE r06: an index built with different dims/planes/tables
+    than the incremental call would silently bucket the batch under
+    different hyperplanes. The index's parameter stamp (a marker
+    column whose NAME carries the build parameters, validated from the
+    schema alone) must fail fast on mismatch and accept a matching or
+    legacy-unstamped index."""
+    import pytest
+
+    from lion_parcel_etl_spark.operators.similarity import (
+        embedding_lsh_index,
+        embedding_near_dup_lsh_incremental,
+    )
+
+    store = emb.filter("vec_id % 4 != 0")
+    batch = emb.filter("vec_id % 4 = 0")
+    path = str(tmp_path / "idx")
+    embedding_lsh_index(store, dims=64, planes=6, tables=8).write.parquet(path)
+    idx = spark.read.parquet(path)
+    assert any(c.startswith("_lsh_d") for c in idx.columns)
+    # mismatched planes: no job may run — ValueError at plan time
+    with pytest.raises(ValueError, match="_lsh_d64_p6_t8"):
+        embedding_near_dup_lsh_incremental(
+            None, batch, dims=64, planes=8, store_index=idx
+        )
+    # matching parameters: accepted, stamp dropped from the plan
+    out = embedding_near_dup_lsh_incremental(
+        None, batch, threshold=0.35, dims=64, planes=6, tables=8,
+        store_index=idx,
+    )
+    assert not any(c.startswith("_lsh_d") for c in out.columns)
+    # legacy unstamped index: accepted as-is (back-compat)
+    legacy = idx.drop(*[c for c in idx.columns if c.startswith("_lsh_d")])
+    got = embedding_near_dup_lsh_incremental(
+        None, batch, threshold=0.35, dims=64, store_index=legacy
+    )
+    assert got.count() == out.count()
