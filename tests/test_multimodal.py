@@ -25,11 +25,11 @@ def media(spark):
 
 
 def test_decode_codec_formats_still_raise():
-    # codec formats (no in-sandbox decoder) keep the honest raise
+    # lossy codec formats (no in-sandbox decoder) keep the honest raise
     with pytest.raises(NotImplementedError):
         decode_media(b"abc", "image")
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64, "image")
+        decode_media(b"\xff\xd8\xff\xe0" + b"\x00" * 64, "image")  # JPEG/JFIF
 
 
 def _bmp_2x2_fixture():
@@ -218,3 +218,139 @@ def test_extract_features_single_scan_no_estimate(spark, media):
     # caller-supplied estimate → byte-budget repartition appears
     plan2 = plan_string(extract_features(media, batch_bytes=1024, total_bytes=10 * 1024))
     assert "Exchange" in plan2
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_fixture(w, h, color, scanlines: bytes) -> bytes:
+    """Assemble a PNG from HAND-WRITTEN filtered scanline bytes — the
+    decoder is pinned against the FORMAT (spec filter equations worked
+    by hand below), not against our own encoder's filter choices."""
+    import struct
+    import zlib
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(scanlines))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_pinned_sub_up_filters():
+    """2x2 RGB: row 0 filter 2 (Up, prev=0 so identity), row 1 filter
+    1 (Sub). Raw row 1 = (10,20,30),(15,25,35); Sub stores the first
+    pixel verbatim and the second as deltas vs the pixel 3 bytes left:
+    15-10=5, 25-20=5, 35-30=5."""
+    import numpy as np
+
+    from lion_parcel_etl_spark.operators.multimodal import decode_png
+
+    scan = bytes([2, 1, 2, 3, 4, 5, 6]) + bytes([1, 10, 20, 30, 5, 5, 5])
+    got = decode_png(_png_fixture(2, 2, 2, scan))
+    want = np.array(
+        [[[1, 2, 3], [4, 5, 6]], [[10, 20, 30], [15, 25, 35]]], dtype=np.uint8
+    )
+    assert np.array_equal(got, want)
+
+
+def test_decode_png_pinned_average_paeth_filters():
+    """2x2 RGB: row 0 filter 3 (Average: pred = floor((left+up)/2),
+    up=0), row 1 filter 4 (Paeth). Hand-worked:
+      row0 raw (8,10,12),(9,13,17) -> stored (8,10,12),(9-4,13-5,17-6)
+        = (8,10,12,5,8,11).
+      row1 raw (20,30,40),(25,35,45): first pixel a=c=0 so p=b,
+        pb=0 wins -> pred=up -> stored 12,20,28; second pixel
+        p=a+b-c makes pa smallest -> pred=left -> stored 5,5,5."""
+    import numpy as np
+
+    from lion_parcel_etl_spark.operators.multimodal import decode_png
+
+    scan = bytes([3, 8, 10, 12, 5, 8, 11]) + bytes([4, 12, 20, 28, 5, 5, 5])
+    got = decode_png(_png_fixture(2, 2, 2, scan))
+    want = np.array(
+        [[[8, 10, 12], [9, 13, 17]], [[20, 30, 40], [25, 35, 45]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(got, want)
+
+
+def test_decode_png_rgba_sub_uses_four_byte_pixel_offset():
+    """1x2 RGBA with Sub: the 'left' neighbor is 4 bytes back, not 3 —
+    the classic channel-count bug. Raw (1,2,3,4),(11,22,33,44)."""
+    import numpy as np
+
+    from lion_parcel_etl_spark.operators.multimodal import decode_png
+
+    scan = bytes([1, 1, 2, 3, 4, 10, 20, 30, 40])
+    got = decode_png(_png_fixture(2, 1, 6, scan))
+    want = np.array([[[1, 2, 3, 4], [11, 22, 33, 44]]], dtype=np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_decode_png_unsupported_and_corrupt():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from lion_parcel_etl_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    # grayscale (color 0) and 16-bit: honest NotImplementedError
+    for depth, color in [(8, 0), (16, 2), (8, 3)]:
+        p = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(
+                b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, 0)
+            )
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            decode_png(p)
+    # truncated scanline data and bad filter type: ValueError
+    with pytest.raises(ValueError):
+        decode_png(_png_fixture(2, 2, 2, bytes([0, 1, 2, 3, 4, 5, 6])))
+    with pytest.raises(ValueError):
+        decode_png(
+            _png_fixture(2, 1, 2, bytes([5, 1, 2, 3, 4, 5, 6]))
+        )
+    # flipped payload byte: CRC guard, not silent garbage pixels
+    good = bytearray(encode_png(np.arange(12, dtype=np.uint8).reshape(2, 2, 3)))
+    good[20] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(good))
+
+
+def test_png_roundtrip_all_filters_rgb_and_rgba():
+    """encode_png assigns filter r%5 to row r, so height >= 5 runs
+    every unfilter path; both channel counts round-trip exactly."""
+    import numpy as np
+
+    from lion_parcel_etl_spark.operators.multimodal import (
+        decode_media,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    for h, w, ch in [(5, 3, 3), (7, 4, 4), (1, 1, 3), (6, 2, 4), (10, 5, 3)]:
+        img = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+    img = rng.randint(0, 256, size=(5, 5, 3)).astype(np.uint8)
+    container, values, rate = decode_media(encode_png(img), "image")
+    assert container == "png" and rate is None
+    assert np.array_equal(values, img.reshape(-1).astype(np.int64))
