@@ -196,6 +196,9 @@ HEADLINE = [
     "rfm_segments",
     "revenue_gini",
     "seasonal_naive_eval",
+    # round-7 additions
+    "rfm_segments_approx",
+    "rfm_agreement",
 ]
 
 # FROZEN anchor set (round 6, per the r05 verdict): cross-round

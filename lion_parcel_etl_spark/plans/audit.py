@@ -88,7 +88,10 @@ from pyspark.sql import DataFrame
 # pattern); market_basket crosses the rule stream with its broadcast
 # ONE-ROW order total (the same scalar pattern); rfm_segments crosses
 # the |customers|-sized RFM aggregate with its broadcast ONE-ROW
-# reference date (the same scalar pattern).
+# reference date (the same scalar pattern); rfm_segments_approx and
+# rfm_agreement add a second ONE-ROW cross — the broadcast
+# sample-quantile boundary scalars that replace the exact NTILEs'
+# global sorts (that zero-sort trade is the query's entire point).
 BNLJ_ALLOWED = frozenset(
     {
         "cosine_topk",
@@ -129,6 +132,8 @@ BNLJ_ALLOWED = frozenset(
         "vocab_kl",
         "market_basket",
         "rfm_segments",
+        "rfm_segments_approx",
+        "rfm_agreement",
     }
 )
 

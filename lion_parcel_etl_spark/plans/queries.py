@@ -10248,24 +10248,12 @@ def _duck_kcenter() -> str:
     )
 
 
-def q_rfm_segments(spark, sf_dir):
-    """RFM customer segmentation (the classic retail-mart readout the
-    reference's domain implies, next to softdelete_mart /
-    dormant_customers): per customer, days-since-last-order (R),
-    order count (F), lifetime spend (M), each scored into exact
-    quintiles with a deterministic tie-break, then a fixed rule table
-    maps (r,f,m) scores to a segment label. Score convention: 5 is
-    always best (most recent / most frequent / biggest spender). All
-    inputs are exact (integer day diffs, counts, cents), so the whole
-    segmentation replays in SQL.
-
-    Plan: one orders-sized hash aggregate; the reference date is a
-    broadcast 1-row scalar; then three exact global NTILE(5)s — a
-    total order each, the honest cost of exact quintiles over the
-    |customers|-sized aggregate (the ntile_quartiles cliff note: the
-    100 TB path is width_bucket over approx_percentile boundaries,
-    and the RFM aggregate itself is already |customers|-sized, tiny
-    next to the orders scan)."""
+def _rfm_base(spark, sf_dir) -> DataFrame:
+    """Per-customer (custkey, recency_days, frequency, monetary_cents)
+    — the shared input of the exact and approx RFM twins. One
+    orders-sized hash aggregate; the reference date is a broadcast
+    1-row scalar. All values exact integers (day diffs, counts,
+    cents), so everything downstream replays in SQL."""
     o = _t(spark, sf_dir, "orders")
     per = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
@@ -10273,31 +10261,18 @@ def q_rfm_segments(spark, sf_dir):
         F.sum(cents(F.col("o_totalprice"))).alias("monetary_cents"),
     )
     ref = o.agg(F.max("o_orderdate").alias("ref_date"))
-    per = per.crossJoin(F.broadcast(ref)).select(
+    return per.crossJoin(F.broadcast(ref)).select(
         "custkey",
         F.datediff("ref_date", "last_order").cast("long").alias("recency_days"),
         "frequency",
         "monetary_cents",
     )
-    r = F.ntile(5).over(
-        Window.orderBy(F.col("recency_days").desc(), F.col("custkey").asc())
-    )
-    f = F.ntile(5).over(
-        Window.orderBy(F.col("frequency").asc(), F.col("custkey").asc())
-    )
-    m = F.ntile(5).over(
-        Window.orderBy(F.col("monetary_cents").asc(), F.col("custkey").asc())
-    )
-    scored = per.select(
-        "custkey",
-        "recency_days",
-        "frequency",
-        (F.col("monetary_cents") / 100.0).alias("monetary"),
-        r.cast("long").alias("r_score"),
-        f.cast("long").alias("f_score"),
-        m.cast("long").alias("m_score"),
-    )
-    label = (
+
+
+def _rfm_label() -> Column:
+    """(r,f,m) score → segment label rule table, shared by the exact
+    and approx twins so the two can't drift."""
+    return (
         F.when(
             (F.col("r_score") >= 4)
             & (F.col("f_score") >= 4)
@@ -10316,6 +10291,45 @@ def q_rfm_segments(spark, sf_dir):
         )
         .otherwise(F.lit("regular"))
     )
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation (the classic retail-mart readout the
+    reference's domain implies, next to softdelete_mart /
+    dormant_customers): per customer, days-since-last-order (R),
+    order count (F), lifetime spend (M), each scored into exact
+    quintiles with a deterministic tie-break, then a fixed rule table
+    maps (r,f,m) scores to a segment label. Score convention: 5 is
+    always best (most recent / most frequent / biggest spender). All
+    inputs are exact (integer day diffs, counts, cents), so the whole
+    segmentation replays in SQL.
+
+    Plan: _rfm_base's orders-sized hash aggregate, then three exact
+    global NTILE(5)s — a total order each, the honest cost of exact
+    quintiles over the |customers|-sized aggregate. This is the
+    documented 100 TB cliff; q_rfm_segments_approx is the production
+    path (sample-quantile boundaries, zero global sort) and
+    q_rfm_agreement measures how much segment fidelity the approx
+    path trades away."""
+    per = _rfm_base(spark, sf_dir)
+    r = F.ntile(5).over(
+        Window.orderBy(F.col("recency_days").desc(), F.col("custkey").asc())
+    )
+    f = F.ntile(5).over(
+        Window.orderBy(F.col("frequency").asc(), F.col("custkey").asc())
+    )
+    m = F.ntile(5).over(
+        Window.orderBy(F.col("monetary_cents").asc(), F.col("custkey").asc())
+    )
+    scored = per.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        (F.col("monetary_cents") / 100.0).alias("monetary"),
+        r.cast("long").alias("r_score"),
+        f.cast("long").alias("f_score"),
+        m.cast("long").alias("m_score"),
+    )
     return scored.select(
         "custkey",
         "recency_days",
@@ -10324,12 +10338,11 @@ def q_rfm_segments(spark, sf_dir):
         "r_score",
         "f_score",
         "m_score",
-        label.alias("segment"),
+        _rfm_label().alias("segment"),
     ).orderBy("custkey")
 
 
-SQL_RFM = """
-WITH per AS (
+_SQL_RFM_BASE = """per AS (
   SELECT o_custkey AS custkey,
          MAX(o_orderdate) AS last_order,
          CAST(COUNT(*) AS BIGINT) AS frequency,
@@ -10342,24 +10355,198 @@ base AS (
          CAST(date_diff('day', CAST(last_order AS DATE), CAST(ref_date AS DATE)) AS BIGINT) AS recency_days,
          frequency, monetary_cents
   FROM per CROSS JOIN ref
-),
-scored AS (
+)"""
+
+_SQL_RFM_LABEL = """CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+            WHEN f_score >= 4 THEN 'loyal'
+            WHEN m_score >= 4 THEN 'big_spender'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+            ELSE 'regular' END"""
+
+_SQL_RFM_EXACT_SCORED = """exact_scored AS (
   SELECT custkey, recency_days, frequency,
          monetary_cents / 100.0 AS monetary,
          CAST(ntile(5) OVER (ORDER BY recency_days DESC, custkey ASC) AS BIGINT) AS r_score,
          CAST(ntile(5) OVER (ORDER BY frequency ASC, custkey ASC) AS BIGINT) AS f_score,
          CAST(ntile(5) OVER (ORDER BY monetary_cents ASC, custkey ASC) AS BIGINT) AS m_score
   FROM base
-)
+)"""
+
+SQL_RFM = f"""
+WITH {_SQL_RFM_BASE},
+{_SQL_RFM_EXACT_SCORED}
 SELECT custkey, recency_days, frequency, monetary, r_score, f_score, m_score,
-       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
-            WHEN f_score >= 4 THEN 'loyal'
-            WHEN m_score >= 4 THEN 'big_spender'
-            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
-            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
-            ELSE 'regular' END AS segment
-FROM scored
+       {_SQL_RFM_LABEL} AS segment
+FROM exact_scored
 ORDER BY custkey
+"""
+
+
+RFM_QUANTS = (0.2, 0.4, 0.6, 0.8)
+
+
+def _rfm_approx_scored(spark, sf_dir) -> DataFrame:
+    """The approx twin's scored frame: quintile boundaries from an
+    exact interpolated percentile over a deterministic md5
+    1/{APPROX_SAMPLE_DIV} customer sample (the approx_stats estimator
+    — SQL-replayable, unlike approx_percentile whose GK pruning is
+    merge-order-dependent), broadcast as a 1-row scalar; each customer
+    then scores by comparing against the four boundaries — a
+    width_bucket, no global sort anywhere. Ties at a boundary all
+    land in one bucket (exact NTILE splits them by the custkey
+    tie-break to equalize bucket sizes) — that residual disagreement
+    is exactly what q_rfm_agreement measures."""
+    from lion_parcel_etl_spark.operators.sampling import HASH_MOD, id_hash
+
+    base = _rfm_base(spark, sf_dir)
+    samp = base.filter(
+        id_hash(F.col("custkey"), salt="rfmq")
+        < F.lit(HASH_MOD // APPROX_SAMPLE_DIV)
+    )
+    qarr = "array(" + ", ".join(f"{q}D" for q in RFM_QUANTS) + ")"
+    bounds = samp.agg(
+        F.expr(f"percentile(recency_days, {qarr})").alias("rb"),
+        F.expr(f"percentile(frequency, {qarr})").alias("fb"),
+        F.expr(f"percentile(monetary_cents, {qarr})").alias("mb"),
+    )
+
+    def above(col: str, arr: str) -> Column:
+        out = F.lit(0)
+        for i in range(len(RFM_QUANTS)):
+            out = out + (F.col(col) > F.round(F.col(arr)[i], 6)).cast("int")
+        return out
+
+    return (
+        base.crossJoin(F.broadcast(bounds))
+        .select(
+            "custkey",
+            "recency_days",
+            "frequency",
+            (F.col("monetary_cents") / 100.0).alias("monetary"),
+            (F.lit(5) - above("recency_days", "rb")).cast("long").alias("r_score"),
+            (F.lit(1) + above("frequency", "fb")).cast("long").alias("f_score"),
+            (F.lit(1) + above("monetary_cents", "mb")).cast("long").alias("m_score"),
+        )
+        .select(
+            "custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            "r_score",
+            "f_score",
+            "m_score",
+            _rfm_label().alias("segment"),
+        )
+    )
+
+
+def q_rfm_segments_approx(spark, sf_dir):
+    """The 100 TB production path for RFM (r06 verdict item 3):
+    q_rfm_segments' three exact global NTILE(5)s are each a total
+    order over all customers — the documented cliff. Here the quintile
+    boundaries come from a deterministic md5 customer sample (one
+    small sort over ~|customers|/{APPROX_SAMPLE_DIV} rows), broadcast,
+    and every customer scores with four comparisons — zero global
+    sorts, one orders-sized aggregate, embarrassingly parallel.
+    Same output schema and label rules as the exact twin;
+    q_rfm_agreement is the admissibility readout (the ann_recall
+    discipline: every approximate path ships with its measured
+    fidelity)."""
+    return _rfm_approx_scored(spark, sf_dir).orderBy("custkey")
+
+
+def _sql_rfm_approx_ctes() -> str:
+    from lion_parcel_etl_spark.operators.sampling import HASH_MOD, duck_id_hash
+
+    h = duck_id_hash("custkey", "rfmq")
+    bcols = ", ".join(
+        f"round(quantile_cont({col}, {q}), 6) AS {p}{i + 1}"
+        for col, p in [
+            ("recency_days", "rb"),
+            ("frequency", "fb"),
+            ("monetary_cents", "mb"),
+        ]
+        for i, q in enumerate(RFM_QUANTS)
+    )
+
+    def above(col: str, p: str) -> str:
+        return " + ".join(
+            f"CAST({col} > {p}{i + 1} AS INT)" for i in range(len(RFM_QUANTS))
+        )
+
+    return f"""samp AS (SELECT * FROM base WHERE {h} < {HASH_MOD // APPROX_SAMPLE_DIV}),
+bounds AS (SELECT {bcols} FROM samp),
+approx_scored AS (
+  SELECT custkey, recency_days, frequency,
+         monetary_cents / 100.0 AS monetary,
+         CAST(5 - ({above("recency_days", "rb")}) AS BIGINT) AS r_score,
+         CAST(1 + ({above("frequency", "fb")}) AS BIGINT) AS f_score,
+         CAST(1 + ({above("monetary_cents", "mb")}) AS BIGINT) AS m_score
+  FROM base CROSS JOIN bounds
+)"""
+
+
+def _duck_rfm_segments_approx() -> str:
+    return f"""
+WITH {_SQL_RFM_BASE},
+{_sql_rfm_approx_ctes()}
+SELECT custkey, recency_days, frequency, monetary, r_score, f_score, m_score,
+       {_SQL_RFM_LABEL} AS segment
+FROM approx_scored
+ORDER BY custkey
+"""
+
+
+def q_rfm_agreement(spark, sf_dir):
+    """Admissibility readout for the approx RFM path: the fraction of
+    customers whose per-metric score and final segment label match the
+    exact quintile segmentation — the number that justifies running
+    the zero-sort twin at scale, exactly as ann_recall does for ANN.
+    One |customers|-sized join of the two scored frames; the floor is
+    pinned in tests/test_query_extensions.py."""
+    exact = q_rfm_segments(spark, sf_dir).select(
+        "custkey",
+        F.col("r_score").alias("er"),
+        F.col("f_score").alias("ef"),
+        F.col("m_score").alias("em"),
+        F.col("segment").alias("eseg"),
+    )
+    approx = _rfm_approx_scored(spark, sf_dir).select(
+        "custkey",
+        F.col("r_score").alias("ar"),
+        F.col("f_score").alias("af"),
+        F.col("m_score").alias("am"),
+        F.col("segment").alias("aseg"),
+    )
+
+    def match(a: str, b: str) -> Column:
+        return F.round(F.avg((F.col(a) == F.col(b)).cast("int")), 6)
+
+    return exact.join(approx, "custkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        match("er", "ar").alias("r_match"),
+        match("ef", "af").alias("f_match"),
+        match("em", "am").alias("m_match"),
+        match("eseg", "aseg").alias("segment_match"),
+    )
+
+
+def _duck_rfm_agreement() -> str:
+    return f"""
+WITH {_SQL_RFM_BASE},
+{_SQL_RFM_EXACT_SCORED},
+{_sql_rfm_approx_ctes()},
+e AS (SELECT custkey, r_score, f_score, m_score,
+             {_SQL_RFM_LABEL} AS segment FROM exact_scored),
+a AS (SELECT custkey, r_score, f_score, m_score,
+             {_SQL_RFM_LABEL} AS segment FROM approx_scored)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       round(avg(CAST(e.r_score = a.r_score AS INT)), 6) AS r_match,
+       round(avg(CAST(e.f_score = a.f_score AS INT)), 6) AS f_match,
+       round(avg(CAST(e.m_score = a.m_score AS INT)), 6) AS m_match,
+       round(avg(CAST(e.segment = a.segment AS INT)), 6) AS segment_match
+FROM e JOIN a USING (custkey)
 """
 
 
@@ -10710,41 +10897,28 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "market_basket": (q_market_basket, SQL_MARKET_BASKET),
     "kcenter_select": (q_kcenter_select, _duck_kcenter()),
     "rfm_segments": (q_rfm_segments, SQL_RFM),
+    "rfm_segments_approx": (q_rfm_segments_approx, _duck_rfm_segments_approx()),
+    "rfm_agreement": (q_rfm_agreement, _duck_rfm_agreement()),
     "revenue_gini": (q_revenue_gini, SQL_REVENUE_GINI),
     "seasonal_naive_eval": (q_seasonal_naive_eval, SQL_SEASONAL_NAIVE),
 }
 
-# Round-6 registry head: queries whose OUTPUT changed or that are new
+# Round-7 registry head: queries whose OUTPUT changed or that are new
 # this round lead, so each gets a fresh official driver row.
-# approx_stats graduated from rows-only to an exact oracle (KMV +
-# deterministic sample percentiles — new columns AND new values);
-# multimodal_decode, domain_reweight, retrieval_mrr, mrl_recall and
-# the session's eval/analytics additions (quant_recall, dedup_pr_eval,
-# acf_lags, vocab_kl, seasonal_dow, market_basket, kcenter_select,
-# rfm_segments) are new; compression_ratio is now the single remaining
-# rows-only query (zlib is honestly not SQL) and stays at the head for
-# a current clean no-oracle row. Everything else keeps its prior
-# relative order; lookup semantics are unaffected.
-_R6_HEAD = [
-    "approx_stats",
+# multimodal_decode's output changed (PNG rows joined the generator);
+# the RFM approx twin + agreement eval and the round's other additions
+# are new; compression_ratio remains the single rows-only query (zlib
+# is honestly not SQL) and stays at the head for a current clean
+# no-oracle row. Everything else keeps its prior relative order;
+# lookup semantics are unaffected.
+_R7_HEAD = [
     "multimodal_decode",
-    "domain_reweight",
-    "retrieval_mrr",
-    "mrl_recall",
-    "quant_recall",
-    "dedup_pr_eval",
-    "acf_lags",
-    "vocab_kl",
-    "seasonal_dow",
-    "market_basket",
-    "kcenter_select",
-    "rfm_segments",
-    "revenue_gini",
-    "seasonal_naive_eval",
+    "rfm_segments_approx",
+    "rfm_agreement",
     "compression_ratio",
 ]
-assert set(_R6_HEAD) <= set(QUERIES), sorted(set(_R6_HEAD) - set(QUERIES))
+assert set(_R7_HEAD) <= set(QUERIES), sorted(set(_R7_HEAD) - set(QUERIES))
 QUERIES = {
-    **{name: QUERIES[name] for name in _R6_HEAD},
-    **{name: fn for name, fn in QUERIES.items() if name not in set(_R6_HEAD)},
+    **{name: QUERIES[name] for name in _R7_HEAD},
+    **{name: fn for name, fn in QUERIES.items() if name not in set(_R7_HEAD)},
 }

@@ -484,3 +484,46 @@ def test_perplexity_buckets_tertile_invariants(spark):
         assert max(sizes) - min(sizes) <= 1, (lang, sizes)
         assert max(buckets["head"]) <= min(buckets["middle"])
         assert max(buckets["middle"]) <= min(buckets["tail"])
+
+
+def test_rfm_approx_agreement_floor(spark, sf_dir):
+    """Admissibility floor for the zero-sort RFM path (r06 verdict
+    item 3, the ann_recall discipline). Disagreement has two distinct
+    sources, and the floors reflect them:
+
+    - monetary_cents is near-unique per customer, so m_match is pure
+      BOUNDARY SAMPLING error (the 1/16 md5 sample's quantile rank
+      error) — high floor, and the component that tightens as the
+      absolute sample size grows with the corpus;
+    - frequency has ~20 distinct values over all customers, so exact
+      NTILE(5) must split tie-groups by the custkey tie-break while
+      width-bucketing keeps equal values together (defensibly MORE
+      meaningful for segmentation) — f_match is structurally lower
+      and no amount of sampling fixes it, because tied customers have
+      no stable exact-quintile answer at all."""
+    from lion_parcel_etl_spark.plans.queries import (
+        q_rfm_agreement,
+        q_rfm_segments,
+        q_rfm_segments_approx,
+    )
+
+    row = q_rfm_agreement(spark, sf_dir).collect()[0]
+    assert row.n_customers == q_rfm_segments(spark, sf_dir).count()
+    assert row.m_match >= 0.9
+    assert row.r_match >= 0.75
+    assert row.f_match >= 0.5
+    assert row.segment_match >= 0.75
+    # both twins cover every customer with the same schema
+    exact = q_rfm_segments(spark, sf_dir)
+    approx = q_rfm_segments_approx(spark, sf_dir)
+    assert exact.columns == approx.columns
+    assert approx.count() == row.n_customers
+    # approx scores stay in the quintile range
+    from pyspark.sql import functions as F
+
+    bad = approx.filter(
+        (F.col("r_score") < 1) | (F.col("r_score") > 5)
+        | (F.col("f_score") < 1) | (F.col("f_score") > 5)
+        | (F.col("m_score") < 1) | (F.col("m_score") > 5)
+    ).count()
+    assert bad == 0
