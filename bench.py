@@ -199,6 +199,7 @@ HEADLINE = [
     # round-7 additions
     "rfm_segments_approx",
     "rfm_agreement",
+    "holt_winters_eval",
 ]
 
 # FROZEN anchor set (round 6, per the r05 verdict): cross-round

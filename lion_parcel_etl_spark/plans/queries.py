@@ -10691,6 +10691,152 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+HW_ALPHA, HW_BETA, HW_GAMMA = 0.1, 0.05, 0.5
+
+
+def _hw_fragments(y: str, l: str, b: str, head: str) -> tuple[str, str, str]:
+    """The Holt-Winters per-step arithmetic as shared TEXT fragments
+    (pred, err, new-level), parameterized only by each dialect's
+    spelling of the state inputs — so the two engines execute the
+    identical operation ORDER and the doubles match bit-for-bit (the
+    kcenter / pagerank unroll discipline, applied to a recurrence)."""
+    pred = f"({l} + {b} + {head})"
+    err = f"abs({y} - {pred})"
+    nl = f"{HW_ALPHA} * ({y} - {head}) + {1 - HW_ALPHA} * ({l} + {b})"
+    return pred, err, nl
+
+
+def q_holt_winters_eval(spark, sf_dir):
+    """Additive Holt-Winters (level + trend + weekly season, FIXED
+    smoothing constants α={HW_ALPHA} β={HW_BETA} γ={HW_GAMMA})
+    one-step-ahead backtest on the daily event volumes — the model
+    that must BEAT q_seasonal_naive_eval's yardstick on the same eval
+    days with the same MAE/MAPE/sMAPE columns, so the two rows compare
+    directly (pytest asserts the win; that is the point of a
+    baseline). Init: level = mean of the first 7 days, trend = 0,
+    season_i = y_i − mean; forecasts start at day 8, exactly the days
+    where the naive lag-7 is defined.
+
+    Plan: one events-sized hash aggregate, then the entire recurrence
+    runs INSIDE a JVM higher-order `aggregate` (left fold) over each
+    series' |days|-length array — no UDF, no driver loop, no
+    per-iteration shuffle; the seasonal state is a 7-element rotating
+    queue (head = s_{t−7}, consumed and re-appended updated each
+    step), so no indexed array writes are needed. The oracle replays
+    the identical fold with DuckDB list_reduce — the recurrence
+    arithmetic is shared TEXT (_hw_fragments), so every double matches
+    bit-for-bit. |series| rows × bounded-length day arrays: the time
+    dimension doesn't grow with corpus bytes, so this shape survives
+    100 TB unchanged."""
+    d = _daily_volumes(spark, sf_dir)
+    ser = (
+        d.groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(x, y))),"
+                " p -> cast(p.y as double))"
+            ).alias("ys")
+        )
+        .filter(F.size("ys") >= 8)
+    )
+    init = ser.select(
+        "event_type",
+        "ys",
+        F.expr(
+            "aggregate(slice(ys, 1, 7), cast(0.0 as double),"
+            " (a, v) -> a + v) / 7.0"
+        ).alias("m7"),
+    )
+    pred, err, nl = _hw_fragments(
+        "y", "acc.l", "acc.b", "element_at(acc.s, 1)"
+    )
+    fold = f"""aggregate(
+  slice(ys, 8, size(ys) - 7),
+  named_struct(
+    'l', m7, 'b', cast(0.0 as double),
+    's', transform(slice(ys, 1, 7), v -> v - m7),
+    'nd', cast(0 as bigint), 'asum', cast(0.0 as double),
+    'msum', cast(0.0 as double), 'mn', cast(0 as bigint),
+    'ssum', cast(0.0 as double), 'sn', cast(0 as bigint)),
+  (acc, y) -> named_struct(
+    'l', {nl},
+    'b', {HW_BETA} * (({nl}) - acc.l) + {1 - HW_BETA} * acc.b,
+    's', concat(slice(acc.s, 2, 6),
+                array({HW_GAMMA} * (y - acc.l - acc.b)
+                      + {1 - HW_GAMMA} * element_at(acc.s, 1))),
+    'nd', acc.nd + 1,
+    'asum', acc.asum + {err},
+    'msum', acc.msum + (CASE WHEN y > 0 THEN ({err}) / y ELSE 0.0 END),
+    'mn', acc.mn + (CASE WHEN y > 0 THEN 1 ELSE 0 END),
+    'ssum', acc.ssum + (CASE WHEN (abs(y) + abs({pred})) > 0
+                        THEN (2.0 * ({err})) / (abs(y) + abs({pred}))
+                        ELSE 0.0 END),
+    'sn', acc.sn + (CASE WHEN (abs(y) + abs({pred})) > 0 THEN 1 ELSE 0 END))
+)"""
+    st = init.select("event_type", F.expr(fold).alias("st"))
+    return st.select(
+        "event_type",
+        F.col("st.nd").alias("n_days"),
+        F.round(F.expr("st.asum / st.nd"), 6).alias("mae"),
+        F.round(F.expr("st.msum / st.mn"), 6).alias("mape"),
+        F.round(F.expr("st.ssum / st.sn"), 6).alias("smape"),
+    ).orderBy("event_type")
+
+
+def _duck_holt_winters_eval() -> str:
+    # The same recurrence as a RECURSIVE CTE with the 7 seasonal
+    # values as scalar state columns (the rotation is a column shift:
+    # s1..s6 <- s2..s7, s7 <- the update). A list_reduce spelling
+    # would mirror the Spark fold more literally, but DuckDB 1.0
+    # struct-literal lambdas evaluate sibling fields against
+    # inconsistent accumulator state (verified: the 'l' field saw the
+    # correct acc while 'b'/'s'/'asum' in the SAME struct did not), so
+    # the recursion is the trustworthy spelling. Arithmetic text is
+    # shared with the Spark fold via _hw_fragments — identical op
+    # order, bit-identical doubles.
+    pred, err, nl = _hw_fragments("ys[t + 1]", "l", "b", "s1")
+    z = "0.0::DOUBLE"  # bare 0.0 binds as DECIMAL in DuckDB
+    return f"""
+WITH RECURSIVE daily AS ({_DUCK_DAILY}),
+ser AS (
+  SELECT event_type, list(CAST(y AS DOUBLE) ORDER BY x) AS ys
+  FROM daily GROUP BY 1 HAVING count(*) >= 8
+),
+init AS (
+  SELECT event_type, ys, list_reduce(ys[1:7], (a, b) -> a + b) / 7.0 AS m7
+  FROM ser
+),
+rec AS (
+  SELECT event_type, ys, 7 AS t, m7 AS l, {z} AS b,
+         ys[1] - m7 AS s1, ys[2] - m7 AS s2, ys[3] - m7 AS s3,
+         ys[4] - m7 AS s4, ys[5] - m7 AS s5, ys[6] - m7 AS s6,
+         ys[7] - m7 AS s7,
+         CAST(0 AS BIGINT) AS nd, {z} AS asum,
+         {z} AS msum, CAST(0 AS BIGINT) AS mn,
+         {z} AS ssum, CAST(0 AS BIGINT) AS sn
+  FROM init
+  UNION ALL
+  SELECT event_type, ys, t + 1,
+         {nl},
+         {HW_BETA} * (({nl}) - l) + {1 - HW_BETA} * b,
+         s2, s3, s4, s5, s6, s7,
+         {HW_GAMMA} * (ys[t + 1] - l - b) + {1 - HW_GAMMA} * s1,
+         nd + 1,
+         asum + {err},
+         msum + (CASE WHEN ys[t + 1] > 0 THEN ({err}) / ys[t + 1] ELSE {z} END),
+         mn + (CASE WHEN ys[t + 1] > 0 THEN 1 ELSE 0 END),
+         ssum + (CASE WHEN (abs(ys[t + 1]) + abs({pred})) > 0
+                 THEN (2.0 * ({err})) / (abs(ys[t + 1]) + abs({pred}))
+                 ELSE {z} END),
+         sn + (CASE WHEN (abs(ys[t + 1]) + abs({pred})) > 0 THEN 1 ELSE 0 END)
+  FROM rec WHERE t < len(ys)
+)
+SELECT event_type, nd AS n_days, round(asum / nd, 6) AS mae,
+       round(msum / mn, 6) AS mape, round(ssum / sn, 6) AS smape
+FROM rec WHERE t = len(ys) ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_classifier": (q_quality_classifier, _duck_quality_classifier()),
     "kmv_distinct": (q_kmv_distinct, _duck_kmv_distinct()),
@@ -10901,6 +11047,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rfm_agreement": (q_rfm_agreement, _duck_rfm_agreement()),
     "revenue_gini": (q_revenue_gini, SQL_REVENUE_GINI),
     "seasonal_naive_eval": (q_seasonal_naive_eval, SQL_SEASONAL_NAIVE),
+    "holt_winters_eval": (q_holt_winters_eval, _duck_holt_winters_eval()),
 }
 
 # Round-7 registry head: queries whose OUTPUT changed or that are new
@@ -10915,6 +11062,7 @@ _R7_HEAD = [
     "multimodal_decode",
     "rfm_segments_approx",
     "rfm_agreement",
+    "holt_winters_eval",
     "compression_ratio",
 ]
 assert set(_R7_HEAD) <= set(QUERIES), sorted(set(_R7_HEAD) - set(QUERIES))

@@ -1,0 +1,33 @@
+"""Invariant tests for the round-7 queries (holt_winters_eval,
+rfm_segments_approx and friends). Value-level equality vs DuckDB is
+covered by tools/check_oracles.py; these assert the semantic
+properties the oracles can't express — most importantly that the
+forecasting model BEATS its baseline, which is the entire point of
+shipping one."""
+
+from __future__ import annotations
+
+from lion_parcel_etl_spark.plans.queries import (
+    q_holt_winters_eval,
+    q_seasonal_naive_eval,
+)
+
+
+def test_holt_winters_beats_seasonal_naive(spark, sf_dir):
+    """holt_winters_eval exists to beat the seasonal-naive yardstick
+    on the SAME eval days with the SAME error columns. Pin the win:
+    lower mean MAE across series, a majority of per-series wins, and
+    identical eval-day counts (without the n_days match the MAE
+    comparison would be apples-to-oranges)."""
+    hw = {r.event_type: r for r in q_holt_winters_eval(spark, sf_dir).collect()}
+    nv = {r.event_type: r for r in q_seasonal_naive_eval(spark, sf_dir).collect()}
+    assert set(hw) == set(nv) and hw
+    for et in hw:
+        assert hw[et].n_days == nv[et].n_days, et
+    mean_hw = sum(r.mae for r in hw.values()) / len(hw)
+    mean_nv = sum(r.mae for r in nv.values()) / len(nv)
+    assert mean_hw < mean_nv, (mean_hw, mean_nv)
+    wins = sum(hw[et].mae < nv[et].mae for et in hw)
+    assert wins * 2 > len(hw), f"HW won only {wins}/{len(hw)} series"
+    # sMAPE must also not degrade on average (the scale-free check)
+    assert sum(r.smape for r in hw.values()) <= sum(r.smape for r in nv.values())
