@@ -200,6 +200,7 @@ HEADLINE = [
     "rfm_segments_approx",
     "rfm_agreement",
     "holt_winters_eval",
+    "kcore_peel",
 ]
 
 # FROZEN anchor set (round 6, per the r05 verdict): cross-round

@@ -220,3 +220,58 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+def kcore_survivors(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """(node, core_degree) — the nodes surviving ``rounds`` rounds of
+    k-core peeling (repeatedly delete every node whose degree within
+    the surviving subgraph is < k), the standard corpus-graph density
+    diagnostic next to triangles/pagerank: the k-core is what remains
+    after pendant chains and sparse fringe are stripped, and an empty
+    k-core says the graph has no k-connected backbone at all.
+
+    The round count is FIXED (not run-to-convergence) so the whole
+    peel replays as an unrolled SQL oracle — the pagerank/kcenter
+    discipline for iterative algorithms; callers pick ``rounds`` with
+    margin over the graph's peel depth and pin the fixed point in
+    tests (peeling is monotone, so once two consecutive rounds agree
+    the result IS the true k-core).
+
+    Scale shape: per round, TWO semi-joins of the pinned symmetric
+    edge list against the |nodes|-sized alive set (AQE broadcasts it)
+    plus ONE |edges|-sized degree aggregate — map-side combined, so
+    the exchange carries |nodes| rows. The alive set shrinks
+    monotonically; nothing in the loop scales with anything but the
+    edge count. Each round's alive frontier is `localCheckpoint`ed
+    before reuse (the connected_components discipline): it feeds BOTH
+    semi-joins of the next round, so an un-truncated lineage DOUBLES
+    per round — a 2^rounds logical plan that OOMs the driver on plan
+    strings alone before any data moves (measured at 8 rounds;
+    persist() does not truncate the logical plan, only caches
+    execution). On a real cluster use `checkpoint(reliable)` against
+    the warehouse dir. Callers hand in a PINNED unique-pair edge
+    table (node_a < node_b), exactly as triangle_counts expects."""
+    from lion_parcel_etl_spark.operators.dedup import pin
+
+    und = pin(
+        edges.selectExpr("node_a AS src", "node_b AS dst").unionAll(
+            edges.selectExpr("node_b AS src", "node_a AS dst")
+        )
+    )
+    alive = und.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    deg = None
+    for r in range(rounds):
+        deg = (
+            und.join(alive, und.src == alive.node, "left_semi")
+            .join(
+                alive.select(F.col("node").alias("__dn")),
+                und.dst == F.col("__dn"),
+                "left_semi",
+            )
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+            .filter(F.col("core_degree") >= k)
+        )
+        if r < rounds - 1:
+            alive = deg.select(F.col("src").alias("node")).localCheckpoint()
+    return deg.select(F.col("src").alias("node"), "core_degree")

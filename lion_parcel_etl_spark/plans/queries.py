@@ -4938,6 +4938,68 @@ SELECT node, round(rank, 9) AS rank FROM r{iters}
 """
 
 
+KCORE_K = 2
+KCORE_ROUNDS = 8
+
+
+def q_kcore_peel(spark, sf_dir):
+    """k-core decomposition ({KCORE_K}-core) of the user co-occurrence
+    graph by iterative min-degree peeling — the corpus-graph density
+    diagnostic completing the family next to triangle_count (local
+    density) and pagerank (global influence): survivors form the
+    subgraph in which every user still has ≥ {KCORE_K} strong
+    neighbors after all pendant chains and sparse fringe are stripped.
+    Fixed {KCORE_ROUNDS}-round unroll (operators/graph.kcore_survivors
+    — measured peel depth ≤ 6 at every SF, and the fixed point is
+    pytest-pinned), so the oracle replays each round as one degree
+    filter + one aggregate, the pagerank discipline. Per-round cost:
+    two semi-joins of the pinned symmetric edge list against the
+    shrinking alive set + one map-side-combined |edges|-sized degree
+    aggregate."""
+    from lion_parcel_etl_spark.operators.dedup import pin
+    from lion_parcel_etl_spark.operators.graph import (
+        cooccurrence_edges,
+        kcore_survivors,
+    )
+
+    edges = pin(
+        cooccurrence_edges(
+            _user_key_rows(spark, sf_dir),
+            "k",
+            "user_id",
+            min_jaccard=COOC_MIN_JACCARD,
+        )
+    )
+    return kcore_survivors(edges, k=KCORE_K, rounds=KCORE_ROUNDS).orderBy(
+        "node"
+    )
+
+
+def _duck_kcore_peel() -> str:
+    rounds = "".join(
+        f""",
+d{r} AS MATERIALIZED (
+  SELECT e.src AS node, count(*) AS core_degree
+  FROM und e
+  JOIN a{r - 1} s ON s.node = e.src
+  JOIN a{r - 1} t ON t.node = e.dst
+  GROUP BY 1
+),
+a{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE core_degree >= {KCORE_K})"""
+        for r in range(1, KCORE_ROUNDS + 1)
+    )
+    return f"""{_DUCK_COOC},
+und AS MATERIALIZED (
+  SELECT node_a AS src, node_b AS dst FROM cooc
+  UNION ALL
+  SELECT node_b AS src, node_a AS dst FROM cooc
+),
+a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM und){rounds}
+SELECT node, core_degree FROM d{KCORE_ROUNDS}
+WHERE core_degree >= {KCORE_K} ORDER BY node
+"""
+
+
 def q_session_window_native(spark, sf_dir):
     """Spark's NATIVE session_window aggregation in batch mode (the
     merging-session operator Catalyst implements specially; the
@@ -11048,6 +11110,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "revenue_gini": (q_revenue_gini, SQL_REVENUE_GINI),
     "seasonal_naive_eval": (q_seasonal_naive_eval, SQL_SEASONAL_NAIVE),
     "holt_winters_eval": (q_holt_winters_eval, _duck_holt_winters_eval()),
+    "kcore_peel": (q_kcore_peel, _duck_kcore_peel()),
 }
 
 # Round-7 registry head: queries whose OUTPUT changed or that are new
@@ -11063,6 +11126,7 @@ _R7_HEAD = [
     "rfm_segments_approx",
     "rfm_agreement",
     "holt_winters_eval",
+    "kcore_peel",
     "compression_ratio",
 ]
 assert set(_R7_HEAD) <= set(QUERIES), sorted(set(_R7_HEAD) - set(QUERIES))

@@ -31,3 +31,52 @@ def test_holt_winters_beats_seasonal_naive(spark, sf_dir):
     assert wins * 2 > len(hw), f"HW won only {wins}/{len(hw)} series"
     # sMAPE must also not degrade on average (the scale-free check)
     assert sum(r.smape for r in hw.values()) <= sum(r.smape for r in nv.values())
+
+
+def test_kcore_fixed_point_and_invariants(spark, sf_dir):
+    """KCORE_ROUNDS must exceed the graph's peel depth: peeling is
+    monotone, so equality of rounds and rounds+1 proves the unrolled
+    result IS the true k-core (not a truncated intermediate). Also
+    pin the defining property: every survivor has core_degree >= k,
+    and the survivor set is closed (degrees counted within the core
+    alone already satisfy k)."""
+    from lion_parcel_etl_spark.operators.dedup import pin
+    from lion_parcel_etl_spark.operators.graph import (
+        cooccurrence_edges,
+        kcore_survivors,
+    )
+    from lion_parcel_etl_spark.plans.queries import (
+        COOC_MIN_JACCARD,
+        KCORE_K,
+        KCORE_ROUNDS,
+        _user_key_rows,
+    )
+
+    edges = pin(
+        cooccurrence_edges(
+            _user_key_rows(spark, sf_dir), "k", "user_id",
+            min_jaccard=COOC_MIN_JACCARD,
+        )
+    )
+    got = {
+        r.node: r.core_degree
+        for r in kcore_survivors(edges, k=KCORE_K, rounds=KCORE_ROUNDS).collect()
+    }
+    more = {
+        r.node: r.core_degree
+        for r in kcore_survivors(
+            edges, k=KCORE_K, rounds=KCORE_ROUNDS + 1
+        ).collect()
+    }
+    assert got == more, "peel had not converged within KCORE_ROUNDS"
+    assert all(d >= KCORE_K for d in got.values())
+    # closure: recount degrees within the survivor set only
+    ep = [(r.node_a, r.node_b) for r in edges.collect()]
+    from collections import Counter
+
+    within = Counter()
+    for a, b in ep:
+        if a in got and b in got:
+            within[a] += 1
+            within[b] += 1
+    assert dict(within) == got
