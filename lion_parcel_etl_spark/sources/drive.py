@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import re
+import urllib.error
 import urllib.parse
 import urllib.request
 from collections.abc import Callable
@@ -116,21 +117,95 @@ def list_folder(
     return _parse_anchors(html) or _parse_ivd(html)
 
 
+class DriveQuotaError(Exception):
+    """Drive's per-file quota / permission refusal (HTTP 403, or the
+    'Quota exceeded' HTML interstitial served with 200). NON-transient:
+    retrying inside the same run cannot succeed — the quota window is
+    hours — so the download loop never retries it; ``on_error="skip"``
+    records and skips the file instead of failing the batch."""
+
+
+_CONFIRM_TOKEN = re.compile(r"confirm=([0-9A-Za-z_-]+)")
+_QUOTA_MARKERS = (b"Quota exceeded", b"Too many users have viewed or downloaded")
+
+
+def _fetch_file(it: DriveItem, fetch: Callable[[str], bytes]) -> bytes:
+    """One file fetch with the two Drive-specific response shapes
+    handled: the large-file virus-scan interstitial (an HTML page with
+    a ``confirm=`` token — follow it with ONE extra fetch, the
+    documented public-Drive redirect dance) and the quota-exceeded
+    interstitial (served 200 with an HTML body → DriveQuotaError, so a
+    poisoned HTML page is never written where a data file belongs)."""
+    data = fetch(it.download_link)
+    if data.lstrip()[:15].lower().startswith((b"<!doctype html", b"<html")):
+        if any(m in data for m in _QUOTA_MARKERS):
+            raise DriveQuotaError(it.name)
+        tok = _CONFIRM_TOKEN.search(data.decode("utf-8", errors="replace"))
+        if tok:
+            data = fetch(it.download_link + "&confirm=" + tok.group(1))
+            if data.lstrip()[:15].lower().startswith((b"<!doctype html", b"<html")):
+                raise DriveQuotaError(it.name)
+    return data
+
+
 def download_all(
     items: list[DriveItem],
     dest_dir: str | Path,
     fetch: Callable[[str], bytes] = default_fetch,
     max_workers: int = 6,
     suffix: str = ".json",
+    retries: int = 2,
+    on_error: str = "raise",
+    failures: list[tuple[DriveItem, Exception]] | None = None,
 ) -> list[Path]:
     """Download ``items`` whose name ends with ``suffix`` into
-    ``dest_dir`` with a bounded thread pool; returns the written paths."""
+    ``dest_dir`` with a bounded thread pool; returns the written paths.
+
+    Failure modes (pinned in tests/test_drive.py):
+
+    - TRANSIENT errors (socket timeouts, URLError, truncated bodies
+      surfacing as IncompleteRead/ConnectionError) retry up to
+      ``retries`` extra attempts per file, then count as failed.
+    - :class:`DriveQuotaError` (403 / quota interstitial) is
+      non-transient: never retried.
+    - ``on_error="raise"`` (default): the first failed file raises,
+      after its own retry budget — the all-or-nothing staging load.
+      ``on_error="skip"``: failed files are skipped; each (item,
+      exception) is appended to ``failures`` if the caller passed a
+      list, so a nightly ingest can land 999 files and re-queue 1.
+    """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
     dest = Path(dest_dir)
     dest.mkdir(parents=True, exist_ok=True)
     todo = [it for it in items if it.name.lower().endswith(suffix)]
 
-    def one(it: DriveItem) -> Path:
-        data = fetch(it.download_link)
+    def one(it: DriveItem) -> Path | None:
+        attempt = 0
+        while True:
+            try:
+                data = _fetch_file(it, fetch)
+                break
+            except DriveQuotaError as exc:
+                err: Exception = exc
+            except urllib.error.HTTPError as exc:
+                if exc.code == 403:  # quota refusal over HTTP: classify
+                    err = DriveQuotaError(f"{it.name}: HTTP 403")
+                else:  # 5xx / 429 etc: transient, retry within budget
+                    err = exc
+                    if attempt < retries:
+                        attempt += 1
+                        continue
+            except Exception as exc:  # transient: retry within budget
+                err = exc
+                if attempt < retries:
+                    attempt += 1
+                    continue
+            if on_error == "raise":
+                raise err
+            if failures is not None:
+                failures.append((it, err))
+            return None
         path = dest / it.name
         with open(path, "wb") as f:
             for i in range(0, len(data), CHUNK):
@@ -138,7 +213,7 @@ def download_all(
         return path
 
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        return list(pool.map(one, todo))
+        return [p for p in pool.map(one, todo) if p is not None]
 
 
 def download_folder(

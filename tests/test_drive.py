@@ -115,3 +115,132 @@ def test_download_folder_one_call_end_to_end(tmp_path):
     assert (tmp_path / "a.json").read_bytes() == b'{"a": 1}'
     only_json = download_folder(url, tmp_path / "j", fetch=fetch, suffix=".json")
     assert [p.name for p in only_json] == ["a.json"]
+
+
+def test_download_transient_errors_retry_within_budget(tmp_path):
+    """Truncated bodies / flaky sockets are TRANSIENT: each file gets
+    `retries` extra attempts before counting as failed (r06 verdict
+    item 6 — failure modes simulated through the injectable fetch)."""
+    from http.client import IncompleteRead
+
+    from lion_parcel_etl_spark.sources.drive import download_all
+
+    calls = {"n": 0}
+
+    def flaky(url):
+        calls["n"] += 1
+        if calls["n"] <= 2:  # first two attempts die mid-body
+            raise IncompleteRead(b"partial")
+        return b'{"ok": true}'
+
+    items = [DriveItem(id="f1", name="f1.json")]
+    written = download_all(items, tmp_path, fetch=flaky, retries=2)
+    assert [p.name for p in written] == ["f1.json"]
+    assert calls["n"] == 3  # 1 original + 2 retries
+    assert read_json_file(written[0]) == {"ok": True}
+
+    # budget exhausted -> raises by default
+    calls["n"] = -10  # 10 more failures than the budget allows
+    import pytest
+
+    with pytest.raises(IncompleteRead):
+        download_all(
+            [DriveItem(id="f2", name="f2.json")], tmp_path, fetch=flaky, retries=2
+        )
+
+
+def test_download_quota_403_never_retried_and_skippable(tmp_path):
+    """Drive quota refusals cannot succeed on retry within a run:
+    assert exactly ONE fetch attempt, and that on_error='skip' lands
+    the healthy files while recording the failure for re-queueing."""
+    import urllib.error
+
+    from lion_parcel_etl_spark.sources.drive import (
+        DriveQuotaError,
+        download_all,
+    )
+
+    attempts = {"q.json": 0, "ok.json": 0}
+
+    def fetch(url):
+        fid = url.rsplit("id=", 1)[1].split("&")[0]
+        attempts[fid] += 1
+        if fid == "q.json":
+            raise urllib.error.HTTPError(url, 403, "Forbidden", {}, None)
+        return b"{}"
+
+    items = [DriveItem(id=n, name=n) for n in ("q.json", "ok.json")]
+    failures: list = []
+    written = download_all(
+        items, tmp_path, fetch=fetch, retries=5, on_error="skip",
+        failures=failures,
+    )
+    # an HTTP 403 is CLASSIFIED as quota: exactly one attempt, no retry
+    assert attempts["q.json"] == 1
+    assert attempts["ok.json"] == 1 and [p.name for p in written] == ["ok.json"]
+    assert len(failures) == 1 and failures[0][0].name == "q.json"
+    assert isinstance(failures[0][1], DriveQuotaError)
+
+    # the 200-with-HTML quota interstitial IS classified: one attempt only
+    attempts2 = {"n": 0}
+
+    def quota_fetch(url):
+        attempts2["n"] += 1
+        return b"<!DOCTYPE html><html>Quota exceeded for this file</html>"
+
+    failures2: list = []
+    out = download_all(
+        [DriveItem(id="big.json", name="big.json")], tmp_path,
+        fetch=quota_fetch, retries=5, on_error="skip", failures=failures2,
+    )
+    assert out == [] and attempts2["n"] == 1
+    assert isinstance(failures2[0][1], DriveQuotaError)
+
+
+def test_download_confirm_token_interstitial_follows_once(tmp_path):
+    """The large-file virus-scan interstitial (HTML with a confirm=
+    token) is followed with exactly ONE extra fetch — the public
+    Drive redirect dance; a second interstitial means quota."""
+    from lion_parcel_etl_spark.sources.drive import (
+        DriveQuotaError,
+        download_all,
+    )
+
+    seen = []
+
+    def fetch(url):
+        seen.append(url)
+        if "confirm=" not in url:
+            return (
+                b"<html>Google Drive can't scan this file for viruses."
+                b' <a href="/uc?export=download&confirm=tok123&id=x">'
+                b"Download anyway</a></html>"
+            )
+        assert "confirm=tok123" in url
+        return b'{"big": 1}'
+
+    written = download_all(
+        [DriveItem(id="x", name="x.json")], tmp_path, fetch=fetch
+    )
+    assert read_json_file(written[0]) == {"big": 1}
+    assert len(seen) == 2 and "confirm=tok123" in seen[1]
+
+    # interstitial loop (second HTML body) classifies as quota
+    def loop_fetch(url):
+        return b'<html>confirm=tok456 forever</html>'
+
+    import pytest
+
+    with pytest.raises(DriveQuotaError):
+        download_all(
+            [DriveItem(id="y", name="y.json")], tmp_path, fetch=loop_fetch
+        )
+
+
+def test_download_on_error_validation(tmp_path):
+    import pytest
+
+    from lion_parcel_etl_spark.sources.drive import download_all
+
+    with pytest.raises(ValueError, match="on_error"):
+        download_all([], tmp_path, on_error="ignore")
