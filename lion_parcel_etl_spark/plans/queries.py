@@ -10154,68 +10154,21 @@ def q_market_basket(spark, sf_dir):
     domain): for part pairs co-purchased in ≥ {MB_MIN_PAIRS} orders,
     support / directional confidence / lift, top {MB_TOP} by lift —
     the classic market-basket readout, all from exact integer counts
-    (pair count, per-item order counts, total orders), so every ratio
-    replays bit-for-bit in SQL.
+    so every ratio replays bit-for-bit in SQL. The rule pipeline
+    lives in operators/basket.basket_rules, SHARED with the streaming
+    twin (stream_market_basket / read_market_basket) so the two can't
+    drift; scale notes live on the operator (pair self-join fanout =
+    basket size → corpus-linear, broadcast scalars, deterministic
+    rounded top-k)."""
+    from lion_parcel_etl_spark.operators.basket import basket_rules
 
-    Scale shape: the basket table (distinct order→part) is pinned and
-    reused by all four consumers; the pair stage is a self-join on the
-    ORDER key — per-key fanout is the basket size (≈4 lines/order in
-    this schema, bounded by how many distinct parts one order can
-    hold), so the join output is Σ basket² ≈ corpus-linear, never
-    |parts|². Item counts join back vocabulary-sized (AQE broadcasts);
-    the order total is a broadcast 1-row scalar; top-k is a rounded
-    total order (lift, pa, pb) so the LIMIT is deterministic."""
     li = _t(spark, sf_dir, "lineitem")
     b = DD.pin(
         li.select(
             F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
         ).distinct()
     )
-    item = b.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
-    no = b.agg(F.count_distinct("o").alias("n_orders"))
-    a, c = b.alias("a"), b.alias("c")
-    pairs = (
-        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.p") < F.col("c.p")))
-        .groupBy(F.col("a.p").alias("pa"), F.col("c.p").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("pc"))
-        .filter(F.col("pc") >= MB_MIN_PAIRS)
-    )
-    j = (
-        pairs.join(
-            item.select(F.col("p").alias("pa"), F.col("cnt").alias("cnt_a")),
-            "pa",
-        )
-        .join(
-            item.select(F.col("p").alias("pb"), F.col("cnt").alias("cnt_b")),
-            "pb",
-        )
-        .crossJoin(F.broadcast(no))
-    )
-    return (
-        j.select(
-            "pa",
-            "pb",
-            "pc",
-            "cnt_a",
-            "cnt_b",
-            F.round(F.col("pc").cast("double") / F.col("n_orders"), 6).alias(
-                "support"
-            ),
-            F.round(F.col("pc").cast("double") / F.col("cnt_a"), 6).alias(
-                "conf_ab"
-            ),
-            F.round(F.col("pc").cast("double") / F.col("cnt_b"), 6).alias(
-                "conf_ba"
-            ),
-            F.round(
-                (F.col("pc").cast("double") * F.col("n_orders"))
-                / (F.col("cnt_a").cast("double") * F.col("cnt_b")),
-                6,
-            ).alias("lift"),
-        )
-        .orderBy(F.col("lift").desc(), F.col("pa").asc(), F.col("pb").asc())
-        .limit(MB_TOP)
-    )
+    return basket_rules(b, min_pairs=MB_MIN_PAIRS, top=MB_TOP)
 
 
 SQL_MARKET_BASKET = f"""

@@ -1396,3 +1396,68 @@ def read_calibration(
             ).alias("gap"),
         )
     )
+
+
+def stream_market_basket(
+    df: DataFrame,
+    warehouse,
+    table: str,
+    checkpoint: str,
+    order_col: str = "l_orderkey",
+    part_col: str = "l_partkey",
+) -> None:
+    """Continuously-maintained market-basket state: each micro-batch
+    lands its DISTINCT (o, p) basket fragment in its own
+    ``__batch_id`` partition (the exactly-once-by-layout contract
+    shared with stream_rollup_into); :func:`read_market_basket` runs
+    the shared rule pipeline over the distinct-merged log.
+
+    Why basket fragments and not additive pair-count states: pair
+    counts are a commutative monoid ONLY if every order's lines arrive
+    inside one micro-batch — a split order would silently lose its
+    cross-batch pairs and over-count n_orders forever. The distinct
+    (o, p) projection is lossless under ANY batch split (set union
+    commutes, and the read-side distinct dedups both the same-batch
+    and the cross-batch repeats), is already the rule pipeline's input
+    shape, and is tiny next to the raw lines (two ids, deduped).
+    Per-batch cost O(|batch|); the raw stream is never rescanned.
+    Compact old partitions during quiet hours by distinct-merging them
+    into one, exactly like rollup compaction — rule-mining cost then
+    stays O(|basket table|), independent of batch count.
+    Batch-agreement under an adversarial order-splitting ingest and
+    crash-replay idempotence are pinned in tests/test_streaming.py."""
+
+    def _batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        frag = batch.select(
+            F.col(order_col).alias("o"), F.col(part_col).alias("p")
+        ).distinct()
+        warehouse.append_batch(frag, table, batch_id)
+
+    q = (
+        df.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_market_basket(
+    spark: SparkSession,
+    warehouse,
+    table: str,
+    min_pairs: int,
+    top: int,
+) -> DataFrame:
+    """Current association rules from the streamed basket log: the
+    EXACT batch pipeline (operators/basket.basket_rules — shared code,
+    so streaming and batch provably cannot drift) over the
+    distinct-merged fragments. Equals q_market_basket run over all
+    data ingested so far, whatever the batch boundaries were."""
+    from lion_parcel_etl_spark.operators.basket import basket_rules
+    from lion_parcel_etl_spark.operators.dedup import pin
+
+    b = pin(warehouse.read(spark, table).select("o", "p").distinct())
+    return basket_rules(b, min_pairs=min_pairs, top=top)

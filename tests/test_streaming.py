@@ -1544,3 +1544,69 @@ def test_stream_vocab_kl_crash_recovers_on_restart(spark, tmp_path, monkeypatch,
     }
     assert got == want
     assert len(_batch_dirs(wh, "tok")) == 2
+
+
+def test_stream_market_basket_agrees_under_order_splitting(spark, tmp_path):
+    """The market-basket streaming twin must equal the batch pipeline
+    over all ingested data EVEN WHEN an order's lines are split across
+    micro-batches — the failure mode that silently breaks additive
+    pair-count states (cross-batch pairs lost, n_orders over-counted).
+    The basket-fragment log is lossless by construction; this pins it
+    with an adversarial split plus a duplicate line across batches."""
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.basket import basket_rules
+    from lion_parcel_etl_spark.streaming.jobs import (
+        read_market_basket,
+        stream_market_basket,
+    )
+    from pyspark.sql import functions as F
+
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    # orders: 1:{A,B,C} 2:{A,B} 3:{B,C} 4:{A,B}  (pair AB in 3 orders,
+    # BC in 2, AC in 1). Order 1 and 2 are SPLIT across the batches;
+    # part B of order 1 appears in BOTH (cross-batch duplicate).
+    b1 = [(1, 10), (1, 20), (2, 10), (3, 20), (3, 30)]
+    b2 = [(1, 20), (1, 30), (2, 20), (4, 10), (4, 20)]
+
+    def run():
+        stream = spark.readStream.schema(
+            "l_orderkey long, l_partkey long"
+        ).parquet(landing)
+        stream_market_basket(stream, wh, "basket", ckpt)
+
+    for batch in (b1, b2):
+        spark.createDataFrame(
+            batch, "l_orderkey long, l_partkey long"
+        ).coalesce(1).write.mode("append").parquet(landing)
+        run()
+
+    got = read_market_basket(spark, wh, "basket", min_pairs=1, top=100).collect()
+    full = spark.createDataFrame(b1 + b2, "l_orderkey long, l_partkey long")
+    want = basket_rules(
+        full.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        ).distinct(),
+        min_pairs=1,
+        top=100,
+    ).collect()
+    key = lambda r: (r.pa, r.pb)
+    assert sorted(map(tuple, got), key=lambda t: t[:2]) == sorted(
+        map(tuple, want), key=lambda t: t[:2]
+    )
+    pcs = {(r.pa, r.pb): r.pc for r in got}
+    assert pcs == {(10, 20): 3, (20, 30): 2, (10, 30): 1}
+
+    # crash replay: re-appending batch 1's fragment cannot double-count
+    wh.append_batch(
+        spark.createDataFrame(b2, "l_orderkey long, l_partkey long")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct(),
+        "basket",
+        1,
+    )
+    again = read_market_basket(spark, wh, "basket", min_pairs=1, top=100).collect()
+    assert sorted(map(tuple, again), key=lambda t: t[:2]) == sorted(
+        map(tuple, want), key=lambda t: t[:2]
+    )
