@@ -140,17 +140,19 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """8-bit RGB/RGBA PNG → (H, W, 3|4) uint8 array, stdlib-only
-    (round 7; the r06 verdict's top decode gap — PNG is the one codec
-    format needing no external library: zlib inflate + per-row
-    unfilter).
+    """8-bit PNG → (H, W, ch) uint8 array, stdlib-only (round 7; the
+    r06 verdict's top decode gap — PNG is the one codec format needing
+    no external library: zlib inflate + per-row unfilter).
 
-    Implements the full PNG baseline pipeline for non-interlaced
-    8-bit truecolor: chunk walk with CRC verification, concatenated
-    IDAT inflate, then scanline unfiltering for ALL five filter types
-    (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth — each row declares its
-    own). Raises NotImplementedError for palette/grayscale/16-bit/
-    interlaced variants (PIL territory), ValueError for corrupt bytes.
+    Implements the full PNG baseline pipeline for non-interlaced 8-bit
+    images in every color type: chunk walk with CRC verification,
+    concatenated IDAT inflate, scanline unfiltering for ALL five
+    filter types (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth — each row
+    declares its own), and PLTE expansion for indexed images. Output
+    channels by color type: 0 grayscale → 1, 2 truecolor → 3,
+    3 palette → 3 (expanded RGB), 4 gray+alpha → 2, 6 RGBA → 4.
+    Raises NotImplementedError for 1/2/4/16-bit depths and Adam7
+    interlacing (PIL territory), ValueError for corrupt bytes.
     Per-byte unfilter loops are fine at fixture scale; a deployment
     feeding real images plugs in PIL here anyway — the point of this
     decoder is that the most common real-world image format now
@@ -160,7 +162,7 @@ def decode_png(payload: bytes) -> np.ndarray:
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, b""
+    pos, ihdr, idat, plte = 8, None, b"", None
     while pos + 12 <= len(payload):
         size, ctype = struct.unpack_from(">I4s", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
@@ -173,18 +175,24 @@ def decode_png(payload: bytes) -> np.ndarray:
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"IDAT":
             idat += body
+        elif ctype == b"PLTE":
+            if size % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif ctype == b"IEND":
             break
         pos += 12 + size
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunk")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or color not in (2, 6) or comp or filt or interlace:
+    if depth != 8 or color not in (0, 2, 3, 4, 6) or comp or filt or interlace:
         raise NotImplementedError(
-            "only 8-bit non-interlaced truecolor PNG decoded here "
+            "only 8-bit non-interlaced PNG decoded here "
             f"(depth={depth}, color_type={color}, interlace={interlace})"
         )
-    ch = 3 if color == 2 else 4
+    if color == 3 and plte is None:
+        raise ValueError("indexed PNG missing PLTE chunk")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     raw = zlib.decompress(idat)
     stride = w * ch
     if len(raw) < h * (stride + 1):
@@ -220,7 +228,13 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[r] = cur.astype(np.uint8)
         prev = cur
-    return out.reshape(h, w, ch)
+    img = out.reshape(h, w, ch)
+    if color == 3:
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        img = plte[idx]  # (H, W, 3) expanded RGB
+    return img
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -316,7 +330,7 @@ def encode_png(img: np.ndarray) -> bytes:
     import zlib
 
     h, w, ch = img.shape
-    color = 2 if ch == 3 else 6
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]  # gray / gray+a / RGB / RGBA
     stride = w * ch
     prev = np.zeros(stride, dtype=np.int64)
     lines = []

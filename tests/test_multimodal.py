@@ -309,12 +309,13 @@ def test_decode_png_unsupported_and_corrupt():
         encode_png,
     )
 
-    # grayscale (color 0) and 16-bit: honest NotImplementedError
-    for depth, color in [(8, 0), (16, 2), (8, 3)]:
+    # 16-bit depth and Adam7 interlace: honest NotImplementedError
+    # (all five 8-bit color types decode for real as of round 7)
+    for depth, color, inter in [(16, 2, 0), (8, 2, 1), (1, 0, 0)]:
         p = (
             b"\x89PNG\r\n\x1a\n"
             + _png_chunk(
-                b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, 0)
+                b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, inter)
             )
             + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
             + _png_chunk(b"IEND", b"")
@@ -354,3 +355,72 @@ def test_png_roundtrip_all_filters_rgb_and_rgba():
     container, values, rate = decode_media(encode_png(img), "image")
     assert container == "png" and rate is None
     assert np.array_equal(values, img.reshape(-1).astype(np.int64))
+
+
+def test_decode_png_grayscale_palette_and_gray_alpha():
+    """Round-7 completion of the PNG color types: 8-bit grayscale
+    (color 0), indexed (color 3, PLTE expanded to RGB), and
+    gray+alpha (color 4, 'left' neighbor 2 bytes back). Hand-built
+    scanlines, spec equations worked by hand as in the RGB tests."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from lion_parcel_etl_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    # grayscale 2x3 with Up on row 1: raw row0 (5,10,15); row1 raw
+    # (7,13,19) stored as deltas vs row0 = (2,3,4)
+    scan = bytes([0, 5, 10, 15]) + bytes([2, 2, 3, 4])
+    got = decode_png(_png_fixture(3, 2, 0, scan))
+    assert got.shape == (2, 3, 1)
+    assert got[:, :, 0].tolist() == [[5, 10, 15], [7, 13, 19]]
+
+    # gray+alpha 1x2 with Sub: left is TWO bytes back
+    scan = bytes([1, 50, 200, 10, 20])  # raw: (50,200),(60,220)
+    got = decode_png(_png_fixture(2, 1, 4, scan))
+    assert got.reshape(-1).tolist() == [50, 200, 60, 220]
+
+    # palette 2x2: indices map through PLTE to RGB
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red, green, blue
+    scan = bytes([0, 0, 1]) + bytes([0, 2, 0])
+    p = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(scan))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = decode_png(p)
+    assert got.tolist() == [
+        [[255, 0, 0], [0, 255, 0]],
+        [[0, 0, 255], [255, 0, 0]],
+    ]
+    # out-of-range index / missing PLTE are loud
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(bytes([0, 9])))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(bad)
+    nop = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes([0, 0])))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(nop)
+
+    # encoder round-trips the two new channel counts across all filters
+    rng = np.random.RandomState(3)
+    for h, w, ch in [(6, 4, 1), (7, 3, 2)]:
+        img = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
