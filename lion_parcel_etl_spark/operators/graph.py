@@ -253,6 +253,8 @@ def kcore_survivors(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     table (node_a < node_b), exactly as triangle_counts expects."""
     from lion_parcel_etl_spark.operators.dedup import pin
 
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
     und = pin(
         edges.selectExpr("node_a AS src", "node_b AS dst").unionAll(
             edges.selectExpr("node_b AS src", "node_a AS dst")

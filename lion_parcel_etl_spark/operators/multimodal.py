@@ -139,6 +139,16 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec section 9.4) — the tie-break order
+    (left, then up, then up-left) is spec-critical; shared by
+    decode_png and encode_png so the two cannot drift."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """8-bit PNG → (H, W, ch) uint8 array, stdlib-only (round 7; the
     r06 verdict's top decode gap — PNG is the one codec format needing
@@ -165,13 +175,18 @@ def decode_png(payload: bytes) -> np.ndarray:
     pos, ihdr, idat, plte = 8, None, b"", None
     while pos + 12 <= len(payload):
         size, ctype = struct.unpack_from(">I4s", payload, pos)
-        body = payload[pos + 8 : pos + 8 + size]
-        if len(body) < size:
+        if pos + 12 + size > len(payload):
+            # chunk body or its 4 CRC bytes run past the payload —
+            # ValueError (not struct.error) so the Arrow-task handlers'
+            # documented (NotImplementedError, ValueError) contract holds
             raise ValueError("truncated PNG chunk")
+        body = payload[pos + 8 : pos + 8 + size]
         crc = struct.unpack_from(">I", payload, pos + 8 + size)[0]
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG {ctype!r} chunk CRC mismatch")
         if ctype == b"IHDR":
+            if size != 13:
+                raise ValueError(f"PNG IHDR length {size} != 13")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"IDAT":
             idat += body
@@ -193,7 +208,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     if color == 3 and plte is None:
         raise ValueError("indexed PNG missing PLTE chunk")
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as exc:  # truncated/garbled stream with valid CRCs
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
     stride = w * ch
     if len(raw) < h * (stride + 1):
         raise ValueError("truncated PNG scanline data")
@@ -218,12 +236,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif ftype == 4:  # Paeth predictor
             for i in range(stride):
                 a = cur[i - ch] if i >= ch else 0
-                b = prev[i]
                 c = prev[i - ch] if i >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (cur[i] + pr) & 0xFF
+                cur[i] = (cur[i] + _paeth(a, prev[i], c)) & 0xFF
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[r] = cur.astype(np.uint8)
@@ -351,12 +365,8 @@ def encode_png(img: np.ndarray) -> bytes:
             filt = np.empty(stride, np.int64)
             for i in range(stride):
                 a = cur[i - ch] if i >= ch else 0
-                b = prev[i]
                 c = prev[i - ch] if i >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                filt[i] = (cur[i] - pr) % 256
+                filt[i] = (cur[i] - _paeth(a, prev[i], c)) % 256
         lines.append(bytes([f]) + filt.astype(np.uint8).tobytes())
         prev = cur
     idat = zlib.compress(b"".join(lines), 6)

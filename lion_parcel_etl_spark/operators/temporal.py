@@ -348,3 +348,87 @@ def kaplan_meier(
         F.col("c").alias("n_censored"),
         F.round(surv, 6).alias("survival"),
     )
+
+
+def holt_winters_backtest(
+    d: DataFrame,
+    series_col: str = "event_type",
+    x_col: str = "x",
+    y_col: str = "y",
+    season: int = 7,
+) -> DataFrame:
+    """Additive Holt-Winters one-step-ahead backtest over a
+    (series, x, y) daily-volume frame — the operator behind
+    plans/queries.q_holt_winters_eval and the streaming read twin
+    (streaming/jobs.read_holt_winters), shared so the two can't
+    drift. Fixed smoothing constants (queries.HW_ALPHA/BETA/GAMMA);
+    init: level = mean of the first ``season`` days, trend = 0,
+    season_i = y_i − mean; forecasts and error columns
+    (n_days/mae/mape/smape) start at day season+1 — exactly the days
+    a seasonal-naive lag-``season`` is defined on, so the two models'
+    rows compare directly.
+
+    Plan shape: the entire recurrence runs INSIDE one JVM higher-order
+    ``aggregate`` (left fold) over each series' |days|-length array —
+    no UDF, no driver loop, no per-iteration shuffle; the seasonal
+    state is a ``season``-element rotating queue (head = s_{t−m},
+    consumed and re-appended updated each step), so no indexed array
+    writes. |series| rows × bounded-length day arrays: the time
+    dimension doesn't grow with corpus bytes, so this shape survives
+    100 TB unchanged. The SQL oracle replays the identical arithmetic
+    as a recursive CTE (see plans/queries._duck_holt_winters_eval);
+    the shared text fragments live in plans/queries._hw_fragments."""
+    from lion_parcel_etl_spark.plans.queries import HW_BETA, HW_GAMMA, _hw_fragments
+
+    m = season
+    ser = (
+        d.groupBy(F.col(series_col).alias("event_type"))
+        .agg(
+            F.expr(
+                f"transform(array_sort(collect_list(struct({x_col} AS x,"
+                f" {y_col} AS y))), p -> cast(p.y as double))"
+            ).alias("ys")
+        )
+        .filter(F.size("ys") >= m + 1)
+    )
+    init = ser.select(
+        "event_type",
+        "ys",
+        F.expr(
+            f"aggregate(slice(ys, 1, {m}), cast(0.0 as double),"
+            " (a, v) -> a + v)"
+            f" / {m}.0"
+        ).alias("m7"),
+    )
+    pred, err, nl = _hw_fragments("y", "acc.l", "acc.b", "element_at(acc.s, 1)")
+    fold = f"""aggregate(
+  slice(ys, {m + 1}, size(ys) - {m}),
+  named_struct(
+    'l', m7, 'b', cast(0.0 as double),
+    's', transform(slice(ys, 1, {m}), v -> v - m7),
+    'nd', cast(0 as bigint), 'asum', cast(0.0 as double),
+    'msum', cast(0.0 as double), 'mn', cast(0 as bigint),
+    'ssum', cast(0.0 as double), 'sn', cast(0 as bigint)),
+  (acc, y) -> named_struct(
+    'l', {nl},
+    'b', {HW_BETA} * (({nl}) - acc.l) + {1 - HW_BETA} * acc.b,
+    's', concat(slice(acc.s, 2, {m - 1}),
+                array({HW_GAMMA} * (y - acc.l - acc.b)
+                      + {1 - HW_GAMMA} * element_at(acc.s, 1))),
+    'nd', acc.nd + 1,
+    'asum', acc.asum + {err},
+    'msum', acc.msum + (CASE WHEN y > 0 THEN ({err}) / y ELSE 0.0 END),
+    'mn', acc.mn + (CASE WHEN y > 0 THEN 1 ELSE 0 END),
+    'ssum', acc.ssum + (CASE WHEN (abs(y) + abs({pred})) > 0
+                        THEN (2.0 * ({err})) / (abs(y) + abs({pred}))
+                        ELSE 0.0 END),
+    'sn', acc.sn + (CASE WHEN (abs(y) + abs({pred})) > 0 THEN 1 ELSE 0 END))
+)"""
+    st = init.select("event_type", F.expr(fold).alias("st"))
+    return st.select(
+        "event_type",
+        F.col("st.nd").alias("n_days"),
+        F.round(F.expr("st.asum / st.nd"), 6).alias("mae"),
+        F.round(F.expr("st.msum / st.mn"), 6).alias("mape"),
+        F.round(F.expr("st.ssum / st.sn"), 6).alias("smape"),
+    ).orderBy("event_type")

@@ -10308,7 +10308,7 @@ def _rfm_label() -> Column:
     )
 
 
-def q_rfm_segments(spark, sf_dir):
+def q_rfm_segments(spark, sf_dir, base: DataFrame | None = None):
     """RFM customer segmentation (the classic retail-mart readout the
     reference's domain implies, next to softdelete_mart /
     dormant_customers): per customer, days-since-last-order (R),
@@ -10326,7 +10326,7 @@ def q_rfm_segments(spark, sf_dir):
     path (sample-quantile boundaries, zero global sort) and
     q_rfm_agreement measures how much segment fidelity the approx
     path trades away."""
-    per = _rfm_base(spark, sf_dir)
+    per = base if base is not None else _rfm_base(spark, sf_dir)
     r = F.ntile(5).over(
         Window.orderBy(F.col("recency_days").desc(), F.col("custkey").asc())
     )
@@ -10401,7 +10401,7 @@ ORDER BY custkey
 RFM_QUANTS = (0.2, 0.4, 0.6, 0.8)
 
 
-def _rfm_approx_scored(spark, sf_dir) -> DataFrame:
+def _rfm_approx_scored(spark, sf_dir, base: DataFrame | None = None) -> DataFrame:
     """The approx twin's scored frame: quintile boundaries from an
     exact interpolated percentile over a deterministic md5
     1/{APPROX_SAMPLE_DIV} customer sample (the approx_stats estimator
@@ -10414,7 +10414,8 @@ def _rfm_approx_scored(spark, sf_dir) -> DataFrame:
     is exactly what q_rfm_agreement measures."""
     from lion_parcel_etl_spark.operators.sampling import HASH_MOD, id_hash
 
-    base = _rfm_base(spark, sf_dir)
+    if base is None:
+        base = _rfm_base(spark, sf_dir)
     samp = base.filter(
         id_hash(F.col("custkey"), salt="rfmq")
         < F.lit(HASH_MOD // APPROX_SAMPLE_DIV)
@@ -10518,16 +10519,19 @@ def q_rfm_agreement(spark, sf_dir):
     customers whose per-metric score and final segment label match the
     exact quintile segmentation — the number that justifies running
     the zero-sort twin at scale, exactly as ann_recall does for ANN.
-    One |customers|-sized join of the two scored frames; the floor is
-    pinned in tests/test_query_extensions.py."""
-    exact = q_rfm_segments(spark, sf_dir).select(
+    One |customers|-sized join of the two scored frames; the shared
+    _rfm_base aggregate is PINNED and fed to both scorers (review r07:
+    unpinned, the orders-sized groupBy executed once per twin). The
+    floor is pinned in tests/test_query_extensions.py."""
+    base = DD.pin(_rfm_base(spark, sf_dir))
+    exact = q_rfm_segments(spark, sf_dir, base=base).select(
         "custkey",
         F.col("r_score").alias("er"),
         F.col("f_score").alias("ef"),
         F.col("m_score").alias("em"),
         F.col("segment").alias("eseg"),
     )
-    approx = _rfm_approx_scored(spark, sf_dir).select(
+    approx = _rfm_approx_scored(spark, sf_dir, base=base).select(
         "custkey",
         F.col("r_score").alias("ar"),
         F.col("f_score").alias("af"),
@@ -10728,74 +10732,16 @@ def q_holt_winters_eval(spark, sf_dir):
     that must BEAT q_seasonal_naive_eval's yardstick on the same eval
     days with the same MAE/MAPE/sMAPE columns, so the two rows compare
     directly (pytest asserts the win; that is the point of a
-    baseline). Init: level = mean of the first 7 days, trend = 0,
-    season_i = y_i − mean; forecasts start at day 8, exactly the days
-    where the naive lag-7 is defined.
+    baseline). The whole recurrence lives in
+    operators/temporal.holt_winters_backtest (one JVM higher-order
+    fold per series, rotating seasonal queue, no UDF / driver loop /
+    per-iteration shuffle — scale notes on the operator), SHARED with
+    the streaming twin (read_holt_winters over merged daily counts) so
+    the two can't drift; the oracle replays the identical arithmetic
+    as a recursive CTE below."""
+    from lion_parcel_etl_spark.operators.temporal import holt_winters_backtest
 
-    Plan: one events-sized hash aggregate, then the entire recurrence
-    runs INSIDE a JVM higher-order `aggregate` (left fold) over each
-    series' |days|-length array — no UDF, no driver loop, no
-    per-iteration shuffle; the seasonal state is a 7-element rotating
-    queue (head = s_{t−7}, consumed and re-appended updated each
-    step), so no indexed array writes are needed. The oracle replays
-    the identical fold with DuckDB list_reduce — the recurrence
-    arithmetic is shared TEXT (_hw_fragments), so every double matches
-    bit-for-bit. |series| rows × bounded-length day arrays: the time
-    dimension doesn't grow with corpus bytes, so this shape survives
-    100 TB unchanged."""
-    d = _daily_volumes(spark, sf_dir)
-    ser = (
-        d.groupBy("event_type")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(x, y))),"
-                " p -> cast(p.y as double))"
-            ).alias("ys")
-        )
-        .filter(F.size("ys") >= 8)
-    )
-    init = ser.select(
-        "event_type",
-        "ys",
-        F.expr(
-            "aggregate(slice(ys, 1, 7), cast(0.0 as double),"
-            " (a, v) -> a + v) / 7.0"
-        ).alias("m7"),
-    )
-    pred, err, nl = _hw_fragments(
-        "y", "acc.l", "acc.b", "element_at(acc.s, 1)"
-    )
-    fold = f"""aggregate(
-  slice(ys, 8, size(ys) - 7),
-  named_struct(
-    'l', m7, 'b', cast(0.0 as double),
-    's', transform(slice(ys, 1, 7), v -> v - m7),
-    'nd', cast(0 as bigint), 'asum', cast(0.0 as double),
-    'msum', cast(0.0 as double), 'mn', cast(0 as bigint),
-    'ssum', cast(0.0 as double), 'sn', cast(0 as bigint)),
-  (acc, y) -> named_struct(
-    'l', {nl},
-    'b', {HW_BETA} * (({nl}) - acc.l) + {1 - HW_BETA} * acc.b,
-    's', concat(slice(acc.s, 2, 6),
-                array({HW_GAMMA} * (y - acc.l - acc.b)
-                      + {1 - HW_GAMMA} * element_at(acc.s, 1))),
-    'nd', acc.nd + 1,
-    'asum', acc.asum + {err},
-    'msum', acc.msum + (CASE WHEN y > 0 THEN ({err}) / y ELSE 0.0 END),
-    'mn', acc.mn + (CASE WHEN y > 0 THEN 1 ELSE 0 END),
-    'ssum', acc.ssum + (CASE WHEN (abs(y) + abs({pred})) > 0
-                        THEN (2.0 * ({err})) / (abs(y) + abs({pred}))
-                        ELSE 0.0 END),
-    'sn', acc.sn + (CASE WHEN (abs(y) + abs({pred})) > 0 THEN 1 ELSE 0 END))
-)"""
-    st = init.select("event_type", F.expr(fold).alias("st"))
-    return st.select(
-        "event_type",
-        F.col("st.nd").alias("n_days"),
-        F.round(F.expr("st.asum / st.nd"), 6).alias("mae"),
-        F.round(F.expr("st.msum / st.mn"), 6).alias("mape"),
-        F.round(F.expr("st.ssum / st.sn"), 6).alias("smape"),
-    ).orderBy("event_type")
+    return holt_winters_backtest(_daily_volumes(spark, sf_dir))
 
 
 def _duck_holt_winters_eval() -> str:

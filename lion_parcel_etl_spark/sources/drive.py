@@ -118,11 +118,13 @@ def list_folder(
 
 
 class DriveQuotaError(Exception):
-    """Drive's per-file quota / permission refusal (HTTP 403, or the
-    'Quota exceeded' HTML interstitial served with 200). NON-transient:
-    retrying inside the same run cannot succeed — the quota window is
-    hours — so the download loop never retries it; ``on_error="skip"``
-    records and skips the file instead of failing the batch."""
+    """Drive's per-file quota / permission refusal: the 'Quota
+    exceeded' HTML interstitial (served 200 — one attempt, never
+    retried), or an HTTP 403 that persisted through the bounded retry
+    budget (403 is ambiguous between hard quota and a transient
+    rate-limit burst, so it gets the budget before being classified).
+    ``on_error="skip"`` records and skips the file instead of failing
+    the batch."""
 
 
 _CONFIRM_TOKEN = re.compile(r"confirm=([0-9A-Za-z_-]+)")
@@ -145,6 +147,14 @@ def _fetch_file(it: DriveItem, fetch: Callable[[str], bytes]) -> bytes:
             data = fetch(it.download_link + "&confirm=" + tok.group(1))
             if data.lstrip()[:15].lower().startswith((b"<!doctype html", b"<html")):
                 raise DriveQuotaError(it.name)
+        else:
+            # HTML with neither a quota marker nor a confirm token —
+            # a sign-in page, a changed interstitial, a proxy splash.
+            # NEVER write it where a data file belongs; surface it as
+            # a (retryable, then recorded) failure instead.
+            raise ValueError(
+                f"{it.name}: unrecognized HTML interstitial instead of file body"
+            )
     return data
 
 
@@ -166,8 +176,11 @@ def download_all(
     - TRANSIENT errors (socket timeouts, URLError, truncated bodies
       surfacing as IncompleteRead/ConnectionError) retry up to
       ``retries`` extra attempts per file, then count as failed.
-    - :class:`DriveQuotaError` (403 / quota interstitial) is
-      non-transient: never retried.
+    - The quota INTERSTITIAL (an HTML body with a quota marker) is
+      non-transient: one attempt, classified :class:`DriveQuotaError`.
+      An HTTP 403 is ambiguous (hard quota vs transient rate-limit
+      burst): it retries within the same budget and is classified
+      DriveQuotaError only once the budget is spent.
     - ``on_error="raise"`` (default): the first failed file raises,
       after its own retry budget — the all-or-nothing staging load.
       ``on_error="skip"``: failed files are skipped; each (item,
@@ -189,7 +202,16 @@ def download_all(
             except DriveQuotaError as exc:
                 err: Exception = exc
             except urllib.error.HTTPError as exc:
-                if exc.code == 403:  # quota refusal over HTTP: classify
+                if exc.code == 403:
+                    # Drive serves 403 for BOTH hard quota refusals and
+                    # transient userRateLimitExceeded bursts — retry
+                    # within the same bounded budget, and classify as
+                    # quota only once the budget is spent (so a burst
+                    # that clears on retry succeeds, and a true quota
+                    # failure is still labeled for re-queueing).
+                    if attempt < retries:
+                        attempt += 1
+                        continue
                     err = DriveQuotaError(f"{it.name}: HTTP 403")
                 else:  # 5xx / 429 etc: transient, retry within budget
                     err = exc

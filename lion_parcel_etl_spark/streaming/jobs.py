@@ -1461,3 +1461,30 @@ def read_market_basket(
 
     b = pin(warehouse.read(spark, table).select("o", "p").distinct())
     return basket_rules(b, min_pairs=min_pairs, top=top)
+
+
+def read_holt_winters(
+    spark: SparkSession,
+    warehouse,
+    table: str,
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Holt-Winters backtest over the streamed daily-volume log
+    (stream_daily_counts): merge the per-batch counters by summing —
+    daily counts are a commutative monoid, so the merged series equals
+    the batch _daily_volumes over everything ingested so far, whatever
+    the batch boundaries were — then run the IDENTICAL batch operator
+    (operators/temporal.holt_winters_backtest, shared code). Extends
+    the lossless-sufficient-statistic twin family (cusum, vocab_kl,
+    market_basket) to forecasting: read cost is O(groups × days),
+    never a raw-stream rescan, and the result provably equals
+    q_holt_winters_eval over the same events (tested)."""
+    from lion_parcel_etl_spark.operators.temporal import holt_winters_backtest
+
+    log = warehouse.read(spark, table)
+    merged = log.groupBy("g", "day").agg(F.sum("cnt").alias("y")).select(
+        F.col("g").alias(group_col),
+        F.unix_date(F.to_date("day")).alias("x"),
+        "y",
+    )
+    return holt_winters_backtest(merged, series_col=group_col)

@@ -175,8 +175,9 @@ def test_download_quota_403_never_retried_and_skippable(tmp_path):
         items, tmp_path, fetch=fetch, retries=5, on_error="skip",
         failures=failures,
     )
-    # an HTTP 403 is CLASSIFIED as quota: exactly one attempt, no retry
-    assert attempts["q.json"] == 1
+    # HTTP 403 is ambiguous (quota vs rate-limit burst): retried within
+    # the budget, then CLASSIFIED as quota for re-queueing
+    assert attempts["q.json"] == 6  # 1 + retries(5)
     assert attempts["ok.json"] == 1 and [p.name for p in written] == ["ok.json"]
     assert len(failures) == 1 and failures[0][0].name == "q.json"
     assert isinstance(failures[0][1], DriveQuotaError)
@@ -244,3 +245,26 @@ def test_download_on_error_validation(tmp_path):
 
     with pytest.raises(ValueError, match="on_error"):
         download_all([], tmp_path, on_error="ignore")
+
+
+def test_download_unrecognized_html_never_written_as_data(tmp_path):
+    """An HTML body with neither a quota marker nor a confirm token (a
+    sign-in page, a changed interstitial) must NEVER be written where a
+    data file belongs — it surfaces as a retryable-then-recorded
+    failure instead."""
+    from lion_parcel_etl_spark.sources.drive import download_all
+
+    attempts = {"n": 0}
+
+    def signin_fetch(url):
+        attempts["n"] += 1
+        return b"<html><body>Sign in to continue</body></html>"
+
+    failures: list = []
+    out = download_all(
+        [DriveItem(id="f.json", name="f.json")], tmp_path,
+        fetch=signin_fetch, retries=1, on_error="skip", failures=failures,
+    )
+    assert out == [] and not list(tmp_path.glob("*.json"))
+    assert attempts["n"] == 2  # 1 + retries(1): transient classification
+    assert isinstance(failures[0][1], ValueError)

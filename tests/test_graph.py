@@ -127,3 +127,12 @@ def test_cooccurrence_hub_cap_prunes_hub_only_pairs(bipartite):
 def test_cooccurrence_threshold_filters(bipartite):
     got = cooccurrence_edges(bipartite, "k", "u", min_jaccard=0.9).collect()
     assert [(r["node_a"], r["node_b"]) for r in got] == [(1, 2)]
+
+
+def test_kcore_rejects_nonpositive_rounds():
+    import pytest
+
+    from lion_parcel_etl_spark.operators.graph import kcore_survivors
+
+    with pytest.raises(ValueError, match="rounds"):
+        kcore_survivors(None, k=2, rounds=0)

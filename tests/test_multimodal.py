@@ -424,3 +424,47 @@ def test_decode_png_grayscale_palette_and_gray_alpha():
     for h, w, ch in [(6, 4, 1), (7, 3, 2)]:
         img = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
         assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def test_decode_png_corrupt_bytes_raise_valueerror_not_struct_zlib():
+    """The Arrow-task handlers catch (NotImplementedError, ValueError)
+    only — every corrupt-byte shape must surface as ValueError, never
+    zlib.error / struct.error (which would crash the whole task on one
+    bad row). Shapes: IDAT stream truncated behind VALID chunk CRCs,
+    IHDR with a wrong length, and a chunk cut inside its CRC bytes."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from lion_parcel_etl_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    # valid-CRC chunks but IDAT holds only HALF the deflate stream
+    full = zlib.compress(bytes([0, 0, 1, 2, 3, 4, 5]) + bytes([0, 6, 7, 8, 9, 10, 11]))
+    p = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", full[: len(full) // 2])
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IDAT|scanline"):
+        decode_png(p)
+    # IHDR body not 13 bytes (CRC valid for the short body)
+    p2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">II", 2, 2))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IHDR"):
+        decode_png(p2)
+    # chunk truncated inside its CRC trailer: drop IEND (12 bytes)
+    # plus 2 bytes of the IDAT CRC itself
+    good = encode_png(img)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(good[: len(good) - 14])

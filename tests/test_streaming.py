@@ -1610,3 +1610,50 @@ def test_stream_market_basket_agrees_under_order_splitting(spark, tmp_path):
     assert sorted(map(tuple, again), key=lambda t: t[:2]) == sorted(
         map(tuple, want), key=lambda t: t[:2]
     )
+
+
+def test_stream_holt_winters_equals_batch(spark, tmp_path, sf_dir):
+    """The forecasting twin: Holt-Winters over the merged daily-count
+    log must equal q_holt_winters_eval over the same events even when
+    a day's events are split across micro-batches (counts are a
+    commutative monoid), and a crash replay cannot double-count."""
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.plans.queries import q_holt_winters_eval
+    from lion_parcel_etl_spark.streaming.jobs import (
+        read_holt_winters,
+        stream_daily_counts,
+    )
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "event_type"
+    )
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    # adversarial split: odd/even event ids, so every day's volume is
+    # spread across both batches
+    for i, frag in enumerate(
+        [ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1")]
+    ):
+        frag.coalesce(1).write.mode("append").parquet(landing)
+        stream = spark.readStream.schema(ev.schema).parquet(landing)
+        stream_daily_counts(stream, wh, "daily", "ts", "event_type", ckpt)
+
+    got = read_holt_winters(spark, wh, "daily").collect()
+    want = q_holt_winters_eval(spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and got
+
+    # crash replay: re-append batch 1's partial counts under the same id
+    part = (
+        ev.filter("event_id % 2 = 1")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("g"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wh.append_batch(part, "daily", 1)
+    again = read_holt_winters(spark, wh, "daily").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, want))
