@@ -201,6 +201,8 @@ HEADLINE = [
     "rfm_agreement",
     "holt_winters_eval",
     "kcore_peel",
+    "ks_drift",
+    "benford_audit",
 ]
 
 # FROZEN anchor set (round 6, per the r05 verdict): cross-round

@@ -91,7 +91,12 @@ from pyspark.sql import DataFrame
 # reference date (the same scalar pattern); rfm_segments_approx and
 # rfm_agreement add a second ONE-ROW cross — the broadcast
 # sample-quantile boundary scalars that replace the exact NTILEs'
-# global sorts (that zero-sort trade is the query's entire point).
+# global sorts (that zero-sort trade is the query's entire point);
+# ks_drift crosses the |distinct values|-sized count table with the
+# broadcast |groups|-row group list (the ECDF grid fan-out — groups is
+# a handful of rows) plus the ONE-ROW corpus total; benford_audit
+# crosses its 9-row digit table with the ONE-ROW total (the
+# column_profile pattern).
 BNLJ_ALLOWED = frozenset(
     {
         "cosine_topk",
@@ -134,6 +139,8 @@ BNLJ_ALLOWED = frozenset(
         "rfm_segments",
         "rfm_segments_approx",
         "rfm_agreement",
+        "ks_drift",
+        "benford_audit",
     }
 )
 

@@ -4942,6 +4942,175 @@ KCORE_K = 2
 KCORE_ROUNDS = 8
 
 
+def q_ks_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov drift per event type: the
+    KS statistic D = max |F_g − F_rest| between each type's ``value``
+    distribution and the pooled complement, plus the scaled test
+    statistic D·sqrt(n_g·n_r/(n_g+n_r)) — the EXACT counterpart in the
+    drift family next to the binned psi_drift (numeric, approximate)
+    and vocab_kl (text): PSI says how much mass moved between fixed
+    bins, KS says the largest CDF gap anywhere, bin-free.
+
+    Plan: one scan builds per-(group, value) and per-value counts; the
+    ECDF grid is groups × distinct-values (a broadcast |groups|-row
+    cross), cumulated by ONE window sort per group; every F is an
+    exact integer-count ratio so the statistic replays bit-for-bit.
+    Scale note: the grid is |distinct values|-bound — for a continuous
+    column at 100 TB, pre-bucket values to quantile bins first (the
+    psi_drift shape) and this same query computes binned-KS; the exact
+    form is for the |distinct|-bounded columns it is pointed at."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).select(F.col("event_type").alias("g"), F.col("value").alias("v"))
+    tot = pts.groupBy("v").agg(F.count(F.lit(1)).alias("ct"))
+    cnt = pts.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    gs = pts.groupBy("g").agg(F.count(F.lit(1)).alias("ng"))
+    n_all = pts.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        tot.crossJoin(F.broadcast(gs))
+        .join(cnt, ["g", "v"], "left")
+        .select("g", "ng", "v", "ct", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w = Window.partitionBy("g").orderBy("v")
+    cum = grid.select(
+        "g",
+        "ng",
+        F.sum("c").over(w).alias("cg"),
+        F.sum("ct").over(w).alias("cto"),
+    )
+    gap = F.abs(
+        F.col("cg").cast("double") / F.col("ng")
+        - (F.col("cto") - F.col("cg")).cast("double") / (F.col("n") - F.col("ng"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(n_all))
+        .groupBy("g", "ng", "n")
+        .agg(F.max(gap).alias("d"))
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("ng").alias("n_group"),
+            (F.col("n") - F.col("ng")).alias("n_rest"),
+            F.round("d", 6).alias("ks_d"),
+            F.round(
+                F.col("d")
+                * F.sqrt(
+                    (F.col("ng") * (F.col("n") - F.col("ng"))).cast("double")
+                    / F.col("n")
+                ),
+                6,
+            ).alias("ks_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_KS_DRIFT = """
+WITH pts AS (
+  SELECT event_type AS g, value AS v FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+tot AS (SELECT v, CAST(count(*) AS BIGINT) AS ct FROM pts GROUP BY 1),
+cnt AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM pts GROUP BY 1, 2),
+gs AS (SELECT g, CAST(count(*) AS BIGINT) AS ng FROM pts GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
+grid AS (
+  SELECT gs.g, gs.ng, t.v, t.ct, COALESCE(c.c, 0) AS c
+  FROM tot t CROSS JOIN gs
+  LEFT JOIN cnt c ON c.g = gs.g AND c.v = t.v
+),
+cum AS (
+  SELECT g, ng,
+         SUM(c) OVER (PARTITION BY g ORDER BY v) AS cg,
+         SUM(ct) OVER (PARTITION BY g ORDER BY v) AS cto
+  FROM grid
+),
+d AS (
+  SELECT g, ng, n,
+         max(abs(CAST(cg AS DOUBLE) / ng
+                 - CAST(cto - cg AS DOUBLE) / (n - ng))) AS d
+  FROM cum CROSS JOIN nn GROUP BY 1, 2, 3
+)
+SELECT g AS event_type, ng AS n_group, n - ng AS n_rest,
+       round(d, 6) AS ks_d,
+       round(d * sqrt(CAST(ng * (n - ng) AS DOUBLE) / n), 6) AS ks_stat
+FROM d ORDER BY event_type
+"""
+
+
+#: Benford expected first-digit probabilities log10(1 + 1/d) as shared
+#: literals, so both engines consume identical double constants.
+import math  # noqa: E402
+
+BENFORD_P = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def q_benford_audit(spark, sf_dir):
+    """Benford's-law conformance of order totals: observed vs expected
+    first-significant-digit distribution + per-digit chi-square
+    contributions — the classic forensic data-quality audit for
+    fabricated or truncated monetary columns (naturally-growing
+    amounts follow log10(1+1/d); a capped or hand-entered column
+    doesn't). Digit extraction goes through the exact-cents BIGINT
+    (leading digit is scale-invariant), so no float-to-string
+    formatting divergence can exist between engines; expected
+    probabilities are shared literal constants (BENFORD_P).
+
+    Plan: one projection + one 9-group hash aggregate; output is 9
+    rows at any corpus size."""
+    o = _t(spark, sf_dir, "orders")
+    # cents >= 100 for any total >= $1, so char 1 is never a sign and
+    # never 0; still guard negatives/zeros out explicitly.
+    d1 = F.substring(cents(F.col("o_totalprice")).cast("string"), 1, 1).cast("int")
+    base = o.filter(F.col("o_totalprice") > 0).select(d1.alias("digit"))
+    n = base.agg(F.count(F.lit(1)).alias("n"))
+    obs = base.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    exp_p = F.lit(None)
+    for d, pv in BENFORD_P.items():
+        exp_p = F.when(F.col("digit") == d, F.lit(pv)).otherwise(exp_p)
+    j = obs.crossJoin(F.broadcast(n))
+    expected = F.col("n") * exp_p
+    return (
+        j.select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs").cast("double") / F.col("n"), 6).alias("p_obs"),
+            F.round(exp_p, 6).alias("p_benford"),
+            F.round(
+                (F.col("n_obs") - expected) * (F.col("n_obs") - expected)
+                / expected,
+                6,
+            ).alias("chi2"),
+        )
+        .orderBy("digit")
+    )
+
+
+def _duck_benford_audit() -> str:
+    # the CAST matters: bare float literals bind as DECIMAL in DuckDB,
+    # and (n_obs - n*DECIMAL)^2 overflows DECIMAL(38)
+    cases = (
+        "CAST(CASE digit "
+        + " ".join(f"WHEN {d} THEN {BENFORD_P[d]!r}" for d in range(1, 10))
+        + " END AS DOUBLE)"
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM base GROUP BY 1)
+SELECT digit, n_obs,
+       round(CAST(n_obs AS DOUBLE) / n, 6) AS p_obs,
+       round({cases}, 6) AS p_benford,
+       round((n_obs - n * {cases}) * (n_obs - n * {cases})
+             / (n * {cases}), 6) AS chi2
+FROM obs CROSS JOIN nn
+ORDER BY digit
+"""
+
+
 def q_kcore_peel(spark, sf_dir):
     """k-core decomposition ({KCORE_K}-core) of the user co-occurrence
     graph by iterative min-degree peeling — the corpus-graph density
@@ -11010,6 +11179,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "seasonal_naive_eval": (q_seasonal_naive_eval, SQL_SEASONAL_NAIVE),
     "holt_winters_eval": (q_holt_winters_eval, _duck_holt_winters_eval()),
     "kcore_peel": (q_kcore_peel, _duck_kcore_peel()),
+    "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
+    "benford_audit": (q_benford_audit, _duck_benford_audit()),
 }
 
 # Round-7 registry head: queries whose OUTPUT changed or that are new
@@ -11026,6 +11197,8 @@ _R7_HEAD = [
     "rfm_agreement",
     "holt_winters_eval",
     "kcore_peel",
+    "ks_drift",
+    "benford_audit",
     "compression_ratio",
 ]
 assert set(_R7_HEAD) <= set(QUERIES), sorted(set(_R7_HEAD) - set(QUERIES))

@@ -80,3 +80,42 @@ def test_kcore_fixed_point_and_invariants(spark, sf_dir):
             within[a] += 1
             within[b] += 1
     assert dict(within) == got
+
+
+def test_ks_drift_bounds_and_self_consistency(spark, sf_dir):
+    """KS properties the oracle can't express: D in [0,1]; group and
+    complement sizes partition the corpus; the scaled statistic obeys
+    its definition; and a group identical in distribution to the rest
+    (impossible to construct here, so instead): recomputing D from a
+    two-sided swap (group vs rest mirrored) is symmetric."""
+    from lion_parcel_etl_spark.plans.queries import q_ks_drift
+
+    rows = q_ks_drift(spark, sf_dir).collect()
+    assert rows
+    total = rows[0].n_group + rows[0].n_rest
+    import math
+
+    for r in rows:
+        assert 0.0 <= r.ks_d <= 1.0
+        assert r.n_group + r.n_rest == total
+        scale = math.sqrt(r.n_group * r.n_rest / total)
+        want = r.ks_d * scale
+        # ks_d is rounded at 1e-6 before this recomputation, so the
+        # comparison tolerance must carry the sqrt scale factor
+        assert abs(r.ks_stat - want) <= 5e-7 * scale + 5e-7
+
+
+def test_benford_audit_distribution_identities(spark, sf_dir):
+    """p_obs sums to 1 over the 9 digits, expected probabilities are
+    Benford's, and chi2 contributions are non-negative with the
+    largest observed deviation carrying the largest chi2 given equal
+    expectations are NOT equal — so just pin non-negativity plus the
+    exact p_benford constants."""
+    from lion_parcel_etl_spark.plans.queries import BENFORD_P, q_benford_audit
+
+    rows = {r.digit: r for r in q_benford_audit(spark, sf_dir).collect()}
+    assert set(rows) <= set(range(1, 10))
+    assert abs(sum(r.p_obs for r in rows.values()) - 1.0) < 1e-4
+    for d, r in rows.items():
+        assert abs(r.p_benford - round(BENFORD_P[d], 6)) < 1e-9
+        assert r.chi2 >= 0
