@@ -610,3 +610,61 @@ def theil_sen_trend(
         "n",
         F.round("slope", 6).alias("slope"),
     )
+
+
+def ks_from_group_value_counts(cnt: DataFrame) -> DataFrame:
+    """Exact two-sample KS per group vs the pooled complement from a
+    (g, v, c) count table — the ONE statistic pipeline shared by the
+    batch query (plans/queries.q_ks_drift) and the streaming twin
+    (streaming/jobs.read_ks_drift over merged per-batch counts), so
+    the two can't drift. Counts are sufficient statistics for an ECDF,
+    and they are a commutative monoid under addition — which is what
+    makes the streaming twin lossless.
+
+    Plan: totals re-aggregate from the count table (never rescanning
+    rows); the ECDF grid is a broadcast |groups|-row fan-out over
+    distinct values, cumulated by ONE window sort per group; every F
+    is an exact integer-count ratio. |distinct values|-bound — for
+    continuous columns at 100 TB pre-bucket to quantile bins first
+    (the psi_drift shape) and this same pipeline computes binned-KS."""
+    from pyspark.sql import Window
+
+    tot = cnt.groupBy("v").agg(F.sum("c").alias("ct"))
+    gs = cnt.groupBy("g").agg(F.sum("c").alias("ng"))
+    n_all = cnt.agg(F.sum("c").alias("n"))
+    grid = (
+        tot.crossJoin(F.broadcast(gs))
+        .join(cnt, ["g", "v"], "left")
+        .select("g", "ng", "v", "ct", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w = Window.partitionBy("g").orderBy("v")
+    cum = grid.select(
+        "g",
+        "ng",
+        F.sum("c").over(w).alias("cg"),
+        F.sum("ct").over(w).alias("cto"),
+    )
+    gap = F.abs(
+        F.col("cg").cast("double") / F.col("ng")
+        - (F.col("cto") - F.col("cg")).cast("double") / (F.col("n") - F.col("ng"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(n_all))
+        .groupBy("g", "ng", "n")
+        .agg(F.max(gap).alias("d"))
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("ng").alias("n_group"),
+            (F.col("n") - F.col("ng")).alias("n_rest"),
+            F.round("d", 6).alias("ks_d"),
+            F.round(
+                F.col("d")
+                * F.sqrt(
+                    (F.col("ng") * (F.col("n") - F.col("ng"))).cast("double")
+                    / F.col("n")
+                ),
+                6,
+            ).alias("ks_stat"),
+        )
+        .orderBy("event_type")
+    )

@@ -4951,58 +4951,23 @@ def q_ks_drift(spark, sf_dir):
     and vocab_kl (text): PSI says how much mass moved between fixed
     bins, KS says the largest CDF gap anywhere, bin-free.
 
-    Plan: one scan builds per-(group, value) and per-value counts; the
-    ECDF grid is groups × distinct-values (a broadcast |groups|-row
-    cross), cumulated by ONE window sort per group; every F is an
-    exact integer-count ratio so the statistic replays bit-for-bit.
-    Scale note: the grid is |distinct values|-bound — for a continuous
-    column at 100 TB, pre-bucket values to quantile bins first (the
-    psi_drift shape) and this same query computes binned-KS; the exact
-    form is for the |distinct|-bounded columns it is pointed at."""
+    One scan reduces the corpus to per-(group, value) counts — the
+    ECDF's sufficient statistic and an additive monoid, which is why
+    the streaming twin (stream_value_counts → read_ks_drift) is
+    lossless; the statistic pipeline is SHARED with that twin
+    (operators/checks.ks_from_group_value_counts — grid/window/scale
+    notes live there)."""
+    from lion_parcel_etl_spark.operators.checks import (
+        ks_from_group_value_counts,
+    )
+
     ev = _t(spark, sf_dir, "events")
-    pts = ev.filter(
-        F.col("value").isNotNull() & F.col("event_type").isNotNull()
-    ).select(F.col("event_type").alias("g"), F.col("value").alias("v"))
-    tot = pts.groupBy("v").agg(F.count(F.lit(1)).alias("ct"))
-    cnt = pts.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
-    gs = pts.groupBy("g").agg(F.count(F.lit(1)).alias("ng"))
-    n_all = pts.agg(F.count(F.lit(1)).alias("n"))
-    grid = (
-        tot.crossJoin(F.broadcast(gs))
-        .join(cnt, ["g", "v"], "left")
-        .select("g", "ng", "v", "ct", F.coalesce("c", F.lit(0)).alias("c"))
+    cnt = (
+        ev.filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(F.col("event_type").alias("g"), F.col("value").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.partitionBy("g").orderBy("v")
-    cum = grid.select(
-        "g",
-        "ng",
-        F.sum("c").over(w).alias("cg"),
-        F.sum("ct").over(w).alias("cto"),
-    )
-    gap = F.abs(
-        F.col("cg").cast("double") / F.col("ng")
-        - (F.col("cto") - F.col("cg")).cast("double") / (F.col("n") - F.col("ng"))
-    )
-    return (
-        cum.crossJoin(F.broadcast(n_all))
-        .groupBy("g", "ng", "n")
-        .agg(F.max(gap).alias("d"))
-        .select(
-            F.col("g").alias("event_type"),
-            F.col("ng").alias("n_group"),
-            (F.col("n") - F.col("ng")).alias("n_rest"),
-            F.round("d", 6).alias("ks_d"),
-            F.round(
-                F.col("d")
-                * F.sqrt(
-                    (F.col("ng") * (F.col("n") - F.col("ng"))).cast("double")
-                    / F.col("n")
-                ),
-                6,
-            ).alias("ks_stat"),
-        )
-        .orderBy("event_type")
-    )
+    return ks_from_group_value_counts(cnt)
 
 
 SQL_KS_DRIFT = """

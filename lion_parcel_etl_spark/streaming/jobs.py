@@ -1488,3 +1488,60 @@ def read_holt_winters(
         "y",
     )
     return holt_winters_backtest(merged, series_col=group_col)
+
+
+def stream_value_counts(
+    df: DataFrame,
+    warehouse,
+    table: str,
+    group_col: str,
+    value_col: str,
+    checkpoint: str,
+) -> None:
+    """Continuously-maintained per-(group, value) counts — the ECDF's
+    sufficient statistic, and an additive monoid, so the merged log is
+    lossless under ANY batch split (the stream_daily_counts shape with
+    a value key instead of a day key). Per-batch state is
+    O(groups × distinct values in the batch); exactly-once by
+    ``__batch_id`` layout; compact by sum-merging old partitions.
+    Consumers: :func:`read_ks_drift` (exact two-sample KS — equals the
+    batch q_ks_drift over everything ingested, tested), and any other
+    distribution statistic computable from counts."""
+
+    def _batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        part = (
+            batch.filter(
+                F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+            )
+            .groupBy(
+                F.col(group_col).alias("g"), F.col(value_col).alias("v")
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        warehouse.append_batch(part, table, batch_id)
+
+    q = (
+        df.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_ks_drift(spark: SparkSession, warehouse, table: str) -> DataFrame:
+    """Exact two-sample KS drift from the streamed count log: sum-merge
+    the per-batch (g, v) counters, then the IDENTICAL batch pipeline
+    (operators/checks.ks_from_group_value_counts — shared code).
+    Equals q_ks_drift over all ingested events, whatever the batch
+    boundaries were; read cost is O(groups × distinct values), never a
+    raw-stream rescan."""
+    from lion_parcel_etl_spark.operators.checks import (
+        ks_from_group_value_counts,
+    )
+
+    log = warehouse.read(spark, table)
+    merged = log.groupBy("g", "v").agg(F.sum("c").alias("c"))
+    return ks_from_group_value_counts(merged)

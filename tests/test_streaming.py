@@ -1657,3 +1657,42 @@ def test_stream_holt_winters_equals_batch(spark, tmp_path, sf_dir):
     wh.append_batch(part, "daily", 1)
     again = read_holt_winters(spark, wh, "daily").collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, want))
+
+
+def test_stream_ks_drift_equals_batch(spark, tmp_path, sf_dir):
+    """KS over the merged value-count log equals q_ks_drift over the
+    same events under an adversarial split (odd/even event ids, so
+    every group's values spread across batches); a crash replay of a
+    batch's counts cannot double-count."""
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.plans.queries import q_ks_drift
+    from lion_parcel_etl_spark.streaming.jobs import (
+        read_ks_drift,
+        stream_value_counts,
+    )
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    for frag in [ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1")]:
+        frag.coalesce(1).write.mode("append").parquet(landing)
+        stream = spark.readStream.schema(ev.schema).parquet(landing)
+        stream_value_counts(stream, wh, "vc", "event_type", "value", ckpt)
+
+    got = read_ks_drift(spark, wh, "vc").collect()
+    want = q_ks_drift(spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and got
+
+    part = (
+        ev.filter("event_id % 2 = 1")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(F.col("event_type").alias("g"), F.col("value").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wh.append_batch(part, "vc", 1)
+    again = read_ks_drift(spark, wh, "vc").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, want))
