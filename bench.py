@@ -203,6 +203,9 @@ HEADLINE = [
     "kcore_peel",
     "ks_drift",
     "benford_audit",
+    "ppr_seeded",
+    "unigram_entropy",
+    "trimmed_stats",
 ]
 
 # FROZEN anchor set (round 6, per the r05 verdict): cross-round

@@ -155,7 +155,12 @@ BNLJ_ALLOWED = frozenset(
 # sides — the duplicate set grows with the corpus, so broadcasting it
 # would be the scale bug; a shuffle join on the id key is the honest
 # plan (AQE downgrades it to broadcast at small scale on its own).
-SMJ_ALLOWED = frozenset({"pagerank", "snapshot_diff", "semantic_dedup"})
+# ppr_seeded shares pagerank's iteration join verbatim (same pinned
+# hash-partitioned operands, same |nodes|-sized non-broadcastable rank
+# vector), so it inherits the same SMJ justification.
+SMJ_ALLOWED = frozenset(
+    {"pagerank", "ppr_seeded", "snapshot_diff", "semantic_dedup"}
+)
 
 
 def formatted_plan(df: DataFrame) -> str:

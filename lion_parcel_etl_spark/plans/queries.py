@@ -4942,6 +4942,249 @@ KCORE_K = 2
 KCORE_ROUNDS = 8
 
 
+PPR_SEED_MOD = 7
+
+
+def q_ppr_seeded(spark, sf_dir):
+    """Personalized PageRank over the trade graph: the teleport mass
+    concentrates on a SEED cohort (every {PPR_SEED_MOD}-th supplier —
+    standing in for a trusted/labeled set) instead of spreading
+    uniformly, so rank measures closeness to the seeds — the standard
+    graph-based relevance-propagation primitive for data curation
+    (seed = trusted documents, rank = crawl-frontier priority) and the
+    personalized twin of q_pagerank. Same damping, same
+    {PAGERANK_ITERS} unrolled power iterations, same pinned
+    degree-annotated edge machinery: per-iteration cost is ONE join of
+    the pinned edge list with the rank vector + a |nodes|-sized
+    grouped sum; the teleport vector is a computed column on the
+    pinned node table (no extra join, no extra shuffle). Fixed
+    iteration count keeps it SQL-replayable; ranks round at 1e-9.
+    Seed mass conservation (Σ rank = 1 every iteration, since the
+    symmetric trade graph has no dangling nodes) is pytest-pinned."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+    )
+    edges = pairs.selectExpr("c AS src", "s AS dst").unionByName(
+        pairs.selectExpr("s AS src", "c AS dst")
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ed = DD.pin(edges.join(deg, "src").repartition("src"))
+    is_seed = F.col("node").startswith("s") & (
+        F.substring("node", 2, 12).cast("long") % PPR_SEED_MOD == 0
+    )
+    nodes = DD.pin(
+        ed.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", is_seed.alias("seed"))
+        .repartition("node")
+    )
+    n_seeds = nodes.filter("seed").count()
+    tele = F.when(F.col("seed"), F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0))
+    ranks = nodes.select("node", tele.alias("rank"))
+    d = PAGERANK_DAMP
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            ed.join(ranks, ed.src == F.col("node"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("flow"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0 - d) * tele
+                + F.lit(d) * F.coalesce("flow", F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+def _duck_ppr_seeded(iters: int = PAGERANK_ITERS, d: float = PAGERANK_DAMP) -> str:
+    tele = (
+        "CASE WHEN n.node LIKE 's%' AND CAST(substr(n.node, 2) AS BIGINT) % "
+        f"{PPR_SEED_MOD} = 0 THEN 1.0 / ns.k ELSE 0.0 END"
+    )
+    step = """
+, r{i} AS MATERIALIZED (
+  SELECT n.node,
+         (1.0 - {d}) * ({tele}) + {d} * COALESCE(f.flow, 0.0) AS rank
+  FROM nodes n CROSS JOIN ns LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank / deg.out_deg) AS flow
+    FROM edges e
+    JOIN deg ON deg.src = e.src
+    JOIN r{prev} r ON r.node = e.src
+    GROUP BY e.dst
+  ) f ON f.node = n.node
+)"""
+    body = "".join(
+        step.format(i=i, prev=i - 1, d=d, tele=tele) for i in range(1, iters + 1)
+    )
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT 'c' || o.o_custkey AS c, 's' || l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), edges AS MATERIALIZED (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+), nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS k FROM nodes n
+       WHERE n.node LIKE 's%' AND CAST(substr(n.node, 2) AS BIGINT) % {PPR_SEED_MOD} = 0),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+r0 AS (SELECT n.node, {tele} AS rank FROM nodes n CROSS JOIN ns){body}
+SELECT node, round(rank, 9) AS rank FROM r{iters}
+"""
+
+
+def q_unigram_entropy(spark, sf_dir):
+    """Per-source unigram Shannon entropy + type-token ratio — the
+    corpus DIVERSITY readout next to vocab_kl's drift readout (KL says
+    how far a source is from the mix; entropy says how concentrated
+    the source itself is — boilerplate-heavy slices score low). H =
+    log2(n) − Σ c·log2(c) / n over exact integer counts, so both
+    engines feed log2 identical integers (the lm_surprisal
+    discipline); norm_entropy divides by log2(vocab) (the max possible
+    H), giving the scale-free [0, 1] efficiency of the vocabulary.
+
+    Plan: reuses the pinned (source, token) count table the vocab_kl
+    family builds — corpus scanned ONCE, then a |vocabulary|-sized
+    aggregate; output is |sources| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    st = DD.pin(TX.source_token_counts(docs))
+    g = st.groupBy("source").agg(
+        F.sum("c_st").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.col("c_st") * F.log2(F.col("c_st"))).alias("slc"),
+    )
+    h = F.log2(F.col("n_tokens")) - F.col("slc") / F.col("n_tokens")
+    return g.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        F.round(F.col("vocab").cast("double") / F.col("n_tokens"), 6).alias("ttr"),
+        F.round(h, 6).alias("entropy_bits"),
+        F.round(
+            F.when(F.col("vocab") > 1, h / F.log2(F.col("vocab"))), 6
+        ).alias("norm_entropy"),
+    ).orderBy("source")
+
+
+SQL_UNIGRAM_ENTROPY = f"""
+WITH st AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c_st
+  FROM (SELECT source, unnest({_DUCK_TOKS}) AS token FROM documents)
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT source, SUM(c_st) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS vocab,
+         SUM(c_st * log2(c_st)) AS slc
+  FROM st GROUP BY 1
+)
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, vocab,
+       round(CAST(vocab AS DOUBLE) / n_tokens, 6) AS ttr,
+       round(log2(n_tokens) - slc / n_tokens, 6) AS entropy_bits,
+       round(CASE WHEN vocab > 1
+             THEN (log2(n_tokens) - slc / n_tokens) / log2(vocab) END, 6)
+         AS norm_entropy
+FROM g ORDER BY source
+"""
+
+
+TRIM_FRAC = 0.1
+
+
+def q_trimmed_stats(spark, sf_dir):
+    """Robust location estimates per return flag: plain, {TRIM_FRAC}-
+    trimmed and winsorized means of extended price — the
+    outlier-resistant aggregation family next to mad_outliers
+    (detection) and trend_theil_sen (robust fit). Exact arithmetic
+    throughout: prices go through the cents trick, the trim boundary
+    is a deterministic integer rank (ties broken by the unique
+    (orderkey, linenumber)), and every mean is a BIGINT-sum / count
+    ratio rounded once.
+
+    Plan: ONE window sort per group assigns ranks (the stats_agg
+    family's honest exact-order cost — the sketch path for 100 TB is
+    approx_stats' sample percentiles); a single conditional aggregate
+    then produces all three means, the trim count and both winsor
+    boundaries — no second pass, no join-back."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = cents(F.col("l_extendedprice"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        v.asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    ranked = li.select(
+        "l_returnflag",
+        v.alias("v"),
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
+    ).withColumn("k", F.floor(F.lit(TRIM_FRAC) * F.col("n")).cast("long"))
+    kept = (F.col("rnk") > F.col("k")) & (F.col("rnk") <= F.col("n") - F.col("k"))
+    g = ranked.groupBy("l_returnflag").agg(
+        F.max("n").alias("n_rows"),
+        F.max("k").alias("k_trim"),
+        F.sum("v").alias("s_all"),
+        F.sum(F.when(kept, F.col("v"))).alias("s_kept"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.max(F.when(F.col("rnk") == F.col("k") + 1, F.col("v"))).alias("lo"),
+        F.max(F.when(F.col("rnk") == F.col("n") - F.col("k"), F.col("v"))).alias("hi"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n_rows",
+        "k_trim",
+        F.round(F.col("s_all").cast("double") / F.col("n_rows") / 100.0, 6).alias(
+            "mean"
+        ),
+        F.round(F.col("s_kept").cast("double") / F.col("n_kept") / 100.0, 6).alias(
+            "trimmed_mean"
+        ),
+        F.round(
+            (F.col("s_kept") + F.col("k_trim") * (F.col("lo") + F.col("hi")))
+            .cast("double")
+            / F.col("n_rows")
+            / 100.0,
+            6,
+        ).alias("winsorized_mean"),
+    ).orderBy("l_returnflag")
+
+
+SQL_TRIMMED_STATS = f"""
+WITH ranked AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY l_returnflag
+             ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT) ASC,
+                      l_orderkey ASC, l_linenumber ASC) AS rnk,
+         CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+  FROM lineitem
+),
+base AS (SELECT *, CAST(floor({TRIM_FRAC} * n) AS BIGINT) AS k FROM ranked),
+g AS (
+  SELECT l_returnflag, MAX(n) AS n_rows, MAX(k) AS k_trim,
+         SUM(v) AS s_all,
+         SUM(CASE WHEN rnk > k AND rnk <= n - k THEN v END) AS s_kept,
+         SUM(CASE WHEN rnk > k AND rnk <= n - k THEN 1 ELSE 0 END) AS n_kept,
+         MAX(CASE WHEN rnk = k + 1 THEN v END) AS lo,
+         MAX(CASE WHEN rnk = n - k THEN v END) AS hi
+  FROM base GROUP BY 1
+)
+SELECT l_returnflag, n_rows, k_trim,
+       round(CAST(s_all AS DOUBLE) / n_rows / 100.0, 6) AS mean,
+       round(CAST(s_kept AS DOUBLE) / n_kept / 100.0, 6) AS trimmed_mean,
+       round(CAST(s_kept + k_trim * (lo + hi) AS DOUBLE) / n_rows / 100.0, 6)
+         AS winsorized_mean
+FROM g ORDER BY l_returnflag
+"""
+
+
 def q_ks_drift(spark, sf_dir):
     """Exact two-sample Kolmogorov-Smirnov drift per event type: the
     KS statistic D = max |F_g − F_rest| between each type's ``value``
@@ -11146,6 +11389,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kcore_peel": (q_kcore_peel, _duck_kcore_peel()),
     "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
     "benford_audit": (q_benford_audit, _duck_benford_audit()),
+    "ppr_seeded": (q_ppr_seeded, _duck_ppr_seeded()),
+    "unigram_entropy": (q_unigram_entropy, SQL_UNIGRAM_ENTROPY),
+    "trimmed_stats": (q_trimmed_stats, SQL_TRIMMED_STATS),
 }
 
 # Round-7 registry head: queries whose OUTPUT changed or that are new
@@ -11164,6 +11410,9 @@ _R7_HEAD = [
     "kcore_peel",
     "ks_drift",
     "benford_audit",
+    "ppr_seeded",
+    "unigram_entropy",
+    "trimmed_stats",
     "compression_ratio",
 ]
 assert set(_R7_HEAD) <= set(QUERIES), sorted(set(_R7_HEAD) - set(QUERIES))

