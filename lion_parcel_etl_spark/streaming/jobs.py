@@ -1545,3 +1545,69 @@ def read_ks_drift(spark: SparkSession, warehouse, table: str) -> DataFrame:
     log = warehouse.read(spark, table)
     merged = log.groupBy("g", "v").agg(F.sum("c").alias("c"))
     return ks_from_group_value_counts(merged)
+
+
+def stream_digit_counts(
+    df: DataFrame,
+    warehouse,
+    table: str,
+    amount_col: str,
+    checkpoint: str,
+) -> None:
+    """Continuously-maintained Benford first-digit counts: per batch,
+    one 9-group aggregate over the exact-cents leading digit (the
+    q_benford_audit extraction, shared spelling) lands in the batch's
+    ``__batch_id`` partition. Digit counts are an additive monoid, so
+    the merged log is lossless under any batch split; per-batch state
+    is at most 9 rows."""
+
+    def _batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        cents = F.round(F.col(amount_col) * 100).cast("bigint")
+        part = (
+            batch.filter(F.col(amount_col) > 0)
+            .select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+            .groupBy("digit")
+            .agg(F.count(F.lit(1)).alias("n_obs"))
+        )
+        warehouse.append_batch(part, table, batch_id)
+
+    q = (
+        df.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_benford_audit(spark: SparkSession, warehouse, table: str) -> DataFrame:
+    """Benford conformance from the streamed digit-count log: sum-merge
+    the (at most 9 × batches) counters, then the identical observed vs
+    expected/chi-square readout as q_benford_audit (shared BENFORD_P
+    literals). Equals the batch audit over all ingested rows."""
+    from lion_parcel_etl_spark.plans.queries import BENFORD_P
+
+    log = warehouse.read(spark, table)
+    obs = log.groupBy("digit").agg(F.sum("n_obs").alias("n_obs"))
+    n = obs.agg(F.sum("n_obs").alias("n"))
+    exp_p = F.lit(None)
+    for d, pv in BENFORD_P.items():
+        exp_p = F.when(F.col("digit") == d, F.lit(pv)).otherwise(exp_p)
+    j = obs.crossJoin(F.broadcast(n))
+    expected = F.col("n") * exp_p
+    return (
+        j.select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs").cast("double") / F.col("n"), 6).alias("p_obs"),
+            F.round(exp_p, 6).alias("p_benford"),
+            F.round(
+                (F.col("n_obs") - expected) * (F.col("n_obs") - expected)
+                / expected,
+                6,
+            ).alias("chi2"),
+        )
+        .orderBy("digit")
+    )

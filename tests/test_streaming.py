@@ -1696,3 +1696,44 @@ def test_stream_ks_drift_equals_batch(spark, tmp_path, sf_dir):
     wh.append_batch(part, "vc", 1)
     again = read_ks_drift(spark, wh, "vc").collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, want))
+
+
+def test_stream_benford_equals_batch(spark, tmp_path, sf_dir):
+    """Digit counts are additive: the merged Benford readout equals
+    q_benford_audit over the same orders under an odd/even split, and
+    a crash replay cannot double-count."""
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.plans.queries import q_benford_audit
+    from lion_parcel_etl_spark.streaming.jobs import (
+        read_benford_audit,
+        stream_digit_counts,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    for frag in [o.filter("o_orderkey % 2 = 0"), o.filter("o_orderkey % 2 = 1")]:
+        frag.coalesce(1).write.mode("append").parquet(landing)
+        stream = spark.readStream.schema(o.schema).parquet(landing)
+        stream_digit_counts(stream, wh, "digits", "o_totalprice", ckpt)
+
+    got = read_benford_audit(spark, wh, "digits").collect()
+    want = q_benford_audit(spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and got
+
+    from pyspark.sql import functions as F
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    part = (
+        o.filter("o_orderkey % 2 = 1")
+        .filter(F.col("o_totalprice") > 0)
+        .select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    wh.append_batch(part, "digits", 1)
+    again = read_benford_audit(spark, wh, "digits").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, want))
