@@ -631,6 +631,9 @@ def ks_from_group_value_counts(cnt: DataFrame) -> DataFrame:
 
     tot = cnt.groupBy("v").agg(F.sum("c").alias("ct"))
     gs = cnt.groupBy("g").agg(F.sum("c").alias("ng"))
+    # a group that IS the whole corpus has no complement to test
+    # against — drop it explicitly (Spark's NULL-on-div-by-zero and
+    # DuckDB's IEEE inf would otherwise disagree silently)
     n_all = cnt.agg(F.sum("c").alias("n"))
     grid = (
         tot.crossJoin(F.broadcast(gs))
@@ -650,6 +653,7 @@ def ks_from_group_value_counts(cnt: DataFrame) -> DataFrame:
     )
     return (
         cum.crossJoin(F.broadcast(n_all))
+        .filter(F.col("n") > F.col("ng"))
         .groupBy("g", "ng", "n")
         .agg(F.max(gap).alias("d"))
         .select(
@@ -660,7 +664,10 @@ def ks_from_group_value_counts(cnt: DataFrame) -> DataFrame:
             F.round(
                 F.col("d")
                 * F.sqrt(
-                    (F.col("ng") * (F.col("n") - F.col("ng"))).cast("double")
+                    # cast BEFORE multiplying: ng*(n-ng) as BIGINT wraps
+                    # silently past 2^63 (n ~ 1e11 balanced split)
+                    F.col("ng").cast("double")
+                    * (F.col("n") - F.col("ng")).cast("double")
                     / F.col("n")
                 ),
                 6,
@@ -668,3 +675,98 @@ def ks_from_group_value_counts(cnt: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def benford_from_digit_counts(obs: DataFrame) -> DataFrame:
+    """Benford conformance readout from a (digit, n_obs) count table —
+    the ONE pipeline shared by plans/queries.q_benford_audit and the
+    streaming twin (streaming/jobs.read_benford_audit), so the two
+    can't drift. The digit domain is DENSIFIED against a literal 1–9
+    spine before the chi-square: a digit with ZERO observations
+    contributes (0 − n·p)²/(n·p) = n·p — the dominant evidence of a
+    fabricated column — which a groupBy over observed digits alone
+    would silently drop exactly when the data is most broken."""
+    from lion_parcel_etl_spark.plans.queries import BENFORD_P
+
+    spark = obs.sparkSession
+    spine = spark.createDataFrame(
+        [(d,) for d in range(1, 10)], "digit int"
+    )
+    dense = F.broadcast(spine).join(obs, "digit", "left").select(
+        "digit", F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs")
+    )
+    n = dense.agg(F.sum("n_obs").alias("n"))
+    exp_p = F.lit(None)
+    for d, pv in BENFORD_P.items():
+        exp_p = F.when(F.col("digit") == d, F.lit(pv)).otherwise(exp_p)
+    expected = F.col("n") * exp_p
+    return (
+        dense.crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs").cast("double") / F.col("n"), 6).alias("p_obs"),
+            F.round(exp_p, 6).alias("p_benford"),
+            F.round(
+                (F.col("n_obs") - expected) * (F.col("n_obs") - expected)
+                / expected,
+                6,
+            ).alias("chi2"),
+        )
+        .orderBy("digit")
+    )
+
+
+def trimmed_means(
+    df: DataFrame,
+    group_col: str,
+    value_cents: Column,
+    tiebreak: list[Column],
+    trim_frac: float = 0.1,
+) -> DataFrame:
+    """Plain / trimmed / winsorized means per group from an exact-cents
+    value column — the robust-aggregation operator behind
+    plans/queries.q_trimmed_stats (and directly testable on
+    constructed frames: tests inject an outlier and assert the plain
+    mean moves while the trimmed one does not — the definition of
+    robustness). Exact integer ranks with caller-supplied unique
+    tie-breaks; ONE window sort per group + one conditional aggregate
+    produce all three means, the trim count and both winsor
+    boundaries."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(value_cents.asc(), *tiebreak)
+    ranked = df.select(
+        F.col(group_col),
+        value_cents.alias("v"),
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("n"),
+    ).withColumn("k", F.floor(F.lit(trim_frac) * F.col("n")).cast("long"))
+    kept = (F.col("rnk") > F.col("k")) & (F.col("rnk") <= F.col("n") - F.col("k"))
+    g = ranked.groupBy(group_col).agg(
+        F.max("n").alias("n_rows"),
+        F.max("k").alias("k_trim"),
+        F.sum("v").alias("s_all"),
+        F.sum(F.when(kept, F.col("v"))).alias("s_kept"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.max(F.when(F.col("rnk") == F.col("k") + 1, F.col("v"))).alias("lo"),
+        F.max(F.when(F.col("rnk") == F.col("n") - F.col("k"), F.col("v"))).alias("hi"),
+    )
+    return g.select(
+        F.col(group_col),
+        "n_rows",
+        "k_trim",
+        F.round(F.col("s_all").cast("double") / F.col("n_rows") / 100.0, 6).alias(
+            "mean"
+        ),
+        F.round(F.col("s_kept").cast("double") / F.col("n_kept") / 100.0, 6).alias(
+            "trimmed_mean"
+        ),
+        F.round(
+            (F.col("s_kept") + F.col("k_trim") * (F.col("lo") + F.col("hi")))
+            .cast("double")
+            / F.col("n_rows")
+            / 100.0,
+            6,
+        ).alias("winsorized_mean"),
+    ).orderBy(group_col)

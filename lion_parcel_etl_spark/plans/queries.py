@@ -4842,6 +4842,43 @@ PAGERANK_ITERS = 3
 PAGERANK_DAMP = 0.85
 
 
+def _trade_edges(spark, sf_dir):
+    """(edges, deg) of the customer↔supplier trade graph — the ONE
+    construction shared by q_pagerank and q_ppr_seeded so the
+    personalized twin provably runs over the same graph. Edges both
+    ways per distinct trading pair (every node has out-degree ≥ 1 —
+    no dangling mass); the distinct runs on the (custkey, suppkey)
+    LONG pair so the dedup exchange carries 16 bytes/row, labels are
+    built after."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+    )
+    edges = pairs.selectExpr("c AS src", "s AS dst").unionByName(
+        pairs.selectExpr("s AS src", "c AS dst")
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    return edges, deg
+
+
+_DUCK_TRADE_GRAPH = """pairs AS MATERIALIZED (
+  SELECT DISTINCT 'c' || o.o_custkey AS c, 's' || l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), edges AS MATERIALIZED (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+), nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src)"""
+
+
 def q_pagerank(spark, sf_dir):
     """PageRank over the customer↔supplier trade graph (edges both
     ways per distinct trading pair, so every node has out-degree ≥ 1),
@@ -4858,23 +4895,7 @@ def q_pagerank(spark, sf_dir):
     which is |nodes|-sized regardless of edge count. Fixed iteration
     count keeps it SQL-replayable: the oracle unrolls the same three
     steps; final ranks round at 1e-9."""
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    # distinct on the (custkey, suppkey) LONG pair, labels built after:
-    # the dedup exchange carries 16 bytes/row instead of two strings
-    pairs = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select("o_custkey", "l_suppkey")
-        .distinct()
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
-        )
-    )
-    edges = pairs.selectExpr("c AS src", "s AS dst").unionByName(
-        pairs.selectExpr("s AS src", "c AS dst")
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    edges, deg = _trade_edges(spark, sf_dir)
     # pin: the degree-annotated edge list feeds every iteration —
     # without it Catalyst re-expands the scan+join+distinct subtree
     # once per consumer (measured ~5 recomputes for 3 iters). The
@@ -4923,16 +4944,8 @@ def _duck_pagerank(iters: int = PAGERANK_ITERS, d: float = PAGERANK_DAMP) -> str
         for i in range(1, iters + 1)
     )
     return f"""
-WITH pairs AS MATERIALIZED (
-  SELECT DISTINCT 'c' || o.o_custkey AS c, 's' || l.l_suppkey AS s
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-), edges AS MATERIALIZED (
-  SELECT c AS src, s AS dst FROM pairs
-  UNION ALL
-  SELECT s AS src, c AS dst FROM pairs
-), nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+WITH {_DUCK_TRADE_GRAPH},
 nn AS (SELECT COUNT(*) AS n FROM nodes),
-deg AS MATERIALIZED (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
 r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn){body}
 SELECT node, round(rank, 9) AS rank FROM r{iters}
 """
@@ -4961,21 +4974,7 @@ def q_ppr_seeded(spark, sf_dir):
     iteration count keeps it SQL-replayable; ranks round at 1e-9.
     Seed mass conservation (Σ rank = 1 every iteration, since the
     symmetric trade graph has no dangling nodes) is pytest-pinned."""
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    pairs = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select("o_custkey", "l_suppkey")
-        .distinct()
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
-        )
-    )
-    edges = pairs.selectExpr("c AS src", "s AS dst").unionByName(
-        pairs.selectExpr("s AS src", "c AS dst")
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    edges, deg = _trade_edges(spark, sf_dir)
     ed = DD.pin(edges.join(deg, "src").repartition("src"))
     is_seed = F.col("node").startswith("s") & (
         F.substring("node", 2, 12).cast("long") % PPR_SEED_MOD == 0
@@ -5027,17 +5026,9 @@ def _duck_ppr_seeded(iters: int = PAGERANK_ITERS, d: float = PAGERANK_DAMP) -> s
         step.format(i=i, prev=i - 1, d=d, tele=tele) for i in range(1, iters + 1)
     )
     return f"""
-WITH pairs AS MATERIALIZED (
-  SELECT DISTINCT 'c' || o.o_custkey AS c, 's' || l.l_suppkey AS s
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-), edges AS MATERIALIZED (
-  SELECT c AS src, s AS dst FROM pairs
-  UNION ALL
-  SELECT s AS src, c AS dst FROM pairs
-), nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+WITH {_DUCK_TRADE_GRAPH},
 ns AS (SELECT CAST(count(*) AS BIGINT) AS k FROM nodes n
        WHERE n.node LIKE 's%' AND CAST(substr(n.node, 2) AS BIGINT) % {PPR_SEED_MOD} = 0),
-deg AS MATERIALIZED (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
 r0 AS (SELECT n.node, {tele} AS rank FROM nodes n CROSS JOIN ns){body}
 SELECT node, round(rank, 9) AS rank FROM r{iters}
 """
@@ -5053,11 +5044,13 @@ def q_unigram_entropy(spark, sf_dir):
     discipline); norm_entropy divides by log2(vocab) (the max possible
     H), giving the scale-free [0, 1] efficiency of the vocabulary.
 
-    Plan: reuses the pinned (source, token) count table the vocab_kl
-    family builds — corpus scanned ONCE, then a |vocabulary|-sized
-    aggregate; output is |sources| rows."""
+    Plan: the same (source, token) count stage the vocab_kl family
+    uses (operators/text.source_token_counts) feeds ONE |vocabulary|-
+    sized aggregate — its single consumer here, so no pin (a pin's
+    eager count() would be a wasted extra pass); output is |sources|
+    rows."""
     docs = _t(spark, sf_dir, "documents")
-    st = DD.pin(TX.source_token_counts(docs))
+    st = TX.source_token_counts(docs)
     g = st.groupBy("source").agg(
         F.sum("c_st").alias("n_tokens"),
         F.count(F.lit(1)).alias("vocab"),
@@ -5115,45 +5108,16 @@ def q_trimmed_stats(spark, sf_dir):
     approx_stats' sample percentiles); a single conditional aggregate
     then produces all three means, the trim count and both winsor
     boundaries — no second pass, no join-back."""
+    from lion_parcel_etl_spark.operators.checks import trimmed_means
+
     li = _t(spark, sf_dir, "lineitem")
-    v = cents(F.col("l_extendedprice"))
-    w = Window.partitionBy("l_returnflag").orderBy(
-        v.asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
-    )
-    ranked = li.select(
+    return trimmed_means(
+        li,
         "l_returnflag",
-        v.alias("v"),
-        F.row_number().over(w).alias("rnk"),
-        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
-    ).withColumn("k", F.floor(F.lit(TRIM_FRAC) * F.col("n")).cast("long"))
-    kept = (F.col("rnk") > F.col("k")) & (F.col("rnk") <= F.col("n") - F.col("k"))
-    g = ranked.groupBy("l_returnflag").agg(
-        F.max("n").alias("n_rows"),
-        F.max("k").alias("k_trim"),
-        F.sum("v").alias("s_all"),
-        F.sum(F.when(kept, F.col("v"))).alias("s_kept"),
-        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
-        F.max(F.when(F.col("rnk") == F.col("k") + 1, F.col("v"))).alias("lo"),
-        F.max(F.when(F.col("rnk") == F.col("n") - F.col("k"), F.col("v"))).alias("hi"),
+        cents(F.col("l_extendedprice")),
+        [F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        trim_frac=TRIM_FRAC,
     )
-    return g.select(
-        "l_returnflag",
-        "n_rows",
-        "k_trim",
-        F.round(F.col("s_all").cast("double") / F.col("n_rows") / 100.0, 6).alias(
-            "mean"
-        ),
-        F.round(F.col("s_kept").cast("double") / F.col("n_kept") / 100.0, 6).alias(
-            "trimmed_mean"
-        ),
-        F.round(
-            (F.col("s_kept") + F.col("k_trim") * (F.col("lo") + F.col("hi")))
-            .cast("double")
-            / F.col("n_rows")
-            / 100.0,
-            6,
-        ).alias("winsorized_mean"),
-    ).orderBy("l_returnflag")
 
 
 SQL_TRIMMED_STATS = f"""
@@ -5237,11 +5201,11 @@ d AS (
   SELECT g, ng, n,
          max(abs(CAST(cg AS DOUBLE) / ng
                  - CAST(cto - cg AS DOUBLE) / (n - ng))) AS d
-  FROM cum CROSS JOIN nn GROUP BY 1, 2, 3
+  FROM cum CROSS JOIN nn WHERE n > ng GROUP BY 1, 2, 3
 )
 SELECT g AS event_type, ng AS n_group, n - ng AS n_rest,
        round(d, 6) AS ks_d,
-       round(d * sqrt(CAST(ng * (n - ng) AS DOUBLE) / n), 6) AS ks_stat
+       round(d * sqrt(CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE) / n), 6) AS ks_stat
 FROM d ORDER BY event_type
 """
 
@@ -5266,32 +5230,20 @@ def q_benford_audit(spark, sf_dir):
 
     Plan: one projection + one 9-group hash aggregate; output is 9
     rows at any corpus size."""
-    o = _t(spark, sf_dir, "orders")
-    # cents >= 100 for any total >= $1, so char 1 is never a sign and
-    # never 0; still guard negatives/zeros out explicitly.
-    d1 = F.substring(cents(F.col("o_totalprice")).cast("string"), 1, 1).cast("int")
-    base = o.filter(F.col("o_totalprice") > 0).select(d1.alias("digit"))
-    n = base.agg(F.count(F.lit(1)).alias("n"))
-    obs = base.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
-    exp_p = F.lit(None)
-    for d, pv in BENFORD_P.items():
-        exp_p = F.when(F.col("digit") == d, F.lit(pv)).otherwise(exp_p)
-    j = obs.crossJoin(F.broadcast(n))
-    expected = F.col("n") * exp_p
-    return (
-        j.select(
-            "digit",
-            "n_obs",
-            F.round(F.col("n_obs").cast("double") / F.col("n"), 6).alias("p_obs"),
-            F.round(exp_p, 6).alias("p_benford"),
-            F.round(
-                (F.col("n_obs") - expected) * (F.col("n_obs") - expected)
-                / expected,
-                6,
-            ).alias("chi2"),
-        )
-        .orderBy("digit")
+    from lion_parcel_etl_spark.operators.checks import (
+        benford_from_digit_counts,
     )
+
+    o = _t(spark, sf_dir, "orders")
+    # filter on the CENTS value, not the raw amount: an amount in
+    # (0, 0.005) passes `> 0` but rounds to 0 cents and would emit a
+    # digit-0 row outside the Benford domain
+    c = cents(F.col("o_totalprice"))
+    base = o.filter(c >= 1).select(
+        F.substring(c.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    obs = base.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    return benford_from_digit_counts(obs)
 
 
 def _duck_benford_audit() -> str:
@@ -5305,10 +5257,17 @@ def _duck_benford_audit() -> str:
     return f"""
 WITH base AS (
   SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
-  FROM orders WHERE o_totalprice > 0
+  FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 1
 ),
-nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
-obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM base GROUP BY 1)
+spine AS (SELECT unnest(range(1, 10)) AS digit),
+obs AS (
+  SELECT s.digit,
+         CAST(COALESCE(b.n_obs, 0) AS BIGINT) AS n_obs
+  FROM spine s LEFT JOIN (
+    SELECT digit, count(*) AS n_obs FROM base GROUP BY 1
+  ) b ON b.digit = s.digit
+),
+nn AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
 SELECT digit, n_obs,
        round(CAST(n_obs AS DOUBLE) / n, 6) AS p_obs,
        round({cases}, 6) AS p_benford,

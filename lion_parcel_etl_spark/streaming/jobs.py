@@ -1564,10 +1564,12 @@ def stream_digit_counts(
     def _batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        cents = F.round(F.col(amount_col) * 100).cast("bigint")
+        from lion_parcel_etl_spark.functions.columns import cents
+
+        c = cents(F.col(amount_col))
         part = (
-            batch.filter(F.col(amount_col) > 0)
-            .select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+            batch.filter(c >= 1)
+            .select(F.substring(c.cast("string"), 1, 1).cast("int").alias("digit"))
             .groupBy("digit")
             .agg(F.count(F.lit(1)).alias("n_obs"))
         )
@@ -1585,29 +1587,13 @@ def stream_digit_counts(
 def read_benford_audit(spark: SparkSession, warehouse, table: str) -> DataFrame:
     """Benford conformance from the streamed digit-count log: sum-merge
     the (at most 9 × batches) counters, then the identical observed vs
-    expected/chi-square readout as q_benford_audit (shared BENFORD_P
-    literals). Equals the batch audit over all ingested rows."""
-    from lion_parcel_etl_spark.plans.queries import BENFORD_P
+    expected/chi-square readout as q_benford_audit — SHARED code
+    (operators/checks.benford_from_digit_counts), so the two can't
+    drift. Equals the batch audit over all ingested rows."""
+    from lion_parcel_etl_spark.operators.checks import (
+        benford_from_digit_counts,
+    )
 
     log = warehouse.read(spark, table)
     obs = log.groupBy("digit").agg(F.sum("n_obs").alias("n_obs"))
-    n = obs.agg(F.sum("n_obs").alias("n"))
-    exp_p = F.lit(None)
-    for d, pv in BENFORD_P.items():
-        exp_p = F.when(F.col("digit") == d, F.lit(pv)).otherwise(exp_p)
-    j = obs.crossJoin(F.broadcast(n))
-    expected = F.col("n") * exp_p
-    return (
-        j.select(
-            "digit",
-            "n_obs",
-            F.round(F.col("n_obs").cast("double") / F.col("n"), 6).alias("p_obs"),
-            F.round(exp_p, 6).alias("p_benford"),
-            F.round(
-                (F.col("n_obs") - expected) * (F.col("n_obs") - expected)
-                / expected,
-                6,
-            ).alias("chi2"),
-        )
-        .orderBy("digit")
-    )
+    return benford_from_digit_counts(obs)

@@ -145,11 +145,15 @@ def test_ppr_mass_conservation_and_seed_locality(spark, sf_dir):
 
 
 def test_trimmed_stats_robustness_ordering(spark, sf_dir):
-    """Identities: k_trim = floor(0.1 n); winsorized mean lies between
-    the trimmed and plain means' extremes is NOT guaranteed in general,
-    so pin what is: all three are finite, trimmed uses n - 2k rows, and
-    injecting an outlier moves the plain mean but not the trimmed one
-    (the definition of robustness)."""
+    """Identities on the real table (k_trim = floor(0.1 n), all three
+    means finite and positive), then the ACTUAL robustness property on
+    a constructed frame: injecting a huge outlier moves the plain mean
+    but leaves the trimmed mean unchanged — the definition of a
+    trimmed estimator — while the winsorized mean moves only by the
+    clamped boundary amount."""
+    from pyspark.sql import functions as F
+
+    from lion_parcel_etl_spark.operators.checks import trimmed_means
     from lion_parcel_etl_spark.plans.queries import q_trimmed_stats
 
     rows = q_trimmed_stats(spark, sf_dir).collect()
@@ -157,6 +161,24 @@ def test_trimmed_stats_robustness_ordering(spark, sf_dir):
     for r in rows:
         assert r.k_trim == r.n_rows // 10
         assert r.mean > 0 and r.trimmed_mean > 0 and r.winsorized_mean > 0
+
+    def run(vals):
+        df = spark.createDataFrame(
+            [("g", i, v) for i, v in enumerate(vals)], "g string, i long, v long"
+        )
+        return trimmed_means(
+            df, "g", F.col("v") * 100, [F.col("i").asc()], trim_frac=0.1
+        ).collect()[0]
+
+    base_vals = list(range(1, 21))          # 20 values, k = 2 per side
+    spiked = base_vals[:-1] + [10_000]      # replace the max with an outlier
+    base, spike = run(base_vals), run(spiked)
+    assert spike.mean > base.mean * 10      # plain mean blows up
+    # the outlier lands in the trimmed-away top k: trimmed mean moves
+    # only by the (tiny) effect of 20 dropping out of the kept range
+    assert abs(spike.trimmed_mean - base.trimmed_mean) < base.trimmed_mean * 0.05
+    # winsorized clamps the outlier to the hi boundary: bounded move
+    assert spike.winsorized_mean < base.winsorized_mean * 1.1
 
 
 def test_unigram_entropy_bounds(spark, sf_dir):
