@@ -267,6 +267,29 @@ def _machine_state() -> dict:
     return state
 
 
+def _load1() -> float:
+    """1-minute loadavg, -1.0 when unreadable. Recorded PER QUERY so a
+    load-contaminated sweep is decidable from the artifact alone
+    (r07: the official driver sweep read anchor_total 49.6 s under
+    loadavg 5→11.5 while the committed quiet run read 42.0 s, and the
+    contamination had to be argued from start/end snapshots +
+    cross-artifact triangulation; per-query readings make it a
+    one-artifact verdict)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError):
+        return -1.0
+
+
+# A fresh bench process contributes ~nothing to the 1-min loadavg at
+# its own start, so a high START reading is external load by
+# construction (the sweep's own 32 worker threads only show up later).
+# Above this, the anchor set is automatically re-timed at sweep end and
+# recorded alongside (never replacing) the primary numbers.
+ANCHOR_RERUN_LOAD1 = 3.0
+
+
 def _shuffle_bytes(spark) -> int:
     """Cumulative shuffle-write bytes across completed stages (Spark UI
     REST API). Per-query deltas turn the bench into network-volume
@@ -314,8 +337,10 @@ def main() -> None:
     cold: dict[str, float] = {}
     shuffle: dict[str, int] = {}
     retimes: dict[str, list[float]] = {}
+    qload: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = QUERIES[name]
+        qload[name] = _load1()
         # Full GC between queries: ~160 query executions accumulate
         # enough old-gen garbage (plans, codegen classes, UI metadata)
         # that stop-the-world pauses land inside late queries and get
@@ -356,6 +381,44 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     anchor_total = round(sum(timings[n] for n in ANCHOR), 3)
     anchor_cold = round(sum(cold[n] for n in ANCHOR), 3)
+
+    # Self-arbitration: a sweep that STARTED under external load
+    # re-times the frozen anchor set at the end, warm, min-of-two —
+    # recorded ALONGSIDE the primary numbers (methodology unchanged)
+    # so the artifact carries its own quiet-er reading instead of
+    # deferring a >1.3x anchor move to a next-round arbitration.
+    start_load1 = machine_start.get("loadavg", "-1").split()[0]
+    anchor_rerun: dict = {}
+    try:
+        contaminated = float(start_load1) > ANCHOR_RERUN_LOAD1
+    except ValueError:
+        contaminated = False
+    if contaminated:
+        rerun_times: dict[str, float] = {}
+        rerun_load: dict[str, float] = {}
+        for name in ANCHOR:
+            fn, _ = QUERIES[name]
+            rerun_load[name] = _load1()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            run(fn(spark, sf_dir))
+            w1 = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            run(fn(spark, sf_dir))
+            w2 = time.perf_counter() - t0
+            rerun_times[name] = round(min(w1, w2), 3)
+            spark.catalog.clearCache()
+        anchor_rerun = {
+            "reason": f"start load1 {start_load1} > {ANCHOR_RERUN_LOAD1}",
+            "anchor_total_retimed": round(sum(rerun_times.values()), 3),
+            "queries": rerun_times,
+            "load1_per_query": rerun_load,
+        }
     full = {
         "metric": "headline_queries_total",
         "value": total,
@@ -370,7 +433,10 @@ def main() -> None:
         "cold_total": round(sum(cold.values()), 3),
         "sf": sf,
         "machine": {"start": machine_start, "end": _machine_state()},
+        "load1_per_query": qload,
     }
+    if anchor_rerun:
+        full["anchor_rerun"] = anchor_rerun
     # Full per-query detail (cold runs, re-times, shuffle bytes) goes to
     # a repo file; stdout gets ONE COMPACT json line. The driver that
     # records the bench keeps only the final ~2000 chars of output and
@@ -398,7 +464,11 @@ def main() -> None:
         "n_queries": len(timings),
         "cold_total": full["cold_total"],
         "detail": detail_path,
+        "load1_start": start_load1,
+        "load1_max": max(qload.values()) if qload else -1.0,
     }
+    if anchor_rerun:
+        compact["anchor_total_retimed"] = anchor_rerun["anchor_total_retimed"]
     budget = 1800
     for name in sorted(timings, key=lambda n: -timings[n]):
         compact["queries"][name] = timings[name]

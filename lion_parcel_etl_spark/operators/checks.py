@@ -685,9 +685,32 @@ def benford_from_digit_counts(obs: DataFrame) -> DataFrame:
     spine before the chi-square: a digit with ZERO observations
     contributes (0 − n·p)²/(n·p) = n·p — the dominant evidence of a
     fabricated column — which a groupBy over observed digits alone
-    would silently drop exactly when the data is most broken."""
+    would silently drop exactly when the data is most broken.
+
+    CONTRACT: every input row's ``digit`` must already be a first
+    significant digit in 1–9. A row outside that domain (digit 0 from
+    a sub-cent amount, a negative, a NULL) would otherwise vanish in
+    the spine's left join while ALSO being excluded from the total n —
+    silently skewing p_obs/chi2 — so the pipeline fails fast at
+    execution time via a plan-embedded raise_error guard instead."""
     from lion_parcel_etl_spark.plans.queries import BENFORD_P
 
+    obs = obs.select(
+        F.when(F.col("digit").between(1, 9), F.col("digit"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "benford_from_digit_counts: digit outside 1-9 "
+                        "(input must be first significant digits): "
+                    ),
+                    F.coalesce(F.col("digit").cast("string"), F.lit("NULL")),
+                )
+            )
+        )
+        .alias("digit"),
+        "n_obs",
+    )
     spark = obs.sparkSession
     spine = spark.createDataFrame(
         [(d,) for d in range(1, 10)], "digit int"

@@ -149,24 +149,83 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """8-bit PNG → (H, W, ch) uint8 array, stdlib-only (round 7; the
-    r06 verdict's top decode gap — PNG is the one codec format needing
-    no external library: zlib inflate + per-row unfilter).
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step) per
+# pass, PNG spec section 8.2. Each pass is an independent sub-image
+# with its own scanline filter chain; empty passes (zero rows OR zero
+# columns for small images) contribute NO scanlines at all.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    Implements the full PNG baseline pipeline for non-interlaced 8-bit
-    images in every color type: chunk walk with CRC verification,
-    concatenated IDAT inflate, scanline unfiltering for ALL five
-    filter types (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth — each row
-    declares its own), and PLTE expansion for indexed images. Output
-    channels by color type: 0 grayscale → 1, 2 truecolor → 3,
-    3 palette → 3 (expanded RGB), 4 gray+alpha → 2, 6 RGBA → 4.
-    Raises NotImplementedError for 1/2/4/16-bit depths and Adam7
-    interlacing (PIL territory), ValueError for corrupt bytes.
-    Per-byte unfilter loops are fine at fixture scale; a deployment
-    feeding real images plugs in PIL here anyway — the point of this
-    decoder is that the most common real-world image format now
-    decodes IN-SANDBOX, oracle-replayed (see q_multimodal_decode)."""
+
+def _unfilter_lines(
+    raw: bytes, rpos: int, ph: int, stride: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter ``ph`` scanlines of ``stride`` bytes starting at
+    ``raw[rpos]`` (each prefixed by its filter-type byte) and return
+    (the (ph, stride) uint8 array, the new read position). ``bpp`` is
+    the byte offset to the left neighbor — channels × bytes-per-sample,
+    PNG spec 9.2: filters always operate on BYTES, so 16-bit depths
+    reuse this loop unchanged with a doubled offset. Shared by every
+    pass of both the sequential and Adam7 paths."""
+    out = np.empty((ph, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(ph):
+        ftype = raw[rpos]
+        cur = np.frombuffer(raw, np.uint8, stride, rpos + 1).astype(np.int64)
+        rpos += 1 + stride
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub: left neighbor, same byte offset
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up: prior row (vectorizes — no left dep)
+            cur = (cur + prev) & 0xFF
+        elif ftype == 3:  # Average: floor((left + up) / 2)
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth predictor
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + _paeth(a, prev[i], c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    return out, rpos
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8/16-bit PNG → (H, W, ch) uint8/uint16 array, stdlib-only
+    (round 7 base + round 8 Adam7/16-bit; the r06 verdict's top decode
+    gap — PNG is the one codec format needing no external library:
+    zlib inflate + per-row unfilter).
+
+    Implements the full PNG pipeline for 8- and 16-bit images in every
+    color type, sequential AND Adam7-interlaced: chunk walk with CRC
+    verification, concatenated IDAT inflate, per-pass scanline
+    unfiltering for ALL five filter types (0 None, 1 Sub, 2 Up,
+    3 Average, 4 Paeth — each row declares its own; filters operate on
+    BYTES with a channels×bytes-per-sample left offset, so 16-bit rows
+    reuse the same loop), Adam7 pass extraction + pixel scatter (empty
+    passes of small images contribute zero scanlines, per spec), and
+    PLTE expansion for indexed images. Output channels by color type:
+    0 grayscale → 1, 2 truecolor → 3, 3 palette → 3 (expanded RGB),
+    4 gray+alpha → 2, 6 RGBA → 4; dtype uint16 iff depth 16 (samples
+    are big-endian on the wire). Raises NotImplementedError only for
+    1/2/4-bit depths now, ValueError for corrupt bytes. Per-byte
+    unfilter loops are fine at fixture scale; a deployment feeding
+    real images plugs in PIL here anyway — the point of this decoder
+    is that the most common real-world image format decodes
+    IN-SANDBOX, oracle-replayed (see q_multimodal_decode)."""
     import struct
     import zlib
 
@@ -200,49 +259,46 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunk")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or color not in (0, 2, 3, 4, 6) or comp or filt or interlace:
+    if depth not in (8, 16) or color not in (0, 2, 3, 4, 6) or comp or filt:
         raise NotImplementedError(
-            "only 8-bit non-interlaced PNG decoded here "
-            f"(depth={depth}, color_type={color}, interlace={interlace})"
+            "only 8/16-bit PNG decoded here "
+            f"(depth={depth}, color_type={color})"
         )
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    if color == 3 and depth == 16:
+        # spec 11.2.2: palette indices are at most 8 bits
+        raise ValueError("16-bit indexed PNG is not legal")
     if color == 3 and plte is None:
         raise ValueError("indexed PNG missing PLTE chunk")
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    bpp = ch * (depth // 8)  # byte offset to the left filter neighbor
     try:
         raw = zlib.decompress(idat)
     except zlib.error as exc:  # truncated/garbled stream with valid CRCs
         raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
-    stride = w * ch
-    if len(raw) < h * (stride + 1):
+    passes = ((0, 0, 1, 1),) if interlace == 0 else _ADAM7
+    plan = []
+    need = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass: zero scanlines, per spec
+        plan.append((x0, y0, dx, dy, pw, ph))
+        need += ph * (1 + pw * bpp)
+    if len(raw) < need:
         raise ValueError("truncated PNG scanline data")
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int64)
+    pix = np.zeros((h, w, bpp), dtype=np.uint8)
     rpos = 0
-    for r in range(h):
-        ftype = raw[rpos]
-        cur = np.frombuffer(raw, np.uint8, stride, rpos + 1).astype(np.int64)
-        rpos += 1 + stride
-        if ftype == 0:
-            pass
-        elif ftype == 1:  # Sub: left neighbor, same pixel offset
-            for i in range(ch, stride):
-                cur[i] = (cur[i] + cur[i - ch]) & 0xFF
-        elif ftype == 2:  # Up: prior row (vectorizes — no left dep)
-            cur = (cur + prev) & 0xFF
-        elif ftype == 3:  # Average: floor((left + up) / 2)
-            for i in range(stride):
-                left = cur[i - ch] if i >= ch else 0
-                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth predictor
-            for i in range(stride):
-                a = cur[i - ch] if i >= ch else 0
-                c = prev[i - ch] if i >= ch else 0
-                cur[i] = (cur[i] + _paeth(a, prev[i], c)) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        out[r] = cur.astype(np.uint8)
-        prev = cur
-    img = out.reshape(h, w, ch)
+    for x0, y0, dx, dy, pw, ph in plan:
+        sub, rpos = _unfilter_lines(raw, rpos, ph, pw * bpp, bpp)
+        pix[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+    if depth == 8:
+        img = pix.reshape(h, w, ch)
+    else:  # 16-bit samples are big-endian on the wire
+        hi = pix.reshape(h, w, ch, 2)
+        img = (hi[..., 0].astype(np.uint16) << 8) | hi[..., 1]
     if color == 3:
         idx = img[:, :, 0]
         if int(idx.max(initial=0)) >= len(plte):
@@ -334,41 +390,73 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """(H, W, 3|4) uint8 array → 8-bit truecolor PNG bytes, stdlib
-    zlib. Row r uses filter type ``r % 5``, so a round-trip through
-    :func:`decode_png` exercises EVERY unfilter path (None/Sub/Up/
-    Average/Paeth), not just the trivial one — the fixture/oracle
-    generator discipline of encode_bmp/ppm/wav."""
-    import struct
-    import zlib
-
-    h, w, ch = img.shape
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]  # gray / gray+a / RGB / RGBA
-    stride = w * ch
+def _filter_lines(rows: np.ndarray, bpp: int, f0: int = 0) -> list[bytes]:
+    """Filter (ph, stride) uint8 scanlines for encoding; row r uses
+    type ``(f0 + r) % 5`` so a round-trip through the decoder
+    exercises EVERY unfilter path, and interlaced passes rotate their
+    starting type (f0 = pass index) so no pass sees only one filter.
+    ``bpp`` = channels × bytes-per-sample — filters operate on bytes
+    (PNG spec 9.2), the same offset rule the decoder uses."""
+    ph, stride = rows.shape
     prev = np.zeros(stride, dtype=np.int64)
     lines = []
-    for r in range(h):
-        cur = img[r].reshape(-1).astype(np.int64)
-        f = r % 5
+    for r in range(ph):
+        cur = rows[r].astype(np.int64)
+        f = (f0 + r) % 5
         if f == 0:
             filt = cur.copy()
         elif f == 1:
-            left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
             filt = (cur - left) % 256
         elif f == 2:
             filt = (cur - prev) % 256
         elif f == 3:
-            left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
             filt = (cur - ((left + prev) >> 1)) % 256
         else:
             filt = np.empty(stride, np.int64)
             for i in range(stride):
-                a = cur[i - ch] if i >= ch else 0
-                c = prev[i - ch] if i >= ch else 0
+                a = cur[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 filt[i] = (cur[i] - _paeth(a, prev[i], c)) % 256
         lines.append(bytes([f]) + filt.astype(np.uint8).tobytes())
         prev = cur
+    return lines
+
+
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """(H, W, 1|2|3|4) uint8 OR uint16 array → PNG bytes, stdlib zlib
+    (uint16 input emits a 16-bit-depth container with big-endian
+    samples; ``interlace=True`` emits Adam7, each of the seven passes
+    filtered as its own sub-image exactly as the spec requires).
+    Filter types rotate per row (and per pass) so a round-trip through
+    :func:`decode_png` exercises EVERY unfilter path, not just the
+    trivial one — the fixture/oracle generator discipline of
+    encode_bmp/ppm/wav."""
+    import struct
+    import zlib
+
+    h, w, ch = img.shape
+    depth = 16 if img.dtype == np.uint16 else 8
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]  # gray / gray+a / RGB / RGBA
+    bpp = ch * (depth // 8)
+
+    def to_rows(a: np.ndarray) -> np.ndarray:
+        """(ph, pw, ch) pixels → (ph, pw*bpp) wire bytes."""
+        if depth == 16:
+            be = np.ascontiguousarray(a.astype(">u2"))
+            return be.reshape(a.shape[0], -1).view(np.uint8)
+        return np.ascontiguousarray(a).reshape(a.shape[0], -1)
+
+    if interlace:
+        lines: list[bytes] = []
+        for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+            sub = img[y0::dy, x0::dx, :]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass emits no scanlines
+            lines += _filter_lines(to_rows(sub), bpp, f0=pi)
+    else:
+        lines = _filter_lines(to_rows(img), bpp)
     idat = zlib.compress(b"".join(lines), 6)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
@@ -379,7 +467,9 @@ def encode_png(img: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0
+    )
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 

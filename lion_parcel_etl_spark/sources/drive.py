@@ -146,7 +146,17 @@ def _fetch_file(it: DriveItem, fetch: Callable[[str], bytes]) -> bytes:
         if tok:
             data = fetch(it.download_link + "&confirm=" + tok.group(1))
             if data.lstrip()[:15].lower().startswith((b"<!doctype html", b"<html")):
-                raise DriveQuotaError(it.name)
+                # Same three-way split as the first response: only a
+                # quota MARKER is a hard refusal; any other HTML behind
+                # the confirm hop (a transient splash, a sign-in page)
+                # is the retryable unrecognized-interstitial case — it
+                # must not be mislabeled as quota, which is never
+                # retried.
+                if any(m in data for m in _QUOTA_MARKERS):
+                    raise DriveQuotaError(it.name)
+                raise ValueError(
+                    f"{it.name}: unrecognized HTML interstitial after confirm hop"
+                )
         else:
             # HTML with neither a quota marker nor a confirm token —
             # a sign-in page, a changed interstitial, a proxy splash.
@@ -181,11 +191,15 @@ def download_all(
       An HTTP 403 is ambiguous (hard quota vs transient rate-limit
       burst): it retries within the same budget and is classified
       DriveQuotaError only once the budget is spent.
-    - ``on_error="raise"`` (default): the first failed file raises,
-      after its own retry budget — the all-or-nothing staging load.
-      ``on_error="skip"``: failed files are skipped; each (item,
-      exception) is appended to ``failures`` if the caller passed a
-      list, so a nightly ingest can land 999 files and re-queue 1.
+    - ``on_error="raise"`` (default): the all-or-nothing staging load.
+      Every item runs to completion (each with its own retry budget),
+      then if ANY failed, every file this call wrote is deleted before
+      the first failure (in item order) is re-raised — a failed run
+      never leaves a partial landing set that a naive re-run could
+      treat as complete. ``on_error="skip"``: failed files are
+      skipped; each (item, exception) is appended to ``failures`` if
+      the caller passed a list, so a nightly ingest can land 999 files
+      and re-queue 1.
     """
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
@@ -193,7 +207,7 @@ def download_all(
     dest.mkdir(parents=True, exist_ok=True)
     todo = [it for it in items if it.name.lower().endswith(suffix)]
 
-    def one(it: DriveItem) -> Path | None:
+    def one(it: DriveItem) -> tuple[Path | None, Exception | None]:
         attempt = 0
         while True:
             try:
@@ -223,19 +237,28 @@ def download_all(
                 if attempt < retries:
                     attempt += 1
                     continue
-            if on_error == "raise":
-                raise err
-            if failures is not None:
-                failures.append((it, err))
-            return None
+            return None, err
         path = dest / it.name
         with open(path, "wb") as f:
             for i in range(0, len(data), CHUNK):
                 f.write(data[i : i + CHUNK])
-        return path
+        return path, None
 
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        return [p for p in pool.map(one, todo) if p is not None]
+        results = list(pool.map(one, todo))
+    written = [p for p, _ in results if p is not None]
+    errs = [(it, e) for it, (_, e) in zip(todo, results) if e is not None]
+    if errs:
+        if on_error == "raise":
+            # All-or-nothing: un-land everything THIS call wrote before
+            # re-raising, so a failed staging load leaves no partial
+            # directory for a naive re-run to mistake for complete.
+            for p in written:
+                p.unlink(missing_ok=True)
+            raise errs[0][1]
+        if failures is not None:
+            failures.extend(errs)
+    return written
 
 
 def download_folder(

@@ -226,16 +226,74 @@ def test_download_confirm_token_interstitial_follows_once(tmp_path):
     assert read_json_file(written[0]) == {"big": 1}
     assert len(seen) == 2 and "confirm=tok123" in seen[1]
 
-    # interstitial loop (second HTML body) classifies as quota
-    def loop_fetch(url):
-        return b'<html>confirm=tok456 forever</html>'
+    # Post-confirm HTML gets the SAME three-way classification as the
+    # first response: a quota marker is a hard DriveQuotaError (one
+    # attempt)...
+    quota_attempts = {"n": 0}
+
+    def quota_loop_fetch(url):
+        if "confirm=" in url:
+            quota_attempts["n"] += 1
+            return b"<html>Quota exceeded for this file</html>"
+        return b'<html><a href="/uc?confirm=tok456&id=y">go</a></html>'
 
     import pytest
 
     with pytest.raises(DriveQuotaError):
         download_all(
-            [DriveItem(id="y", name="y.json")], tmp_path, fetch=loop_fetch
+            [DriveItem(id="y", name="y.json")], tmp_path,
+            fetch=quota_loop_fetch, retries=3,
         )
+    assert quota_attempts["n"] == 1
+
+    # ...while an unrecognized HTML body behind the hop (a transient
+    # splash page) is the retryable ValueError, NOT a quota verdict —
+    # so a splash that clears on retry succeeds.
+    splash = {"n": 0}
+
+    def splash_then_ok(url):
+        if "confirm=" not in url:
+            return b'<html><a href="/uc?confirm=tok789&id=z">go</a></html>'
+        splash["n"] += 1
+        if splash["n"] == 1:
+            return b"<html><body>One moment please...</body></html>"
+        return b'{"ok": 1}'
+
+    out = download_all(
+        [DriveItem(id="z", name="z.json")], tmp_path,
+        fetch=splash_then_ok, retries=2,
+    )
+    assert read_json_file(out[0]) == {"ok": 1} and splash["n"] == 2
+
+
+def test_download_raise_is_all_or_nothing(tmp_path):
+    """on_error='raise' must leave NO partial landing set: files that
+    downloaded fine before/alongside the failing item are deleted
+    before the first failure re-raises, so a naive re-run can never
+    mistake a failed run's directory for a complete load."""
+    import pytest
+
+    from lion_parcel_etl_spark.sources.drive import download_all
+
+    items = [DriveItem(id=f"f{i}", name=f"f{i}.json") for i in range(5)]
+
+    def fetch(url):
+        if "f3" in url:
+            raise ConnectionError("truncated body")
+        return b'{"v": 1}'
+
+    with pytest.raises(ConnectionError):
+        download_all(items, tmp_path, fetch=fetch, retries=0)
+    assert list(tmp_path.glob("*.json")) == []
+
+    # on_error='skip' keeps the good files (the nightly-ingest contract)
+    failures: list = []
+    out = download_all(
+        items, tmp_path, fetch=fetch, retries=0, on_error="skip",
+        failures=failures,
+    )
+    assert len(out) == 4 and len(failures) == 1
+    assert failures[0][0].name == "f3.json"
 
 
 def test_download_on_error_validation(tmp_path):

@@ -309,9 +309,9 @@ def test_decode_png_unsupported_and_corrupt():
         encode_png,
     )
 
-    # 16-bit depth and Adam7 interlace: honest NotImplementedError
-    # (all five 8-bit color types decode for real as of round 7)
-    for depth, color, inter in [(16, 2, 0), (8, 2, 1), (1, 0, 0)]:
+    # Sub-8-bit depths: the one remaining honest NotImplementedError
+    # (16-bit and Adam7 decode for real as of round 8)
+    for depth, color, inter in [(1, 0, 0), (2, 0, 0), (4, 3, 0)]:
         p = (
             b"\x89PNG\r\n\x1a\n"
             + _png_chunk(
@@ -321,6 +321,18 @@ def test_decode_png_unsupported_and_corrupt():
             + _png_chunk(b"IEND", b"")
         )
         with pytest.raises(NotImplementedError):
+            decode_png(p)
+    # illegal shapes the spec forbids: ValueError, not NotImplemented
+    for depth, color, inter in [(16, 3, 0), (8, 2, 2)]:
+        p = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(
+                b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, inter)
+            )
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
             decode_png(p)
     # truncated scanline data and bad filter type: ValueError
     with pytest.raises(ValueError):
@@ -424,6 +436,90 @@ def test_decode_png_grayscale_palette_and_gray_alpha():
     for h, w, ch in [(6, 4, 1), (7, 3, 2)]:
         img = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
         assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def test_png_adam7_pass_grid_matches_spec_figure():
+    """Encoder-independent check of the Adam7 grid: the pass number
+    that owns each pixel of an 8x8 image, derived from _ADAM7's
+    (x0, y0, dx, dy) tuples, must reproduce the PNG spec section 8.2
+    figure verbatim. A symmetric encoder/decoder bug (both misreading
+    the grid the same way) would round-trip clean but fail here."""
+    import numpy as np
+
+    from lion_parcel_etl_spark.operators.multimodal import _ADAM7
+
+    owner = np.zeros((8, 8), dtype=int)
+    for p, (x0, y0, dx, dy) in enumerate(_ADAM7, start=1):
+        owner[y0::dy, x0::dx] = p
+    spec_figure = [
+        [1, 6, 4, 6, 2, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [3, 6, 4, 6, 3, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+    ]
+    assert owner.tolist() == spec_figure
+
+
+def test_png_adam7_and_16bit_roundtrip():
+    """Round-8 completion: Adam7-interlaced and 16-bit containers
+    round-trip byte-exact through encode_png/decode_png across color
+    types and sizes that exercise EMPTY interlace passes (w or h < 5
+    drops whole passes) and partial ones (non-multiples of 8)."""
+    import numpy as np
+
+    from lion_parcel_etl_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(8)
+    sizes = [(1, 1), (3, 2), (4, 9), (8, 8), (11, 6), (17, 16)]
+    for ch in (1, 2, 3, 4):
+        for h, w in sizes:
+            img = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+            out = decode_png(encode_png(img, interlace=True))
+            assert out.dtype == np.uint8 and np.array_equal(out, img)
+            img16 = rng.randint(0, 65536, size=(h, w, ch)).astype(np.uint16)
+            for interlace in (False, True):
+                out16 = decode_png(encode_png(img16, interlace=interlace))
+                assert out16.dtype == np.uint16
+                assert np.array_equal(out16, img16)
+
+
+def test_png_16bit_wire_format_is_big_endian():
+    """Pin the wire layout, not just the round-trip: a single 16-bit
+    gray pixel 0x0102 must serialize its sample high byte first
+    (depth-16 IHDR byte + MSB-first sample in the inflated stream)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from lion_parcel_etl_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    img = np.array([[[0x0102]]], dtype=np.uint16)
+    p = encode_png(img)
+    w, h, depth, color, comp, filt, inter = struct.unpack(
+        ">IIBBBBB", p[16:29]
+    )
+    assert (w, h, depth, color, inter) == (1, 1, 16, 0, 0)
+    # chunk walk to the IDAT body, inflate: filter byte + 2 sample bytes
+    pos, idat = 8, b""
+    while pos + 12 <= len(p):
+        size, ctype = struct.unpack_from(">I4s", p, pos)
+        if ctype == b"IDAT":
+            idat += p[pos + 8 : pos + 8 + size]
+        pos += 12 + size
+    raw = zlib.decompress(idat)
+    assert raw == bytes([0, 0x01, 0x02])
+    assert decode_png(p)[0, 0, 0] == 0x0102
 
 
 def test_decode_png_corrupt_bytes_raise_valueerror_not_struct_zlib():
