@@ -206,6 +206,8 @@ HEADLINE = [
     "ppr_seeded",
     "unigram_entropy",
     "trimmed_stats",
+    "ks_drift_binned",
+    "ks_agreement",
 ]
 
 # FROZEN anchor set (round 6, per the r05 verdict): cross-round

@@ -677,6 +677,44 @@ def ks_from_group_value_counts(cnt: DataFrame) -> DataFrame:
     )
 
 
+#: Binned-KS bucket count: KS_BINS − 1 quantile boundaries → KS_BINS
+#: buckets; shared by plans/queries.q_ks_drift_binned and the
+#: streaming reader (streaming/jobs.read_ks_drift_binned).
+KS_BINS = 16
+
+
+def ks_binned_from_counts(
+    cnt: DataFrame, sampled_cnt: DataFrame, bins: int = KS_BINS
+) -> DataFrame:
+    """Binned two-sample KS from a (g, v, c) count table + a (v, c)
+    SAMPLED count table — the 100 TB twin of
+    :func:`ks_from_group_value_counts`, whose ECDF grid is |distinct
+    values|-bound. ``bins − 1`` quantile boundaries come from an exact
+    frequency-weighted interpolated percentile over the sampled counts
+    (counts are sufficient for a percentile, so the boundary a batch
+    job gets from sampled ROWS and the one a streaming reader gets
+    from merged sampled COUNTS are identical — that is what keeps the
+    streaming twin lossless); every (g, v) count then width-buckets
+    with ``bins − 1`` comparisons against the broadcast 1-row boundary
+    scalars — zero global sorts — and the SAME statistic pipeline runs
+    on the (g, bucket) counts: the grid is now ``bins`` rows per group
+    at any corpus size. Binned D restricts the CDF-gap sup to bucket
+    boundaries, so binned ≤ exact always; q_ks_agreement measures the
+    gap."""
+    qarr = "array(" + ", ".join(f"{i / bins}D" for i in range(1, bins)) + ")"
+    bounds = sampled_cnt.agg(F.expr(f"percentile(v, {qarr}, c)").alias("bs"))
+    bin_col = F.lit(0)
+    for i in range(bins - 1):
+        bin_col = bin_col + (F.col("v") > F.round(F.col("bs")[i], 6)).cast("int")
+    binned = (
+        cnt.crossJoin(F.broadcast(bounds))
+        .select("g", bin_col.cast("long").alias("v"), "c")
+        .groupBy("g", "v")
+        .agg(F.sum("c").alias("c"))
+    )
+    return ks_from_group_value_counts(binned)
+
+
 def benford_from_digit_counts(obs: DataFrame) -> DataFrame:
     """Benford conformance readout from a (digit, n_obs) count table —
     the ONE pipeline shared by plans/queries.q_benford_audit and the

@@ -96,7 +96,11 @@ from pyspark.sql import DataFrame
 # broadcast |groups|-row group list (the ECDF grid fan-out — groups is
 # a handful of rows) plus the ONE-ROW corpus total; benford_audit
 # crosses its 9-row digit table with the ONE-ROW total (the
-# column_profile pattern).
+# column_profile pattern); ks_drift_binned inherits ks_drift's grid
+# fan-in PLUS the rfm_segments_approx ONE-ROW cross (the broadcast
+# sample-quantile boundary scalars that replace a global sort — the
+# bounded-grid trade is the query's entire point); ks_agreement joins
+# the two twins' 5-row outputs, inheriting both.
 BNLJ_ALLOWED = frozenset(
     {
         "cosine_topk",
@@ -140,6 +144,8 @@ BNLJ_ALLOWED = frozenset(
         "rfm_segments_approx",
         "rfm_agreement",
         "ks_drift",
+        "ks_drift_binned",
+        "ks_agreement",
         "benford_audit",
     }
 )

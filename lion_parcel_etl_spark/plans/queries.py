@@ -5186,15 +5186,14 @@ def q_ks_drift(spark, sf_dir):
     return ks_from_group_value_counts(cnt)
 
 
-SQL_KS_DRIFT = """
-WITH pts AS (
-  SELECT event_type AS g, value AS v FROM events
-  WHERE value IS NOT NULL AND event_type IS NOT NULL
-),
-tot AS (SELECT v, CAST(count(*) AS BIGINT) AS ct FROM pts GROUP BY 1),
-cnt AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM pts GROUP BY 1, 2),
-gs AS (SELECT g, CAST(count(*) AS BIGINT) AS ng FROM pts GROUP BY 1),
-nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
+# The KS statistic tail over a cnt(g, v, c) count CTE — the SQL mirror
+# of operators/checks.ks_from_group_value_counts, shared verbatim by
+# the exact (v = raw value) and binned (v = quantile-bucket id) oracles
+# so the two spellings cannot drift. Totals re-aggregate FROM the count
+# table, exactly as the Spark pipeline does.
+_SQL_KS_TAIL = """tot AS (SELECT v, CAST(SUM(c) AS BIGINT) AS ct FROM cnt GROUP BY 1),
+gs AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng FROM cnt GROUP BY 1),
+nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
 grid AS (
   SELECT gs.g, gs.ng, t.v, t.ct, COALESCE(c.c, 0) AS c
   FROM tot t CROSS JOIN gs
@@ -5215,7 +5214,127 @@ d AS (
 SELECT g AS event_type, ng AS n_group, n - ng AS n_rest,
        round(d, 6) AS ks_d,
        round(d * sqrt(CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE) / n), 6) AS ks_stat
-FROM d ORDER BY event_type
+FROM d ORDER BY event_type"""
+
+
+_SQL_KS_PTS = """pts AS (
+  SELECT event_id, event_type AS g, value AS v FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+)"""
+
+
+SQL_KS_DRIFT = f"""
+WITH {_SQL_KS_PTS},
+cnt AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM pts GROUP BY 1, 2),
+{_SQL_KS_TAIL}
+"""
+
+
+#: Binned-KS production knobs: KS_BINS quantile buckets whose
+#: boundaries come from a deterministic md5 1/APPROX_SAMPLE_DIV event
+#: sample (the rfm_segments_approx estimator — exact interpolated
+#: percentile over the sample, SQL-replayable). Defined next to the
+#: shared statistic pipeline so the streaming reader can't drift.
+from lion_parcel_etl_spark.operators.checks import KS_BINS  # noqa: E402
+
+
+def _ks_event_points(spark, sf_dir) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).select("event_id", F.col("event_type").alias("g"), F.col("value").alias("v"))
+
+
+def q_ks_drift_binned(spark, sf_dir):
+    """The 100 TB production twin of q_ks_drift (r07 verdict item 3):
+    the exact KS grid is |distinct values|-bound, so here every value
+    is first width-bucketed against {KS_BINS − 1} quantile boundaries
+    taken from a deterministic md5 1/{APPROX_SAMPLE_DIV} event sample
+    (broadcast 1-row scalars, zero global sorts — the
+    rfm_segments_approx discipline), and the SAME statistic pipeline
+    (operators/checks.ks_from_group_value_counts) runs on the
+    (group, bucket) counts: the ECDF grid is now {KS_BINS} rows per
+    group at ANY corpus size. Binned D is the sup of the same CDF gap
+    restricted to bucket boundaries, so binned ≤ exact always —
+    q_ks_agreement is the measured-fidelity readout (the ann_recall
+    discipline). Both the boundary percentile and the bucketing run
+    over COUNT tables (operators/checks.ks_binned_from_counts — counts
+    are sufficient for a frequency-weighted percentile), which is
+    exactly what makes the streaming twin
+    (streaming/jobs.read_ks_drift_binned over merged count logs)
+    lossless."""
+    from lion_parcel_etl_spark.operators.checks import ks_binned_from_counts
+    from lion_parcel_etl_spark.operators.sampling import HASH_MOD, id_hash
+
+    pts = _ks_event_points(spark, sf_dir)
+    sampled_cnt = (
+        pts.filter(
+            id_hash(F.col("event_id"), salt="ksb")
+            < F.lit(HASH_MOD // APPROX_SAMPLE_DIV)
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cnt = pts.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    return ks_binned_from_counts(cnt, sampled_cnt, KS_BINS)
+
+
+def _duck_ks_drift_binned() -> str:
+    from lion_parcel_etl_spark.operators.sampling import HASH_MOD, duck_id_hash
+
+    h = duck_id_hash("event_id", "ksb")
+    bcols = ", ".join(
+        f"round(quantile_cont(v, {i / KS_BINS}), 6) AS b{i}"
+        for i in range(1, KS_BINS)
+    )
+    above = " + ".join(f"CAST(v > b{i} AS INT)" for i in range(1, KS_BINS))
+    return f"""
+WITH {_SQL_KS_PTS},
+samp AS (SELECT * FROM pts WHERE {h} < {HASH_MOD // APPROX_SAMPLE_DIV}),
+bounds AS (SELECT {bcols} FROM samp),
+binned AS (SELECT g, CAST({above} AS BIGINT) AS v FROM pts CROSS JOIN bounds),
+cnt AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM binned GROUP BY 1, 2),
+{_SQL_KS_TAIL}
+"""
+
+
+def q_ks_agreement(spark, sf_dir):
+    """Admissibility readout for the binned-KS path: per event type,
+    exact D next to binned D and the gap between them — the number
+    that justifies running the {KS_BINS}-bucket twin at scale, exactly
+    as rfm_agreement does for approx RFM and ann_recall for ANN.
+    Binned D evaluates the same CDF gap on a boundary subset, so
+    d_gap ≥ 0 up to the two round(,6)s (pytest-pinned floor in
+    tests/test_round8_queries.py)."""
+    exact = q_ks_drift(spark, sf_dir).select(
+        "event_type", F.col("ks_d").alias("ks_d_exact")
+    )
+    binned = q_ks_drift_binned(spark, sf_dir).select(
+        "event_type", F.col("ks_d").alias("ks_d_binned")
+    )
+    # both sides are |event types|-sized (a handful of rows at any
+    # corpus size) — broadcast beats the SMJ Catalyst guesses for two
+    # stats-free aggregates
+    return (
+        exact.join(F.broadcast(binned), "event_type")
+        .select(
+            "event_type",
+            "ks_d_exact",
+            "ks_d_binned",
+            F.round(F.col("ks_d_exact") - F.col("ks_d_binned"), 6).alias(
+                "d_gap"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _duck_ks_agreement() -> str:
+    return f"""
+SELECT e.event_type, e.ks_d AS ks_d_exact, b.ks_d AS ks_d_binned,
+       round(e.ks_d - b.ks_d, 6) AS d_gap
+FROM ({SQL_KS_DRIFT}) e JOIN ({_duck_ks_drift_binned()}) b USING (event_type)
+ORDER BY event_type
 """
 
 
@@ -11365,31 +11484,33 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ppr_seeded": (q_ppr_seeded, _duck_ppr_seeded()),
     "unigram_entropy": (q_unigram_entropy, SQL_UNIGRAM_ENTROPY),
     "trimmed_stats": (q_trimmed_stats, SQL_TRIMMED_STATS),
+    "ks_drift_binned": (q_ks_drift_binned, _duck_ks_drift_binned()),
+    "ks_agreement": (q_ks_agreement, _duck_ks_agreement()),
 }
 
-# Round-7 registry head: queries whose OUTPUT changed or that are new
-# this round lead, so each gets a fresh official driver row.
-# multimodal_decode's output changed (PNG rows joined the generator);
-# the RFM approx twin + agreement eval and the round's other additions
-# are new; compression_ratio remains the single rows-only query (zlib
-# is honestly not SQL) and stays at the head for a current clean
+# Round-8 registry head: queries that are new or whose plan changed
+# this round lead, so each gets a fresh official driver row. The
+# binned-KS twin + agreement eval and the day-spine lag family are
+# new/changed; the graph family's plans now read the shared
+# _cooc_edges store; ppr_seeded's seed predicate changed;
+# compression_ratio remains the single rows-only query (zlib is
+# honestly not SQL) and stays at the head for a current clean
 # no-oracle row. Everything else keeps its prior relative order;
 # lookup semantics are unaffected.
-_R7_HEAD = [
-    "multimodal_decode",
-    "rfm_segments_approx",
-    "rfm_agreement",
-    "holt_winters_eval",
-    "kcore_peel",
+_R8_HEAD = [
+    "ks_drift_binned",
+    "ks_agreement",
     "ks_drift",
-    "benford_audit",
+    "cooccurrence_graph",
+    "triangle_count",
+    "kcore_peel",
     "ppr_seeded",
-    "unigram_entropy",
-    "trimmed_stats",
+    "benford_audit",
+    "multimodal_decode",
     "compression_ratio",
 ]
-assert set(_R7_HEAD) <= set(QUERIES), sorted(set(_R7_HEAD) - set(QUERIES))
+assert set(_R8_HEAD) <= set(QUERIES), sorted(set(_R8_HEAD) - set(QUERIES))
 QUERIES = {
-    **{name: QUERIES[name] for name in _R7_HEAD},
-    **{name: fn for name, fn in QUERIES.items() if name not in set(_R7_HEAD)},
+    **{name: QUERIES[name] for name in _R8_HEAD},
+    **{name: fn for name, fn in QUERIES.items() if name not in set(_R8_HEAD)},
 }

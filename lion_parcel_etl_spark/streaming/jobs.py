@@ -1547,6 +1547,39 @@ def read_ks_drift(spark: SparkSession, warehouse, table: str) -> DataFrame:
     return ks_from_group_value_counts(merged)
 
 
+def read_ks_drift_binned(
+    spark: SparkSession, warehouse, counts_table: str, sampled_table: str
+) -> DataFrame:
+    """Binned (production-scale) KS drift from TWO streamed count
+    logs: the full per-(g, v) counts and the per-(g, v) counts of the
+    md5-SAMPLED substream (both written by stream_value_counts — the
+    sampled log is just the same job over a hash-filtered stream, so
+    no new writer exists to drift). Both are additive monoids, and the
+    quantile boundaries come from a frequency-weighted percentile over
+    the merged sampled counts — counts are sufficient statistics for a
+    percentile, so the boundaries equal the batch job's percentile
+    over sampled ROWS exactly, whatever the batch boundaries were.
+    Statistic pipeline SHARED with q_ks_drift_binned
+    (operators/checks.ks_binned_from_counts); equals the batch query
+    over everything ingested, tested."""
+    from lion_parcel_etl_spark.operators.checks import (
+        KS_BINS,
+        ks_binned_from_counts,
+    )
+
+    merged = (
+        warehouse.read(spark, counts_table)
+        .groupBy("g", "v")
+        .agg(F.sum("c").alias("c"))
+    )
+    sampled = (
+        warehouse.read(spark, sampled_table)
+        .groupBy("v")
+        .agg(F.sum("c").alias("c"))
+    )
+    return ks_binned_from_counts(merged, sampled, KS_BINS)
+
+
 def stream_digit_counts(
     df: DataFrame,
     warehouse,

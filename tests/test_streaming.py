@@ -1698,6 +1698,69 @@ def test_stream_ks_drift_equals_batch(spark, tmp_path, sf_dir):
     assert sorted(map(tuple, again)) == sorted(map(tuple, want))
 
 
+def test_stream_ks_drift_binned_equals_batch(spark, tmp_path, sf_dir):
+    """Binned KS over the two merged count logs (full + md5-sampled)
+    equals q_ks_drift_binned over the same events under an adversarial
+    odd/even split: the sampled counts are an additive monoid and the
+    frequency-weighted percentile over merged counts reproduces the
+    batch job's row-percentile boundaries exactly. A crash replay of a
+    batch's counts cannot double-count."""
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.sampling import HASH_MOD, id_hash
+    from lion_parcel_etl_spark.plans.queries import (
+        APPROX_SAMPLE_DIV,
+        q_ks_drift_binned,
+    )
+    from lion_parcel_etl_spark.streaming.jobs import (
+        read_ks_drift_binned,
+        stream_value_counts,
+    )
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(str(tmp_path / "wh"))
+    for frag in [ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1")]:
+        frag.coalesce(1).write.mode("append").parquet(landing)
+        stream = spark.readStream.schema(ev.schema).parquet(landing)
+        stream_value_counts(
+            stream, wh, "vc", "event_type", "value",
+            str(tmp_path / "ckpt_full"),
+        )
+        sampled_stream = spark.readStream.schema(ev.schema).parquet(
+            landing
+        ).filter(
+            id_hash(F.col("event_id"), salt="ksb")
+            < F.lit(HASH_MOD // APPROX_SAMPLE_DIV)
+        )
+        stream_value_counts(
+            sampled_stream, wh, "vc_samp", "event_type", "value",
+            str(tmp_path / "ckpt_samp"),
+        )
+
+    got = read_ks_drift_binned(spark, wh, "vc", "vc_samp").collect()
+    want = q_ks_drift_binned(spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and got
+
+    # crash replay: re-append batch 1's SAMPLED counts under the same
+    # __batch_id — the exactly-once layout must ignore the duplicate
+    part = (
+        ev.filter("event_id % 2 = 1")
+        .filter(
+            id_hash(F.col("event_id"), salt="ksb")
+            < F.lit(HASH_MOD // APPROX_SAMPLE_DIV)
+        )
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(F.col("event_type").alias("g"), F.col("value").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wh.append_batch(part, "vc_samp", 1)
+    again = read_ks_drift_binned(spark, wh, "vc", "vc_samp").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, want))
+
+
 def test_stream_benford_equals_batch(spark, tmp_path, sf_dir):
     """Digit counts are additive: the merged Benford readout equals
     q_benford_audit over the same orders under an odd/even split, and
