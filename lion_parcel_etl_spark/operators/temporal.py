@@ -350,6 +350,38 @@ def kaplan_meier(
     )
 
 
+def densify_daily(
+    d: DataFrame,
+    series_col: str = "event_type",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Zero-fill a (series, x=epoch-day, y=count) frame over each
+    series' OWN [min, max] day span — the structural fix for the
+    row-lag-vs-day-lag hazard (r07 verdict item 5): every lag-family
+    consumer (acf_lags, seasonal_naive_eval, holt_winters_eval,
+    seasonal_dow and the streaming read_holt_winters twin) runs
+    ``lag(y, k)`` over rows, which means day-k ONLY when every day in
+    the span has a row. Shared by plans/queries._daily_volumes and the
+    streaming reader so batch and twin can't drift.
+
+    Plan cost: one |series|-row min/max aggregate, a sequence-explode
+    over day spans (days, not data — tiny at any corpus size) and one
+    |days|-sized left join; y stays an exact long."""
+    spine = (
+        d.groupBy(series_col)
+        .agg(F.min(x_col).alias("lo"), F.max(x_col).alias("hi"))
+        .select(
+            series_col, F.explode(F.sequence("lo", "hi")).alias(x_col)
+        )
+    )
+    return spine.join(d, [series_col, x_col], "left").select(
+        series_col,
+        x_col,
+        F.coalesce(y_col, F.lit(0)).cast("long").alias(y_col),
+    )
+
+
 def holt_winters_backtest(
     d: DataFrame,
     series_col: str = "event_type",

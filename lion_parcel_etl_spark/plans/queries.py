@@ -8825,27 +8825,47 @@ GROUP BY event_type ORDER BY event_type
 
 
 def _daily_volumes(spark, sf_dir):
-    """(event_type, x=epoch-day, y=count) — the shared series both
-    trend queries fit.
+    """(event_type, x=epoch-day, y=count) DENSIFIED over each series'
+    own [min, max] day span (operators/temporal.densify_daily — the
+    r08 structural fix for the r07 verdict's item 5): a day with zero
+    events emits a y=0 row, so the lag consumers' row-lag IS a day-lag
+    on ANY data, not just data that happens to be dense (the old
+    CONTRACT enforced density with a loud test; that test now pins the
+    spine's semantics instead). The shipped fixtures are dense, so
+    densification is a no-op there and every consumer's oracle hash is
+    unchanged; tests/test_round8_queries.py proves the sparse case
+    end-to-end against DuckDB."""
+    from lion_parcel_etl_spark.operators.temporal import densify_daily
 
-    CONTRACT: no gap-filling — a day with zero events yields no row.
-    Lag-based consumers (acf_lags, seasonal_naive_eval) therefore
-    compute row-lags, which equal day-lags only while every series is
-    dense over its span; tests/test_round6_queries.py pins that
-    density so a sparse-series regression fails loudly instead of
-    silently changing lag semantics in both engines at once."""
     ev = _t(spark, sf_dir, "events")
-    return ev.filter(F.col("ts").isNotNull()).groupBy(
-        F.col("event_type"),
-        F.unix_date(F.to_date("ts")).alias("x"),
-    ).agg(F.count(F.lit(1)).alias("y"))
+    sparse = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.col("event_type"),
+            F.unix_date(F.to_date("ts")).alias("x"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    return densify_daily(sparse)
 
 
+# Mirrors _daily_volumes' day spine: per-series generate_series over
+# [min, max] epoch-days, zero-filled by the left join — so lag-7 means
+# day-7 in BOTH engines on any data.
 _DUCK_DAILY = """
-  SELECT event_type,
-         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
-         count(*) AS y
-  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+  SELECT spine.event_type, spine.x, COALESCE(sparse.y, 0) AS y
+  FROM (
+    SELECT event_type, unnest(generate_series(min(x), max(x))) AS x
+    FROM (SELECT event_type,
+                 date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x
+          FROM events WHERE ts IS NOT NULL) GROUP BY event_type
+  ) spine
+  LEFT JOIN (
+    SELECT event_type,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+           count(*) AS y
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+  ) sparse ON sparse.event_type = spine.event_type AND sparse.x = spine.x
 """
 
 
@@ -11501,6 +11521,12 @@ _R8_HEAD = [
     "ks_drift_binned",
     "ks_agreement",
     "ks_drift",
+    "acf_lags",
+    "seasonal_naive_eval",
+    "holt_winters_eval",
+    "trend_ols",
+    "trend_theil_sen",
+    "seasonal_dow",
     "cooccurrence_graph",
     "triangle_count",
     "kcore_peel",

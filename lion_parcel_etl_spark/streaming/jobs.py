@@ -1478,8 +1478,16 @@ def read_holt_winters(
     the lossless-sufficient-statistic twin family (cusum, vocab_kl,
     market_basket) to forecasting: read cost is O(groups × days),
     never a raw-stream rescan, and the result provably equals
-    q_holt_winters_eval over the same events (tested)."""
-    from lion_parcel_etl_spark.operators.temporal import holt_winters_backtest
+    q_holt_winters_eval over the same events (tested). The merged
+    series is zero-filled over each group's day span by the SAME
+    densify_daily the batch _daily_volumes uses (r08): a day with no
+    ingested events is a real y=0 observation, and without the shared
+    spine the twin would silently diverge from batch exactly when the
+    stream goes quiet."""
+    from lion_parcel_etl_spark.operators.temporal import (
+        densify_daily,
+        holt_winters_backtest,
+    )
 
     log = warehouse.read(spark, table)
     merged = log.groupBy("g", "day").agg(F.sum("cnt").alias("y")).select(
@@ -1487,7 +1495,9 @@ def read_holt_winters(
         F.unix_date(F.to_date("day")).alias("x"),
         "y",
     )
-    return holt_winters_backtest(merged, series_col=group_col)
+    return holt_winters_backtest(
+        densify_daily(merged, series_col=group_col), series_col=group_col
+    )
 
 
 def stream_value_counts(

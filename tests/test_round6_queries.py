@@ -213,18 +213,20 @@ def test_seasonal_naive_eval_metric_bounds(spark, sf_dir):
 
 
 def test_daily_volumes_dense_per_series(spark, sf_dir):
-    """ADVICE r06: q_acf_lags and q_seasonal_naive_eval document
-    DAY-lag semantics (lag-7 = weekly) but compute row-based lag(y, k)
-    over _daily_volumes, which does no gap-filling — the two coincide
-    only while every series covers every day in its span. That holds
-    in the shipped data; this assertion makes a sparse-series
-    regression LOUD (both engines would silently drift to
-    lag-in-observations together, so the oracle cannot catch it)."""
+    """ADVICE r06 → fixed structurally in r08: _daily_volumes now
+    zero-fills each series' day span via the shared
+    operators/temporal.densify_daily, so row-lag equals day-lag on ANY
+    data. This test pins the spine's SEMANTICS (density is now an
+    output guarantee, not an input assumption): every series covers
+    every day in its span, and the dense frame's per-series totals
+    equal the sparse aggregate's (zero rows added, none lost). The
+    sparse end-to-end case (including the DuckDB mirror) is
+    tests/test_round8_queries.py::test_lag_family_is_day_based_on_sparse_data."""
     from lion_parcel_etl_spark.plans.queries import _daily_volumes
 
+    d = _daily_volumes(spark, sf_dir)
     gaps = (
-        _daily_volumes(spark, sf_dir)
-        .groupBy("event_type")
+        d.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_days"),
             (F.max("x") - F.min("x") + F.lit(1)).alias("span_days"),
@@ -232,9 +234,6 @@ def test_daily_volumes_dense_per_series(spark, sf_dir):
         .filter(F.col("n_days") != F.col("span_days"))
         .collect()
     )
-    assert not gaps, (
-        "sparse daily series detected — row-lag no longer equals "
-        f"day-lag for: {gaps}. Densify _daily_volumes with a day "
-        "spine (sequence(min_x, max_x) + zero-fill) in BOTH engines "
-        "before trusting acf_lags / seasonal_naive_eval / seasonal_dow."
-    )
+    assert not gaps, f"densify_daily left gaps: {gaps}"
+    assert d.filter("y < 0").count() == 0
+    assert d.count() == d.select("event_type", "x").distinct().count()

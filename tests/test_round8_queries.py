@@ -7,6 +7,7 @@ oracles can't express."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from lion_parcel_etl_spark.plans.queries import (
     q_cooccurrence_graph,
@@ -81,6 +82,93 @@ def test_cooc_edges_store_is_shared_and_byte_identical(spark, sf_dir):
     got = sorted(map(tuple, stored.select(cols).collect()))
     want = sorted(map(tuple, inline.select(cols).collect()))
     assert got == want and got
+
+
+def test_lag_family_is_day_based_on_sparse_data(spark, tmp_path):
+    """r07 verdict item 5, end-to-end: on a deliberately SPARSE events
+    table (missing days inside every series' span) the whole lag
+    family must still hash-match its DuckDB oracle — which only holds
+    because _daily_volumes and _DUCK_DAILY now share the day-spine
+    zero-fill; before r08 both engines silently computed
+    lag-in-observations together and the oracle could not catch it.
+    Also pins the semantics directly: lag-7 of a y=0 day is a real
+    observation, so the densified series length equals the span."""
+    import datetime
+
+    import duckdb
+
+    from lion_parcel_etl_spark.plans.queries import QUERIES, _daily_volumes
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def add(et, day, n):
+        nonlocal eid
+        for k in range(n):
+            rows.append(
+                (
+                    eid,
+                    base + datetime.timedelta(days=day, hours=k + 1),
+                    eid % 7,
+                    et,
+                    float(10 + (eid % 5)),
+                    None,
+                )
+            )
+            eid += 1
+
+    # series a: 21-day span, days 3 and 9-11 missing
+    for d in range(21):
+        if d not in (3, 9, 10, 11):
+            add("a", d, 1 + d % 3)
+    # series b: 16-day span, only 3 observed days (heavy gaps)
+    for d in (0, 14, 15):
+        add("b", d, 2)
+    # series c: 34-day span (days 5..38), every 3rd day only
+    for d in range(5, 41, 3):
+        add("c", d, 1 + d % 2)
+
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    sf = str(tmp_path)
+
+    # the spine fills every series to its full span
+    dense = _daily_volumes(spark, sf)
+    spans = {
+        r.event_type: (r.n, r.span)
+        for r in dense.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max("x") - F.min("x") + F.lit(1)).alias("span"),
+        )
+        .collect()
+    }
+    assert spans == {"a": (21, 21), "b": (16, 16), "c": (34, 34)}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'"
+    )
+    for name in (
+        "acf_lags",
+        "seasonal_naive_eval",
+        "holt_winters_eval",
+        "trend_ols",
+        "trend_theil_sen",
+        "seasonal_dow",
+    ):
+        fn, sql = QUERIES[name]
+        got = [tuple(r) for r in fn(spark, sf).collect()]
+        want = [tuple(r) for r in con.execute(sql).fetchall()]
+        assert sorted(got, key=str) == sorted(want, key=str), name
+        assert got, name
 
 
 def test_ppr_seeded_empty_cohort_is_loud(spark, sf_dir, monkeypatch):
