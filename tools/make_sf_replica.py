@@ -24,7 +24,23 @@ artificial cross-copy structure appears:
   neighbor structure.
 - region/nation/customer/supplier/part: copied verbatim.
 
-Usage: python tools/make_sf_replica.py [mult] [out_dir]
+``--skew`` (r08, verdict item 4) builds the HARD case for the graph
+family instead of the disjoint-copies easy case (10 disjoint copies
+leave arboricity unchanged, which BENCH_NOTES admits is friendly to
+triangle_count's O(m^1.5) claim). Two deliberate pathologies in the
+events table, everything else as in the plain replica:
+
+- ONE HOT KEY: props key 0 is NOT shifted per copy, so its distinct
+  user set grows 10× (≈7.3k users on one key vs ≈730 for every other
+  key) — the co-occurrence projection's self-join gets one shuffle
+  partition carrying ~deg²/2 ≈ 27M candidate pairs on its own, the
+  classic skewed-join stress AQE's skew split exists for.
+- ZIPF-ish USER POPULARITY: within each copy, user ids collapse into
+  buckets of linearly growing width (width 1 + (u mod 10^4) div 300),
+  so a tail of users absorbs up to ~5 users' events each — node
+  degrees grow a heavy tail instead of staying uniform.
+
+Usage: python tools/make_sf_replica.py [mult] [out_dir] [--skew]
 """
 
 from __future__ import annotations
@@ -42,11 +58,13 @@ SRC = "/root/testdata/sf0.1"
 
 
 def main() -> None:
-    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+    skew = "--skew" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--skew"]
+    mult = int(args[0]) if len(args) > 0 else 10
+    out = args[1] if len(args) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scratch",
-        "sf1",
+        "sf1skew" if skew else "sf1",
     )
     spark = get_spark(app_name="make-sf-replica")
     spark.sparkContext.setLogLevel("ERROR")
@@ -72,16 +90,35 @@ def main() -> None:
     )
     ev = spark.read.parquet(f"{SRC}/events.parquet").select("*", copies)
     k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    shifted_k = k + F.col("copy") * 1_000
+    if skew:
+        # key 0 stays key 0 in EVERY copy (the hot key); users collapse
+        # into linearly-widening buckets (zipf-ish popularity tail)
+        new_k = F.when(k == 0, F.lit(0)).otherwise(shifted_k)
+        uid = F.col("user_id") + F.col("copy") * 10_000
+        new_user = F.expr(
+            "__uid - (__uid % (1 + ((__uid % 10000) div 300)))"
+        )
+    else:
+        new_k = shifted_k
+        uid = None
+    evx = ev.withColumn(
+        "event_id", F.col("event_id") + F.col("copy") * 1_000_000
+    )
+    if skew:
+        evx = evx.withColumn("__uid", uid).withColumn(
+            "user_id", new_user
+        ).drop("__uid")
+    else:
+        evx = evx.withColumn("user_id", F.col("user_id") + F.col("copy") * 10_000)
     rep(
         "events",
-        ev.withColumn("event_id", F.col("event_id") + F.col("copy") * 1_000_000)
-        .withColumn("user_id", F.col("user_id") + F.col("copy") * 10_000)
-        .withColumn(
+        evx.withColumn(
             "props",
             F.when(
                 F.col("props").isNotNull(),
                 F.concat(
-                    F.lit('{"k": '), (k + F.col("copy") * 1_000).cast("string"), F.lit("}")
+                    F.lit('{"k": '), new_k.cast("string"), F.lit("}")
                 ),
             ),
         )
