@@ -25,11 +25,16 @@ def media(spark):
 
 
 def test_decode_codec_formats_still_raise():
-    # lossy codec formats (no in-sandbox decoder) keep the honest raise
+    # remaining codec formats (no in-sandbox decoder) keep the honest
+    # raise; baseline JPEG decodes for real as of round 8, so a JPEG
+    # signature now routes to the parser (garbage body -> ValueError,
+    # the corrupt-bytes contract, not NotImplementedError)
     with pytest.raises(NotImplementedError):
         decode_media(b"abc", "image")
     with pytest.raises(NotImplementedError):
-        decode_media(b"\xff\xd8\xff\xe0" + b"\x00" * 64, "image")  # JPEG/JFIF
+        decode_media(b"ID3\x04" + b"\x00" * 64, "audio")  # MP3
+    with pytest.raises(ValueError):
+        decode_media(b"\xff\xd8\xff\xe0" + b"\x00" * 64, "image")
 
 
 def _bmp_2x2_fixture():
@@ -520,6 +525,143 @@ def test_png_16bit_wire_format_is_big_endian():
     raw = zlib.decompress(idat)
     assert raw == bytes([0, 0x01, 0x02])
     assert decode_png(p)[0, 0, 0] == 0x0102
+
+
+def test_jpeg_hand_assembled_single_block_matches_spec_idct():
+    """Decoder vs the T.81 SPEC, independent of encode_jpeg: a minimal
+    grayscale JPEG is assembled byte-by-byte here — DQT (flat 2s to
+    exercise dequant), SOF0 8×8, a hand-built canonical DHT (DC cats
+    0-11 at length 4; AC: EOB at length 2, (run=0,size=2) at length 3),
+    and an entropy segment hand-coded bit-by-bit: DC category 5, bits
+    10110 (EXTEND → +22), one AC coefficient (0,2) bits 01 (EXTEND →
+    -2) at zigzag position 1, EOB. Expected pixels = IDCT of that
+    coefficient block, computed here with an independent numpy cosine
+    transform (not the module's _DCT_C)."""
+    import struct
+
+    import numpy as np
+
+    from lion_parcel_etl_spark.operators.multimodal import decode_jpeg
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([2] * 64))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    # DC table 0: 12 symbols, all length 4 (canonical codes 0000..1011)
+    dht_dc = bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12))
+    # AC table 0: EOB (0x00) at length 2 (code 00); 0x02 at length 3
+    # (canonical: next code after 00<<1 = 010)
+    dht_ac = bytes([0x10]) + bytes([0, 1, 1] + [0] * 13) + bytes([0x00, 0x02])
+    dht = seg(0xC4, dht_dc + dht_ac)
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # bits: DC cat 5 = 0101, diff bits 10110 (=22 positive);
+    # AC (0,2) code 010, bits 01 (EXTEND(1,2) = -2); EOB 00
+    # stream: 0101 10110 010 01 00 -> 0101101 10010010 0 + 1-padding
+    bits = "0101" + "10110" + "010" + "01" + "00"
+    bits += "1" * (-len(bits) % 8)
+    ecs = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    p = b"\xff\xd8" + dqt + sof + dht + sos + ecs + b"\xff\xd9"
+
+    got = decode_jpeg(p)
+    # independent IDCT: orthonormal cosine basis built from first
+    # principles (T.81 A.3.3), dequantized coefficients 22*2 and -2*2
+    coef = np.zeros((8, 8))
+    coef[0, 0] = 22 * 2
+    coef[0, 1] = -2 * 2  # zigzag position 1 is row 0, col 1
+    j = np.arange(8)
+    basis = np.cos((2 * j[None, :] + 1) * j[:, None] * np.pi / 16)
+    basis[0, :] = 1.0
+    scale = np.where(j[:, None] == 0, np.sqrt(1 / 8), np.sqrt(2 / 8))
+    c = basis * scale
+    want = np.clip(np.round(c.T @ coef @ c + 128.0), 0, 255).astype(np.uint8)
+    assert got.shape == (8, 8, 1)
+    assert np.array_equal(got[:, :, 0], want)
+
+
+def test_jpeg_flat_blocks_roundtrip_bit_exact():
+    """The oracle-path property: an 8×8-block-constant image is a pure
+    integer DC term, so the lossy format round-trips BIT-exactly —
+    grayscale, across sizes (incl. the edge-replication pad path) and
+    with restart markers."""
+    import numpy as np
+
+    from lion_parcel_etl_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(42)
+    for bh, bw_, crop in [(2, 2, None), (3, 3, (20, 19)), (4, 1, None)]:
+        blocks = rng.randint(0, 256, (bh, bw_), dtype=np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)[:, :, None]
+        if crop:
+            img = img[: crop[0], : crop[1], :]
+        assert np.array_equal(decode_jpeg(encode_jpeg(img)), img)
+    blocks = rng.randint(0, 256, (4, 4), dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)[:, :, None]
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img, restart_interval=2)), img
+    )
+
+
+def test_jpeg_arbitrary_content_bounded_error_and_golden():
+    """Arbitrary content is lossy but tightly bounded at quant=1 (the
+    only loss is coefficient rounding): |err| <= 2 for grayscale,
+    <= 4 for color (adds YCbCr rounding). A committed golden pins the
+    exact decoded bytes of a fixed fixture so any cross-version drift
+    in the entropy chain is loud."""
+    import hashlib
+
+    import numpy as np
+
+    from lion_parcel_etl_spark.operators.multimodal import (
+        decode_jpeg,
+        decode_media,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(7)
+    g = rng.randint(0, 256, (24, 17, 1), dtype=np.uint8)
+    dg = decode_jpeg(encode_jpeg(g))
+    assert np.abs(dg.astype(int) - g.astype(int)).max() <= 2
+    c = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    dc = decode_jpeg(encode_jpeg(c))
+    assert np.abs(dc.astype(int) - c.astype(int)).max() <= 4
+    assert dc.shape == (16, 16, 3)
+
+    # committed golden: md5 of the decoded bytes of a deterministic
+    # fixture (regenerate ONLY with a justified entropy-chain change)
+    fix = np.arange(24 * 16 * 3, dtype=np.uint8).reshape(24, 16, 3) * 7 % 256
+    dec = decode_jpeg(encode_jpeg(fix, quant=3, restart_interval=2))
+    assert hashlib.md5(dec.tobytes()).hexdigest() == (
+        "c7c9e36973aed4fbc57d7150089f7bc5"
+    )
+
+    # container sniff through the shared decode_media entry point
+    cont, vals, rate = decode_media(encode_jpeg(g), "image")
+    assert cont == "jpeg" and rate is None and len(vals) == 24 * 17
+
+
+def test_jpeg_unsupported_and_corrupt():
+    import numpy as np
+    import pytest
+
+    from lion_parcel_etl_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.full((8, 8, 1), 99, dtype=np.uint8)
+    p = encode_jpeg(img)
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(p.replace(b"\xff\xc0", b"\xff\xc2", 1))  # progressive
+    with pytest.raises(ValueError):
+        decode_jpeg(p[:40])  # truncated segment
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01\x02")  # no SOI
+    with pytest.raises(ValueError):
+        decode_jpeg(p[:2] + p[4:])  # marker sync lost
 
 
 def test_decode_png_corrupt_bytes_raise_valueerror_not_struct_zlib():

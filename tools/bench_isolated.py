@@ -129,7 +129,17 @@ def main() -> int:
             f"(cold {cold[name]:.3f}s)",
             flush=True,
         )
+        # Incremental write after EVERY query: a multi-hour full-registry
+        # sweep that dies (OOM, timeout, operator kill) still leaves a
+        # usable partial ledger instead of nothing.
+        _write(args, t_start, floors, cold, raw, errors, machine_start, bench)
 
+    _write(args, t_start, floors, cold, raw, errors, machine_start, bench)
+    print(f"wrote {args.out}: {len(floors)} floors, {len(errors)} errors")
+    return 1 if errors else 0
+
+
+def _write(args, t_start, floors, cold, raw, errors, machine_start, bench) -> None:
     out = {
         "sf_dir": args.sf_dir,
         "runs": args.runs,
@@ -140,10 +150,10 @@ def main() -> int:
         "errors": errors,
         "machine": {"start": machine_start, "end": bench._machine_state()},
     }
-    with open(args.out, "w") as f:
+    tmp = args.out + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
-    print(f"wrote {args.out}: {len(floors)} floors, {len(errors)} errors")
-    return 1 if errors else 0
+    os.replace(tmp, args.out)
 
 
 if __name__ == "__main__":
