@@ -205,5 +205,5 @@ def test_benford_rejects_out_of_domain_digits(spark):
     assert benford_from_digit_counts(ok).count() == 9
     for bad_rows in ([(0, 5), (1, 3)], [(1, 3), (10, 2)], [(None, 4)]):
         bad = spark.createDataFrame(bad_rows, "digit int, n_obs long")
-        with pytest.raises(Exception, match="digit outside 1-9"):
+        with pytest.raises(Exception, match="outside 1-9"):
             benford_from_digit_counts(bad).collect()
