@@ -5446,7 +5446,7 @@ def q_kcore_peel(spark, sf_dir):
     — measured peel depth ≤ 6 at every SF, and the fixed point is
     pytest-pinned), so the oracle replays each round as one degree
     filter + one aggregate, the pagerank discipline. Per-round cost:
-    two semi-joins of the pinned symmetric edge list against the
+    two semi-joins of the store-backed symmetric edge list against the
     shrinking alive set + one map-side-combined |edges|-sized degree
     aggregate. Edge list via the family-shared _cooc_edges store —
     the r07 floor showed ~10.2 s of this query's 11.4 s was rebuilding
