@@ -700,9 +700,38 @@ def ks_binned_from_counts(
     on the (g, bucket) counts: the grid is now ``bins`` rows per group
     at any corpus size. Binned D restricts the CDF-gap sup to bucket
     boundaries, so binned ≤ exact always; q_ks_agreement measures the
-    gap."""
+    gap.
+
+    An EMPTY sample fails fast at execution time: percentile over zero
+    rows yields a NULL boundary array, every (v > NULL) comparison is
+    NULL, and all rows would collapse into a NULL bucket that the
+    downstream grid join silently drops (NULL = NULL never matches) —
+    garbage KS stats instead of an error. Reachable both in batch (a
+    corpus so small the 1/APPROX_SAMPLE_DIV md5 sample selects zero
+    events) and in the streaming reader before any sampled row lands,
+    so the guard rides the SAME one-row bounds aggregate (no extra
+    pass over the sample)."""
     qarr = "array(" + ", ".join(f"{i / bins}D" for i in range(1, bins)) + ")"
-    bounds = sampled_cnt.agg(F.expr(f"percentile(v, {qarr}, c)").alias("bs"))
+    bounds = (
+        sampled_cnt.agg(
+            F.expr(f"percentile(v, {qarr}, c)").alias("bs_raw"),
+            F.coalesce(F.sum("c"), F.lit(0)).alias("n_samp"),
+        )
+        .select(
+            F.when(F.col("n_samp") > 0, F.col("bs_raw"))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "ks_binned_from_counts: sampled count table is "
+                        "empty — no rows to derive quantile boundaries "
+                        "from (corpus too small for the md5 sample, or "
+                        "streaming sample log not yet populated)"
+                    )
+                )
+            )
+            .alias("bs")
+        )
+    )
     bin_col = F.lit(0)
     for i in range(bins - 1):
         bin_col = bin_col + (F.col("v") > F.round(F.col("bs")[i], 6)).cast("int")
@@ -740,11 +769,20 @@ def benford_from_digit_counts(obs: DataFrame) -> DataFrame:
     from lion_parcel_etl_spark.plans.queries import BENFORD_P
 
     valid = F.col("digit").between(1, 9)
+    # coalesce both sums: over an EMPTY count table sum() is NULL, and
+    # a NULL n_bad would take the otherwise-branch with a NULL concat
+    # message — an opaque error instead of the documented behavior
+    # (empty input flows through and yields NULL stats rows, matching
+    # the pre-guard contract).
     totals = obs.agg(
-        F.sum(F.when(valid, F.col("n_obs")).otherwise(F.lit(0)))
+        F.coalesce(
+            F.sum(F.when(valid, F.col("n_obs")).otherwise(F.lit(0))), F.lit(0)
+        )
         .cast("long")
         .alias("n_raw"),
-        F.sum(F.when(valid, F.lit(0)).otherwise(F.lit(1))).alias("n_bad"),
+        F.coalesce(
+            F.sum(F.when(valid, F.lit(0)).otherwise(F.lit(1))), F.lit(0)
+        ).alias("n_bad"),
     )
     n = totals.select(
         F.when(F.col("n_bad") == 0, F.col("n_raw"))

@@ -485,8 +485,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2
         if marker == 0xD9:  # EOI
             break
-        if 0xD0 <= marker <= 0xD7:
-            continue  # stray RST between segments
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            # stray RST / standalone TEM between segments: neither
+            # carries a length word (T.81 B.1.1.3), so treating them
+            # as length-prefixed would read two payload bytes as a
+            # bogus seglen and derail the walk on spec-valid streams.
+            continue
         if pos + 2 > len(payload):
             raise ValueError("truncated JPEG segment header")
         seglen = struct.unpack_from(">H", payload, pos)[0]
@@ -716,6 +720,13 @@ def encode_jpeg(
     h, w, ch = img.shape
     if ch not in (1, 3):
         raise ValueError("encode_jpeg expects 1 or 3 channels")
+    if not 1 <= quant <= 255:
+        # the DQT below is 8-bit precision: np.full(..., np.uint8)
+        # would wrap quant=256 to a zero table and the decoder would
+        # silently dequantize everything to 0
+        raise ValueError(
+            f"quant must be in 1..255 (8-bit DQT precision), got {quant}"
+        )
     if ch == 3:  # JFIF RGB → YCbCr
         f = img.astype(np.float64)
         y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]

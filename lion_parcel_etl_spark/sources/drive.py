@@ -192,11 +192,15 @@ def download_all(
       burst): it retries within the same budget and is classified
       DriveQuotaError only once the budget is spent.
     - ``on_error="raise"`` (default): the all-or-nothing staging load.
-      Every item runs to completion (each with its own retry budget),
-      then if ANY failed, every file this call wrote is deleted before
-      the first failure (in item order) is re-raised — a failed run
-      never leaves a partial landing set that a naive re-run could
-      treat as complete. ``on_error="skip"``: failed files are
+      Every download is STAGED to a hidden ``.<name>.part`` temp file
+      in ``dest_dir`` and renamed to its final name only after every
+      item has succeeded, so a failed run never leaves a partial
+      landing set — and, critically, never deletes files that already
+      existed in ``dest_dir`` from a prior successful run (a failed
+      re-run over a complete landing directory leaves it untouched).
+      On failure the temp files are removed and the first failure (in
+      item order) re-raises. ``on_error="skip"``: each successful
+      item is renamed into place individually; failed files are
       skipped; each (item, exception) is appended to ``failures`` if
       the caller passed a list, so a nightly ingest can land 999 files
       and re-queue 1.
@@ -238,26 +242,35 @@ def download_all(
                     attempt += 1
                     continue
             return None, err
-        path = dest / it.name
-        with open(path, "wb") as f:
+        # Stage to a hidden temp name in dest (same filesystem, so the
+        # later rename is atomic) — the final name only ever appears
+        # once the whole call has decided it is keeping this file.
+        tmp = dest / f".{it.name}.part"
+        with open(tmp, "wb") as f:
             for i in range(0, len(data), CHUNK):
                 f.write(data[i : i + CHUNK])
-        return path, None
+        return tmp, None
 
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         results = list(pool.map(one, todo))
-    written = [p for p, _ in results if p is not None]
+    staged = [(it, p) for it, (p, _) in zip(todo, results) if p is not None]
     errs = [(it, e) for it, (_, e) in zip(todo, results) if e is not None]
     if errs:
         if on_error == "raise":
-            # All-or-nothing: un-land everything THIS call wrote before
-            # re-raising, so a failed staging load leaves no partial
-            # directory for a naive re-run to mistake for complete.
-            for p in written:
+            # All-or-nothing: drop the staged temp files and re-raise.
+            # Files that pre-existed in dest (e.g. from a prior
+            # successful run) were never touched — a failed re-run
+            # over a complete landing directory leaves it complete.
+            for _, p in staged:
                 p.unlink(missing_ok=True)
             raise errs[0][1]
         if failures is not None:
             failures.extend(errs)
+    written = []
+    for it, tmp in staged:
+        final = dest / it.name
+        tmp.replace(final)  # atomic within dest; overwrites stale copy
+        written.append(final)
     return written
 
 

@@ -285,6 +285,20 @@ def test_download_raise_is_all_or_nothing(tmp_path):
     with pytest.raises(ConnectionError):
         download_all(items, tmp_path, fetch=fetch, retries=0)
     assert list(tmp_path.glob("*.json")) == []
+    assert list(tmp_path.glob(".*.part")) == []  # temp files cleaned too
+
+    # A failed RE-RUN over a previously complete landing directory must
+    # not delete the good files from the prior run: downloads stage to
+    # temp names and only rename into place after ALL items succeed.
+    ok_fetch = lambda url: b'{"v": 1}'  # noqa: E731
+    prior = download_all(items, tmp_path, fetch=ok_fetch, retries=0)
+    assert len(prior) == 5
+    with pytest.raises(ConnectionError):
+        download_all(items, tmp_path, fetch=fetch, retries=0)
+    survivors = sorted(p.name for p in tmp_path.glob("*.json"))
+    assert survivors == [f"f{i}.json" for i in range(5)]
+    assert read_json_file(tmp_path / "f3.json") == {"v": 1}
+    assert list(tmp_path.glob(".*.part")) == []
 
     # on_error='skip' keeps the good files (the nightly-ingest contract)
     failures: list = []

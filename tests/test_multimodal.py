@@ -664,6 +664,31 @@ def test_jpeg_unsupported_and_corrupt():
         decode_jpeg(p[:2] + p[4:])  # marker sync lost
 
 
+def test_jpeg_tem_marker_skipped_and_quant_validated():
+    """r08 ADVICE: a standalone TEM (0xFF01) between header segments
+    carries no length word (T.81 B.1.1.3) — it must be skipped like
+    RSTn, not parsed as a length-prefixed segment; and quant values
+    outside 1..255 must raise instead of wrapping modulo 256 into a
+    zero DQT that silently dequantizes everything to 0."""
+    import numpy as np
+    import pytest
+
+    from lion_parcel_etl_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.full((8, 8, 1), 99, dtype=np.uint8)
+    p = encode_jpeg(img)
+    with_tem = p[:2] + b"\xff\x01" + p[2:]
+    assert np.array_equal(decode_jpeg(with_tem), decode_jpeg(p))
+
+    for bad in (0, -1, 256, 1000):
+        with pytest.raises(ValueError, match="1..255"):
+            encode_jpeg(img, quant=bad)
+    assert decode_jpeg(encode_jpeg(img, quant=255)).shape == (8, 8, 1)
+
+
 def test_decode_png_corrupt_bytes_raise_valueerror_not_struct_zlib():
     """The Arrow-task handlers catch (NotImplementedError, ValueError)
     only — every corrupt-byte shape must surface as ValueError, never

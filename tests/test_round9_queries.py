@@ -1,0 +1,49 @@
+"""Round-9 additions: ADVICE guard fixes (empty KS sample, empty
+Benford input, drive temp-staged landing), apply_changelog registry
+graduation, sub-8-bit PNG, and the ks_agreement streaming twin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_ks_binned_empty_sample_is_loud(spark):
+    """r08 ADVICE (medium): an empty sampled count table must fail
+    fast — percentile over zero rows yields a NULL boundary array and
+    every row would collapse into a NULL bucket the grid join silently
+    drops, emitting garbage KS stats. Reachable in batch (tiny corpus
+    where the md5 sample selects zero events) and in the streaming
+    reader before any sampled row lands."""
+    from lion_parcel_etl_spark.operators.checks import ks_binned_from_counts
+
+    cnt = spark.createDataFrame(
+        [("a", 1.0, 3), ("b", 2.0, 4)], "g string, v double, c long"
+    )
+    empty = spark.createDataFrame([], "v double, c long")
+    with pytest.raises(Exception, match="empty"):
+        ks_binned_from_counts(cnt, empty).collect()
+
+    # ... and a NON-empty sample still works (guard rides the same
+    # one-row bounds aggregate; no behavior change on the happy path).
+    samp = spark.createDataFrame(
+        [(1.0, 5), (2.0, 5)], "v double, c long"
+    )
+    assert ks_binned_from_counts(cnt, samp).count() == 2
+
+
+def test_benford_empty_input_takes_clean_path(spark):
+    """r08 ADVICE (low): sum() over an EMPTY count table is NULL; an
+    un-coalesced n_bad made the guard's otherwise-branch fire with a
+    NULL concat message (opaque error). Empty input must flow through
+    the n_bad == 0 path and yield the 9 spine rows with NULL stats —
+    the pre-guard contract."""
+    from lion_parcel_etl_spark.operators.checks import (
+        benford_from_digit_counts,
+    )
+
+    empty = spark.createDataFrame([], "digit int, n_obs long")
+    rows = benford_from_digit_counts(empty).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert all(r["n_obs"] == 0 for r in rows)
+    assert all(r["p_obs"] is None for r in rows)  # 0/0 — no fake zeros
