@@ -121,6 +121,7 @@ HEADLINE = [
     "attribution_linear",
     "perplexity_buckets",
     "snapshot_diff",
+    "apply_changelog",
     "split_leakage",
     "pack_sequences",
     "epoch_shuffle",

@@ -164,8 +164,23 @@ BNLJ_ALLOWED = frozenset(
 # ppr_seeded shares pagerank's iteration join verbatim (same pinned
 # hash-partitioned operands, same |nodes|-sized non-broadcastable rank
 # vector), so it inherits the same SMJ justification.
+# apply_changelog contains snapshot_diff's full-outer SMJ verbatim
+# (composed — the changelog is produced by table_diff), plus the
+# replay's left-anti join of the old snapshot against the changelog's
+# key set: both sides are snapshot-scale (the changelog grows with the
+# change volume, unbounded at 100 TB), so broadcasting the changelog
+# would be the scale bug, and the anti-join's null-safe key equality
+# rules out a plain shuffled-hash anti under Spark's default
+# preference — a keyed shuffle join is the honest plan (AQE downgrades
+# it to broadcast at small scale on its own).
 SMJ_ALLOWED = frozenset(
-    {"pagerank", "ppr_seeded", "snapshot_diff", "semantic_dedup"}
+    {
+        "pagerank",
+        "ppr_seeded",
+        "snapshot_diff",
+        "apply_changelog",
+        "semantic_dedup",
+    }
 )
 
 

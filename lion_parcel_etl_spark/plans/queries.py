@@ -6041,6 +6041,48 @@ SELECT * FROM (
 """
 
 
+def q_apply_changelog(spark, sf_dir):
+    """Changelog REPLAY (operators/diff.py apply_changelog): rebuild
+    the new snapshot from the old snapshot plus the table_diff change
+    stream alone — the replication-consumer contract (a replica
+    maintained from CDC events must converge to the source). The
+    Spark side runs the full diff→replay machinery (snapshot the
+    events table at both cutoffs, diff them, throw the new snapshot
+    away, replay the changelog over the old one); the oracle computes
+    the new snapshot DIRECTLY in SQL, so a hash match proves the
+    roundtrip identity apply(old, diff(old, new)) == new on real data
+    — graduating the operator from its pytest-only fixture proof
+    (tests/test_diff.py) to a driver-checked registry row, as the r08
+    verdict's #1 item asks. Scale shape: three keyed joins (the
+    diff's full-outer + the replay's anti-join), no windows, no
+    driver state; changelog size is |changes|, not |table|."""
+    from lion_parcel_etl_spark.operators.diff import apply_changelog, table_diff
+
+    ev = _t(spark, sf_dir, "events")
+
+    def snap(cut: str):
+        return (
+            ev.filter(F.col("ts") < F.lit(cut).cast("timestamp"))
+            .groupBy("user_id", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.count_distinct(F.date_trunc("day", F.col("ts"))).alias("n_days"),
+            )
+        )
+
+    old = snap(DIFF_CUT_OLD)
+    changes = table_diff(old, snap(DIFF_CUT_NEW), ["user_id", "event_type"])
+    return apply_changelog(old, changes, ["user_id", "event_type"])
+
+
+SQL_APPLY_CHANGELOG = f"""
+SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
+FROM events WHERE ts < TIMESTAMP '{DIFF_CUT_NEW}'
+GROUP BY user_id, event_type
+"""
+
+
 DOMAIN_CAP = 15
 
 
@@ -11438,6 +11480,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "repetition_metrics": (q_repetition_metrics, _duck_repetition()),
     "domain_caps": (q_domain_caps, _duck_domain_caps()),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "apply_changelog": (q_apply_changelog, SQL_APPLY_CHANGELOG),
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "split_leakage": (q_split_leakage, _duck_split_leakage()),
     "pack_sequences": (q_pack_sequences, _duck_pack()),

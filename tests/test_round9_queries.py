@@ -47,3 +47,26 @@ def test_benford_empty_input_takes_clean_path(spark):
     assert [r["digit"] for r in rows] == list(range(1, 10))
     assert all(r["n_obs"] == 0 for r in rows)
     assert all(r["p_obs"] is None for r in rows)  # 0/0 — no fake zeros
+
+
+def test_apply_changelog_registry_reconstructs_new_snapshot(spark, sf_dir):
+    """r08 VERDICT #1: the registry's apply_changelog row runs the
+    full diff→replay machinery and must equal the directly-computed
+    new snapshot on real data — the same identity the driver's DuckDB
+    oracle hashes, pinned here so a regression breaks pytest before
+    the next official sample."""
+    import lion_parcel_etl_spark.plans.queries as Q
+
+    replayed = Q.q_apply_changelog(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    direct = (
+        ev.filter(F.col("ts") < F.lit(Q.DIFF_CUT_NEW).cast("timestamp"))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.date_trunc("day", F.col("ts"))).alias("n_days"),
+        )
+    )
+    assert replayed.exceptAll(direct).count() == 0
+    assert direct.exceptAll(replayed).count() == 0
+    assert replayed.count() > 0
