@@ -203,29 +203,47 @@ def _unfilter_lines(
     return out, rpos
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """8/16-bit PNG → (H, W, ch) uint8/uint16 array, stdlib-only
-    (round 7 base + round 8 Adam7/16-bit; the r06 verdict's top decode
-    gap — PNG is the one codec format needing no external library:
-    zlib inflate + per-row unfilter).
+def _unpack_sub_byte(rows: np.ndarray, pw: int, depth: int) -> np.ndarray:
+    """(ph, stride) packed scanline bytes → (ph, pw) uint8 samples for
+    1/2/4-bit depths. Bits are MSB-first within each byte (PNG spec
+    7.2) and every scanline ends on a byte boundary, so the trailing
+    padding bits of each row's last byte are dropped."""
+    bits = np.unpackbits(rows, axis=1)[:, : pw * depth]
+    bits = bits.reshape(rows.shape[0], pw, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits * weights).sum(axis=2).astype(np.uint8)
 
-    Implements the full PNG pipeline for 8- and 16-bit images in every
-    color type, sequential AND Adam7-interlaced: chunk walk with CRC
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (H, W, ch) uint8/uint16 array, stdlib-only (round 7 base
+    + round 8 Adam7/16-bit + round 9 sub-8-bit; the r06 verdict's top
+    decode gap — PNG is the one codec format needing no external
+    library: zlib inflate + per-row unfilter).
+
+    Implements the full PNG pipeline for EVERY legal depth/color-type
+    combination, sequential AND Adam7-interlaced: chunk walk with CRC
     verification, concatenated IDAT inflate, per-pass scanline
     unfiltering for ALL five filter types (0 None, 1 Sub, 2 Up,
     3 Average, 4 Paeth — each row declares its own; filters operate on
-    BYTES with a channels×bytes-per-sample left offset, so 16-bit rows
-    reuse the same loop), Adam7 pass extraction + pixel scatter (empty
-    passes of small images contribute zero scanlines, per spec), and
-    PLTE expansion for indexed images. Output channels by color type:
-    0 grayscale → 1, 2 truecolor → 3, 3 palette → 3 (expanded RGB),
-    4 gray+alpha → 2, 6 RGBA → 4; dtype uint16 iff depth 16 (samples
-    are big-endian on the wire). Raises NotImplementedError only for
-    1/2/4-bit depths now, ValueError for corrupt bytes. Per-byte
-    unfilter loops are fine at fixture scale; a deployment feeding
-    real images plugs in PIL here anyway — the point of this decoder
-    is that the most common real-world image format decodes
-    IN-SANDBOX, oracle-replayed (see q_multimodal_decode)."""
+    BYTES with a max(1, channels×bytes-per-sample) left offset, so
+    16-bit AND packed sub-byte rows reuse the same loop), 1/2/4-bit
+    sample unpacking (MSB-first, per-scanline byte padding dropped),
+    Adam7 pass extraction + pixel scatter (empty passes of small
+    images contribute zero scanlines, per spec), and PLTE expansion
+    for indexed images. PNG decode is COMPLETE as of round 9: no
+    legal container raises NotImplementedError any more. Output
+    channels by color type: 0 grayscale → 1, 2 truecolor → 3,
+    3 palette → 3 (expanded RGB), 4 gray+alpha → 2, 6 RGBA → 4; dtype
+    uint16 iff depth 16 (samples are big-endian on the wire); sub-byte
+    grayscale samples are rescaled to the full 0–255 range
+    (×255/(2^d−1) — exact integers: 255/85/17), indexed samples index
+    the palette raw. Spec-illegal combinations (sub-8-bit
+    truecolor/alpha, 16-bit indexed) raise ValueError, as do corrupt
+    bytes. Per-byte unfilter loops are fine at fixture
+    scale; a deployment feeding real images plugs in PIL here anyway —
+    the point of this decoder is that the most common real-world image
+    format decodes IN-SANDBOX, oracle-replayed (see
+    q_multimodal_decode)."""
     import struct
     import zlib
 
@@ -259,20 +277,25 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunk")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth not in (8, 16) or color not in (0, 2, 3, 4, 6) or comp or filt:
+    if depth not in (1, 2, 4, 8, 16) or color not in (0, 2, 3, 4, 6) or comp or filt:
         raise NotImplementedError(
-            "only 8/16-bit PNG decoded here "
-            f"(depth={depth}, color_type={color})"
+            "unsupported PNG container "
+            f"(depth={depth}, color_type={color}, comp={comp}, filter={filt})"
         )
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
+    if depth < 8 and color not in (0, 3):
+        # spec 11.2.2: sub-8-bit samples only for grayscale/indexed
+        raise ValueError("sub-8-bit PNG is only legal for grayscale/indexed")
     if color == 3 and depth == 16:
         # spec 11.2.2: palette indices are at most 8 bits
         raise ValueError("16-bit indexed PNG is not legal")
     if color == 3 and plte is None:
         raise ValueError("indexed PNG missing PLTE chunk")
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    bpp = ch * (depth // 8)  # byte offset to the left filter neighbor
+    # byte offset to the left filter neighbor; packed sub-byte rows
+    # filter with a one-byte offset (spec 9.2: bpp rounds UP to one)
+    bpp = max(1, ch * depth // 8)
     try:
         raw = zlib.decompress(idat)
     except zlib.error as exc:  # truncated/garbled stream with valid CRCs
@@ -285,20 +308,29 @@ def decode_png(payload: bytes) -> np.ndarray:
         ph = (h - y0 + dy - 1) // dy
         if pw <= 0 or ph <= 0:
             continue  # empty pass: zero scanlines, per spec
-        plan.append((x0, y0, dx, dy, pw, ph))
-        need += ph * (1 + pw * bpp)
+        stride = (pw * ch * depth + 7) // 8  # scanlines end on a byte
+        plan.append((x0, y0, dx, dy, pw, ph, stride))
+        need += ph * (1 + stride)
     if len(raw) < need:
         raise ValueError("truncated PNG scanline data")
     pix = np.zeros((h, w, bpp), dtype=np.uint8)
     rpos = 0
-    for x0, y0, dx, dy, pw, ph in plan:
-        sub, rpos = _unfilter_lines(raw, rpos, ph, pw * bpp, bpp)
-        pix[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+    for x0, y0, dx, dy, pw, ph, stride in plan:
+        sub, rpos = _unfilter_lines(raw, rpos, ph, stride, bpp)
+        if depth < 8:  # unpack packed samples to one byte each
+            pix[y0::dy, x0::dx, 0] = _unpack_sub_byte(sub, pw, depth)
+        else:
+            pix[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
     if depth == 8:
         img = pix.reshape(h, w, ch)
-    else:  # 16-bit samples are big-endian on the wire
+    elif depth == 16:  # 16-bit samples are big-endian on the wire
         hi = pix.reshape(h, w, ch, 2)
         img = (hi[..., 0].astype(np.uint16) << 8) | hi[..., 1]
+    else:  # 1/2/4-bit, already one sample per byte
+        img = pix.reshape(h, w, 1)
+        if color == 0:
+            # rescale to full range: 255/(2^d − 1) is an exact integer
+            img = (img * (255 // ((1 << depth) - 1))).astype(np.uint8)
     if color == 3:
         idx = img[:, :, 0]
         if int(idx.max(initial=0)) >= len(plte):
@@ -908,28 +940,57 @@ def _filter_lines(rows: np.ndarray, bpp: int, f0: int = 0) -> list[bytes]:
     return lines
 
 
-def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+def encode_png(
+    img: np.ndarray,
+    interlace: bool = False,
+    depth: int | None = None,
+    palette: np.ndarray | None = None,
+) -> bytes:
     """(H, W, 1|2|3|4) uint8 OR uint16 array → PNG bytes, stdlib zlib
     (uint16 input emits a 16-bit-depth container with big-endian
     samples; ``interlace=True`` emits Adam7, each of the seven passes
     filtered as its own sub-image exactly as the spec requires).
-    Filter types rotate per row (and per pass) so a round-trip through
-    :func:`decode_png` exercises EVERY unfilter path, not just the
-    trivial one — the fixture/oracle generator discipline of
-    encode_bmp/ppm/wav."""
+    ``depth`` ∈ {1, 2, 4} packs single-channel samples MSB-first at
+    sub-byte stride (grayscale, or indexed when ``palette`` — an
+    (N, 3) uint8 array — is given; ``palette`` alone emits an 8-bit
+    indexed container). Filter types rotate per row (and per pass) so
+    a round-trip through :func:`decode_png` exercises EVERY unfilter
+    path, not just the trivial one — the fixture/oracle generator
+    discipline of encode_bmp/ppm/wav."""
     import struct
     import zlib
 
     h, w, ch = img.shape
-    depth = 16 if img.dtype == np.uint16 else 8
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]  # gray / gray+a / RGB / RGBA
-    bpp = ch * (depth // 8)
+    if depth is None:
+        depth = 16 if img.dtype == np.uint16 else 8
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"bad PNG depth {depth}")
+    if palette is not None:
+        if ch != 1 or depth == 16:
+            raise ValueError("indexed PNG needs 1 channel and depth <= 8")
+        color = 3
+    elif depth < 8:
+        if ch != 1:
+            raise ValueError("sub-8-bit PNG is only legal for grayscale/indexed")
+        color = 0
+    else:
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]  # gray / gray+a / RGB / RGBA
+    if depth < 8 and int(img.max(initial=0)) >= (1 << depth):
+        raise ValueError(f"sample out of range for {depth}-bit PNG")
+    bpp = max(1, ch * depth // 8)
 
     def to_rows(a: np.ndarray) -> np.ndarray:
-        """(ph, pw, ch) pixels → (ph, pw*bpp) wire bytes."""
+        """(ph, pw, ch) pixels → (ph, stride) wire bytes."""
         if depth == 16:
             be = np.ascontiguousarray(a.astype(">u2"))
             return be.reshape(a.shape[0], -1).view(np.uint8)
+        if depth < 8:  # pack MSB-first; packbits zero-pads the last byte
+            arr = a[..., 0].astype(np.uint8)
+            ph_, pw_ = arr.shape
+            bits = (
+                (arr[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+            ).astype(np.uint8)
+            return np.packbits(bits.reshape(ph_, pw_ * depth), axis=1)
         return np.ascontiguousarray(a).reshape(a.shape[0], -1)
 
     if interlace:
@@ -954,7 +1015,18 @@ def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
     ihdr = struct.pack(
         ">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0
     )
-    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    plte = (
+        chunk(b"PLTE", np.ascontiguousarray(palette, dtype=np.uint8).tobytes())
+        if palette is not None
+        else b""
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + plte
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:

@@ -1928,11 +1928,13 @@ ORDER BY media_id
 
 def q_multimodal_decode(spark, sf_dir):
     """REAL media decode over real container bytes (round 6; PNG added
-    round 7, baseline JPEG round 8): per document, deterministically
-    generate a genuine container — 4×4 P6 PPM, 3×3 24-bit BMP, 4×4 RGB
-    PNG, 4×4 RGBA PNG or a 16×16 grayscale baseline JPEG for image
-    rows, 16-sample PCM-16 WAV for audio rows (pixel/sample bytes
-    drawn from md5(doc_id || '-' || chunk)) — then DECODE it back with
+    round 7, baseline JPEG round 8, 4-bit Adam7 PNG round 9): per
+    document, deterministically generate a genuine container — 4×4 P6
+    PPM, 3×3 24-bit BMP, 4×4 RGB PNG, 8×6 4-bit grayscale Adam7 PNG
+    (packed sub-byte scanlines), 4×4 RGBA PNG or a 16×16 grayscale
+    baseline JPEG for image rows, 16-sample PCM-16 WAV for audio rows
+    (pixel/sample bytes drawn from md5(doc_id || '-' || chunk)) — then
+    DECODE it back with
     the pure-Python parsers (operators/multimodal.py
     decode_bmp/ppm/wav/png/jpeg) in the same Arrow pass and emit the
     decoded-value statistics. Video rows keep an opaque text payload
@@ -2001,6 +2003,18 @@ def q_multimodal_decode(spark, sf_dir):
                             :, :, None
                         ]
                         payload = encode_jpeg(px)
+                    elif sel == 2 and doc_id % 2 == 1:
+                        # 8×6 4-bit grayscale Adam7 PNG (round 9): one
+                        # md5 byte per sample, low nibble — the packed
+                        # sub-byte scanline path on the oracle hash
+                        # path; decode rescales samples ×17
+                        px = (
+                            np.frombuffer(
+                                chunk_bytes(doc_id, 48), dtype=np.uint8
+                            )
+                            % 16
+                        ).reshape(6, 8, 1)
+                        payload = encode_png(px, interlace=True, depth=4)
                     else:
                         shape = [(4, 4, 3), (3, 3, 3), (4, 4, 3), (4, 4, 4)][
                             sel
@@ -2064,9 +2078,12 @@ def _duck_multimodal_decode() -> str:
 WITH shapes AS (
   SELECT doc_id,
          CASE WHEN doc_id % 3 = 0 THEN
-                CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
-                     WHEN 4 THEN 'jpeg' ELSE 'png' END
-              WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'raw' END AS container,
+                CASE WHEN doc_id % 5 = 0 THEN 'ppm'
+                     WHEN doc_id % 5 = 1 THEN 'bmp'
+                     WHEN doc_id % 5 = 4 THEN 'jpeg'
+                     WHEN doc_id % 5 = 2 AND doc_id % 2 = 1 THEN 'png4'
+                     ELSE 'png' END
+              WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'raw' END AS kind,
          CASE WHEN doc_id % 3 = 0 THEN
                 CASE doc_id % 5 WHEN 0 THEN 48 WHEN 1 THEN 27
                      WHEN 2 THEN 48 WHEN 3 THEN 64 ELSE 4 END
@@ -2074,24 +2091,30 @@ WITH shapes AS (
   FROM documents
 ),
 bytes AS (
-  SELECT s.doc_id, s.container, j, {bv} AS bv
+  SELECT s.doc_id, s.kind, j, {bv} AS bv
   FROM shapes s CROSS JOIN (SELECT unnest(range(64)) AS j) js
-  WHERE s.container <> 'raw' AND j < s.n_bytes
+  WHERE s.kind <> 'raw' AND j < s.n_bytes
 ),
 imgstats AS (
   -- jpeg rows: each generated byte is one flat 8x8 block, so the
-  -- decoded image carries 64 copies of it (bit-exact: pure DC term)
-  SELECT doc_id, container,
-         CASE WHEN container = 'jpeg' THEN count(*) * 64
+  -- decoded image carries 64 copies of it (bit-exact: pure DC term);
+  -- png4 rows: each byte's LOW NIBBLE is one 4-bit sample, which the
+  -- decoder rescales to full range (x17 = 255/15); the decoded
+  -- container label is still 'png'
+  SELECT doc_id,
+         CASE WHEN kind = 'png4' THEN 'png' ELSE kind END AS container,
+         CASE WHEN kind = 'jpeg' THEN count(*) * 64
               ELSE count(*) END AS n_vals,
-         CASE WHEN container = 'jpeg' THEN 64 * sum(bv)
+         CASE WHEN kind = 'jpeg' THEN 64 * sum(bv)
+              WHEN kind = 'png4' THEN sum((bv % 16) * 17)
               ELSE sum(bv) END AS v_sum
-  FROM bytes WHERE container IN ('ppm', 'bmp', 'png', 'jpeg') GROUP BY 1, 2
+  FROM bytes WHERE kind IN ('ppm', 'bmp', 'png', 'png4', 'jpeg')
+  GROUP BY doc_id, kind
 ),
 wavsam AS (
   SELECT doc_id, j // 2 AS s,
          sum(CASE WHEN j % 2 = 0 THEN bv ELSE 256 * bv END) AS uv
-  FROM bytes WHERE container = 'wav' GROUP BY 1, 2
+  FROM bytes WHERE kind = 'wav' GROUP BY 1, 2
 ),
 wavstats AS (
   SELECT doc_id, 'wav' AS container, count(*) AS n_vals,
@@ -2105,7 +2128,7 @@ united AS (
   UNION ALL
   SELECT doc_id, 'raw' AS container, false AS decoded,
          CAST(0 AS BIGINT) AS n_vals, NULL AS v_sum
-  FROM shapes WHERE container = 'raw'
+  FROM shapes WHERE kind = 'raw'
 )
 SELECT u.doc_id AS media_id, u.container, u.decoded,
        u.n_vals, u.v_sum,

@@ -314,21 +314,31 @@ def test_decode_png_unsupported_and_corrupt():
         encode_png,
     )
 
-    # Sub-8-bit depths: the one remaining honest NotImplementedError
-    # (16-bit and Adam7 decode for real as of round 8)
-    for depth, color, inter in [(1, 0, 0), (2, 0, 0), (4, 3, 0)]:
+    # sub-8-bit grayscale decodes for real as of round 9 (every legal
+    # depth/color combination is now implemented); a depth the spec
+    # doesn't define stays NotImplementedError
+    for depth in (1, 2):
         p = (
             b"\x89PNG\r\n\x1a\n"
             + _png_chunk(
-                b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, inter)
+                b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, 0, 0, 0, 0)
             )
             + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
             + _png_chunk(b"IEND", b"")
         )
-        with pytest.raises(NotImplementedError):
-            decode_png(p)
+        assert decode_png(p).shape == (2, 2, 1)
+    bad_depth = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(bad_depth)
     # illegal shapes the spec forbids: ValueError, not NotImplemented
-    for depth, color, inter in [(16, 3, 0), (8, 2, 2)]:
+    # (16-bit indexed, bad interlace method, sub-8-bit truecolor,
+    # indexed without PLTE)
+    for depth, color, inter in [(16, 3, 0), (8, 2, 2), (2, 2, 0), (4, 3, 0)]:
         p = (
             b"\x89PNG\r\n\x1a\n"
             + _png_chunk(
@@ -525,6 +535,46 @@ def test_png_16bit_wire_format_is_big_endian():
     raw = zlib.decompress(idat)
     assert raw == bytes([0, 0x01, 0x02])
     assert decode_png(p)[0, 0, 0] == 0x0102
+
+
+def test_png_sub_byte_depths_roundtrip():
+    """Round 9: 1/2/4-bit PNG decodes for real — packed MSB-first
+    scanlines, per-row byte padding, grayscale full-range rescale
+    (×255/85/17), PLTE at sub-byte index strides — sequential AND
+    Adam7, across shapes that exercise empty/partial interlace
+    passes."""
+    import numpy as np
+
+    from lion_parcel_etl_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(9)
+    for depth in (1, 2, 4):
+        scale = 255 // ((1 << depth) - 1)
+        for shape in [(1, 1), (3, 5), (8, 8), (13, 21), (7, 1), (1, 9)]:
+            img = rng.randint(0, 1 << depth, size=shape + (1,)).astype(
+                np.uint8
+            )
+            for inter in (False, True):
+                out = decode_png(encode_png(img, interlace=inter, depth=depth))
+                assert out.shape == shape + (1,)
+                assert np.array_equal(out, img * scale), (depth, shape, inter)
+        # indexed: palette lookup over sub-byte indices, both layouts
+        n = 1 << depth
+        plte = rng.randint(0, 256, size=(n, 3)).astype(np.uint8)
+        idx = rng.randint(0, n, size=(5, 7, 1)).astype(np.uint8)
+        for inter in (False, True):
+            out = decode_png(
+                encode_png(idx, interlace=inter, depth=depth, palette=plte)
+            )
+            assert np.array_equal(out, plte[idx[:, :, 0]]), (depth, inter)
+    # encoder guards: out-of-range sample, multi-channel sub-byte
+    with pytest.raises(ValueError, match="out of range"):
+        encode_png(np.full((2, 2, 1), 4, dtype=np.uint8), depth=2)
+    with pytest.raises(ValueError, match="grayscale/indexed"):
+        encode_png(np.zeros((2, 2, 3), dtype=np.uint8), depth=4)
 
 
 def test_jpeg_hand_assembled_single_block_matches_spec_idct():
