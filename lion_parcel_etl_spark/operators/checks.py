@@ -744,6 +744,29 @@ def ks_binned_from_counts(
     return ks_from_group_value_counts(binned)
 
 
+def ks_agreement_from(exact: DataFrame, binned: DataFrame) -> DataFrame:
+    """Admissibility join shared by plans/queries.q_ks_agreement and
+    the streaming reader (streaming/jobs.read_ks_agreement), so the
+    two readouts can't drift: per event type, exact D next to binned D
+    and the gap between them. Both sides are |event types|-sized (a
+    handful of rows at any corpus size) — broadcast beats the SMJ
+    Catalyst guesses for two stats-free aggregates."""
+    e = exact.select("event_type", F.col("ks_d").alias("ks_d_exact"))
+    b = binned.select("event_type", F.col("ks_d").alias("ks_d_binned"))
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .select(
+            "event_type",
+            "ks_d_exact",
+            "ks_d_binned",
+            F.round(F.col("ks_d_exact") - F.col("ks_d_binned"), 6).alias(
+                "d_gap"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 def benford_from_digit_counts(obs: DataFrame) -> DataFrame:
     """Benford conformance readout from a (digit, n_obs) count table —
     the ONE pipeline shared by plans/queries.q_benford_audit and the

@@ -5358,26 +5358,10 @@ def q_ks_agreement(spark, sf_dir):
     Binned D evaluates the same CDF gap on a boundary subset, so
     d_gap ≥ 0 up to the two round(,6)s (pytest-pinned floor in
     tests/test_round8_queries.py)."""
-    exact = q_ks_drift(spark, sf_dir).select(
-        "event_type", F.col("ks_d").alias("ks_d_exact")
-    )
-    binned = q_ks_drift_binned(spark, sf_dir).select(
-        "event_type", F.col("ks_d").alias("ks_d_binned")
-    )
-    # both sides are |event types|-sized (a handful of rows at any
-    # corpus size) — broadcast beats the SMJ Catalyst guesses for two
-    # stats-free aggregates
-    return (
-        exact.join(F.broadcast(binned), "event_type")
-        .select(
-            "event_type",
-            "ks_d_exact",
-            "ks_d_binned",
-            F.round(F.col("ks_d_exact") - F.col("ks_d_binned"), 6).alias(
-                "d_gap"
-            ),
-        )
-        .orderBy("event_type")
+    from lion_parcel_etl_spark.operators.checks import ks_agreement_from
+
+    return ks_agreement_from(
+        q_ks_drift(spark, sf_dir), q_ks_drift_binned(spark, sf_dir)
     )
 
 

@@ -1590,6 +1590,26 @@ def read_ks_drift_binned(
     return ks_binned_from_counts(merged, sampled, KS_BINS)
 
 
+def read_ks_agreement(
+    spark: SparkSession, warehouse, counts_table: str, sampled_table: str
+) -> DataFrame:
+    """Exact-vs-binned KS agreement from the streamed logs (round 9,
+    twin 29): both inputs already exist — the full (g, v) count log
+    feeds the exact reader and, together with the md5-sampled log, the
+    binned reader — so the agreement readout is ONE broadcast join of
+    the two readers over |event types|-sized results. Readout SHARED
+    with q_ks_agreement (operators/checks.ks_agreement_from); both
+    constituent readers are lossless over their logs, so this equals
+    the batch agreement query over everything ingested, whatever the
+    batch boundaries were (tested)."""
+    from lion_parcel_etl_spark.operators.checks import ks_agreement_from
+
+    return ks_agreement_from(
+        read_ks_drift(spark, warehouse, counts_table),
+        read_ks_drift_binned(spark, warehouse, counts_table, sampled_table),
+    )
+
+
 def stream_digit_counts(
     df: DataFrame,
     warehouse,

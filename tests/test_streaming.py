@@ -1760,6 +1760,17 @@ def test_stream_ks_drift_binned_equals_batch(spark, tmp_path, sf_dir):
     again = read_ks_drift_binned(spark, wh, "vc", "vc_samp").collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, want))
 
+    # twin 29 (round 9): the agreement readout over the SAME two logs
+    # equals the batch q_ks_agreement — one broadcast join of two
+    # already-lossless readers, shared readout code (ks_agreement_from)
+    from lion_parcel_etl_spark.plans.queries import q_ks_agreement
+    from lion_parcel_etl_spark.streaming.jobs import read_ks_agreement
+
+    agree = read_ks_agreement(spark, wh, "vc", "vc_samp").collect()
+    agree_want = q_ks_agreement(spark, sf_dir).collect()
+    assert sorted(map(tuple, agree)) == sorted(map(tuple, agree_want))
+    assert agree and all(r["d_gap"] is not None for r in agree)
+
 
 def test_stream_benford_equals_batch(spark, tmp_path, sf_dir):
     """Digit counts are additive: the merged Benford readout equals
