@@ -319,6 +319,18 @@ def _seq_cosine_block(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     return np.where(den > 0, S / np.where(den > 0, den, 1.0), 0.0)
 
 
+#: Per-task memory cap for the blocked cosine kernels: the left
+#: operand is processed in row chunks sized so no (chunk × |right|)
+#: float64 similarity matrix exceeds this many elements (8M ≈ 64 MiB).
+#: Without the cap, a diagonal block pair of embedding_near_dup at its
+#: documented ~10⁶-vector scope would materialize a (n/8)² matrix —
+#: ~1.9 TB per task — long before the scope ends (r08 verdict #6).
+#: Chunking rows of the left operand changes NO arithmetic: each
+#: similarity row is computed independently dimension-by-dimension, so
+#: results stay bit-identical (pytest-pinned with a tiny cap).
+MAX_BLOCK_ELEMS = 8_000_000
+
+
 def embedding_near_dup(
     corpus: DataFrame,
     threshold: float = 0.35,
@@ -336,7 +348,11 @@ def embedding_near_dup(
     ``applyInPandas``. Each row is shuffled to ~B/2 block pairs —
     O(n·B) rows moved, never O(n²) joined rows — and the quadratic
     flops happen inside vectorized kernels, not the join planner.
-    No driver collect anywhere.
+    No driver collect anywhere. Inside each task the left operand is
+    chunked to cap the scratch similarity matrix at
+    :data:`MAX_BLOCK_ELEMS` float64s (~64 MiB), so per-task memory is
+    bounded by a constant regardless of ``n_blocks`` vs corpus-size
+    mismatch — the worst-case matrix bytes no longer grow with n².
 
     Exact all-pairs is intrinsically quadratic in corpus size: this is
     the right tool up to ~10⁶ vectors per run. Past that (the 100 TB
@@ -375,6 +391,7 @@ def embedding_near_dup(
     # pre-filter slack: round(x, 6) >= t implies x >= t - 5.1e-7, so a
     # 1e-6 margin never drops a pair the exact filter would keep.
     slack = threshold - 1e-6
+    cap = MAX_BLOCK_ELEMS  # closure-captured so tests can pin a tiny cap
 
     def score(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
@@ -382,23 +399,36 @@ def embedding_near_dup(
             return empty
         A = np.vstack(l["v"].to_numpy()).astype(np.float64)
         B = np.vstack(r["rv"].to_numpy()).astype(np.float64)
-        C = _seq_cosine_block(A, B)
         ida = l["id"].to_numpy()
         idb = r["rid"].to_numpy()
-        if int(l["bi"].iloc[0]) == int(l["bj"].iloc[0]):
-            # diagonal block pair: both sides are the same row set, so
-            # each unordered pair appears at (x,y) AND (y,x) — keep the
-            # strict upper triangle only.
-            keep = ida[:, None] < idb[None, :]
-        else:
-            # off-diagonal blocks are disjoint id sets: each unordered
-            # pair appears exactly once; orient it as (min, max).
-            keep = np.ones_like(C, dtype=bool)
-        keep &= C >= slack
-        ii, jj = np.nonzero(keep)
-        lo = np.minimum(ida[ii], idb[jj])
-        hi = np.maximum(ida[ii], idb[jj])
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine_sim": C[ii, jj]})
+        diag = int(l["bi"].iloc[0]) == int(l["bj"].iloc[0])
+        # chunk the left rows so the scratch (chunk × |B|) matrix never
+        # exceeds `cap` elements; survivors are extracted per chunk, so
+        # peak memory is the capped matrix + the (sparse) result
+        step = max(1, cap // max(1, len(B)))
+        frames = []
+        for s in range(0, len(A), step):
+            C = _seq_cosine_block(A[s : s + step], B)
+            ida_c = ida[s : s + step]
+            if diag:
+                # diagonal block pair: both sides are the same row set,
+                # so each unordered pair appears at (x,y) AND (y,x) —
+                # keep the strict upper triangle only.
+                keep = ida_c[:, None] < idb[None, :]
+            else:
+                # off-diagonal blocks are disjoint id sets: each
+                # unordered pair appears exactly once; orient (min, max).
+                keep = np.ones_like(C, dtype=bool)
+            keep &= C >= slack
+            ii, jj = np.nonzero(keep)
+            lo = np.minimum(ida_c[ii], idb[jj])
+            hi = np.maximum(ida_c[ii], idb[jj])
+            frames.append(
+                pd.DataFrame(
+                    {"id_a": lo, "id_b": hi, "cosine_sim": C[ii, jj]}
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
 
     scored = (
         left.groupby("bi", "bj")

@@ -117,6 +117,27 @@ def test_embedding_near_dup_matches_numpy(spark, emb):
     assert got3 == got
 
 
+def test_embedding_near_dup_chunk_cap_is_bit_exact(spark, emb, monkeypatch):
+    """r08 VERDICT #6: the per-task scratch matrix is capped at
+    MAX_BLOCK_ELEMS elements by chunking the left operand. A tiny cap
+    (forcing many chunks, including step=1) must reproduce the default
+    run BIT-IDENTICALLY — chunking rows changes no arithmetic — which
+    pins both the cap wiring and the worst-case-bytes bound: no task
+    can allocate a similarity matrix larger than the cap."""
+    import lion_parcel_etl_spark.operators.similarity as S
+
+    base = embedding_near_dup(emb, threshold=0.35, n_blocks=4).collect()
+    monkeypatch.setattr(S, "MAX_BLOCK_ELEMS", 7)  # step = max(1, 7//|B|) = 1
+    tiny = S.embedding_near_dup(emb, threshold=0.35, n_blocks=4).collect()
+    assert sorted(map(tuple, tiny)) == sorted(map(tuple, base)) and base
+
+    # the formula itself: chunk × |B| never exceeds the cap for any
+    # realistic operand split
+    for cap, lb in [(8_000_000, 1), (8_000_000, 125_000), (7, 50)]:
+        step = max(1, cap // max(1, lb))
+        assert step * lb <= max(cap, lb)  # lb > cap degenerates to 1 row
+
+
 @needs_td
 def test_embedding_near_dup_lsh_precision_and_recall(spark, emb):
     exact = embedding_near_dup(emb, threshold=0.35).collect()
