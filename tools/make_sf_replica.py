@@ -40,7 +40,31 @@ events table, everything else as in the plain replica:
   so a tail of users absorbs up to ~5 users' events each — node
   degrees grow a heavy tail instead of staying uniform.
 
-Usage: python tools/make_sf_replica.py [mult] [out_dir] [--skew]
+r09 (verdict item 3) extends ``--skew`` to the RELATIONAL core, which
+had never been measured under a hot key:
+
+- HOT CUSTOMER: 20% of orders (post-shift o_orderkey % 5 == 0) land
+  on o_custkey = 1 — one mega-customer absorbing ~300k orders at sf1,
+  the classic skewed groupBy/join key for the customer-keyed family
+  (RFM, dormant, cohort) and the partition AQE's skew handling exists
+  to split.
+- HOT BASKET: lineitem rows with post-shift l_orderkey % 4999 == 0 (prime, so the copy shift
+  does not re-select the same base orders in every copy)
+  (~300 orders' items) collapse onto the single synthetic order key
+  50,000,000 — one ~1,200-item basket next to a median of ~4, so the
+  market-basket pair self-join gets one key carrying ~basket²/2 pair
+  candidates and every lineitem-keyed shuffle gets a hot partition.
+
+``--distinct`` (r09, verdict item 4) replaces the near-dup-PRESERVING
+embedding perturbation (dim 0 += copy·1e-3, which keeps every vector
+in a 10-way near-identical family and makes exact-dedup OUTPUT grow
+~4.5× faster than data) with a family-BREAKING one: copy > 0 vectors
+add copy·0.1 to the rotating dimension (copy mod 64). The exact-trio
+ratio measured on this replica is the operators' true compute
+exponent, separated from the output-growth artifact the plain replica
+bakes in.
+
+Usage: python tools/make_sf_replica.py [mult] [out_dir] [--skew] [--distinct]
 """
 
 from __future__ import annotations
@@ -59,12 +83,18 @@ SRC = "/root/testdata/sf0.1"
 
 def main() -> None:
     skew = "--skew" in sys.argv
-    args = [a for a in sys.argv[1:] if a != "--skew"]
+    distinct = "--distinct" in sys.argv
+    args = [a for a in sys.argv[1:] if a not in ("--skew", "--distinct")]
     mult = int(args[0]) if len(args) > 0 else 10
+    default_name = "sf1"
+    if skew:
+        default_name = "sf1skew"
+    elif distinct:
+        default_name = "sf1distinct"
     out = args[1] if len(args) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scratch",
-        "sf1skew" if skew else "sf1",
+        default_name,
     )
     spark = get_spark(app_name="make-sf-replica")
     spark.sparkContext.setLogLevel("ERROR")
@@ -75,19 +105,27 @@ def main() -> None:
         print(f"{table}: {spark.read.parquet(os.path.join(out, f'{table}.parquet')).count()} rows")
 
     li = spark.read.parquet(f"{SRC}/lineitem.parquet").select("*", copies)
-    rep(
-        "lineitem",
-        li.withColumn(
-            "l_orderkey", F.col("l_orderkey") + F.col("copy") * 1_000_000
-        ).drop("copy"),
-    )
+    li_key = F.col("l_orderkey") + F.col("copy") * 1_000_000
+    if skew:
+        # hot basket: ~1/4999 of orders' items collapse onto ONE
+        # synthetic order key (out of every real copy's key space)
+        li_key = F.when(li_key % 4999 == 0, F.lit(50_000_000)).otherwise(
+            li_key
+        )
+    rep("lineitem", li.withColumn("l_orderkey", li_key).drop("copy"))
     o = spark.read.parquet(f"{SRC}/orders.parquet").select("*", copies)
-    rep(
-        "orders",
-        o.withColumn(
-            "o_orderkey", F.col("o_orderkey") + F.col("copy") * 1_000_000
-        ).drop("copy"),
+    ox = o.withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.col("copy") * 1_000_000
     )
+    if skew:
+        # hot customer: 20% of all orders land on custkey 1
+        ox = ox.withColumn(
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit(1)).otherwise(
+                F.col("o_custkey")
+            ),
+        )
+    rep("orders", ox.drop("copy"))
     ev = spark.read.parquet(f"{SRC}/events.parquet").select("*", copies)
     k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
     shifted_k = k + F.col("copy") * 1_000
@@ -137,21 +175,34 @@ def main() -> None:
         .drop("copy"),
     )
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet").select("*", copies)
+    if distinct:
+        # family-BREAKING perturbation: +copy·0.1 in the rotating
+        # dimension (copy mod 64) — large against unit-scale cosine,
+        # so copies stop being near-dups of their source vector
+        perturbed = F.transform(
+            "embedding",
+            lambda x, i: F.when(
+                i == F.pmod(F.col("copy"), F.size("embedding")),
+                x + F.col("copy").cast("double") * F.lit(0.1),
+            ).otherwise(x),
+        )
+    else:
+        # near-dup-PRESERVING perturbation (the plain/skew replicas):
+        # dim 0 += copy·1e-3 — near but not identical
+        perturbed = F.concat(
+            F.array(
+                F.element_at("embedding", 1)
+                + F.col("copy").cast("float") * F.lit(0.001)
+            ),
+            F.slice("embedding", 2, 10_000),
+        )
     rep(
         "embeddings",
         emb.withColumn("vec_id", F.col("vec_id") + F.col("copy") * 100_000)
         .withColumn(
             "embedding",
             F.when(F.col("copy") == 0, F.col("embedding"))
-            .otherwise(
-                F.concat(
-                    F.array(
-                        F.element_at("embedding", 1)
-                        + F.col("copy").cast("float") * F.lit(0.001)
-                    ),
-                    F.slice("embedding", 2, 10_000),
-                )
-            )
+            .otherwise(perturbed)
             .cast("array<float>"),  # keep the source FLOAT[] schema
         )
         .drop("copy"),
