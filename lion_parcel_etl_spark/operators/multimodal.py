@@ -376,13 +376,16 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
-# Baseline JPEG (ITU T.81 sequential DCT, Huffman, 8-bit) — round 8,
-# the r07 verdict's stretch item 8: the most common lossy format now
-# decodes in-sandbox with stdlib + numpy only. Supported: SOF0/SOF1,
-# 1 or 3 components, arbitrary integer sampling factors (nearest-
-# neighbor chroma upsample), DRI/RSTn restart markers, 8- and 16-bit
-# quantization tables, multi-table DQT/DHT segments. Honest raises:
-# progressive (SOF2) / arithmetic / hierarchical / 12-bit →
+# JPEG (ITU T.81, Huffman, 8-bit) — baseline sequential round 8,
+# PROGRESSIVE (SOF2, Annex G) round 9: the most common lossy format
+# decodes in-sandbox with stdlib + numpy only. Supported: SOF0/SOF1/
+# SOF2, 1 or 3 components, arbitrary integer sampling factors
+# (nearest-neighbor chroma upsample), DRI/RSTn restart markers, 8- and
+# 16-bit quantization tables, multi-table DQT/DHT segments; for
+# progressive: spectral selection, successive approximation (DC and AC
+# first + refinement scans, EOB runs, the G.1.2.3 correction-bit
+# protocol), interleaved DC / single-component AC scan orders. Honest
+# raises: arithmetic / hierarchical / lossless / 12-bit →
 # NotImplementedError; corrupt bytes → ValueError (the Arrow-task
 # handlers' contract).
 # ---------------------------------------------------------------------------
@@ -507,6 +510,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     frame = None  # (h, w, [(cid, hs, vs, tq), ...])
     restart_interval = 0
     img = None
+    progressive = False
+    prog_state: _ProgressiveState | None = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
@@ -529,9 +534,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         seg = payload[pos + 2 : pos + seglen]
         if len(seg) != seglen - 2:
             raise ValueError("truncated JPEG segment body")
-        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential JPEG decoded here (SOF marker 0x{marker:02x})"
+                "only baseline-sequential and progressive-Huffman JPEG "
+                f"decoded here (SOF marker 0x{marker:02x})"
             )
         if marker == 0xDB:  # DQT (possibly several tables)
             p = 0
@@ -558,7 +564,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     counts, symbols
                 )
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (baseline), SOF2 (progressive)
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
@@ -567,6 +573,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq_i = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, tq_i))
             frame = (h, w, comps)
+            progressive = marker == 0xC2
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS — entropy-coded scan follows
@@ -583,6 +590,26 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 if ci is None:
                     raise ValueError("JPEG scan references unknown component")
                 scan.append((ci, tt >> 4, tt & 15))
+            if progressive:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+                if prog_state is None:
+                    prog_state = _ProgressiveState(frame)
+                pos = _decode_progressive_scan(
+                    payload,
+                    pos + seglen,
+                    prog_state,
+                    frame,
+                    scan,
+                    ss,
+                    se,
+                    ah,
+                    al,
+                    huff_dc,
+                    huff_ac,
+                    restart_interval,
+                )
+                continue  # more scans (or EOI) follow
             if len(scan) != len(comps):
                 raise NotImplementedError(
                     "multi-scan (non-interleaved) baseline JPEG unsupported"
@@ -600,6 +627,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             break
         # APPn / COM / others: skipped
         pos += seglen
+    if progressive and prog_state is not None:
+        return _finish_progressive(prog_state, frame, qt)
     if img is None:
         raise ValueError("JPEG missing SOS scan")
     return img
@@ -670,6 +699,13 @@ def _decode_scan(
                     y0 = (my * vs + by) * 8
                     x0 = (mx * hs + bx) * 8
                     planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix + 128.0
+    return _assemble_jpeg(comps, planes, h, w, hmax, vmax)
+
+
+def _assemble_jpeg(comps, planes, h: int, w: int, hmax: int, vmax: int):
+    """Component pixel planes → final image: nearest-neighbor chroma
+    upsample, crop to (h, w), JFIF inverse color transform. Shared by
+    the baseline single-scan path and the progressive finisher."""
     out_planes = []
     for (cid, hs, vs, tq_i), plane in zip(comps, planes):
         up = np.repeat(
@@ -689,6 +725,223 @@ def _decode_scan(
     raise NotImplementedError(
         f"{len(out_planes)}-component JPEG (CMYK?) unsupported"
     )
+
+
+class _ProgressiveState:
+    """Coefficient accumulator across a progressive JPEG's scans
+    (round 9): per component, an MCU-padded (blocks_y, blocks_x, 64)
+    int64 array in ZIGZAG order that successive scans deepen —
+    spectral selection fills disjoint bands, successive approximation
+    appends magnitude bits — plus the EOB-run counter that AC scans
+    carry across blocks. T.81 Annex G."""
+
+    def __init__(self, frame):
+        h, w, comps = frame
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcux = -(-w // (8 * self.hmax))
+        self.mcuy = -(-h // (8 * self.vmax))
+        self.coefs = []
+        self.nblocks = []  # non-interleaved (bh, bw) per component
+        for cid, hs, vs, tq_i in comps:
+            if hs < 1 or vs < 1 or self.hmax % hs or self.vmax % vs:
+                raise NotImplementedError(
+                    f"non-integer chroma sampling ratio ({hs}x{vs})"
+                )
+            self.coefs.append(
+                np.zeros((self.mcuy * vs, self.mcux * hs, 64), np.int64)
+            )
+            cw = -(-w * hs // self.hmax)
+            chh = -(-h * vs // self.vmax)
+            self.nblocks.append((-(-chh // 8), -(-cw // 8)))
+        self.eobrun = 0
+
+
+def _refine_nonzero(r: _BitReader, blk: np.ndarray, k: int, p1: int) -> None:
+    """Read one correction bit for a history-nonzero coefficient
+    (T.81 G.1.2.3): bit 1 grows the magnitude by p1 iff that bit of
+    the magnitude is not already set."""
+    if r.read_bit():
+        if (blk[k] & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else -p1
+
+
+def _prog_block_dc(
+    r: _BitReader, blk: np.ndarray, pred: list, ci: int, table, ah: int, al: int
+) -> None:
+    if ah == 0:  # first DC scan: diff-coded at reduced precision
+        size = _huff_read(r, table)
+        if size > 11:
+            raise ValueError("invalid JPEG DC category")
+        pred[ci] += _extend(r.receive(size), size)
+        blk[0] = pred[ci] << al
+    else:  # refinement: one raw bit appends magnitude bit al
+        if r.read_bit():
+            blk[0] |= 1 << al
+
+
+def _prog_block_ac_first(
+    r: _BitReader, blk: np.ndarray, ss: int, se: int, al: int, table, state
+) -> None:
+    if state.eobrun > 0:
+        state.eobrun -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _huff_read(r, table)
+        run, sz = rs >> 4, rs & 15
+        if sz == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            state.eobrun = (1 << run) - 1  # this block ends here too
+            if run:
+                state.eobrun += r.receive(run)
+            break
+        k += run
+        if k > se:
+            raise ValueError("JPEG AC run past spectral band end")
+        blk[k] = _extend(r.receive(sz), sz) << al
+        k += 1
+
+
+def _prog_block_ac_refine(
+    r: _BitReader, blk: np.ndarray, ss: int, se: int, al: int, table, state
+) -> None:
+    p1 = 1 << al
+    k = ss
+    if state.eobrun > 0:
+        state.eobrun -= 1
+    else:
+        while k <= se:
+            rs = _huff_read(r, table)
+            run, sz = rs >> 4, rs & 15
+            newval = 0
+            if sz == 0:
+                if run != 15:  # EOBn: rest of band is corrections only
+                    state.eobrun = (1 << run) - 1
+                    if run:
+                        state.eobrun += r.receive(run)
+                    break
+                # ZRL: skip 16 zero-HISTORY positions (corrections
+                # read for nonzero ones passed over)
+            elif sz == 1:
+                newval = p1 if r.read_bit() else -p1
+            else:
+                raise ValueError("invalid JPEG AC refinement category")
+            while k <= se:
+                if blk[k] != 0:
+                    _refine_nonzero(r, blk, k, p1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if sz == 1:
+                if k > se:
+                    raise ValueError("JPEG AC refinement run past band")
+                blk[k] = newval
+            k += 1
+    # EOB region (or carried eobrun): every remaining history-nonzero
+    # coefficient in the band still gets its correction bit
+    for kk in range(k, se + 1):
+        if blk[kk] != 0:
+            _refine_nonzero(r, blk, kk, p1)
+
+
+def _decode_progressive_scan(
+    buf: bytes,
+    pos: int,
+    state: _ProgressiveState,
+    frame,
+    scan,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    huff_dc,
+    huff_ac,
+    restart_interval: int,
+) -> int:
+    """Decode ONE progressive scan's entropy data into the accumulator
+    and return the buffer position of the next marker. Interleaved
+    (ns > 1, DC only per spec) scans walk MCU order over the padded
+    grid; single-component scans walk the component's own data units
+    row-major (T.81 G.1.1 / A.2.2)."""
+    h, w, comps = frame
+    if ss == 0 and se != 0:
+        raise ValueError("JPEG DC scan with nonzero spectral end")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("JPEG interleaved progressive AC scan is illegal")
+    for ci, tdc, tac in scan:
+        if ss == 0 and ah == 0 and tdc not in huff_dc:
+            raise ValueError("JPEG scan references missing DHT table")
+        if ss > 0 and tac not in huff_ac:
+            raise ValueError("JPEG scan references missing DHT table")
+    r = _BitReader(buf, pos)
+    pred = [0] * len(comps)
+    state.eobrun = 0
+    if len(scan) > 1:  # interleaved DC scan over MCUs
+        n_units = state.mcux * state.mcuy
+    else:
+        ci0 = scan[0][0]
+        bh, bw = state.nblocks[ci0]
+        n_units = bh * bw
+    for m in range(n_units):
+        if restart_interval and m and m % restart_interval == 0:
+            r.align_and_expect_rst(m // restart_interval - 1)
+            pred = [0] * len(comps)
+            state.eobrun = 0
+        if len(scan) > 1:
+            my, mx = divmod(m, state.mcux)
+            for ci, tdc, tac in scan:
+                _, hs, vs, _tq = comps[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = state.coefs[ci][my * vs + by, mx * hs + bx]
+                        _prog_block_dc(
+                            r, blk, pred, ci, huff_dc.get(tdc), ah, al
+                        )
+        else:
+            ci, tdc, tac = scan[0]
+            by, bx = divmod(m, state.nblocks[ci][1])
+            blk = state.coefs[ci][by, bx]
+            if ss == 0:
+                _prog_block_dc(r, blk, pred, ci, huff_dc.get(tdc), ah, al)
+            elif ah == 0:
+                _prog_block_ac_first(r, blk, ss, se, al, huff_ac[tac], state)
+            else:
+                _prog_block_ac_refine(r, blk, ss, se, al, huff_ac[tac], state)
+    # skip pad bits; the next marker starts the next segment
+    p = r.pos
+    while p + 1 < len(buf) and not (
+        buf[p] == 0xFF and buf[p + 1] not in (0x00,)
+    ):
+        p += 1
+    return p
+
+
+def _finish_progressive(
+    state: _ProgressiveState, frame, qt
+) -> np.ndarray:
+    """All scans consumed: dequantize + IDCT every accumulated block
+    and hand the pixel planes to the shared assembly."""
+    h, w, comps = frame
+    planes = []
+    for ci, (cid, hs, vs, tq_i) in enumerate(comps):
+        if tq_i not in qt:
+            raise ValueError("JPEG component references missing DQT table")
+        by, bx, _ = state.coefs[ci].shape
+        plane = np.empty((by * 8, bx * 8), np.float64)
+        for yy in range(by):
+            for xx in range(bx):
+                coef = np.zeros(64, np.int64)
+                coef[_JPEG_ZIGZAG] = state.coefs[ci][yy, xx]
+                block = coef.reshape(8, 8) * qt[tq_i]
+                pix = _DCT_C.T @ block.astype(np.float64) @ _DCT_C
+                plane[yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8] = pix + 128.0
+        planes.append(plane)
+    return _assemble_jpeg(comps, planes, h, w, state.hmax, state.vmax)
 
 
 class _BitWriter:
@@ -735,20 +988,10 @@ def _bit_size(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
 
-def encode_jpeg(
-    img: np.ndarray, quant: int = 1, restart_interval: int = 0
-) -> bytes:
-    """(H, W, 1|3) uint8 → baseline JFIF bytes (4:4:4, flat quant table
-    of ``quant``, canonical fixture Huffman tables). The fixture/oracle
-    generator for decode_jpeg, same discipline as encode_png: with
-    quant=1 an image whose every 8×8 block is CONSTANT round-trips
-    BIT-EXACTLY (a flat block is a pure DC term — 8·(v−128), an
-    integer — so quantization and the float IDCT introduce no error),
-    which is what puts a real entropy-coded JPEG on the oracle hash
-    path without fighting lossy rounding; arbitrary content
-    round-trips within a small bounded error (pytest-pinned)."""
-    import struct
-
+def _jpeg_planes(img: np.ndarray, quant: int):
+    """Shared encoder front half (encode_jpeg / encode_jpeg_progressive):
+    validate, JFIF RGB→YCbCr, pad each plane to 8×8 blocks with edge
+    replication. Returns (h, w, padded float planes)."""
     h, w, ch = img.shape
     if ch not in (1, 3):
         raise ValueError("encode_jpeg expects 1 or 3 channels")
@@ -776,11 +1019,30 @@ def encode_jpeg(
         pp[h:, :w] = p[h - 1 : h, :]  # edge replication
         pp[:, w:] = pp[:, w - 1 : w]
         padded.append(pp)
+    return h, w, padded
+
+
+def encode_jpeg(
+    img: np.ndarray, quant: int = 1, restart_interval: int = 0
+) -> bytes:
+    """(H, W, 1|3) uint8 → baseline JFIF bytes (4:4:4, flat quant table
+    of ``quant``, canonical fixture Huffman tables). The fixture/oracle
+    generator for decode_jpeg, same discipline as encode_png: with
+    quant=1 an image whose every 8×8 block is CONSTANT round-trips
+    BIT-EXACTLY (a flat block is a pure DC term — 8·(v−128), an
+    integer — so quantization and the float IDCT introduce no error),
+    which is what puts a real entropy-coded JPEG on the oracle hash
+    path without fighting lossy rounding; arbitrary content
+    round-trips within a small bounded error (pytest-pinned)."""
+    import struct
+
+    h, w, padded = _jpeg_planes(img, quant)
+    hp, wp = padded[0].shape
 
     dc_tab = _enc_table(_ENC_DC_COUNTS, _ENC_DC_SYMBOLS)
     ac_tab = _enc_table(_ENC_AC_COUNTS, _ENC_AC_SYMBOLS)
     bw = _BitWriter()
-    pred = [0] * len(planes)
+    pred = [0] * len(padded)
     m = 0
     for my in range(hp // 8):
         for mx in range(wp // 8):
@@ -791,7 +1053,7 @@ def encode_jpeg(
                 bw.out += bytes(
                     [0xFF, 0xD0 + ((m // restart_interval - 1) & 7)]
                 )
-                pred = [0] * len(planes)
+                pred = [0] * len(padded)
             m += 1
             for ci, p in enumerate(padded):
                 block = p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 128.0
@@ -833,7 +1095,7 @@ def encode_jpeg(
 
     qzz = np.full(64, quant, np.uint8)
     dqt = seg(0xDB, bytes([0x00]) + qzz.tobytes())
-    ncomp = len(planes)
+    ncomp = len(padded)
     sof_comps = b"".join(
         struct.pack(">BBB", i + 1, 0x11, 0) for i in range(ncomp)
     )
@@ -853,6 +1115,158 @@ def encode_jpeg(
     return (
         b"\xff\xd8" + dqt + sof + dri + dht + sos + bytes(bw.out) + b"\xff\xd9"
     )
+
+
+def encode_jpeg_progressive(img: np.ndarray, quant: int = 1) -> bytes:
+    """(H, W, 1|3) uint8 → PROGRESSIVE JFIF bytes (SOF2, 4:4:4), the
+    fixture/oracle generator for the progressive decode path (round 9,
+    r08 verdict stretch 8). Four scan groups exercise every Annex-G
+    decode mode: an interleaved first DC scan at successive-
+    approximation precision Al=1, a DC refinement scan (raw bits), a
+    per-component first AC scan over the full 1–63 band at Al=1
+    (EOB/ZRL run coding at reduced precision), and a per-component AC
+    refinement scan (newly-nonzero insertions + correction bits, the
+    T.81 G.1.2.3 bit-buffer protocol). Same quantization/DCT/Huffman
+    machinery as encode_jpeg, so with quant=1 a block-constant image
+    round-trips BIT-EXACTLY through the progressive path too — the
+    decoded coefficients equal the sequential encoder's, scan modes
+    notwithstanding."""
+    import struct
+
+    h, w, padded = _jpeg_planes(img, quant)
+    hp, wp = padded[0].shape
+    by, bx = hp // 8, wp // 8
+    ncomp = len(padded)
+    # quantized zigzag coefficient table per component
+    zz_all = []
+    for p in padded:
+        zz = np.zeros((by, bx, 64), np.int64)
+        for yy in range(by):
+            for xx in range(bx):
+                block = p[yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8] - 128.0
+                coef = _DCT_C @ block @ _DCT_C.T
+                q = np.round(coef / quant).astype(np.int64)
+                zz[yy, xx] = q.reshape(-1)[_JPEG_ZIGZAG]
+        zz_all.append(zz)
+    dc_tab = _enc_table(_ENC_DC_COUNTS, _ENC_DC_SYMBOLS)
+    ac_tab = _enc_table(_ENC_AC_COUNTS, _ENC_AC_SYMBOLS)
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += struct.pack(">BB", cid, 0x00)
+        body += bytes([ss, se, (ah << 4) | al])
+        return struct.pack(">BBH", 0xFF, 0xDA, len(body) + 2) + body
+
+    scans: list[bytes] = []
+    # scan 1: interleaved first DC, Al=1 (DC point transform is an
+    # ARITHMETIC shift, spec A.4)
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    for m in range(by * bx):
+        yy, xx = divmod(m, bx)
+        for ci in range(ncomp):
+            dc = int(zz_all[ci][yy, xx, 0]) >> 1
+            diff = dc - pred[ci]
+            pred[ci] = dc
+            size = _bit_size(diff)
+            length, code = dc_tab[size]
+            bw.write(code, length)
+            if size:
+                bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    bw.flush()
+    scans.append(sos_header(list(range(1, ncomp + 1)), 0, 0, 0, 1) + bytes(bw.out))
+    # scan 2: DC refinement, Ah=1 Al=0 — one raw bit per block
+    bw = _BitWriter()
+    for m in range(by * bx):
+        yy, xx = divmod(m, bx)
+        for ci in range(ncomp):
+            bw.write(int(zz_all[ci][yy, xx, 0]) & 1, 1)
+    bw.flush()
+    scans.append(sos_header(list(range(1, ncomp + 1)), 0, 0, 1, 0) + bytes(bw.out))
+    # scans 3..: per component, first AC over 1-63 at Al=1
+    for ci in range(ncomp):
+        bw = _BitWriter()
+        for m in range(by * bx):
+            yy, xx = divmod(m, bx)
+            blk = zz_all[ci][yy, xx]
+            run = 0
+            emitted_any = False
+            for k in range(1, 64):
+                v = int(blk[k])
+                v = -((-v) >> 1) if v < 0 else v >> 1  # trunc toward 0
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    length, code = ac_tab[0xF0]
+                    bw.write(code, length)
+                    run -= 16
+                sz = _bit_size(v)
+                length, code = ac_tab[(run << 4) | sz]
+                bw.write(code, length)
+                bw.write(v if v > 0 else v + (1 << sz) - 1, sz)
+                run = 0
+                emitted_any = True
+            if run or not emitted_any:
+                length, code = ac_tab[0x00]  # EOB0
+                bw.write(code, length)
+        bw.flush()
+        scans.append(sos_header([ci + 1], 1, 63, 0, 1) + bytes(bw.out))
+    # scans ..: per component, AC refinement to Al=0 (G.1.2.3)
+    for ci in range(ncomp):
+        bw = _BitWriter()
+        for m in range(by * bx):
+            yy, xx = divmod(m, bx)
+            blk = zz_all[ci][yy, xx]
+            run = 0
+            corr: list[int] = []  # buffered correction bits
+            for k in range(1, 64):
+                t = abs(int(blk[k]))
+                if t == 0:
+                    run += 1
+                    continue
+                if t > 1:  # history-nonzero: buffer its correction bit
+                    corr.append(t & 1)
+                    continue
+                # t == 1: newly nonzero at this precision
+                while run > 15:
+                    length, code = ac_tab[0xF0]
+                    bw.write(code, length)
+                    for b in corr:
+                        bw.write(b, 1)
+                    corr = []
+                    run -= 16
+                length, code = ac_tab[(run << 4) | 1]
+                bw.write(code, length)
+                bw.write(1 if int(blk[k]) > 0 else 0, 1)  # sign bit
+                run = 0
+                for b in corr:
+                    bw.write(b, 1)
+                corr = []
+            if run or corr:
+                length, code = ac_tab[0x00]  # EOB0, then trailing bits
+                bw.write(code, length)
+                for b in corr:
+                    bw.write(b, 1)
+        bw.flush()
+        scans.append(sos_header([ci + 1], 1, 63, 1, 0) + bytes(bw.out))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    qzz = np.full(64, quant, np.uint8)
+    dqt = seg(0xDB, bytes([0x00]) + qzz.tobytes())
+    sof_comps = b"".join(
+        struct.pack(">BBB", i + 1, 0x11, 0) for i in range(ncomp)
+    )
+    sof = seg(0xC2, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_ENC_DC_COUNTS) + _ENC_DC_SYMBOLS
+        + bytes([0x10]) + bytes(_ENC_AC_COUNTS) + _ENC_AC_SYMBOLS,
+    )
+    return b"\xff\xd8" + dqt + sof + dht + b"".join(scans) + b"\xff\xd9"
 
 
 def decode_media(payload: bytes, kind: str):
@@ -876,9 +1290,9 @@ def decode_media(payload: bytes, kind: str):
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg", decode_jpeg(payload).reshape(-1).astype(np.int64), None
     raise NotImplementedError(
-        "remaining codec formats (MP3/H.264/progressive JPEG...) need "
-        "external libraries; BMP/PPM/WAV/PNG/baseline-JPEG decode "
-        "in-sandbox"
+        "remaining codec formats (MP3/H.264/...) need external "
+        "libraries; BMP/PPM/WAV/PNG and baseline+progressive JPEG "
+        "decode in-sandbox"
     )
 
 

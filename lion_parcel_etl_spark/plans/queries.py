@@ -1932,9 +1932,10 @@ def q_multimodal_decode(spark, sf_dir):
     document, deterministically generate a genuine container — 4×4 P6
     PPM, 3×3 24-bit BMP, 4×4 RGB PNG, 8×6 4-bit grayscale Adam7 PNG
     (packed sub-byte scanlines), 4×4 RGBA PNG or a 16×16 grayscale
-    baseline JPEG for image rows, 16-sample PCM-16 WAV for audio rows
-    (pixel/sample bytes drawn from md5(doc_id || '-' || chunk)) — then
-    DECODE it back with
+    JPEG — baseline for even doc_ids, PROGRESSIVE (SOF2, successive-
+    approximation DC/AC scans, r09) for odd — for image rows,
+    16-sample PCM-16 WAV for audio rows (pixel/sample bytes drawn
+    from md5(doc_id || '-' || chunk)) — then DECODE it back with
     the pure-Python parsers (operators/multimodal.py
     decode_bmp/ppm/wav/png/jpeg) in the same Arrow pass and emit the
     decoded-value statistics. Video rows keep an opaque text payload
@@ -1965,6 +1966,7 @@ def q_multimodal_decode(spark, sf_dir):
         decode_media,
         encode_bmp,
         encode_jpeg,
+        encode_jpeg_progressive,
         encode_png,
         encode_ppm,
         encode_wav,
@@ -1995,14 +1997,23 @@ def q_multimodal_decode(spark, sf_dir):
                     if sel == 4:
                         # 16×16 grayscale JPEG, one md5 byte per 8×8
                         # block — flat blocks make the lossy format
-                        # bit-exact (see docstring)
+                        # bit-exact (see docstring); odd doc_ids get
+                        # the PROGRESSIVE container (r09: SOF2,
+                        # DC+AC successive approximation scans) whose
+                        # flat-block decode is equally bit-exact, so
+                        # the same oracle arithmetic covers both
                         blocks = np.frombuffer(
                             chunk_bytes(doc_id, 4), dtype=np.uint8
                         ).reshape(2, 2)
                         px = np.repeat(np.repeat(blocks, 8, 0), 8, 1)[
                             :, :, None
                         ]
-                        payload = encode_jpeg(px)
+                        enc = (
+                            encode_jpeg_progressive
+                            if doc_id % 2
+                            else encode_jpeg
+                        )
+                        payload = enc(px)
                     elif sel == 2 and doc_id % 2 == 1:
                         # 8×6 4-bit grayscale Adam7 PNG (round 9): one
                         # md5 byte per sample, low nibble — the packed
