@@ -5235,7 +5235,15 @@ def q_ks_drift(spark, sf_dir):
     the streaming twin (stream_value_counts → read_ks_drift) is
     lossless; the statistic pipeline is SHARED with that twin
     (operators/checks.ks_from_group_value_counts — grid/window/scale
-    notes live there)."""
+    notes live there). The per-type readout rides the family-shared
+    `_ks_exact_store` (r09): q_ks_agreement consumes the same rows,
+    so the corpus scan + ECDF grid run once per session, not twice."""
+    return _session_store(
+        spark, sf_dir, "ks_exact", lambda: _build_ks_drift(spark, sf_dir)
+    )
+
+
+def _build_ks_drift(spark, sf_dir):
     from lion_parcel_etl_spark.operators.checks import (
         ks_from_group_value_counts,
     )
@@ -5325,7 +5333,15 @@ def q_ks_drift_binned(spark, sf_dir):
     are sufficient for a frequency-weighted percentile), which is
     exactly what makes the streaming twin
     (streaming/jobs.read_ks_drift_binned over merged count logs)
-    lossless."""
+    lossless. The per-type readout rides the family-shared
+    `_ks_binned_store` (r09) — q_ks_agreement consumes the same rows,
+    so the scan + bucketing run once per session, not twice."""
+    return _session_store(
+        spark, sf_dir, "ks_binned", lambda: _build_ks_drift_binned(spark, sf_dir)
+    )
+
+
+def _build_ks_drift_binned(spark, sf_dir):
     from lion_parcel_etl_spark.operators.checks import ks_binned_from_counts
     from lion_parcel_etl_spark.operators.sampling import HASH_MOD, id_hash
 
@@ -5368,7 +5384,9 @@ def q_ks_agreement(spark, sf_dir):
     as rfm_agreement does for approx RFM and ann_recall for ANN.
     Binned D evaluates the same CDF gap on a boundary subset, so
     d_gap ≥ 0 up to the two round(,6)s (pytest-pinned floor in
-    tests/test_round8_queries.py)."""
+    tests/test_round8_queries.py). Both sides come from the
+    family-shared session stores (r09), so this query is one join of
+    two tiny per-type tables — the corpus is never rescanned."""
     from lion_parcel_etl_spark.operators.checks import ks_agreement_from
 
     return ks_agreement_from(
@@ -9350,7 +9368,9 @@ def q_retrieval_mrr(spark, sf_dir):
     (the MRR proper).
 
     Scale shape: relevance reuses the one-pass token-stream join from
-    retrieval_ndcg_multi; the first-relevant rank is a min over the
+    retrieval_ndcg_multi; the fused list comes from the family-shared
+    `_fused_multi` session store (r09 — no second corpus pass); the
+    first-relevant rank is a min over the
     BROADCAST queries×{RRF_TOPN} fused list inner-joined to relevance
     (fused docs without a relevance row can't be first-relevant, so
     the inner join is exact); queries with no relevant doc in their
@@ -9732,21 +9752,9 @@ RETRIEVAL_QUERY_SET: list[tuple[str, list[str]]] = _normalize_query_terms([
 ])
 
 
-def q_hybrid_rrf_multi(spark, sf_dir):
-    """Hybrid retrieval over the {len(RETRIEVAL_QUERY_SET)}-query eval
-    set: per query, BM25 lexical top-{RRF_POOL}
-    (operators/text.py bm25_rank_keyed — ONE corpus pass scores all
-    queries) fused with a dense top-{RRF_POOL} (hashed-embedding
-    cosine against each query's own hashed vector — the corpus cell
-    table is built once and joined to a BROADCAST queries×dims cell
-    table) by per-key reciprocal-rank fusion
-    (operators/evaluation.py rrf_fuse_keyed). Output: each query's
-    fused top-{RRF_TOPN} with per-list ranks.
-
-    Scale shape: everything corpus-sized happens ONCE regardless of
-    query count — the query dimension only fans out bounded
-    per-(query, doc) candidate rows; every window partitions by
-    query_id, so per-partition work never grows with the query set."""
+def _build_hybrid_rrf_multi(spark, sf_dir):
+    """The inline fused-ranking build behind `_fused_multi` — see
+    q_hybrid_rrf_multi for the semantics and scale shape."""
     from lion_parcel_etl_spark.operators.evaluation import rrf_fuse_keyed
 
     docs = _t(spark, sf_dir, "documents")
@@ -9784,6 +9792,47 @@ def q_hybrid_rrf_multi(spark, sf_dir):
     return rrf_fuse_keyed(
         lex, dense, "query_id", "doc_id", "rnk", k0=RRF_K0, top_n=RRF_TOPN
     )
+
+
+def _fused_multi(spark, sf_dir) -> DataFrame:
+    """The queries×{RRF_TOPN} fused hybrid ranking SHARED by the
+    retrieval eval family (hybrid_rrf_multi, retrieval_mrr,
+    retrieval_ndcg_multi): built once per (session, sf_dir) and
+    materialized as a session-scoped parquet table (_session_store —
+    the _cooc_edges discipline, r09), because each family member
+    otherwise re-pays the full corpus-sized build — the BM25 keyed
+    token pass plus the hashed-embedding cell table — to reach a
+    ranking of a few hundred rows. The fused rows are deterministic
+    (integer ranks, doc_id tie-breaks, round(,6) rrf), so the store
+    is byte-identical to the inline build and DuckDB-oracle hash
+    parity is unaffected; a fresh session's first family member pays
+    the build, the other two pay one tiny parquet scan."""
+    return _session_store(
+        spark,
+        sf_dir,
+        "fused_multi",
+        lambda: _build_hybrid_rrf_multi(spark, sf_dir),
+    )
+
+
+def q_hybrid_rrf_multi(spark, sf_dir):
+    """Hybrid retrieval over the {len(RETRIEVAL_QUERY_SET)}-query eval
+    set: per query, BM25 lexical top-{RRF_POOL}
+    (operators/text.py bm25_rank_keyed — ONE corpus pass scores all
+    queries) fused with a dense top-{RRF_POOL} (hashed-embedding
+    cosine against each query's own hashed vector — the corpus cell
+    table is built once and joined to a BROADCAST queries×dims cell
+    table) by per-key reciprocal-rank fusion
+    (operators/evaluation.py rrf_fuse_keyed). Output: each query's
+    fused top-{RRF_TOPN} with per-list ranks, via the family-shared
+    `_fused_multi` store (one corpus-sized build per session — the
+    retrieval twin of the graph family's _cooc_edges store, r09).
+
+    Scale shape: everything corpus-sized happens ONCE regardless of
+    query count — the query dimension only fans out bounded
+    per-(query, doc) candidate rows; every window partitions by
+    query_id, so per-partition work never grows with the query set."""
+    return _fused_multi(spark, sf_dir)
 
 
 def _duck_qt_values() -> str:
@@ -9901,7 +9950,10 @@ def q_retrieval_ndcg_multi(spark, sf_dir):
     row would contribute zero gain, so the inner join is exact AND
     keeps the big side streaming (a left join from the fused side
     can't build-broadcast its left input and would shuffle the
-    relevance table instead); queries whose fused list has no
+    relevance table instead); the fused list comes from the
+    family-shared `_fused_multi` session store (r09 — this query
+    re-pays only the relevance pass, never the ranking build);
+    queries whose fused list has no
     relevant doc rejoin with dcg 0 through the literal query-id
     spine. The mean row aggregates {len(RETRIEVAL_QUERY_SET)} rows."""
     from lion_parcel_etl_spark.operators.text import tokens_long
