@@ -691,7 +691,11 @@ def _quarters(sig: DataFrame) -> DataFrame:
 
 
 def simhash_near_dup(
-    docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
@@ -699,8 +703,15 @@ def simhash_near_dup(
     (16 bits each over the 64-bit signature), any pair within Hamming 3
     shares at least one exact quarter — four equi-joins instead of a
     cross join.
+
+    ``sig``: an optional precomputed (doc, sh) signature table (e.g. a
+    session-scoped parquet store shared with a fingerprint readout) —
+    must equal ``simhash_signatures(docs, id_col, text_col)``; when
+    omitted the signatures are computed inline.
     """
-    sig = pin(simhash_signatures(docs, id_col, text_col))
+    sig = pin(
+        sig if sig is not None else simhash_signatures(docs, id_col, text_col)
+    )
     # same pin rationale as minhash_near_dup: one signature pass,
     # reused by all 4 quarter expansions and both self-join sides.
     parts = _quarters(sig)

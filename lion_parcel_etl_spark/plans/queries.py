@@ -1581,10 +1581,69 @@ _DUCK_SHINGLES = (
 JACCARD_THRESHOLD = 0.08
 
 
-def q_dedup_jaccard(spark, sf_dir):
-    """Exact n-gram-Jaccard near-dup pairs (ground truth for MinHash)."""
+def _ngram_pairs(spark, sf_dir) -> DataFrame:
+    """Exact n-gram-Jaccard pairs at the dedup family's (n=3,
+    threshold={JACCARD_THRESHOLD}) shape, SHARED by q_dedup_jaccard,
+    q_minhash_est_error and q_dedup_pr_eval via the _session_store
+    discipline (r09 — the _cooc_edges pattern): three queries used to
+    re-pay the shingle-equality join to reach the identical
+    deterministic (id_a, id_b, round-6 jaccard) table. Byte-identical
+    to the inline build, so oracle hash parity is unaffected."""
     docs = _t(spark, sf_dir, "documents")
-    return DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD)
+    return _session_store(
+        spark,
+        sf_dir,
+        "ngram_pairs",
+        lambda: DD.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD
+        ),
+    )
+
+
+def _minhash_pairs(spark, sf_dir) -> DataFrame:
+    """Verified MinHash-LSH near-dup pairs at the dedup family's
+    default shape, SHARED by q_minhash_pairs, q_dedup_clusters,
+    q_curation_pipeline, q_dedup_source_matrix, q_dup_cluster_sizes
+    and q_cluster_split (r09): six queries each re-ran the full
+    shingle→minhash→band→verify pipeline to reach the identical
+    deterministic pair table. Session-scoped parquet store —
+    byte-identical to the inline build (integer ids + round-6
+    jaccard), one build per (session, sf_dir)."""
+    docs = _t(spark, sf_dir, "documents")
+    return _session_store(
+        spark,
+        sf_dir,
+        "minhash_pairs",
+        lambda: DD.minhash_near_dup(
+            docs, "doc_id", "text", threshold=JACCARD_THRESHOLD
+        ),
+    )
+
+
+def _simhash_sigs(spark, sf_dir) -> DataFrame:
+    """Per-doc 64-bit SimHash signatures (doc, sh), SHARED by
+    q_simhash and q_simhash_pairs (r09): the 64-term md5 bit fold is
+    the dominant cost of both, and its output is a tiny deterministic
+    corpus-keyed table — the literal production shape (the
+    simhash_signatures docstring: persist this and never recompute
+    the historical corpus). Named distinctly from the incremental
+    twin's "simhash_sigs" store, which holds the doc_id %% 4 != 0
+    HISTORICAL subset only — a shared name would silently serve the
+    subset to full-corpus consumers (caught by the oracle gate when
+    this store first landed)."""
+    docs = _t(spark, sf_dir, "documents")
+    return _session_store(
+        spark,
+        sf_dir,
+        "simhash_sigs_full",
+        lambda: DD.simhash_signatures(docs, "doc_id", "text"),
+    )
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    """Exact n-gram-Jaccard near-dup pairs (ground truth for MinHash),
+    via the family-shared _ngram_pairs store."""
+    return _ngram_pairs(spark, sf_dir)
 
 
 SQL_DEDUP_JACCARD = f"""
@@ -1636,9 +1695,9 @@ ORDER BY doc_id
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """Full MinHash-LSH banding + exact-Jaccard verification."""
-    docs = _t(spark, sf_dir, "documents")
-    return DD.minhash_near_dup(docs, "doc_id", "text", threshold=JACCARD_THRESHOLD)
+    """Full MinHash-LSH banding + exact-Jaccard verification, via the
+    family-shared _minhash_pairs store."""
+    return _minhash_pairs(spark, sf_dir)
 
 
 def _duck_minhash_pairs() -> str:
@@ -1676,6 +1735,10 @@ SELECT * FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}
 
 _SIG_STORE_MEMO: dict = {}
 
+#: store name -> builder __qualname__ (collision guard, see
+#: _session_store docstring)
+_STORE_BUILDER_SITES: dict = {}
+
 
 def _session_store(spark, sf_dir, name: str, build) -> DataFrame:
     """Materialize an incremental operator's signature STORE once per
@@ -1691,8 +1754,24 @@ def _session_store(spark, sf_dir, name: str, build) -> DataFrame:
     no recompute race between the join's consumers. Driver
     correctness runs are unaffected: a fresh session's first call
     pays the full store build, and the stored rows are byte-identical
-    to the inline computation's."""
+    to the inline computation's.
+
+    Each store NAME must map to one builder: the memo is keyed by
+    name, so two call sites sharing a name would silently serve one
+    site's rows to the other (this nearly happened in r09 — a
+    full-corpus signature store reused the incremental twin's
+    "simhash_sigs" name and got the historical SUBSET). The builder's
+    definition site is recorded and a reused name from a different
+    site fails fast."""
     key = (spark.sparkContext.applicationId, str(sf_dir), name)
+    site = getattr(build, "__qualname__", repr(build))
+    prev_site = _STORE_BUILDER_SITES.setdefault(name, site)
+    if prev_site != site:
+        raise ValueError(
+            f"session store name {name!r} is already bound to builder "
+            f"{prev_site}; refusing to serve it to {site} — pick a "
+            "distinct store name"
+        )
     path = _SIG_STORE_MEMO.get(key)
     if path is None:
         import hashlib
@@ -1776,7 +1855,7 @@ def q_dedup_clusters(spark, sf_dir):
     rest. The oracle computes the same transitive closure with a
     recursive CTE."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = DD.minhash_near_dup(docs, "doc_id", "text", threshold=JACCARD_THRESHOLD)
+    pairs = _minhash_pairs(spark, sf_dir)
     # Broadcast the label table: it holds only docs that appear in a
     # near-dup pair, and its localCheckpoint lineage has no stats, so
     # the planner would otherwise fall back to a sort-merge join and
@@ -1811,9 +1890,10 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 
 
 def q_simhash(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", DD.simhash(F.col("text")).alias("simhash")
+    """Per-doc 64-bit SimHash fingerprints, via the family-shared
+    _simhash_sigs store (one md5 bit-fold per session)."""
+    return _simhash_sigs(spark, sf_dir).select(
+        F.col("doc").alias("doc_id"), F.col("sh").alias("simhash")
     )
 
 
@@ -1844,7 +1924,13 @@ def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (pigeonhole quarter-match candidates,
     Hamming-verified)."""
     docs = _t(spark, sf_dir, "documents")
-    return DD.simhash_near_dup(docs, "doc_id", "text", max_hamming=SIMHASH_MAX_HAMMING)
+    return DD.simhash_near_dup(
+        docs,
+        "doc_id",
+        "text",
+        max_hamming=SIMHASH_MAX_HAMMING,
+        sig=_simhash_sigs(spark, sf_dir),
+    )
 
 
 def _duck_simhash_pairs() -> str:
@@ -2449,7 +2535,7 @@ def q_curation_pipeline(spark, sf_dir):
         (F.col("quality") >= CURATION_MIN_QUALITY)
         & (F.col("n_tokens") >= CURATION_MIN_TOKENS)
     )
-    pairs = DD.minhash_near_dup(docs, "doc_id", "text", threshold=JACCARD_THRESHOLD)
+    pairs = _minhash_pairs(spark, sf_dir)
     cc = F.broadcast(DD.connected_components(pairs, "id_a", "id_b"))
     lab = keep.join(cc, keep["doc_id"] == cc["node"], "left").select(
         keep["doc_id"],
@@ -6777,7 +6863,7 @@ def q_dedup_source_matrix(spark, sf_dir):
     At 100 TB this is the same cost as minhash_near_dup itself plus
     two broadcast joins of bare (id, source) pairs."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = DD.minhash_near_dup(docs, "doc_id", "text", threshold=JACCARD_THRESHOLD)
+    pairs = _minhash_pairs(spark, sf_dir)
     src = docs.select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
     b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
@@ -7156,7 +7242,7 @@ def q_dup_cluster_sizes(spark, sf_dir):
     number a curation report leads with. Cost = dedup_clusters + two
     aggregates over ≤ |docs| and ≤ |distinct sizes| rows."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = DD.minhash_near_dup(docs, "doc_id", "text", threshold=JACCARD_THRESHOLD)
+    pairs = _minhash_pairs(spark, sf_dir)
     cc = F.broadcast(DD.connected_components(pairs, "id_a", "id_b"))
     labeled = (
         docs.select("doc_id")
@@ -7438,9 +7524,7 @@ def q_minhash_est_error(spark, sf_dir):
     zip-and-count over the two signatures, so the only cost beyond
     the ground-truth join is two broadcast-or-keyed sig lookups."""
     docs = _t(spark, sf_dir, "documents")
-    exact = DD.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD
-    )
+    exact = _ngram_pairs(spark, sf_dir)
     sigs = docs.select(
         F.col("doc_id").alias("doc"),
         DD.minhash_signature(F.col("text")).alias("sig"),
@@ -8337,9 +8421,7 @@ def q_cluster_split(spark, sf_dir):
     from lion_parcel_etl_spark.operators.sampling import cluster_split
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = DD.minhash_near_dup(
-        docs, "doc_id", "text", threshold=JACCARD_THRESHOLD
-    )
+    pairs = _minhash_pairs(spark, sf_dir)
     return cluster_split(
         docs, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     ).select("doc_id", "cluster_id", "split").orderBy("doc_id")
@@ -10347,9 +10429,9 @@ def q_dedup_pr_eval(spark, sf_dir):
     trusts); each candidate set is the band bucket join; the P/R
     arithmetic acts on three counts per config."""
     docs = _t(spark, sf_dir, "documents")
-    truth = DD.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD
-    ).select("id_a", "id_b", F.lit(1).alias("__t"))
+    truth = _ngram_pairs(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(1).alias("__t")
+    )
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
     # ONE signature table serves both configs: the coefficient stream
     # is prefix-stable (minhash_coeffs(64)[:16] == minhash_coeffs(16)),

@@ -70,3 +70,56 @@ def test_apply_changelog_registry_reconstructs_new_snapshot(spark, sf_dir):
     assert replayed.exceptAll(direct).count() == 0
     assert direct.exceptAll(replayed).count() == 0
     assert replayed.count() > 0
+
+
+def test_session_store_name_collision_fails_fast(spark):
+    """r09: _session_store memoizes by NAME — two call sites sharing
+    a name would silently serve one site's rows to the other (a
+    full-corpus signature store briefly reused the incremental twin's
+    "simhash_sigs" name and got the doc_id %% 4 != 0 HISTORICAL
+    subset; the oracle gate caught it as a row-count mismatch). The
+    guard must reject a reused name from a different builder site and
+    keep serving repeat calls from the SAME site."""
+    import lion_parcel_etl_spark.plans.queries as Q
+
+    def build_a():
+        return spark.range(3).toDF("n")
+
+    def build_b():
+        return spark.range(5).toDF("n")
+
+    name = "collision_guard_test"
+    try:
+        assert Q._session_store(spark, "/x", name, build_a).count() == 3
+        # same site, same name: memo hit, no rebuild, no error
+        assert Q._session_store(spark, "/x", name, build_a).count() == 3
+        with pytest.raises(ValueError, match="distinct store name"):
+            Q._session_store(spark, "/x", name, build_b)
+    finally:
+        Q._STORE_BUILDER_SITES.pop(name, None)
+        Q._SIG_STORE_MEMO.pop(
+            (spark.sparkContext.applicationId, "/x", name), None
+        )
+
+
+def test_simhash_pairs_store_equals_inline_after_incremental(spark, sf_dir):
+    """The regression the collision guard exists for, pinned end to
+    end: run simhash_incremental FIRST (it builds the historical
+    "simhash_sigs" store), then q_simhash_pairs — the full-corpus
+    pair set must equal the inline operator over all documents, not
+    the incremental twin's subset."""
+    import lion_parcel_etl_spark.operators.dedup as DD
+    import lion_parcel_etl_spark.plans.queries as Q
+
+    Q.q_simhash_incremental(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inline = DD.simhash_near_dup(
+        docs, "doc_id", "text", max_hamming=Q.SIMHASH_MAX_HAMMING
+    )
+    via_store = Q.q_simhash_pairs(spark, sf_dir)
+    # sorted-rows equality, not exceptAll: Spark 4.1's exceptAll over
+    # this dropDuplicates+join shape trips an INTERNAL_ERROR_ATTRIBUTE_
+    # NOT_FOUND planner bug (hamming#N lost in the replace-ops rewrite)
+    got = sorted(map(tuple, via_store.collect()))
+    want = sorted(map(tuple, inline.collect()))
+    assert got == want and len(got) > 0
