@@ -2594,7 +2594,7 @@ def q_embedding_clusters(spark, sf_dir):
     the second modality. Labels broadcast for the final left join
     (only paired vectors carry labels)."""
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = SIM.embedding_near_dup(emb, threshold=0.35, n_blocks=8)
+    pairs = _emb_pairs(spark, sf_dir)
     cc = F.broadcast(DD.connected_components(pairs, "id_a", "id_b"))
     return (
         emb.select("vec_id")
@@ -2697,11 +2697,28 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
 """
 
 
+def _emb_pairs(spark, sf_dir) -> DataFrame:
+    """Exact cosine near-dup pairs over the embedding table at the
+    dedup family's (threshold=0.35, n_blocks=8) shape, SHARED by
+    q_embedding_near_dup and q_embedding_clusters via the
+    _session_store discipline (r09): both re-ran the blocked
+    all-pairs kernel — the single most expensive primitive in the
+    sf1 ledger — to reach the identical deterministic
+    (id_a, id_b, round-6 cosine) table."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return _session_store(
+        spark,
+        sf_dir,
+        "emb_pairs",
+        lambda: SIM.embedding_near_dup(emb, threshold=0.35, n_blocks=8),
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Dedup by embedding cosine: exact all-pairs (blocked Arrow block
-    products, no driver collect) at threshold 0.35."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return SIM.embedding_near_dup(emb, threshold=0.35, n_blocks=8)
+    products, no driver collect) at threshold 0.35, via the
+    family-shared _emb_pairs store."""
+    return _emb_pairs(spark, sf_dir)
 
 
 def _duck_embedding_near_dup(threshold: float = 0.35) -> str:
@@ -3851,10 +3868,26 @@ def q_bpe_merges(spark, sf_dir):
     merge argmax (one row) is the only thing the driver sees per
     round; the greedy pair replacement is a pure array fold the
     DuckDB oracle replays with list_reduce."""
+    return _bpe_merge_table(spark, sf_dir)
+
+
+def _bpe_merge_table(spark, sf_dir) -> DataFrame:
+    """The learned {BPE_K_MERGES}-row merge table SHARED by
+    q_bpe_merges, q_bpe_encode and q_bpe_fertility via the
+    _session_store discipline (r09): three queries each re-ran the
+    k-round driver-coordinated merge loop to reach the identical
+    deterministic (step, lhs, rhs, ...) table. Consumers sort by
+    `step` after the scan (parquet has no row order), exactly as the
+    inline collect already did."""
     from lion_parcel_etl_spark.operators.text import bpe_merges
 
     docs = _t(spark, sf_dir, "documents")
-    return bpe_merges(docs, "text", k_merges=BPE_K_MERGES)
+    return _session_store(
+        spark,
+        sf_dir,
+        "bpe_merges",
+        lambda: bpe_merges(docs, "text", k_merges=BPE_K_MERGES),
+    )
 
 
 def _duck_bpe_merges(k: int = BPE_K_MERGES) -> str:
@@ -6645,10 +6678,10 @@ def q_bpe_encode(spark, sf_dir):
     zero-shuffle projection. The oracle replays learning AND encoding
     declaratively: the same greedy merge fold, unrolled per learned
     rank over every word of every document."""
-    from lion_parcel_etl_spark.operators.text import bpe_encode, bpe_merges
+    from lion_parcel_etl_spark.operators.text import bpe_encode
 
     docs = _t(spark, sf_dir, "documents")
-    learned = bpe_merges(docs, "text", k_merges=BPE_K_MERGES).collect()
+    learned = _bpe_merge_table(spark, sf_dir).collect()
     merges = [(r["lhs"], r["rhs"]) for r in sorted(learned, key=lambda r: r["step"])]
     return bpe_encode(docs, merges)
 
@@ -7115,10 +7148,10 @@ def q_bpe_fertility(spark, sf_dir):
     trainer watches exactly this table converge as merges are added;
     per-source fertility drift flags a source the tokenizer serves
     badly."""
-    from lion_parcel_etl_spark.operators.text import bpe_encode, bpe_merges
+    from lion_parcel_etl_spark.operators.text import bpe_encode
 
     docs = _t(spark, sf_dir, "documents")
-    learned = bpe_merges(docs, "text", k_merges=BPE_K_MERGES).collect()
+    learned = _bpe_merge_table(spark, sf_dir).collect()
     merges = [(r["lhs"], r["rhs"]) for r in sorted(learned, key=lambda r: r["step"])]
     enc = bpe_encode(docs, merges)
     toks = docs.select(
@@ -8123,6 +8156,25 @@ def _kmv_shingle_keys(spark, sf_dir):
     )
 
 
+def _kmv_hashes(spark, sf_dir) -> DataFrame:
+    """The distinct (source, 60-bit md5 hash) shingle-key table SHARED
+    by q_kmv_distinct and q_kmv_overlap via the _session_store
+    discipline (r09): both re-ran the tokenize/shingle/explode/
+    distinct chain — the dominant cost of each — to reach the
+    identical deterministic table that the bounded sketch ranks then
+    collapse."""
+    from lion_parcel_etl_spark.operators.sampling import id_hash
+
+    return _session_store(
+        spark,
+        sf_dir,
+        "kmv_hashes",
+        lambda: _kmv_shingle_keys(spark, sf_dir)
+        .select("source", id_hash(F.col("s"), salt="kmv").alias("h"))
+        .distinct(),
+    )
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV bottom-k distinct sketch per source (operators/sketches.py;
     Beyer et al. 2007): deterministic md5-hash bottom-{KMV_QUERY_K}
@@ -8131,23 +8183,17 @@ def q_kmv_distinct(spark, sf_dir):
     error. The sketch build is one distinct + one per-group rank; the
     sketch itself is what persists at corpus scale (k BIGINTs per
     source) so any later overlap/rollup question never rescans."""
-    from lion_parcel_etl_spark.operators.dedup import pin
-    from lion_parcel_etl_spark.operators.sampling import id_hash
     from lion_parcel_etl_spark.operators.sketches import (
         kmv_estimate,
         kmv_sketch_hashed,
     )
 
-    keys = _kmv_shingle_keys(spark, sf_dir)
-    # pin the distinct (source, hash) table: the sketch rank AND the
-    # exact count both consume it, and the tokenize/shingle/explode/
-    # distinct chain is the dominant cost — the cooccurrence_edges
-    # lesson applied
-    hashes = pin(
-        keys.select(
-            "source", id_hash(F.col("s"), salt="kmv").alias("h")
-        ).distinct()
-    )
+    # the distinct (source, hash) table comes from the family-shared
+    # _kmv_hashes store: the sketch rank AND the exact count both
+    # consume it, q_kmv_overlap consumes it too, and the tokenize/
+    # shingle/explode/distinct chain is the dominant cost — the
+    # cooccurrence_edges lesson applied (r09: pin -> session store)
+    hashes = _kmv_hashes(spark, sf_dir)
     sk = kmv_sketch_hashed(hashes, ["source"], k=KMV_QUERY_K)
     exact = hashes.groupBy("source").agg(
         F.count(F.lit(1)).alias("exact_distinct")
@@ -8179,11 +8225,15 @@ def q_kmv_overlap(spark, sf_dir):
     matter how big the corpus behind them."""
     from lion_parcel_etl_spark.operators.sketches import (
         kmv_overlap,
-        kmv_sketch,
+        kmv_sketch_hashed,
     )
 
-    keys = _kmv_shingle_keys(spark, sf_dir)
-    sk = kmv_sketch(keys, "s", ["source"], k=KMV_QUERY_K)
+    # kmv_sketch(keys, "s", ...) is literally distinct-hash +
+    # kmv_sketch_hashed, so building from the family-shared hash
+    # store is value-identical (r09)
+    sk = kmv_sketch_hashed(
+        _kmv_hashes(spark, sf_dir), ["source"], k=KMV_QUERY_K
+    )
     return kmv_overlap(sk, "source", k=KMV_QUERY_K).orderBy(
         "group_a", "group_b"
     )
@@ -10977,10 +11027,18 @@ def _duck_kcenter() -> str:
 
 def _rfm_base(spark, sf_dir) -> DataFrame:
     """Per-customer (custkey, recency_days, frequency, monetary_cents)
-    — the shared input of the exact and approx RFM twins. One
-    orders-sized hash aggregate; the reference date is a broadcast
-    1-row scalar. All values exact integers (day diffs, counts,
-    cents), so everything downstream replays in SQL."""
+    — the shared input of the exact and approx RFM twins, served from
+    a session-scoped parquet store (r09: the per-query pin became a
+    family-wide store, so rfm_segments / rfm_segments_approx /
+    rfm_agreement pay the orders-sized aggregate once per session).
+    All values exact integers (day diffs, counts, cents), so
+    everything downstream replays in SQL."""
+    return _session_store(
+        spark, sf_dir, "rfm_base", lambda: _build_rfm_base(spark, sf_dir)
+    )
+
+
+def _build_rfm_base(spark, sf_dir) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     per = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
@@ -11232,10 +11290,11 @@ def q_rfm_agreement(spark, sf_dir):
     exact quintile segmentation — the number that justifies running
     the zero-sort twin at scale, exactly as ann_recall does for ANN.
     One |customers|-sized join of the two scored frames; the shared
-    _rfm_base aggregate is PINNED and fed to both scorers (review r07:
-    unpinned, the orders-sized groupBy executed once per twin). The
+    _rfm_base aggregate is a session STORE fed to both scorers (r07
+    review: unshared, the orders-sized groupBy executed once per
+    twin; r09: the pin became a store serving the whole family). The
     floor is pinned in tests/test_query_extensions.py."""
-    base = DD.pin(_rfm_base(spark, sf_dir))
+    base = _rfm_base(spark, sf_dir)  # session store — already disk-backed
     exact = q_rfm_segments(spark, sf_dir, base=base).select(
         "custkey",
         F.col("r_score").alias("er"),
