@@ -1,9 +1,11 @@
 """Multimodal column plumbing: image/audio/video as opaque binary.
 
-BMP/PPM/WAV/PNG payloads decode FOR REAL with the pure-Python parsers
-below (no codec library needed); lossy codec formats (JPEG/MP3/H.264)
-remain a clearly-marked NotImplementedError where a deployment plugs
-in PIL/librosa/ffmpeg. The Spark-side shape is real and tested either
+BMP/PPM/WAV/PNG/GIF and JPEG (baseline + progressive) payloads decode
+FOR REAL with the pure-Python parsers below (no codec library needed);
+the remaining codec formats (MP3/H.264) stay a clearly-marked
+NotImplementedError where a deployment plugs in librosa/ffmpeg — their
+spec constant tables (synthesis windows, allocation tables) cannot be
+derived in-sandbox, unlike every constant the implemented codecs use. The Spark-side shape is real and tested either
 way: schema (binary payload + typed metadata struct),
 Arrow-batched ``mapInPandas`` transforms, and partition sizing by bytes
 rather than rows (a 100 TB multimodal table is dominated by payload
@@ -373,6 +375,339 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             data[: len(data) & ~1], dtype="<i2"
         ).astype(np.int32)
     return samples, sample_rate
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a, round 9) — the palette-indexed LZW web format, and the
+# first VIDEO-kind payload that decodes in-sandbox: an animated GIF is
+# a real multi-frame container, so frame sampling runs over actual
+# decoded frames instead of a stub. Pure stdlib + numpy: GIF's only
+# codec machinery is LZW (algorithmic — no spec constant tables),
+# variable-width codes 3..12 bits LSB-first, clear/EOI codes, the
+# KwKwK case, plus 4-pass row interlacing and frame compositing with
+# disposal methods 0/1/2 and GCE transparency. Honest raises:
+# disposal 3 (restore-to-previous) → NotImplementedError; corrupt
+# bytes → ValueError (the Arrow-task handlers' contract). Unlike
+# MPEG audio / H.264 — which need spec constant tables (synthesis
+# windows, allocation tables) that cannot be derived in-sandbox and
+# therefore stay honestly unimplemented — every GIF constant below
+# follows from the format's algorithmic definition.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, mcs: int, expected: int) -> bytes:
+    """GIF-variant LZW: codes start at mcs+1 bits (LSB-first packing),
+    grow to 12 when the dictionary fills the current width, reset on
+    the clear code; entries stop being added at 4096 (deferred-clear
+    streams stay decodable). Returns exactly ``expected`` index bytes."""
+    if not 2 <= mcs <= 11:
+        raise ValueError(f"bad LZW minimum code size {mcs}")
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    dic = list(base)
+    width = mcs + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total = 0, len(data) * 8
+    padded = data + b"\x00\x00"
+    while len(out) < expected:
+        if bitpos + width > total:
+            raise ValueError("truncated LZW stream")
+        bi, sh = divmod(bitpos, 8)
+        code = (
+            int.from_bytes(padded[bi : bi + 3], "little") >> sh
+        ) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            dic = list(base)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(dic):
+                raise ValueError("LZW code before any output")
+            entry = dic[code]
+        else:
+            if code < len(dic):
+                entry = dic[code]
+            elif code == len(dic):
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError("LZW code beyond dictionary")
+            if len(dic) < 4096:
+                dic.append(prev + entry[:1])
+        out += entry
+        prev = entry
+        if len(dic) >= (1 << width) and width < 12:
+            width += 1
+    if len(out) < expected:
+        raise ValueError("LZW stream ended before raster completed")
+    return bytes(out[:expected])
+
+
+def _lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """GIF-variant LZW compressor, the exact mirror of
+    :func:`_lzw_decode`'s width-growth timing (width bumps when the
+    dictionary size reaches 1<<width); emits a clear code up front and
+    resets with another when the dictionary hits 4096."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    buf = nbits = 0
+    width = mcs + 1
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    def reset() -> dict:
+        nonlocal width
+        width = mcs + 1
+        return {bytes([i]): i for i in range(clear)}
+
+    emit(clear)
+    codes = reset()
+    next_code = clear + 2
+    w = b""
+    for byte in indices:
+        wk = w + bytes([byte])
+        if wk in codes:
+            w = wk
+            continue
+        emit(codes[w])
+        if next_code < 4096:
+            codes[wk] = next_code
+            next_code += 1
+            # GIF is "late change": the decoder learns each entry one
+            # code later than the encoder creates it, so the width
+            # bump fires when next_code EXCEEDS the current capacity
+            # (at 2^w + 1), not when it reaches it (TIFF's early
+            # change) — the two sides then switch before the same code
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            codes = reset()
+            next_code = clear + 2
+        w = bytes([byte])
+    if w:
+        emit(codes[w])
+    emit(end)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_row_order(h: int) -> list[int]:
+    """Target row index for each stream row of an interlaced image
+    (4-pass: every 8th from 0, every 8th from 4, every 4th from 2,
+    every 2nd from 1)."""
+    return [r for start, step in _GIF_INTERLACE_PASSES for r in range(start, h, step)]
+
+
+def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
+    """GIF87a/89a → list of full-canvas (H, W, 3) uint8 RGB frames.
+
+    Full container walk: logical screen descriptor, global/local color
+    tables, extension blocks (graphic control parsed for disposal +
+    transparency; comment/application/plain-text skipped via their
+    sub-block chains), per-image interlace, and frame compositing on
+    the logical screen: transparent pixels keep the underlying canvas,
+    disposal 0/1 leaves the frame, disposal 2 restores the background
+    color. Disposal 3 (restore-to-previous) raises NotImplementedError
+    — a documented scope bound, not silent wrong output."""
+    import struct
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    packed, bg = payload[10], payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if pos + 3 * n > len(payload):
+            raise ValueError("truncated global color table")
+        gct = (
+            np.frombuffer(payload[pos : pos + 3 * n], np.uint8)
+            .reshape(n, 3)
+            .copy()
+        )
+        pos += 3 * n
+    canvas = np.zeros((sh, sw, 3), np.uint8)
+    bg_rgb = None
+    if gct is not None and bg < len(gct):
+        bg_rgb = gct[bg]
+        canvas[:, :] = bg_rgb
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    disposal = 0
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF ended without trailer")
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-block chain
+            if pos + 2 > len(payload):
+                raise ValueError("truncated GIF extension")
+            label = payload[pos + 1]
+            pos += 2
+            blocks = []
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("unterminated GIF extension")
+                bs = payload[pos]
+                blocks.append(payload[pos + 1 : pos + 1 + bs])
+                if pos + 1 + bs > len(payload):
+                    raise ValueError("truncated GIF sub-block")
+                pos += 1 + bs
+                if bs == 0:
+                    break
+            if label == 0xF9 and blocks and len(blocks[0]) == 4:
+                flags = blocks[0][0]
+                disposal = (flags >> 2) & 7
+                transparent = blocks[0][3] if flags & 1 else None
+        elif b0 == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated image descriptor")
+            x, y, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
+            ip = payload[pos + 9]
+            pos += 10
+            if x + w > sw or y + h > sh or w == 0 or h == 0:
+                raise ValueError("GIF frame exceeds logical screen")
+            lct = None
+            if ip & 0x80:
+                n = 2 << (ip & 7)
+                if pos + 3 * n > len(payload):
+                    raise ValueError("truncated local color table")
+                lct = (
+                    np.frombuffer(payload[pos : pos + 3 * n], np.uint8)
+                    .reshape(n, 3)
+                    .copy()
+                )
+                pos += 3 * n
+            pal = lct if lct is not None else gct
+            if pal is None:
+                raise ValueError("GIF image with no color table")
+            if pos >= len(payload):
+                raise ValueError("missing LZW minimum code size")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("unterminated image data")
+                bs = payload[pos]
+                if pos + 1 + bs > len(payload):
+                    raise ValueError("truncated image sub-block")
+                data += payload[pos + 1 : pos + 1 + bs]
+                pos += 1 + bs
+                if bs == 0:
+                    break
+            idx = np.frombuffer(
+                _lzw_decode(bytes(data), mcs, w * h), np.uint8
+            ).reshape(h, w)
+            if int(idx.max()) >= len(pal):
+                raise ValueError("GIF index beyond palette")
+            if ip & 0x40:  # interlaced: stream rows -> pass order
+                out = np.empty_like(idx)
+                out[_gif_row_order(h)] = idx
+                idx = out
+            if disposal == 3:
+                raise NotImplementedError(
+                    "GIF disposal 3 (restore-to-previous) not composited"
+                )
+            region = canvas[y : y + h, x : x + w]
+            rgb = pal[idx]
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = rgb[mask]
+            else:
+                region[:, :] = rgb
+            frames.append(canvas.copy())
+            if disposal == 2:
+                canvas[y : y + h, x : x + w] = (
+                    bg_rgb if bg_rgb is not None else 0
+                )
+            transparent = None
+            disposal = 0
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    if not frames:
+        raise ValueError("GIF carries no image")
+    return frames
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First composited frame of a GIF as (H, W, 3) uint8 RGB."""
+    return decode_gif_frames(payload)[0]
+
+
+def encode_gif(
+    frames,
+    palette: np.ndarray,
+    interlace: bool = False,
+    transparent: int | None = None,
+    disposals=None,
+) -> bytes:
+    """Deterministic GIF89a writer for fixtures and the oracle
+    generator: ``frames`` is a list of (H, W) uint8 palette-index
+    arrays (full logical screen) or (arr, x, y) tuples for sub-rect
+    frames; ``palette`` is an (n, 3) uint8 table with n a power of two
+    in 2..256. Emits a real LZW stream (:func:`_lzw_encode`), optional
+    interlacing, and per-frame GCE blocks when transparency or
+    disposal methods are requested."""
+    import struct
+
+    if disposals is None:
+        disposals = [0] * len(frames)
+    n = len(palette)
+    if n < 2 or n > 256 or n & (n - 1):
+        raise ValueError("palette size must be a power of two in 2..256")
+    depth = n.bit_length() - 1
+    norm = []
+    for fr in frames:
+        arr, x, y = fr if isinstance(fr, tuple) else (fr, 0, 0)
+        if arr.dtype != np.uint8 or arr.ndim != 2:
+            raise ValueError("frames must be 2-D uint8 index arrays")
+        if int(arr.max()) >= n:
+            raise ValueError("frame index beyond palette")
+        norm.append((arr, x, y))
+    sw = max(a.shape[1] + x for a, x, _ in norm)
+    sh = max(a.shape[0] + y for a, _, y in norm)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | (depth - 1), 0, 0])  # GCT present, size 2^depth
+    out += np.ascontiguousarray(palette, dtype=np.uint8).tobytes()
+    mcs = max(2, depth)
+    for (arr, x, y), disp in zip(norm, disposals):
+        if transparent is not None or disp:
+            flags = (disp & 7) << 2 | (1 if transparent is not None else 0)
+            out += bytes(
+                [0x21, 0xF9, 4, flags, 0, 0, transparent or 0, 0]
+            )
+        h, w = arr.shape
+        out += b"\x2c" + struct.pack("<HHHH", x, y, w, h)
+        out += bytes([0x40 if interlace else 0])
+        rows = arr[_gif_row_order(h)] if interlace else arr
+        data = _lzw_encode(rows.tobytes(), mcs)
+        out += bytes([mcs])
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -1275,7 +1610,9 @@ def decode_media(payload: bytes, kind: str):
     PIL/librosa/ffmpeg there).
 
     Returns ``(container, values, sample_rate)`` where ``container`` ∈
-    {'bmp', 'ppm', 'wav', 'png', 'jpeg'}, ``values`` is the flat int
+    {'bmp', 'ppm', 'wav', 'png', 'jpeg', 'gif'} ('gif': every
+    composited frame concatenated — an animated payload contributes
+    frames × H × W × 3 values), ``values`` is the flat int
     array of decoded pixel bytes (row-major RGB) or PCM samples, and
     ``sample_rate`` is None for images."""
     if payload[:2] == b"BM":
@@ -1289,9 +1626,16 @@ def decode_media(payload: bytes, kind: str):
         return "png", decode_png(payload).reshape(-1).astype(np.int64), None
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg", decode_jpeg(payload).reshape(-1).astype(np.int64), None
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        frames = decode_gif_frames(payload)
+        return (
+            "gif",
+            np.concatenate([f.reshape(-1) for f in frames]).astype(np.int64),
+            None,
+        )
     raise NotImplementedError(
         "remaining codec formats (MP3/H.264/...) need external "
-        "libraries; BMP/PPM/WAV/PNG and baseline+progressive JPEG "
+        "libraries; BMP/PPM/WAV/PNG/GIF and baseline+progressive JPEG "
         "decode in-sandbox"
     )
 

@@ -2023,9 +2023,13 @@ def q_multimodal_decode(spark, sf_dir):
     16-sample PCM-16 WAV for audio rows (pixel/sample bytes drawn
     from md5(doc_id || '-' || chunk)) — then DECODE it back with
     the pure-Python parsers (operators/multimodal.py
-    decode_bmp/ppm/wav/png/jpeg) in the same Arrow pass and emit the
-    decoded-value statistics. Video rows keep an opaque text payload
-    and exercise the honest codec-format fallback (decoded=false,
+    decode_bmp/ppm/wav/png/jpeg/gif) in the same Arrow pass and emit
+    the decoded-value statistics. Video rows (r09) carry a REAL
+    animated-GIF container — 4×4 frames over the 256-gray identity
+    palette, 1 frame (doc_id%4==0) or 2 (animated; interlaced for
+    doc_id%4==2), full LZW entropy chain on the oracle hash path —
+    except doc_id%4==3 rows, which keep an opaque text payload and
+    exercise the honest codec-format fallback (decoded=false,
     NULL stats).
 
     The oracle replays the GENERATOR (the md5 byte stream) in SQL,
@@ -2051,6 +2055,7 @@ def q_multimodal_decode(spark, sf_dir):
     from lion_parcel_etl_spark.operators.multimodal import (
         decode_media,
         encode_bmp,
+        encode_gif,
         encode_jpeg,
         encode_jpeg_progressive,
         encode_png,
@@ -2073,6 +2078,7 @@ def q_multimodal_decode(spark, sf_dir):
         return out[:n]
 
     def gen_decode(batches):
+        gray_pal = np.stack([np.arange(256)] * 3, 1).astype(np.uint8)
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -2130,7 +2136,28 @@ def q_multimodal_decode(spark, sf_dir):
                     samples = np.frombuffer(chunk_bytes(doc_id, 32), dtype="<i2")
                     payload = encode_wav(samples, 8000 + (doc_id % 8) * 1000)
                 else:
-                    payload = (text or "").encode("utf-8")
+                    sel = doc_id % 4
+                    if sel == 3:
+                        payload = (text or "").encode("utf-8")
+                    else:
+                        # 4×4 GIF over the 256-gray identity palette
+                        # (index i → (i,i,i)): frames = 1 (sel 0) or
+                        # 2 (animated, sel 1/2), interlaced for
+                        # sel == 2 — the video kind's real in-sandbox
+                        # container (r09). Decoded values are exactly
+                        # three copies of each md5 index byte, so the
+                        # oracle replays the generator arithmetic.
+                        n_frames = 1 if sel == 0 else 2
+                        raw = chunk_bytes(doc_id, 16 * n_frames)
+                        gframes = [
+                            np.frombuffer(
+                                raw[16 * f : 16 * (f + 1)], dtype=np.uint8
+                            ).reshape(4, 4)
+                            for f in range(n_frames)
+                        ]
+                        payload = encode_gif(
+                            gframes, gray_pal, interlace=(sel == 2)
+                        )
                 try:
                     container, values, rate = decode_media(payload, "")
                     rows.append(
@@ -2180,11 +2207,14 @@ WITH shapes AS (
                      WHEN doc_id % 5 = 4 THEN 'jpeg'
                      WHEN doc_id % 5 = 2 AND doc_id % 2 = 1 THEN 'png4'
                      ELSE 'png' END
-              WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'raw' END AS kind,
+              WHEN doc_id % 3 = 1 THEN 'wav'
+              WHEN doc_id % 4 = 3 THEN 'raw' ELSE 'gif' END AS kind,
          CASE WHEN doc_id % 3 = 0 THEN
                 CASE doc_id % 5 WHEN 0 THEN 48 WHEN 1 THEN 27
                      WHEN 2 THEN 48 WHEN 3 THEN 64 ELSE 4 END
-              WHEN doc_id % 3 = 1 THEN 32 ELSE 0 END AS n_bytes
+              WHEN doc_id % 3 = 1 THEN 32
+              WHEN doc_id % 4 = 3 THEN 0
+              WHEN doc_id % 4 = 0 THEN 16 ELSE 32 END AS n_bytes
   FROM documents
 ),
 bytes AS (
@@ -2198,14 +2228,18 @@ imgstats AS (
   -- png4 rows: each byte's LOW NIBBLE is one 4-bit sample, which the
   -- decoder rescales to full range (x17 = 255/15); the decoded
   -- container label is still 'png'
+  -- gif rows (r09): 256-gray identity palette, so every md5 index
+  -- byte decodes to three copies of itself, across every frame
   SELECT doc_id,
          CASE WHEN kind = 'png4' THEN 'png' ELSE kind END AS container,
          CASE WHEN kind = 'jpeg' THEN count(*) * 64
+              WHEN kind = 'gif' THEN count(*) * 3
               ELSE count(*) END AS n_vals,
          CASE WHEN kind = 'jpeg' THEN 64 * sum(bv)
               WHEN kind = 'png4' THEN sum((bv % 16) * 17)
+              WHEN kind = 'gif' THEN 3 * sum(bv)
               ELSE sum(bv) END AS v_sum
-  FROM bytes WHERE kind IN ('ppm', 'bmp', 'png', 'png4', 'jpeg')
+  FROM bytes WHERE kind IN ('ppm', 'bmp', 'png', 'png4', 'jpeg', 'gif')
   GROUP BY doc_id, kind
 ),
 wavsam AS (
@@ -2449,6 +2483,108 @@ FROM documents d,
      LATERAL (SELECT unnest(generate_series(0, greatest(d.n_chars * 10 - 1, 0), 1000)) AS ts) f
 WHERE (d.doc_id % 3 + 1) = 3
 GROUP BY doc_id
+"""
+
+
+def q_gif_frames(spark, sf_dir):
+    """REAL video frame sampling (r09): the video-kind rows'
+    animated-GIF payloads (the q_multimodal_decode generator — 4×4
+    frames over the 256-gray identity palette) are decoded frame by
+    frame with operators/multimodal.decode_gif_frames in one Arrow
+    pass, and each frame emits its own stats row — the per-frame
+    readout a real sampler feeds downstream (dedup per frame,
+    embedding per frame), next to frame_sample's timestamp plan. The
+    full LZW entropy chain + compositing sit on the oracle hash path:
+    the oracle replays the md5 byte generator per frame (frame f =
+    bytes 16f..16f+15; identity palette → each index contributes three
+    copies of itself)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from lion_parcel_etl_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    schema = "media_id long, frame_idx int, n_vals long, v_sum long"
+
+    def chunk_bytes(doc_id: int, n: int) -> bytes:
+        out = b""
+        i = 0
+        while len(out) < n:
+            out += hashlib.md5(f"{doc_id}-{i}".encode()).digest()
+            i += 1
+        return out[:n]
+
+    def gen(batches):
+        gray = np.stack([np.arange(256)] * 3, 1).astype(np.uint8)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 3 != 2 or doc_id % 4 == 3:
+                    continue
+                sel = doc_id % 4
+                n_frames = 1 if sel == 0 else 2
+                raw = chunk_bytes(doc_id, 16 * n_frames)
+                gframes = [
+                    np.frombuffer(
+                        raw[16 * f : 16 * (f + 1)], dtype=np.uint8
+                    ).reshape(4, 4)
+                    for f in range(n_frames)
+                ]
+                payload = encode_gif(gframes, gray, interlace=(sel == 2))
+                for fi, frame in enumerate(decode_gif_frames(payload)):
+                    rows.append(
+                        (doc_id, fi, frame.size, int(frame.sum()))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "n_vals", "v_sum"]
+            ).astype(
+                {
+                    "media_id": "int64",
+                    "frame_idx": "int32",
+                    "n_vals": "int64",
+                    "v_sum": "int64",
+                }
+            )
+
+    out = docs.mapInPandas(gen, schema)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "n_vals",
+        "v_sum",
+        F.round(F.col("v_sum") / F.col("n_vals"), 6).alias("v_mean"),
+    ).orderBy("media_id", "frame_idx")
+
+
+def _duck_gif_frames() -> str:
+    bv = (
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' || "
+        "CAST(j // 16 AS VARCHAR)), (j % 16) * 2 + 1, 2))::BIGINT"
+    )
+    return f"""
+WITH vids AS (
+  SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 2 END AS n_frames
+  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 4 <> 3
+),
+bytes AS (
+  SELECT v.doc_id, j // 16 AS frame_idx, {bv} AS bv
+  FROM vids v CROSS JOIN (SELECT unnest(range(32)) AS j) js
+  WHERE j < 16 * v.n_frames
+),
+st AS (
+  SELECT doc_id, frame_idx, CAST(count(*) * 3 AS BIGINT) AS n_vals,
+         CAST(3 * sum(bv) AS BIGINT) AS v_sum
+  FROM bytes GROUP BY 1, 2
+)
+SELECT doc_id AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       n_vals, v_sum, round(CAST(v_sum AS DOUBLE) / n_vals, 6) AS v_mean
+FROM st ORDER BY media_id, frame_idx
 """
 
 
@@ -11748,6 +11884,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_analysis": (q_text_analysis, _duck_text_analysis()),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     "multimodal_decode": (q_multimodal_decode, _duck_multimodal_decode()),
+    "gif_frames": (q_gif_frames, _duck_gif_frames()),
     "cosine_topk": (q_cosine_topk, SQL_COSINE),
     "dedup_embedding": (q_embedding_near_dup, _duck_embedding_near_dup()),
     "dedup_embedding_lsh": (q_embedding_near_dup_lsh, _duck_embedding_near_dup_lsh()),
@@ -11791,35 +11928,53 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ks_agreement": (q_ks_agreement, _duck_ks_agreement()),
 }
 
-# Round-8 registry head: queries that are new or whose plan changed
-# this round lead, so each gets a fresh official driver row. The
-# binned-KS twin + agreement eval and the day-spine lag family are
-# new/changed; the graph family's plans now read the shared
-# _cooc_edges store; ppr_seeded's seed predicate changed;
-# compression_ratio remains the single rows-only query (zlib is
-# honestly not SQL) and stays at the head for a current clean
-# no-oracle row. Everything else keeps its prior relative order;
-# lookup semantics are unaffected.
-_R8_HEAD = [
+# Round-9 registry head: queries that are new or whose plan changed
+# this round lead, so each gets a fresh official driver row.
+# New: gif_frames (real animated-GIF frame decode) and
+# apply_changelog (replay graduated to an oracle row).
+# Changed plans: multimodal_decode (progressive JPEG + GIF video
+# rows) and every member of the nine families now riding shared
+# session stores (retrieval fused ranking, exact/binned KS,
+# minhash/ngram/embedding pair tables, simhash signatures, BPE merge
+# table, KMV hashes, RFM base). compression_ratio remains the single
+# rows-only query (zlib is honestly not SQL) and stays at the head
+# for a current clean no-oracle row. Everything else keeps its prior
+# relative order; lookup semantics are unaffected.
+_R9_HEAD = [
+    "gif_frames",
+    "apply_changelog",
+    "multimodal_decode",
+    "hybrid_rrf_multi",
+    "retrieval_mrr",
+    "retrieval_ndcg_multi",
+    "ks_drift",
     "ks_drift_binned",
     "ks_agreement",
-    "ks_drift",
-    "acf_lags",
-    "seasonal_naive_eval",
-    "holt_winters_eval",
-    "trend_ols",
-    "trend_theil_sen",
-    "seasonal_dow",
-    "cooccurrence_graph",
-    "triangle_count",
-    "kcore_peel",
-    "ppr_seeded",
-    "benford_audit",
-    "multimodal_decode",
+    "minhash_near_dup",
+    "dedup_clusters",
+    "curation_pipeline",
+    "dedup_source_matrix",
+    "dup_cluster_sizes",
+    "cluster_split",
+    "dedup_ngram_jaccard",
+    "minhash_est_error",
+    "dedup_pr_eval",
+    "simhash",
+    "simhash_near_dup",
+    "bpe_merges",
+    "bpe_encode",
+    "bpe_fertility",
+    "dedup_embedding",
+    "embedding_clusters",
+    "kmv_distinct",
+    "kmv_overlap",
+    "rfm_segments",
+    "rfm_segments_approx",
+    "rfm_agreement",
     "compression_ratio",
 ]
-assert set(_R8_HEAD) <= set(QUERIES), sorted(set(_R8_HEAD) - set(QUERIES))
+assert set(_R9_HEAD) <= set(QUERIES), sorted(set(_R9_HEAD) - set(QUERIES))
 QUERIES = {
-    **{name: QUERIES[name] for name in _R8_HEAD},
-    **{name: fn for name, fn in QUERIES.items() if name not in set(_R8_HEAD)},
+    **{name: QUERIES[name] for name in _R9_HEAD},
+    **{name: fn for name, fn in QUERIES.items() if name not in set(_R9_HEAD)},
 }

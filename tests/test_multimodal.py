@@ -844,3 +844,180 @@ def test_decode_png_corrupt_bytes_raise_valueerror_not_struct_zlib():
     good = encode_png(img)
     with pytest.raises(ValueError, match="truncated"):
         decode_png(good[: len(good) - 14])
+
+
+def _lzw_decode_reference(data: bytes, mcs: int):
+    """Independent GIF-LZW decoder for cross-validation (test-local,
+    deliberately different structure from the module's table-based
+    one: dict of int -> list, no byte-window reads, explicit bit
+    list). Mirrors the spec: codes mcs+1..12 bits LSB-first, clear
+    resets, width grows when the next free slot reaches 2^width."""
+    bits = []
+    for byte in data:
+        for i in range(8):
+            bits.append((byte >> i) & 1)
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    pos = 0
+    width = mcs + 1
+    table = {i: [i] for i in range(clear)}
+    nxt = clear + 2
+    prev = None
+    out = []
+    while pos + width <= len(bits):
+        code = sum(b << i for i, b in enumerate(bits[pos : pos + width]))
+        pos += width
+        if code == clear:
+            table = {i: [i] for i in range(clear)}
+            nxt = clear + 2
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == nxt:
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError("bad code")
+        if prev is not None and nxt < 4096:
+            table[nxt] = prev + [entry[0]]
+            nxt += 1
+            if nxt == (1 << width) and width < 12:
+                width += 1
+        out.extend(entry)
+        prev = entry
+    return bytes(out)
+
+
+def test_gif_lzw_against_independent_reference():
+    """The module's LZW encoder round-trips through an INDEPENDENT
+    decoder implementation (different data structures and bit reader),
+    across alphabet sizes, stream lengths spanning every width-growth
+    boundary (9->10->11->12 bits), the 4096-entry reset, and
+    maximally-compressible runs (the KwKwK case)."""
+    import numpy as np
+
+    from lion_parcel_etl_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = np.random.RandomState(11)
+    for n in (1, 255, 256, 300, 511, 513, 1500, 6000):
+        data = rng.randint(0, 256, size=n).astype(np.uint8).tobytes()
+        enc = _lzw_encode(data, 8)
+        assert _lzw_decode(enc, 8, n) == data
+        assert _lzw_decode_reference(enc, 8)[:n] == data
+    for n in (1, 40, 5000, 20000):  # mcs=2: fast dict growth + resets
+        data = bytes(
+            np.repeat(rng.randint(0, 4, size=max(1, n // 6)), 6).astype(
+                np.uint8
+            )[:n]
+        )
+        enc = _lzw_encode(data, 2)
+        assert _lzw_decode(enc, 2, len(data)) == data
+        assert _lzw_decode_reference(enc, 2)[: len(data)] == data
+
+
+def test_gif_round_trip_shapes_palettes_interlace():
+    """encode_gif -> decode_gif byte-exact across shapes (incl. >4096
+    pixels forcing 12-bit codes), palette sizes, and interlacing."""
+    import numpy as np
+
+    from lion_parcel_etl_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(3)
+    gray = np.stack([np.arange(256)] * 3, 1).astype(np.uint8)
+    for shape in [(1, 1), (4, 4), (7, 13), (70, 70), (100, 60)]:
+        idx = rng.randint(0, 256, size=shape).astype(np.uint8)
+        for il in (False, True):
+            assert np.array_equal(
+                decode_gif(encode_gif([idx], gray, interlace=il)), gray[idx]
+            ), (shape, il)
+    pal4 = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8
+    )
+    idx = rng.randint(0, 4, size=(9, 5)).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif([idx], pal4)), pal4[idx])
+
+
+def test_gif_animation_compositing_and_disposal():
+    """Multi-frame decode: full frames replace the canvas; sub-rect
+    frames overlay at their offset; GCE-transparent pixels keep the
+    underlying canvas; disposal 2 restores the background; disposal 3
+    raises (documented scope bound)."""
+    import numpy as np
+    import pytest
+
+    from lion_parcel_etl_spark.operators.multimodal import (
+        decode_gif_frames,
+        decode_media,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(5)
+    gray = np.stack([np.arange(256)] * 3, 1).astype(np.uint8)
+    frames = [
+        rng.randint(0, 256, size=(6, 6)).astype(np.uint8) for _ in range(3)
+    ]
+    outs = decode_gif_frames(encode_gif(frames, gray))
+    assert len(outs) == 3
+    for o, f in zip(outs, frames):
+        assert np.array_equal(o, gray[f])
+    c, v, r = decode_media(encode_gif(frames, gray), "")
+    assert c == "gif" and r is None and len(v) == 3 * 6 * 6 * 3
+    assert int(v.sum()) == int(sum(gray[f].sum() for f in frames))
+
+    base = np.zeros((8, 8), np.uint8)
+    sub = np.full((4, 4), 5, np.uint8)
+    sub[0, 0] = 9
+    f0, f1 = decode_gif_frames(
+        encode_gif([base, (sub, 2, 2)], gray, transparent=9)
+    )
+    exp = gray[base].copy()
+    exp[2:6, 2:6] = gray[sub]
+    exp[2, 2] = f0[2, 2]  # transparent pixel keeps the canvas
+    assert np.array_equal(f1, exp)
+
+    fa, fb = decode_gif_frames(
+        encode_gif(
+            [(np.full((2, 2), 7, np.uint8), 1, 1), base],
+            gray,
+            disposals=[2, 0],
+        )
+    )
+    assert np.array_equal(fb, gray[base])  # bg restored, then overwritten
+    with pytest.raises(NotImplementedError, match="disposal 3"):
+        decode_gif_frames(encode_gif([base, base], gray, disposals=[3, 0]))
+
+
+def test_gif_corrupt_bytes_raise_valueerror():
+    """Structural corruption surfaces as ValueError (the Arrow-task
+    handlers' contract), never as garbage pixels or index errors."""
+    import numpy as np
+    import pytest
+
+    from lion_parcel_etl_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    gray = np.stack([np.arange(256)] * 3, 1).astype(np.uint8)
+    g = encode_gif([np.arange(16, dtype=np.uint8).reshape(4, 4)], gray)
+    desc = 13 + 768  # screen descriptor + 256-entry GCT
+    assert g[desc] == 0x2C  # image descriptor lives here
+    for mut in [
+        b"GIF89a" + b"\x00" * 5,  # shorter than a screen descriptor
+        g[:20],  # truncated inside the color table
+        g[:-2],  # missing block terminator + trailer
+        g[:desc] + b"\x7e" + g[desc + 1 :],  # unknown block type
+        g[: len(g) - 8],  # truncated mid image data
+    ]:
+        with pytest.raises(ValueError):
+            decode_gif_frames(mut)
