@@ -123,3 +123,60 @@ def test_simhash_pairs_store_equals_inline_after_incremental(spark, sf_dir):
     got = sorted(map(tuple, via_store.collect()))
     want = sorted(map(tuple, inline.collect()))
     assert got == want and len(got) > 0
+
+
+def test_session_stores_byte_identical_to_inline_builds(spark, sf_dir):
+    """Every r09 family store must serve EXACTLY the rows its inline
+    build produces — the property that makes store-backed plans safe
+    on the oracle hash path. Compares sorted row sets (store scan vs a
+    fresh inline build) for each new store at fixture scale."""
+    import lion_parcel_etl_spark.operators.dedup as DD
+    import lion_parcel_etl_spark.operators.similarity as SIM
+    import lion_parcel_etl_spark.plans.queries as Q
+    from lion_parcel_etl_spark.operators.sampling import id_hash
+    from lion_parcel_etl_spark.operators.text import bpe_merges
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cases = {
+        "fused_multi": (
+            Q._fused_multi(spark, sf_dir),
+            Q._build_hybrid_rrf_multi(spark, sf_dir),
+        ),
+        "minhash_pairs": (
+            Q._minhash_pairs(spark, sf_dir),
+            DD.minhash_near_dup(
+                docs, "doc_id", "text", threshold=Q.JACCARD_THRESHOLD
+            ),
+        ),
+        "ngram_pairs": (
+            Q._ngram_pairs(spark, sf_dir),
+            DD.ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=3, threshold=Q.JACCARD_THRESHOLD
+            ),
+        ),
+        "emb_pairs": (
+            Q._emb_pairs(spark, sf_dir),
+            SIM.embedding_near_dup(emb, threshold=0.35, n_blocks=8),
+        ),
+        "kmv_hashes": (
+            Q._kmv_hashes(spark, sf_dir),
+            Q._kmv_shingle_keys(spark, sf_dir)
+            .select("source", id_hash(F.col("s"), salt="kmv").alias("h"))
+            .distinct(),
+        ),
+        "bpe_merges": (
+            Q._bpe_merge_table(spark, sf_dir),
+            bpe_merges(docs, "text", k_merges=Q.BPE_K_MERGES),
+        ),
+        "rfm_base": (
+            Q._rfm_base(spark, sf_dir),
+            Q._build_rfm_base(spark, sf_dir),
+        ),
+    }
+    for name, (stored, inline) in cases.items():
+        got = sorted(map(tuple, stored.collect()))
+        want = sorted(map(tuple, inline.collect()))
+        assert got == want, f"store {name} diverges from inline build"
+        assert len(got) > 0, f"store {name} is empty at fixture scale"
