@@ -653,6 +653,41 @@ def decode_gif(payload: bytes) -> np.ndarray:
     return decode_gif_frames(payload)[0]
 
 
+def gif_frame_stats(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(media_id, frame_idx, n_vals, v_sum) per decoded GIF frame —
+    one Arrow pass over a (id, binary payload) table, the decode stage
+    SHARED by the batch query (plans/queries.q_gif_frames) and the
+    streaming ingest twin (streaming/jobs.stream_media_frames) so the
+    two cannot drift. Row-local and deterministic per payload, which
+    is exactly what makes the streamed frame-stat log lossless under
+    any batch split. Corrupt payloads raise (the loud-failure
+    contract); callers that want skip-on-error filter upstream."""
+    schema = "media_id long, frame_idx int, n_vals long, v_sum long"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                for fi, frame in enumerate(decode_gif_frames(bytes(payload))):
+                    rows.append((int(mid), fi, frame.size, int(frame.sum())))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "n_vals", "v_sum"]
+            ).astype(
+                {
+                    "media_id": "int64",
+                    "frame_idx": "int32",
+                    "n_vals": "int64",
+                    "v_sum": "int64",
+                }
+            )
+
+    return media.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(gen, schema)
+
+
 def encode_gif(
     frames,
     palette: np.ndarray,

@@ -2486,30 +2486,22 @@ GROUP BY doc_id
 """
 
 
-def q_gif_frames(spark, sf_dir):
-    """REAL video frame sampling (r09): the video-kind rows'
-    animated-GIF payloads (the q_multimodal_decode generator — 4×4
-    frames over the 256-gray identity palette) are decoded frame by
-    frame with operators/multimodal.decode_gif_frames in one Arrow
-    pass, and each frame emits its own stats row — the per-frame
-    readout a real sampler feeds downstream (dedup per frame,
-    embedding per frame), next to frame_sample's timestamp plan. The
-    full LZW entropy chain + compositing sit on the oracle hash path:
-    the oracle replays the md5 byte generator per frame (frame f =
-    bytes 16f..16f+15; identity palette → each index contributes three
-    copies of itself)."""
+def _gif_video_payloads(spark, sf_dir) -> DataFrame:
+    """(media_id, payload) — the video-kind rows' animated-GIF
+    containers (the q_multimodal_decode generator: 4×4 frames over the
+    256-gray identity palette, 1 frame for doc_id%4==0, 2 otherwise,
+    interlaced for doc_id%4==2; md5 byte stream). Shared by
+    q_gif_frames and the streaming media-ingest test so the ingest
+    corpus and the batch corpus are the same bytes."""
     import hashlib
 
     import numpy as np
     import pandas as pd
 
-    from lion_parcel_etl_spark.operators.multimodal import (
-        decode_gif_frames,
-        encode_gif,
-    )
+    from lion_parcel_etl_spark.operators.multimodal import encode_gif
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    schema = "media_id long, frame_idx int, n_vals long, v_sum long"
+    schema = "media_id long, payload binary"
 
     def chunk_bytes(doc_id: int, n: int) -> bytes:
         out = b""
@@ -2536,23 +2528,30 @@ def q_gif_frames(spark, sf_dir):
                     ).reshape(4, 4)
                     for f in range(n_frames)
                 ]
-                payload = encode_gif(gframes, gray, interlace=(sel == 2))
-                for fi, frame in enumerate(decode_gif_frames(payload)):
-                    rows.append(
-                        (doc_id, fi, frame.size, int(frame.sum()))
-                    )
-            yield pd.DataFrame(
-                rows, columns=["media_id", "frame_idx", "n_vals", "v_sum"]
-            ).astype(
-                {
-                    "media_id": "int64",
-                    "frame_idx": "int32",
-                    "n_vals": "int64",
-                    "v_sum": "int64",
-                }
-            )
+                rows.append(
+                    (doc_id, encode_gif(gframes, gray, interlace=(sel == 2)))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    out = docs.mapInPandas(gen, schema)
+    return docs.mapInPandas(gen, schema)
+
+
+def q_gif_frames(spark, sf_dir):
+    """REAL video frame sampling (r09): the video-kind rows'
+    animated-GIF payloads (_gif_video_payloads — the
+    q_multimodal_decode generator) are decoded frame by frame with
+    operators/multimodal.gif_frame_stats (decode stage SHARED with
+    the streaming ingest twin stream_media_frames, so batch and
+    stream cannot drift), and each frame emits its own stats row —
+    the per-frame readout a real sampler feeds downstream (dedup per
+    frame, embedding per frame), next to frame_sample's timestamp
+    plan. The full LZW entropy chain + compositing sit on the oracle
+    hash path: the oracle replays the md5 byte generator per frame
+    (frame f = bytes 16f..16f+15; identity palette → each index
+    contributes three copies of itself)."""
+    from lion_parcel_etl_spark.operators.multimodal import gif_frame_stats
+
+    out = gif_frame_stats(_gif_video_payloads(spark, sf_dir))
     return out.select(
         "media_id",
         "frame_idx",

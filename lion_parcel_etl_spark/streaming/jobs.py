@@ -1660,3 +1660,50 @@ def read_benford_audit(spark: SparkSession, warehouse, table: str) -> DataFrame:
     log = warehouse.read(spark, table)
     obs = log.groupBy("digit").agg(F.sum("n_obs").alias("n_obs"))
     return benford_from_digit_counts(obs)
+
+
+def stream_media_frames(
+    df: DataFrame, warehouse, table: str, checkpoint: str
+) -> None:
+    """Streaming MEDIA ingest (round 9, twin 30 — the first multimodal
+    twin): per micro-batch of (media_id, payload) rows, decode every
+    GIF payload's frames in one Arrow pass and append the per-frame
+    stat rows (media_id, frame_idx, n_vals, v_sum) to the log. The
+    decode stage is operators/multimodal.gif_frame_stats — SHARED with
+    the batch query q_gif_frames, so batch and stream cannot drift.
+    Decode is deterministic and row-local (each output row depends on
+    exactly one input payload), so the merged log is lossless under
+    ANY batch split of the media table; exactly-once by ``__batch_id``
+    layout — a crash replay overwrites its own partition instead of
+    appending twice."""
+    from lion_parcel_etl_spark.operators.multimodal import gif_frame_stats
+
+    def _batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        warehouse.append_batch(gif_frame_stats(batch), table, batch_id)
+
+    q = (
+        df.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_gif_frames(spark: SparkSession, warehouse, table: str) -> DataFrame:
+    """Per-frame media stats from the streamed frame-stat log: the
+    rows ARE the batch readout already (decode happened at ingest),
+    so the read is a projection + the same rounded v_mean as
+    q_gif_frames — no rescan of payload bytes, which at 100 TB is the
+    entire point of decode-at-ingest. Equals the batch query over
+    everything ingested, whatever the batch boundaries were."""
+    log = warehouse.read(spark, table)
+    return log.select(
+        "media_id",
+        "frame_idx",
+        "n_vals",
+        "v_sum",
+        F.round(F.col("v_sum") / F.col("n_vals"), 6).alias("v_mean"),
+    ).orderBy("media_id", "frame_idx")

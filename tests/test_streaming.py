@@ -1811,3 +1811,44 @@ def test_stream_benford_equals_batch(spark, tmp_path, sf_dir):
     wh.append_batch(part, "digits", 1)
     again = read_benford_audit(spark, wh, "digits").collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, want))
+
+
+def test_stream_media_frames_equals_batch(spark, tmp_path, sf_dir):
+    """Media-ingest twin (round 9, twin 30): per-frame stats from the
+    streamed GIF payload log equal q_gif_frames over the same payloads
+    under an adversarial odd/even media_id split (decode is row-local,
+    so any batch split is lossless); a crash replay of a batch's rows
+    cannot double-count thanks to the __batch_id layout."""
+    from lion_parcel_etl_spark.catalog import Warehouse
+    from lion_parcel_etl_spark.operators.multimodal import gif_frame_stats
+    from lion_parcel_etl_spark.plans.queries import (
+        _gif_video_payloads,
+        q_gif_frames,
+    )
+    from lion_parcel_etl_spark.streaming.jobs import (
+        read_gif_frames,
+        stream_media_frames,
+    )
+
+    media = _gif_video_payloads(spark, sf_dir)
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    for frag in [
+        media.filter("media_id % 2 = 0"),
+        media.filter("media_id % 2 = 1"),
+    ]:
+        frag.coalesce(1).write.mode("append").parquet(landing)
+        stream = spark.readStream.schema(media.schema).parquet(landing)
+        stream_media_frames(stream, wh, "frames", ckpt)
+
+    got = read_gif_frames(spark, wh, "frames").collect()
+    want = q_gif_frames(spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and got
+
+    # crash replay: re-append batch 1's rows under the SAME batch id —
+    # the partition overwrite must keep the readout unchanged
+    part = gif_frame_stats(media.filter("media_id % 2 = 1"))
+    wh.append_batch(part, "frames", 1)
+    again = read_gif_frames(spark, wh, "frames").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, want))
