@@ -209,6 +209,9 @@ HEADLINE = [
     "trimmed_stats",
     "ks_drift_binned",
     "ks_agreement",
+    # round-9 additions
+    "apply_changelog",
+    "gif_frames",
 ]
 
 # FROZEN anchor set (round 6, per the r05 verdict): cross-round
