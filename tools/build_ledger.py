@@ -35,7 +35,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: semantics: the best quiet reading observed is the closest bound on
 #: the query's true cost.
 SOURCES = {
-    "sf0.1": (["BENCH_ISOLATED.json"], None),
+    "sf0.1": (
+        [
+            "BENCH_ISOLATED.json",
+            "BENCH_ISOLATED_r09_sweep.json",
+            "BENCH_STORES_FLOORS_r09.json",
+        ],
+        None,
+    ),
     "sf1": (["BENCH_SF1_FULL_r08.json", "BENCH_SF1_TRIO_r09.json"], "sf0.1"),
     "sf1skew": (["BENCH_SKEW_RELATIONAL_r09.json"], "sf1"),
     "sf1skew_graph_r08": (["BENCH_SKEW_PROBE_r08.json"], "sf1"),
@@ -48,6 +55,14 @@ SOURCES = {
         "sf0.1",
     ),
 }
+
+#: Queries whose r09 change made them do MORE work (multimodal_decode
+#: now decodes progressive-JPEG + animated-GIF payloads where video
+#: rows were previously a raw fallback): a pre-change floor measures
+#: cheaper semantics and must not win the min-merge.
+SEMANTICS_CHANGED_R09 = {"multimodal_decode"}
+#: files whose floors predate the r09 semantics changes
+PRE_R09_FILES = {"BENCH_ISOLATED.json", "BENCH_SF1_FULL_r08.json"}
 
 #: Documented-cause annotations for every adjudicated super-linear or
 #: skew-sensitive reading. A ledger ratio >10x (sf1) or >2x (skew)
@@ -124,6 +139,8 @@ def main() -> int:
             with open(path) as f:
                 data = json.load(f)
             for q, v in data.get("floors", {}).items():
+                if q in SEMANTICS_CHANGED_R09 and fname in PRE_R09_FILES:
+                    continue  # pre-change floor measures cheaper semantics
                 if q not in floors or v < floors[q]:
                     floors[q] = v
             used.append(fname)
