@@ -43,7 +43,14 @@ SOURCES = {
         ],
         None,
     ),
-    "sf1": (["BENCH_SF1_FULL_r08.json", "BENCH_SF1_TRIO_r09.json"], "sf0.1"),
+    "sf1": (
+        [
+            "BENCH_SF1_FULL_r08.json",
+            "BENCH_SF1_TRIO_r09.json",
+            "BENCH_SF1_STORES_r09.json",
+        ],
+        "sf0.1",
+    ),
     "sf1skew": (["BENCH_SKEW_RELATIONAL_r09.json"], "sf1"),
     "sf1skew_graph_r08": (["BENCH_SKEW_PROBE_r08.json"], "sf1"),
     "sf1distinct": (
@@ -61,8 +68,14 @@ SOURCES = {
 #: rows were previously a raw fallback): a pre-change floor measures
 #: cheaper semantics and must not win the min-merge.
 SEMANTICS_CHANGED_R09 = {"multimodal_decode"}
-#: files whose floors predate the r09 semantics changes
-PRE_R09_FILES = {"BENCH_ISOLATED.json", "BENCH_SF1_FULL_r08.json"}
+#: files whose floors predate the r09 semantics changes (the r09
+#: full sweep is included: its multimodal_decode row ran mid-sweep
+#: BEFORE the GIF edit landed)
+PRE_R09_FILES = {
+    "BENCH_ISOLATED.json",
+    "BENCH_SF1_FULL_r08.json",
+    "BENCH_ISOLATED_r09_sweep.json",
+}
 
 #: Documented-cause annotations for every adjudicated super-linear or
 #: skew-sensitive reading. A ledger ratio >10x (sf1) or >2x (skew)
