@@ -260,20 +260,30 @@ def kcore_survivors(edges: DataFrame, k: int, rounds: int) -> DataFrame:
             edges.selectExpr("node_b AS src", "node_a AS dst")
         )
     )
-    alive = und.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    # Iterate on the SURVIVING edge list, not the original (r09): round
+    # r's degrees need only the edges whose BOTH endpoints survived
+    # round r-1, and survivors shrink monotonically — so each round
+    # semi-joins the PREVIOUS round's edge list instead of re-filtering
+    # the full graph. Identical result (the alive-induced subgraph is
+    # the same either way — asserted by the unchanged fixed-point and
+    # oracle pins); at scale the per-round join cost tracks the
+    # shrinking core candidate set instead of |edges|. `cur`'s lineage
+    # is a LINEAR chain of semi-joins against checkpointed alive sets
+    # (no doubling — only `alive`, which feeds two joins per round,
+    # needs the checkpoint).
+    cur = und
     deg = None
     for r in range(rounds):
         deg = (
-            und.join(alive, und.src == alive.node, "left_semi")
-            .join(
-                alive.select(F.col("node").alias("__dn")),
-                und.dst == F.col("__dn"),
-                "left_semi",
-            )
-            .groupBy("src")
+            cur.groupBy("src")
             .agg(F.count(F.lit(1)).alias("core_degree"))
             .filter(F.col("core_degree") >= k)
         )
         if r < rounds - 1:
             alive = deg.select(F.col("src").alias("node")).localCheckpoint()
+            cur = cur.join(alive, cur.src == alive.node, "left_semi").join(
+                alive.select(F.col("node").alias("__dn")),
+                cur.dst == F.col("__dn"),
+                "left_semi",
+            )
     return deg.select(F.col("src").alias("node"), "core_degree")

@@ -116,8 +116,12 @@ ANNOTATIONS = {
         "out-degree 397 <= sqrt(2m) (BENCH_SKEW_PROBE_r08)"
     ),
     "kcore_peel": (
-        "sf1skew (graph probe r08): denser hot graph peels in more "
-        "rounds; bounded by the same |edges|-sized per-round aggregate"
+        "r09: rounds iterate on the SURVIVING edge list (previous "
+        "round's semi-join output), not the full graph — sf0.1 floor "
+        "8.97->5.99 s, sf1 14.39->7.97 s, ratio 2.65x->1.32x; the "
+        "sf1skew_graph_r08 cell predates this change (measured on the "
+        "full-graph-per-round plan), so its <1 ratio vs the new sf1 "
+        "floor is a vintage artifact, conservative direction"
     ),
     "market_basket": (
         "sf1skew r09 1.06x: one ~1,300-item hot basket next to a "
