@@ -209,10 +209,15 @@ HEADLINE = [
     "trimmed_stats",
     "ks_drift_binned",
     "ks_agreement",
-    # round-9 additions
-    "apply_changelog",
+    # round-9 additions (apply_changelog itself was added to the main
+    # list at its registry graduation; only gif_frames is new here)
     "gif_frames",
 ]
+# A duplicated name would silently bench a query twice (it happened to
+# apply_changelog in round 9: listed at graduation AND in the round-9
+# block — the timings dict keeps one entry so no number was distorted,
+# but the sweep paid the 3 runs twice). Fail fast instead.
+assert len(HEADLINE) == len(set(HEADLINE)), "duplicate HEADLINE entry"
 
 # FROZEN anchor set (round 6, per the r05 verdict): cross-round
 # headline totals drown in registry growth (85→96→112→129→135 queries)

@@ -826,9 +826,23 @@ def edit_distance_pairs(
     )
     v = docs.select(
         F.col(id_col).alias("id"),
-        F.col(text_col).alias("name"),
         *[F.col(c).alias(f"__bk{i}") for i, c in enumerate(block_cols)],
         F.explode(variants).alias("var"),
+    ).select(
+        "id",
+        *[f"__bk{i}" for i in range(len(block_cols))],
+        # join on the variant's 64-bit hash, not the variant STRING:
+        # the blocking exchange then carries 8 bytes per variant
+        # instead of ~L chars (guide §2.3 — shuffle keys, not
+        # payloads; r09 optimization round). Correctness is unchanged:
+        # hash equality is a SUPERSET of string equality, every
+        # candidate is still verified with exact levenshtein, and any
+        # hash-collision pair that passes verification (dist ≤ 1)
+        # necessarily shares a real deletion variant (the rule is
+        # complete for d ≤ 1), so it was already a candidate — the
+        # verified pair set is identical (pinned in
+        # tests/test_opt_round9.py).
+        F.xxhash64("var").alias("vh"),
     )
     a, b = v.alias("a"), v.alias("b")
     # the dedup exchange carries BARE id pairs (a pair can share up to
@@ -836,7 +850,7 @@ def edit_distance_pairs(
     # runs exactly once per distinct pair — names come back via two
     # joins against the name table (AQE broadcasts it when small; at
     # corpus scale it hash-joins on the id like any dimension)
-    cond = (F.col("a.var") == F.col("b.var")) & (F.col("a.id") < F.col("b.id"))
+    cond = (F.col("a.vh") == F.col("b.vh")) & (F.col("a.id") < F.col("b.id"))
     for i in range(len(block_cols)):
         cond = cond & F.col(f"a.__bk{i}").eqNullSafe(F.col(f"b.__bk{i}"))
     cand = (

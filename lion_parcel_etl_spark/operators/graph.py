@@ -273,6 +273,7 @@ def kcore_survivors(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     # needs the checkpoint).
     cur = und
     deg = None
+    prev_alive = None
     for r in range(rounds):
         deg = (
             cur.groupBy("src")
@@ -281,6 +282,21 @@ def kcore_survivors(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         )
         if r < rounds - 1:
             alive = deg.select(F.col("src").alias("node")).localCheckpoint()
+            # Fixed-point early exit (r09 optimization round): alive
+            # sets are NESTED (alive_r ⊆ alive_{r-1} — each round only
+            # deletes), so equal COUNTS on consecutive rounds imply
+            # equal SETS, which implies every remaining round's degree
+            # table is identical to this one (the docstring's
+            # convergence argument, now acted on). The count is a
+            # cheap scan of the just-checkpointed partitions; the win
+            # is skipping rounds-minus-depth degree aggregates + two
+            # semi-joins each. Result is EXACTLY the fixed-rounds
+            # output — pinned against the unrolled oracle and by the
+            # rounds-vs-rounds+1 test.
+            n_alive = alive.count()
+            if prev_alive is not None and n_alive == prev_alive:
+                break
+            prev_alive = n_alive
             cur = cur.join(alive, cur.src == alive.node, "left_semi").join(
                 alive.select(F.col("node").alias("__dn")),
                 cur.dst == F.col("__dn"),

@@ -1172,6 +1172,7 @@ def cluster_quality(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assignment: DataFrame | None = None,
 ) -> DataFrame:
     """(cluster_id, n, cohesion, nearest_other_sim) — per-cluster
     quality diagnostics over the :func:`seeded_assignment` clustering:
@@ -1193,7 +1194,15 @@ def cluster_quality(
     any corpus size because clusters ≪ corpus."""
     from lion_parcel_etl_spark.operators.dedup import pin
 
-    withv = pin(seeded_assignment(corpus, n_centroids, id_col, vec_col))
+    # assignment: callers that MATERIALIZE the seeded assignment (a
+    # session store, a real table) pass it in and both consumers scan
+    # it directly — no pin needed, a table scan has no recompute race
+    # (r09 optimization round; the schema contract is
+    # seeded_assignment's (cid, code, ev, nv)).
+    if assignment is not None:
+        withv = assignment
+    else:
+        withv = pin(seeded_assignment(corpus, n_centroids, id_col, vec_col))
     cells = withv.select("code", F.posexplode("ev").alias("pos", "v"))
     cent_long = cells.groupBy("code", "pos").agg(
         F.round(F.avg(F.col("v").cast("double")), 6).alias("c")
@@ -1240,6 +1249,7 @@ def semantic_dedup(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assignment: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): coarse-cluster the embedding space, then WITHIN
@@ -1264,7 +1274,14 @@ def semantic_dedup(
     vectors); a skew-degenerate giant cluster calls for re-seeding or
     a within-cluster LSH pre-filter, the same escalation path as
     embedding_near_dup_lsh."""
-    withv = seeded_assignment(corpus, n_centroids, id_col, vec_col)
+    # assignment: see cluster_quality — a materialized assignment
+    # table feeds BOTH sides of the within-cluster pair join as plain
+    # scans instead of re-running the broadcast-argmax subplan twice
+    # (r09 optimization round).
+    if assignment is None:
+        withv = seeded_assignment(corpus, n_centroids, id_col, vec_col)
+    else:
+        withv = assignment
     right = withv.select(
         F.col("cid").alias("cid_b"),
         F.col("code").alias("code_b"),

@@ -1457,9 +1457,10 @@ def read_market_basket(
     distinct-merged fragments. Equals q_market_basket run over all
     data ingested so far, whatever the batch boundaries were."""
     from lion_parcel_etl_spark.operators.basket import basket_rules
-    from lion_parcel_etl_spark.operators.dedup import pin
 
-    b = pin(warehouse.read(spark, table).select("o", "p").distinct())
+    # r09 optimization round: no pre-distinct, no pin — basket_rules'
+    # per-order collect_set dedups the merged fragments itself
+    b = warehouse.read(spark, table).select("o", "p")
     return basket_rules(b, min_pairs=min_pairs, top=top)
 
 

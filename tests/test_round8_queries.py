@@ -186,8 +186,19 @@ def test_ppr_seeded_empty_cohort_is_loud(spark, sf_dir, monkeypatch):
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     monkeypatch.setattr(Q, "_trade_edges", lambda s, d: (edges, deg))
-    with pytest.raises(ValueError, match="seed cohort"):
-        Q.q_ppr_seeded(spark, sf_dir)
+    # r09: the trade graph is session-store-backed — evict before (so
+    # the patched build is actually used, not a previously-built real
+    # graph) and after (so the patched rows can't leak to later tests)
+    def _evict():
+        for name in ("trade_ed", "trade_nodes"):
+            Q._evict_session_store(spark, sf_dir, name)
+
+    _evict()
+    try:
+        with pytest.raises(ValueError, match="seed cohort"):
+            Q.q_ppr_seeded(spark, sf_dir)
+    finally:
+        _evict()
 
 
 def test_benford_rejects_out_of_domain_digits(spark):

