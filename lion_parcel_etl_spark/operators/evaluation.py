@@ -101,19 +101,50 @@ def roc_auc(
         & ~F.isnan(F.col("s"))
     )
 
+    if pred_col is None:
+        per_score = s.groupBy("s").agg(
+            F.sum("y").alias("np_"),
+            F.sum(F.lit(1) - F.col("y")).alias("nn_"),
+        )
+        return auc_from_score_counts(per_score)
+
+    # ONE corpus pass for AUC AND the confusion metrics (r09
+    # optimization round — the old shape scanned the scored table
+    # twice, once for the per-score counts and once for the confusion
+    # sums, then cross-joined the two 1-row results): the four
+    # confusion cells are exact-integer per-score partial sums, so
+    # they ride the same per-distinct-score aggregate, pass through
+    # the rank window as inert columns, and the single final aggregate
+    # re-sums them next to the Mann-Whitney U — term-for-term the same
+    # integers and the same AUC arithmetic as auc_from_score_counts
+    # (which stays the canonical shared form for the pred-less path
+    # and the streaming read_auc).
     per_score = s.groupBy("s").agg(
         F.sum("y").alias("np_"),
         F.sum(F.lit(1) - F.col("y")).alias("nn_"),
+        F.sum(((F.col("pred") == 1) & (F.col("y") == 1)).cast("long")).alias("tp_"),
+        F.sum(((F.col("pred") == 1) & (F.col("y") == 0)).cast("long")).alias("fp_"),
+        F.sum(((F.col("pred") == 0) & (F.col("y") == 1)).cast("long")).alias("fn_"),
+        F.sum(((F.col("pred") == 0) & (F.col("y") == 0)).cast("long")).alias("tn_"),
     )
-    out = auc_from_score_counts(per_score)
-    if pred_col is None:
-        return out
-
-    conf = s.agg(
-        F.sum(((F.col("pred") == 1) & (F.col("y") == 1)).cast("long")).alias("tp"),
-        F.sum(((F.col("pred") == 1) & (F.col("y") == 0)).cast("long")).alias("fp"),
-        F.sum(((F.col("pred") == 0) & (F.col("y") == 1)).cast("long")).alias("fn"),
-        F.sum(((F.col("pred") == 0) & (F.col("y") == 0)).cast("long")).alias("tn"),
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_score.withColumn(
+        "cum_nn", F.coalesce(F.sum("nn_").over(w), F.lit(0)).cast("double")
+    )
+    agg = cum.agg(
+        F.sum("np_").alias("n_pos"),
+        F.sum("nn_").alias("n_neg"),
+        F.sum(
+            F.col("np_") * (F.col("cum_nn") + F.col("nn_") / F.lit(2.0))
+        ).alias("u"),
+        F.sum("tp_").alias("tp"),
+        F.sum("fp_").alias("fp"),
+        F.sum("fn_").alias("fn"),
+        F.sum("tn_").alias("tn"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.round(F.col("u") / (F.col("n_pos") * F.col("n_neg")), 6),
     )
     prec = F.when(
         F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))
@@ -124,10 +155,10 @@ def roc_auc(
     f1 = F.when(
         prec + rec > 0, F.lit(2.0) * prec * rec / (prec + rec)
     )
-    return out.crossJoin(conf).select(
+    return agg.select(
         "n_pos",
         "n_neg",
-        "auc",
+        auc.alias("auc"),
         F.round(
             (F.col("tp") + F.col("tn"))
             / (F.col("tp") + F.col("tn") + F.col("fp") + F.col("fn")),

@@ -5413,13 +5413,26 @@ def q_pagerank(spark, sf_dir):
     nodes = DD.pin(_trade_nodes(spark, sf_dir).repartition("node"))
     n_nodes = nodes.count()
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    # SHUFFLE_HASH hints on the SMALL side of both per-iteration joins
+    # (r09 optimization round): without them the planner BROADCASTS the
+    # cached EDGE LIST into iterations 2+ (its 54 MiB estimate slips
+    # under the 64 MiB auto-broadcast threshold once the rank vector's
+    # estimate goes unknown) — shipping the corpus-sized side per
+    # iteration and defeating the pinned hash layout; and it plans the
+    # |nodes|-sized left join as sort-merge, paying two sorts per
+    # round. With the hints: ed streams in place (its cached
+    # partitioning satisfies the join, zero exchange, zero sort), the
+    # rank vector exchanges |nodes| rows and builds per-partition hash
+    # tables — the scale-correct shape at ANY graph size (nothing
+    # corpus-sized is ever broadcast or sorted). Results unchanged
+    # (join strategy only); plan diff in plans/r09/pagerank_after.txt.
     for _ in range(PAGERANK_ITERS):
         contrib = (
-            ed.join(ranks, ed.src == F.col("node"))
+            ed.join(ranks.hint("shuffle_hash"), ed.src == F.col("node"))
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("flow"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
+        ranks = nodes.join(contrib.hint("shuffle_hash"), "node", "left").select(
             "node",
             (
                 F.lit((1.0 - PAGERANK_DAMP) / n_nodes)
@@ -5503,13 +5516,15 @@ def q_ppr_seeded(spark, sf_dir):
     tele = F.when(F.col("seed"), F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0))
     ranks = nodes.select("node", tele.alias("rank"))
     d = PAGERANK_DAMP
+    # same SHUFFLE_HASH hints as q_pagerank (see the comment there):
+    # never broadcast/sort the corpus-sized edge list per iteration
     for _ in range(PAGERANK_ITERS):
         contrib = (
-            ed.join(ranks, ed.src == F.col("node"))
+            ed.join(ranks.hint("shuffle_hash"), ed.src == F.col("node"))
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("flow"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
+        ranks = nodes.join(contrib.hint("shuffle_hash"), "node", "left").select(
             "node",
             (
                 F.lit(1.0 - d) * tele

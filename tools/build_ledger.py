@@ -40,6 +40,7 @@ SOURCES = {
             "BENCH_ISOLATED.json",
             "BENCH_ISOLATED_r09_sweep.json",
             "BENCH_STORES_FLOORS_r09.json",
+            "BENCH_OPT_FLOORS_r09.json",
         ],
         None,
     ),
