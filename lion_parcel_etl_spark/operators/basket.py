@@ -24,42 +24,30 @@ def basket_rules(b: DataFrame, min_pairs: int, top: int) -> DataFrame:
     per-item order counts, total orders), so everything replays
     bit-for-bit in SQL.
 
-    Scale shape (the q_market_basket ledger row), reshaped in the r09
-    optimization round: baskets collapse to ONE sorted distinct-part
-    array per order (a single map-side-combined collect_set exchange —
-    which also subsumes the callers' old pre-DISTINCT pass), and pairs
-    explode from each array's ordered combinations instead of a
-    self-join on the order key — same Σ basket² pair volume (a
-    property of basket size, corpus-linear), but the exchange moves
-    each order's parts ONCE instead of once per join side, and the
-    (o, p)-distinct shuffle disappears outright (guide §2.4). Measured
-    identical output vs the self-join at sf0.01/sf0.1 (oracle
-    hash-green; the streaming-twin batch-agreement test pins the
-    cross-batch split case). The basket table is pinned HERE — it
-    feeds three consumers (pairs, item counts, order total)."""
+    Scale shape (the q_market_basket ledger row): the pair stage is a
+    self-join on the ORDER key over the deduped basket table — per-key
+    fanout is the basket size, so join output is Σ basket² ≈
+    corpus-linear, never |parts|²; item counts join back
+    vocabulary-sized (AQE broadcasts); the order total is a broadcast
+    1-row scalar; top-k is a rounded total order (lift, pa, pb) so the
+    LIMIT is deterministic. The deduped table is pinned HERE with an
+    explicit hash partitioning on the order key, so BOTH self-join
+    sides read the cached layout with no re-exchange — it feeds four
+    consumers. (r09 optimization round note: an array-combinations
+    formulation — per-order collect_set + higher-order-function pair
+    explode — was tried and REVERTED: identical output and one fewer
+    exchange, but the nested transform/flatten pair generator is
+    CodegenFallback, and the interpreted per-element cost lost to the
+    codegen'd hash self-join at the 10× replica, 10.2 s vs 8.7 s.)"""
     from lion_parcel_etl_spark.operators.dedup import pin
 
-    baskets = pin(
-        b.groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("ps"))
-    )
-    item = (
-        baskets.select(F.explode("ps").alias("p"))
-        .groupBy("p")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    no = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    bp = pin(b.distinct().repartition("o"))
+    item = bp.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    no = bp.agg(F.count_distinct("o").alias("n_orders"))
+    a, c = bp.alias("a"), bp.alias("c")
     pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> "
-                    "transform(slice(ps, i + 2, size(ps) - i - 1), "
-                    "y -> struct(x AS pa, y AS pb))))"
-                )
-            ).alias("pr")
-        )
-        .select("pr.pa", "pr.pb")
-        .groupBy("pa", "pb")
+        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.p") < F.col("c.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("c.p").alias("pb"))
         .agg(F.count(F.lit(1)).alias("pc"))
         .filter(F.col("pc") >= min_pairs)
     )

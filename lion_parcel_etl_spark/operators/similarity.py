@@ -1277,11 +1277,20 @@ def semantic_dedup(
     # assignment: see cluster_quality — a materialized assignment
     # table feeds BOTH sides of the within-cluster pair join as plain
     # scans instead of re-running the broadcast-argmax subplan twice
-    # (r09 optimization round).
+    # (r09 optimization round). spread_input is LOAD-BEARING here: a
+    # store-backed assignment is a small parquet scan (often ONE
+    # split), and the pair join broadcasts the other side — so without
+    # a repartition the entire Σ|cluster|² candidate compute (the
+    # query's dominant cost: an interpreted cosine fold per pair) runs
+    # in a single task. Measured at the 10× replica: 91.8 s
+    # single-split vs 26.4 s for the old 16-partition inline plan;
+    # spreading restores full-width parallelism on the stream side.
+    from lion_parcel_etl_spark.operators.dedup import spread_input
+
     if assignment is None:
         withv = seeded_assignment(corpus, n_centroids, id_col, vec_col)
     else:
-        withv = assignment
+        withv = spread_input(assignment)
     right = withv.select(
         F.col("cid").alias("cid_b"),
         F.col("code").alias("code_b"),

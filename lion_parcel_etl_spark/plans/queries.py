@@ -11282,8 +11282,9 @@ def q_market_basket(spark, sf_dir):
     from lion_parcel_etl_spark.operators.basket import basket_rules
 
     li = _t(spark, sf_dir, "lineitem")
-    # r09 optimization round: no pre-distinct, no pin — basket_rules'
-    # per-order collect_set subsumes both (one exchange instead of two)
+    # r09 optimization round: dedup + order-key partitioning + pin
+    # moved INSIDE basket_rules (both self-join sides now read one
+    # co-partitioned cache with no re-exchange)
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
     return basket_rules(b, min_pairs=MB_MIN_PAIRS, top=MB_TOP)
 

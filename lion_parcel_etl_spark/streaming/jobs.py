@@ -1458,8 +1458,8 @@ def read_market_basket(
     data ingested so far, whatever the batch boundaries were."""
     from lion_parcel_etl_spark.operators.basket import basket_rules
 
-    # r09 optimization round: no pre-distinct, no pin — basket_rules'
-    # per-order collect_set dedups the merged fragments itself
+    # r09 optimization round: dedup + order-key partitioning + pin
+    # moved inside basket_rules (shared with the batch query)
     b = warehouse.read(spark, table).select("o", "p")
     return basket_rules(b, min_pairs=min_pairs, top=top)
 

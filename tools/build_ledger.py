@@ -49,6 +49,7 @@ SOURCES = {
             "BENCH_SF1_FULL_r08.json",
             "BENCH_SF1_TRIO_r09.json",
             "BENCH_SF1_STORES_r09.json",
+            "BENCH_SF1_OPT_r09.json",
         ],
         "sf0.1",
     ),
@@ -102,10 +103,12 @@ ANNOTATIONS = {
         "output-bound; LSH twin is the scale path"
     ),
     "semantic_dedup": (
-        "sf1 13.8x vs sf1distinct 17.1x (r09): distinct mode is no "
-        "cheaper (slightly dearer — within-cluster pair volume rises "
-        "when families spread across clusters); compute-bound by the "
-        "exact within-cluster all-pairs contract, not output-bound"
+        "sf1 re-measured 3.17x after the r09-opt coarse_asg store + "
+        "spread_input fix (was 13.8x); the sf1distinct floor PREDATES "
+        "the store (old-code reading — the variant's point stands "
+        "unchanged: distinct mode was no cheaper than sf1 on the same "
+        "code, so the query is compute-bound by the exact "
+        "within-cluster all-pairs contract, not output-bound)"
     ),
     "dedup_pr_eval": (
         "sf1 9.74x: ~2.5 s is the exact-Jaccard ground-truth labeling "
