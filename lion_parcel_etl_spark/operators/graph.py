@@ -281,15 +281,26 @@ def kcore_survivors(edges: DataFrame, k: int, rounds: int) -> DataFrame:
             .filter(F.col("core_degree") >= k)
         )
         if r < rounds - 1:
-            alive = deg.select(F.col("src").alias("node")).localCheckpoint()
+            # eager=False + count() folds the checkpoint
+            # materialization and the early-exit count into ONE job
+            # per round (r10, verdict item 9: the eager checkpoint's
+            # internal count job plus the separate alive.count() made
+            # the loop driver/scheduler-bound at small SF — 8-core
+            # ratio 0.46). The non-eager mark persists + truncates
+            # lineage at the count's job, so both next-round
+            # semi-joins still read the cached frontier, never the
+            # lineage.
+            alive = deg.select(F.col("src").alias("node")).localCheckpoint(
+                eager=False
+            )
             # Fixed-point early exit (r09 optimization round): alive
             # sets are NESTED (alive_r ⊆ alive_{r-1} — each round only
             # deletes), so equal COUNTS on consecutive rounds imply
             # equal SETS, which implies every remaining round's degree
             # table is identical to this one (the docstring's
-            # convergence argument, now acted on). The count is a
-            # cheap scan of the just-checkpointed partitions; the win
-            # is skipping rounds-minus-depth degree aggregates + two
+            # convergence argument, now acted on). The count is the
+            # checkpoint's own materialization job; the win is
+            # skipping rounds-minus-depth degree aggregates + two
             # semi-joins each. Result is EXACTLY the fixed-rounds
             # output — pinned against the unrolled oracle and by the
             # rounds-vs-rounds+1 test.

@@ -218,57 +218,57 @@ def resample_interpolate(
     empty bucket takes prev + (next − prev)·Δt/ΔT from the nearest
     observed buckets on each side.
 
-    Plan shape: one hash aggregate (the bucket mean — the only
-    corpus-sized exchange), a per-key bounds aggregate feeding a
-    sequence() explode (grid rows ∝ keys × span/step, a property of
-    the GRID, not the event volume), and two window sorts per key
-    (ASC and DESC running frames) for the ignore-nulls neighbor scans
-    — Spark's suffix frame would be one sort but O(rows²) per key.
-    Grid points at observed
-    buckets pass through exactly (observed = true); interior gaps are
-    bounded by observed buckets on both sides by construction, so the
-    interpolation denominators are never null."""
+    Plan shape (r10 — segment explode): one hash aggregate (the bucket
+    mean — the only corpus-sized exchange), then ONE lead() window
+    over the |observed buckets| rows attaches each bucket's next
+    observed neighbor, and each bucket explodes the half-open grid
+    span [t, next_t) it left-bounds (the last bucket emits itself).
+    Every gap row is born WITH its prev/next interpolation anchors, so
+    the grid is never joined back to the observations and never
+    window-sorted: the r05-r09 shape paid a grid ⋈ buckets left join
+    plus TWO grid-sized window sorts (ASC + DESC running ignore-nulls
+    frames over ~1M rows at sf0.1); this shape pays one window over
+    the far smaller bucket table and a Generate. Grid rows are
+    identical (all buckets sit on the hourly lattice, so per-segment
+    sequences tile the old per-key [min, max] sequence exactly —
+    contract: ``step`` must equal one ``trunc_unit``, the shipped
+    configuration) and the interpolation arithmetic is term-for-term
+    the same doubles, so the output is byte-identical (oracle
+    hash-verified). Grid points at observed buckets pass through
+    exactly (observed = true); interior gaps are bounded by observed
+    buckets on both sides by construction, so the interpolation
+    denominators are never null."""
     t = F.date_trunc(trunc_unit, F.col(ts_col))
     hourly = (
         df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
         .groupBy(F.col(key_col).alias("key"), t.alias("t"))
         .agg(F.avg(value_col).alias("v"))
     )
-    bounds = hourly.groupBy("key").agg(
-        F.min("t").alias("__lo"), F.max("t").alias("__hi")
-    )
-    grid = bounds.select(
+    w = Window.partitionBy("key").orderBy("t")
+    seg = hourly.select(
         "key",
-        F.explode(
-            F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
-        ).alias("t"),
+        "t",
+        "v",
+        F.lead("t").over(w).alias("__nt"),
+        F.lead("v").over(w).alias("__nv"),
     )
-    g = grid.join(hourly, ["key", "t"], "left")
-    # BOTH neighbor scans as RUNNING frames (unbounded-preceding →
-    # current), the forward one over a DESC ordering: Spark's
-    # unbounded-FOLLOWING frame re-aggregates the remaining rows for
-    # every row — O(rows²) per key partition, measured 29 s vs 8 s on
-    # the 1M-point sf0.1 grid. A running frame is O(rows) in either
-    # direction at the cost of one extra sort.
-    back = (
-        Window.partitionBy("key")
-        .orderBy(F.col("t").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # each observed bucket emits the grid points of [t, next_t): itself
+    # plus the gap rows it left-bounds; the per-key LAST bucket
+    # (next_t null) emits only itself — so resampling still never
+    # extrapolates past a key's own first/last observation
+    step_iv = F.expr(f"INTERVAL {step}")
+    pts = F.sequence(
+        F.col("t"),
+        F.coalesce(F.col("__nt") - step_iv, F.col("t")),
+        step_iv,
     )
-    fwd = (
-        Window.partitionBy("key")
-        .orderBy(F.col("t").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    prev_v = F.last("v", ignorenulls=True).over(back)
-    prev_t = F.last(F.when(F.col("v").isNotNull(), F.col("t")), True).over(back)
-    next_v = F.last("v", ignorenulls=True).over(fwd)
-    next_t = F.last(F.when(F.col("v").isNotNull(), F.col("t")), True).over(fwd)
-    frac = (F.col("t").cast("long") - prev_t.cast("long")).cast("double") / (
-        next_t.cast("long") - prev_t.cast("long")
-    ).cast("double")
-    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
-        prev_v + (next_v - prev_v) * frac
+    g = seg.select("key", "t", "v", "__nt", "__nv", F.explode(pts).alias("__gt"))
+    observed = F.col("__gt") == F.col("t")
+    frac = (F.col("__gt").cast("long") - F.col("t").cast("long")).cast(
+        "double"
+    ) / (F.col("__nt").cast("long") - F.col("t").cast("long")).cast("double")
+    interp = F.when(observed, F.col("v")).otherwise(
+        F.col("v") + (F.col("__nv") - F.col("v")) * frac
     )
     # explicit HALF-UP rounding (floor(x·1e6 + 0.5)/1e6) instead of
     # round(): interpolated values between 2-decimal inputs land on
@@ -278,9 +278,9 @@ def resample_interpolate(
     r6 = (F.floor(interp * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("double")
     return g.select(
         F.col("key").alias(key_col),
-        "t",
+        F.col("__gt").alias("t"),
         r6.alias("value"),
-        F.col("v").isNotNull().alias("observed"),
+        observed.alias("observed"),
     )
 
 

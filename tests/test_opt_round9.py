@@ -116,15 +116,19 @@ def test_minhash_sig64_prefix_is_k16_signature(spark, sf_dir):
         F.col("doc_id").alias("doc"),
         DD.minhash_signature(F.col("text")).alias("s16"),
     )
-    diff = (
-        sliced.join(direct, "doc")
-        .filter(
-            ~(
-                F.col("s64").eqNullSafe(F.col("s16"))
-            )
-        )
-        .count()
-    )
+    # full outer join + per-side row counts (r09 ADVICE): an inner
+    # join passes even if minhash_signatures drops or duplicates docs
+    # relative to the direct per-doc select — the exact regression the
+    # serving change could introduce
+    n_docs = both.count()
+    assert sliced.count() == n_docs
+    assert direct.count() == n_docs
+    joined = sliced.join(direct, "doc", "full_outer")
+    assert joined.count() == n_docs
+    # NULL-text docs legitimately carry NULL sigs on BOTH sides, so
+    # the elementwise check stays null-safe; an unmatched outer-join
+    # row (one side's columns all NULL, other side real) fails it
+    diff = joined.filter(~F.col("s64").eqNullSafe(F.col("s16"))).count()
     assert diff == 0
     assert Q.DD.MINHASH_K_CORPUS >= DD.MINHASH_K
 

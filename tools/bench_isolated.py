@@ -37,6 +37,7 @@ import json, sys, time
 sys.path.insert(0, {repo!r})
 from lion_parcel_etl_spark.plans.queries import QUERIES
 from lion_parcel_etl_spark.session import get_spark
+import bench
 
 name, sf_dir, runs = sys.argv[1], sys.argv[2], int(sys.argv[3])
 spark = get_spark(app_name="bench-isolated")
@@ -44,6 +45,10 @@ spark.sparkContext.setLogLevel("ERROR")
 fn, _ = QUERIES[name]
 
 def run():
+    # same store-accounting as bench.py (r10): a store's designated
+    # BUILDER query pays the build in every run, so its floor measures
+    # build + readout, matching the sweep's per-run eviction
+    bench._evict_owned(spark, sf_dir, name)
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
 t0 = time.perf_counter()

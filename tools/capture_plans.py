@@ -24,7 +24,7 @@ from lion_parcel_etl_spark.plans.audit import formatted_plan
 from lion_parcel_etl_spark.plans.queries import QUERIES
 from lion_parcel_etl_spark.session import get_spark
 
-TAG = "r09"
+TAG = "r10"
 
 
 def main() -> None:
