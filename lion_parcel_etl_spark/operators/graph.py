@@ -182,9 +182,16 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     from lion_parcel_etl_spark.operators.dedup import pin
 
     e = edges.select("node_a", "node_b")
-    deg = (
-        e.select(F.col("node_a").alias("node"))
-        .unionAll(e.select(F.col("node_b").alias("node")))
+    # ONE edge scan via explode (the unionAll spelling scanned the edge
+    # table twice), and PINNED (r10): deg feeds THREE consumers — both
+    # sides of the orientation join and the final per-node readout —
+    # and unpinned the whole scan+aggregate subtree executed once per
+    # consumer (measured ~1.8 s of triangle_count's 4.3 s at sf0.1 was
+    # deg recomputation; a |nodes|-sized pin costs one ~0.15 s count).
+    deg = pin(
+        e.select(
+            F.explode(F.array(F.col("node_a"), F.col("node_b"))).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -198,10 +205,15 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         )
         .select("u", "v", "w")
     )
-    corners = (
-        tri.select(F.col("u").alias("node"))
-        .unionAll(tri.select(F.col("v").alias("node")))
-        .unionAll(tri.select(F.col("w").alias("node")))
+    # ONE explode, not a 3-way union (r10): the union spelling
+    # re-executed the whole wedge+closure subtree once per branch —
+    # Spark has no common-subexpression reuse across union arms, so
+    # the O(m^1.5) enumeration ran THREE times per action (the before
+    # plan shows 6 closure/wedge BroadcastHashJoins; after, 2).
+    # explode(array(u,v,w)) emits the same 3·#triangles corner rows
+    # from a single enumeration.
+    corners = tri.select(
+        F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias("node")
     )
     tn = corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
     deg = deg.select("node", F.col("d").alias("degree"))

@@ -166,3 +166,28 @@ def test_bench_guards_are_not_bare_asserts():
     assert module_level_asserts == []
     kpr_src = inspect.getsource(Q.q_dedup_pr_eval)
     assert "assert kmax" not in kpr_src
+
+
+def test_qc_model_store_scores_identical_to_inline_fit(spark, sf_dir):
+    """r10: the fitted-weights store (qc_model) must reproduce the
+    inline fit+score byte-for-byte — weights are raw doubles that
+    parquet round-trips bit-exactly, and logreg_score consumes the
+    dict sorted by bucket on both paths."""
+    import lion_parcel_etl_spark.plans.queries as Q
+    from lion_parcel_etl_spark.operators.classifier import (
+        doc_features,
+        logreg_fit,
+        logreg_score,
+    )
+    from lion_parcel_etl_spark.operators.dedup import pin
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = pin(doc_features(docs, Q.QC_RULE_SPARK()))
+    w = logreg_fit(feats, steps=Q.QC_STEPS, lr=Q.QC_LR)
+    inline = logreg_score(feats, w)
+    for name in ("qc_scored", "qc_model"):
+        Q._evict_session_store(spark, sf_dir, name)
+    stored = Q._qc_scored(spark, sf_dir)
+    assert inline.count() == stored.count()
+    assert inline.exceptAll(stored).count() == 0
+    assert stored.exceptAll(inline).count() == 0
