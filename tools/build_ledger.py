@@ -41,6 +41,7 @@ SOURCES = {
             "BENCH_ISOLATED_r09_sweep.json",
             "BENCH_STORES_FLOORS_r09.json",
             "BENCH_OPT_FLOORS_r09.json",
+            "BENCH_OPT_FLOORS_r10.json",
         ],
         None,
     ),
@@ -50,6 +51,7 @@ SOURCES = {
             "BENCH_SF1_TRIO_r09.json",
             "BENCH_SF1_STORES_r09.json",
             "BENCH_SF1_OPT_r09.json",
+            "BENCH_SF1_OPT_r10.json",
         ],
         "sf0.1",
     ),
@@ -79,14 +81,48 @@ PRE_R09_FILES = {
     "BENCH_ISOLATED_r09_sweep.json",
 }
 
+#: Queries whose r10 bench ACCOUNTING changed (bench.py STORE_OWNERS:
+#: the family store's build is evicted before every timed run of its
+#: designated owner, so the owner's floor now measures build+readout).
+#: Pre-r10 floors for these measured a bare store scan — cheaper
+#: accounting, not cheaper code — and must not win the min-merge.
+#: Imported from bench.py so the two lists cannot drift.
+import sys as _sys
+
+_sys.path.insert(0, REPO)
+from bench import STORE_OWNERS as _OWNERS  # noqa: E402
+
+ACCOUNTING_CHANGED_R10 = set(_OWNERS) | {"bucketed_join"}
+#: every sf0.1/sf1 floors artifact measured before the r10 accounting
+PRE_R10_FILES = {
+    "BENCH_ISOLATED.json",
+    "BENCH_ISOLATED_r09_sweep.json",
+    "BENCH_STORES_FLOORS_r09.json",
+    "BENCH_OPT_FLOORS_r09.json",
+    "BENCH_SF1_FULL_r08.json",
+    "BENCH_SF1_TRIO_r09.json",
+    "BENCH_SF1_STORES_r09.json",
+    "BENCH_SF1_OPT_r09.json",
+}
+
 #: Documented-cause annotations for every adjudicated super-linear or
 #: skew-sensitive reading. A ledger ratio >10x (sf1) or >2x (skew)
 #: WITHOUT an annotation here is an open item by construction.
 ANNOTATIONS = {
     "resample_interpolate": (
-        "sf1 10.73x: output grid is keys x span/step and the replica "
-        "multiplies keys 10x — output-bound by contract "
-        "(SCALE_RATIOS_r08.md)"
+        "r10 segment-explode rewrite (one lead() window over observed "
+        "buckets; no grid join, no grid-sized window sorts): sf0.1 "
+        "floor 3.26->1.61 s, sf1 ~35->3.30 s — the old 10.73x "
+        "output-bound ratio collapses to ~2x because the 10x-keys grid "
+        "is now produced by a Generate instead of being joined and "
+        "window-sorted twice"
+    ),
+    "bucketed_join": (
+        "r10 accounting: the owner's timed runs now pay BOTH bucketed "
+        "table writes (eviction per run) — sf0.1 3.9 s / sf1 33.5 s is "
+        "the pre-r09-store cost restored by design (linear in data; "
+        "the write IS the amortized cost the query documents), not a "
+        "regression vs r09's 1.6 s write-once-per-session reading"
     ),
     "dedup_embedding": (
         "sf1 12.25x vs sf1distinct 12.47x (r09): family-breaking "
@@ -162,6 +198,8 @@ def main() -> int:
             for q, v in data.get("floors", {}).items():
                 if q in SEMANTICS_CHANGED_R09 and fname in PRE_R09_FILES:
                     continue  # pre-change floor measures cheaper semantics
+                if q in ACCOUNTING_CHANGED_R10 and fname in PRE_R10_FILES:
+                    continue  # pre-r10 floor measured a bare store scan
                 if q not in floors or v < floors[q]:
                     floors[q] = v
             used.append(fname)
